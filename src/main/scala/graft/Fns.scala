@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Cross-engine-deterministic aggregation helpers.
+  *
+  * The DuckDB oracle and Spark may sum floating-point columns in different
+  * orders (different partitioning / morsel order), so a plain `sum(double)`
+  * can differ in the low bits and fail the driver's hash compare. The fix:
+  * per-row double arithmetic is IEEE-754-deterministic (same inputs, same
+  * result in both engines); casting each row to a decimal and summing decimals
+  * is exact and therefore order-independent. The final cast back to double is
+  * deterministic again. Oracle-side twin:
+  * `CAST(SUM(CAST(x AS DECIMAL(27,4))) AS DOUBLE)`.
+  */
+object Fns {
+  /** Order-independent exact sum of a double expression. */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(27, 4))).cast(DoubleType)
+
+  /** Oracle SQL fragment mirroring [[dsum]]. */
+  def dsumSql(expr: String): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(27,4))) AS DOUBLE)"
+}

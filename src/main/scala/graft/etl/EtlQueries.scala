@@ -1,0 +1,142 @@
+package graft.etl
+
+import graft.{Fns, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Declared queries for the reference's ETL semantics (SURVEY.md §2.1) plus
+  * the flagship pricing-summary aggregation. Every query reads the fixture
+  * parquet under `sfDir` and ends in a total ORDER BY (oracle determinism,
+  * FIXTURES.md).
+  */
+object EtlQueries extends QueryModule {
+  import Fns.{dsum, dsumSql}
+
+  // Literal as-of instants — never now() (operations.py:539 quirk, fixed).
+  private val T      = "TIMESTAMP '2024-01-20 00:00:00'"
+  private val InsT   = "TIMESTAMP '2024-01-25 00:00:00'"
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Flagship: TPC-H-Q1-style pricing summary — scan, filter, projection,
+    // hash-agg (partial+final, map-side combine free from Catalyst), sort.
+    "q01_pricing_summary" -> { (s, dir) =>
+      Tables.t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= expr("TIMESTAMP '2000-09-02 00:00:00'"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // W9 seed_table (operations.py:404-474): snapshot copy == normalize +
+    // full scan; the chunk loop is partition parallelism.
+    "q02_seed_snapshot" -> { (s, dir) =>
+      TypeNormalizer.normalize(Tables.t(s, dir, "customer"))
+        .orderBy("c_custkey")
+    },
+
+    // W1 convert_column_types (operations.py:120-128): "_at"-suffix string
+    // columns → timestamp, null on parse failure (errors="coerce").
+    "q03_type_normalize" -> { (s, dir) =>
+      val raw = Tables.t(s, dir, "events").select(
+        col("event_id"),
+        when(col("event_id") % 100 === 0, lit("not-a-timestamp"))
+          .otherwise(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+          .as("created_at"))
+      TypeNormalizer.normalize(raw).orderBy("event_id")
+    },
+
+    // W11+W14 incremental upsert (operations.py:515-609): old snapshot =
+    // events before T; source lost every event_id%10==0 row (simulated
+    // deletions); 48h delta window.
+    "q04_upsert_kernel" -> { (s, dir) =>
+      val ev  = Tables.t(s, dir, "events")
+      val old = ev.filter(col("ts") < expr(T))
+      val src = ev.filter(col("event_id") % 10 =!= 0)
+      UpsertKernel.upsert(old, src, "event_id", "ts", expr(T), 48)
+        .orderBy("event_id")
+    },
+
+    // Delete reconciliation alone (operations.py:556-574 intent):
+    // dest ids EXCEPT source ids.
+    "q05_delete_reconcile" -> { (s, dir) =>
+      val ev  = Tables.t(s, dir, "events")
+      val src = ev.filter(col("event_id") % 10 =!= 0)
+      UpsertKernel.deletedIds(ev, src, "event_id").orderBy("event_id")
+    },
+
+    // W15 safe_insert (operations.py:751-791): conflict ≙ semi-join;
+    // insertable set ≙ anti-join.
+    "q06_safe_insert" -> { (s, dir) =>
+      val ev       = Tables.t(s, dir, "events")
+      val incoming = ev.filter(col("ts") >= expr(InsT))
+      val existing = ev.filter(col("event_id") % 2 === 0)
+      SafeInsert.insertable(incoming, existing, "event_id")
+        .orderBy("event_id")
+    })
+
+  override def oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${dsumSql("l_quantity")} AS sum_qty,
+         |  ${dsumSql("l_extendedprice")} AS sum_base_price,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+         |  ROUND(AVG(l_quantity), 4) AS avg_qty,
+         |  ROUND(AVG(l_extendedprice), 4) AS avg_price,
+         |  ROUND(AVG(l_discount), 4) AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_seed_snapshot" ->
+      "SELECT * FROM customer ORDER BY c_custkey",
+
+    "q03_type_normalize" ->
+      """WITH raw AS (
+        |  SELECT event_id,
+        |         CASE WHEN event_id % 100 = 0 THEN 'not-a-timestamp'
+        |              ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END AS created_at
+        |  FROM events)
+        |SELECT event_id, TRY_CAST(created_at AS TIMESTAMP) AS created_at
+        |FROM raw ORDER BY event_id""".stripMargin,
+
+    "q04_upsert_kernel" ->
+      """WITH old AS (
+        |  SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00'),
+        |src AS (SELECT * FROM events WHERE event_id % 10 <> 0),
+        |delta AS (
+        |  SELECT * FROM src
+        |  WHERE ts >= TIMESTAMP '2024-01-20 00:00:00' - INTERVAL 48 HOUR),
+        |merged AS (
+        |  SELECT * FROM old
+        |  WHERE event_id NOT IN (SELECT event_id FROM delta)
+        |  UNION ALL SELECT * FROM delta)
+        |SELECT m.* FROM merged m
+        |WHERE m.event_id IN (SELECT event_id FROM src)
+        |ORDER BY m.event_id""".stripMargin,
+
+    "q05_delete_reconcile" ->
+      """SELECT event_id FROM events
+        |EXCEPT
+        |SELECT event_id FROM events WHERE event_id % 10 <> 0
+        |ORDER BY event_id""".stripMargin,
+
+    "q06_safe_insert" ->
+      """SELECT * FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'
+        |  AND event_id NOT IN (
+        |    SELECT event_id FROM events WHERE event_id % 2 = 0)
+        |ORDER BY event_id""".stripMargin)
+}

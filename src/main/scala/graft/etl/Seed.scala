@@ -1,0 +1,29 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Snapshot seed — `CloudSQLWriter.seed_table`
+  * (`pyopenetl/operations.py:404-474`): drop dest, chunk-read source, create
+  * dest from the first chunk's schema, append each chunk, clone indexes.
+  * In Spark the whole ceremony is one declarative line: the chunk loop is
+  * partition parallelism, create-after-drop is `mode("overwrite")` (atomic
+  * via the file-commit protocol, replacing the reference's per-chunk
+  * transaction at `operations.py:181`), and the parquet footer carries the
+  * schema (replacing `get_postgres_table_schema`, `operations.py:233-287`).
+  *
+  * The reference's post-load index clone (`operations.py:368-402,476-484`)
+  * has no Spark analog (no secondary indexes); the physical-layout
+  * equivalent is writing sorted/bucketed so scans prune — `sortCols` gives
+  * min/max-pruned parquet row groups at 100 TB.
+  */
+object Seed {
+  def seed(spark: SparkSession, srcPath: String, dstPath: String,
+           sortCols: Seq[String] = Nil): Unit = {
+    val df  = TypeNormalizer.normalize(spark.read.parquet(srcPath))
+    val out = if (sortCols.nonEmpty) df.sortWithinPartitions(sortCols.map(df(_)): _*) else df
+    out.write.mode("overwrite").parquet(dstPath)
+  }
+
+  def readBack(spark: SparkSession, dstPath: String): DataFrame =
+    spark.read.parquet(dstPath)
+}
