@@ -16,10 +16,26 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * `CAST(SUM(CAST(x AS DECIMAL(27,4))) AS DOUBLE)`.
   */
 object Fns {
-  /** Order-independent exact sum of a double expression. */
-  def dsum(c: Column): Column = sum(c.cast(DecimalType(27, 4))).cast(DoubleType)
+  /** Order-independent exact sum of a double expression. Scale 6 because the
+    * fixtures carry 2-decimal money values: a triple product (price ×
+    * discount × tax factors) has at most 6 true decimals, so the per-row
+    * decimal cast is exact in both engines — no round-half boundary to
+    * disagree on.
+    */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(27, 6))).cast(DoubleType)
 
   /** Oracle SQL fragment mirroring [[dsum]]. */
   def dsumSql(expr: String): String =
-    s"CAST(SUM(CAST($expr AS DECIMAL(27,4))) AS DOUBLE)"
+    s"CAST(SUM(CAST($expr AS DECIMAL(27,6))) AS DOUBLE)"
+
+  /** Bit-exact cross-engine average: exact decimal sum → double → one IEEE
+    * division by the group count. Both engines produce the identical double,
+    * so no rounding is needed (a `round(avg(x), n)` can land exactly on a
+    * half boundary — e.g. sum/24 — where the engines' rounding methods
+    * disagree).
+    */
+  def davg(c: Column): Column = dsum(c) / count(lit(1))
+
+  /** Oracle SQL fragment mirroring [[davg]]. */
+  def davgSql(expr: String): String = s"(${dsumSql(expr)} / COUNT(*))"
 }

@@ -8,7 +8,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
-    etl.EtlQueries)
+    etl.EtlQueries,
+    ops.RelationalQueries,
+    ops.ScalarQueries,
+    ops.EventQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

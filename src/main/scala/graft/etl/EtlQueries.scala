@@ -30,9 +30,9 @@ object EtlQueries extends QueryModule {
             .as("sum_disc_price"),
           dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
             * (lit(1.0) + col("l_tax"))).as("sum_charge"),
-          round(avg(col("l_quantity")), 4).as("avg_qty"),
-          round(avg(col("l_extendedprice")), 4).as("avg_price"),
-          round(avg(col("l_discount")), 4).as("avg_disc"),
+          Fns.davg(col("l_quantity")).as("avg_qty"),
+          Fns.davg(col("l_extendedprice")).as("avg_price"),
+          Fns.davg(col("l_discount")).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     },
@@ -91,9 +91,9 @@ object EtlQueries extends QueryModule {
          |  ${dsumSql("l_extendedprice")} AS sum_base_price,
          |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
          |  ${dsumSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
-         |  ROUND(AVG(l_quantity), 4) AS avg_qty,
-         |  ROUND(AVG(l_extendedprice), 4) AS avg_price,
-         |  ROUND(AVG(l_discount), 4) AS avg_disc,
+         |  ${Fns.davgSql("l_quantity")} AS avg_qty,
+         |  ${Fns.davgSql("l_extendedprice")} AS avg_price,
+         |  ${Fns.davgSql("l_discount")} AS avg_disc,
          |  COUNT(*) AS count_order
          |FROM lineitem
          |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'

@@ -1,0 +1,111 @@
+package graft.ops
+
+import graft.{Fns, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch twins of the streaming operators (SURVEY.md §2.2 "Streaming"):
+  * each Structured Streaming variant in `graft.streaming.StreamingOps` has a
+  * deterministic batch formulation here so the DuckDB oracle can check the
+  * semantics; the streaming runs themselves are ScalaTest-verified.
+  *
+  * The reference's "streaming" is batch-incremental: server-side cursors
+  * (`pyopenetl/connections.py:58,84,118-121`) and an hourly delta window
+  * (`operations.py:539-540`) acting as a crude late-data allowance — the
+  * watermark made explicit.
+  */
+object EventQueries extends QueryModule {
+  import Fns.{dsum, dsumSql}
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tumbling-window aggregation (streaming: groupBy(window($"ts","1 hour"))).
+    "q28_events_hourly" -> { (s, dir) =>
+      Tables.t(s, dir, "events")
+        .groupBy(
+          date_trunc("hour", col("ts")).as("hour"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          dsum(col("value")).as("sum_value"),
+          Fns.davg(col("value")).as("avg_value"))
+        .orderBy("hour", "event_type")
+    },
+
+    // Sessionization with a 30-minute inactivity gap (streaming:
+    // session_window). Two windows — a lag to mark session starts, a running
+    // sum to number them — then one aggregation; shuffles once on user_id.
+    "q29_sessionize" -> { (s, dir) =>
+      val wOrd = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(wOrd))
+        .withColumn("is_new",
+          when(col("prev_ts").isNull ||
+               col("ts") - col("prev_ts") > expr("INTERVAL 30 MINUTES"), 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("is_new")).over(wRun))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          dsum(col("value")).as("session_value"))
+        .orderBy("user_id", "session_id")
+    },
+
+    // Deterministic first-event dedup (streaming:
+    // dropDuplicatesWithinWatermark) — row_number is also the reference's
+    // upsert dedup kernel shape (SURVEY.md §2.1 W14).
+    "q30_dedup_first" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("ts"), col("value"))
+        .orderBy("user_id", "event_type")
+    })
+
+  override def oracles: Map[String, String] = Map(
+    "q28_events_hourly" ->
+      s"""SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
+         |  COUNT(*) AS n_events,
+         |  ${dsumSql("value")} AS sum_value,
+         |  ${Fns.davgSql("value")} AS avg_value
+         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "q29_sessionize" ->
+      s"""WITH marked AS (
+         |  SELECT user_id, event_id, ts, value,
+         |    CASE WHEN LAG(ts) OVER w IS NULL
+         |           OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+         |         THEN 1 ELSE 0 END AS is_new
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sessions AS (
+         |  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id
+         |    ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS session_id
+         |  FROM marked)
+         |SELECT user_id, session_id,
+         |  COUNT(*) AS n_events,
+         |  MIN(ts) AS session_start,
+         |  MAX(ts) AS session_end,
+         |  ${dsumSql("value")} AS session_value
+         |FROM sessions GROUP BY user_id, session_id
+         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q30_dedup_first" ->
+      """WITH ranked AS (
+        |  SELECT user_id, event_type, event_id, ts, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type, event_id, ts, value
+        |FROM ranked WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin)
+}

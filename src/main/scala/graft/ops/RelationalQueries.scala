@@ -1,0 +1,315 @@
+package graft.ops
+
+import graft.{Fns, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** General relational surface (SURVEY.md §2.2) — joins, aggregations,
+  * window functions, sorts/top-k, set operations. The reference only ever
+  * runs these implicitly (anti-join delete detection, semi-join conflict
+  * checks, PK-keyed merge — `pyopenetl/operations.py:556-596, 716-723,
+  * 785-789`); here they are first-class operators.
+  *
+  * Scale notes: dimension joins (`region`, `nation`) are explicitly
+  * broadcast; fact-fact joins shuffle on their equi-keys and are
+  * AQE-replannable; top-k compiles to TakeOrderedAndProject (no total
+  * sort); window functions shuffle once on the partition key.
+  */
+object RelationalQueries extends QueryModule {
+  import Fns.{dsum, dsumSql}
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Inner equi-join chain over the fact tables + group-agg.
+    "q10_join_agg" -> { (s, dir) =>
+      val c = Tables.t(s, dir, "customer")
+      val o = Tables.t(s, dir, "orders")
+      val l = Tables.t(s, dir, "lineitem")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          countDistinct(col("o_orderkey")).as("n_orders"),
+          count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+        .orderBy("c_mktsegment")
+    },
+
+    // Star join to the region dimension (TPC-H-Q5 shape): small dims are
+    // broadcast so the only shuffles are the fact-side aggregations.
+    "q11_join_star" -> { (s, dir) =>
+      val r = Tables.t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val n = Tables.t(s, dir, "nation")
+      val c = Tables.t(s, dir, "customer")
+      val o = Tables.t(s, dir, "orders").filter(
+        col("o_orderdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+        col("o_orderdate") <  expr("TIMESTAMP '1999-01-01 00:00:00'"))
+      val l = Tables.t(s, dir, "lineitem")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    },
+
+    // Left outer join + null-tolerant aggregation.
+    "q12_join_left" -> { (s, dir) =>
+      val o = Tables.t(s, dir, "orders")
+      val l = Tables.t(s, dir, "lineitem").filter(col("l_quantity") > 40)
+      o.join(l, o("o_orderkey") === l("l_orderkey"), "left")
+        .groupBy(o("o_orderkey"))
+        .agg(
+          count(l("l_orderkey")).as("n_big_items"),
+          coalesce(dsum(col("l_quantity")), lit(0.0)).as("big_qty"))
+        .orderBy("o_orderkey")
+    },
+
+    // Left-semi join == EXISTS (the reference's conflict check,
+    // operations.py:785-789, promoted to a first-class operator).
+    "q13_semi_join" -> { (s, dir) =>
+      val o = Tables.t(s, dir, "orders")
+      val l = Tables.t(s, dir, "lineitem").filter(col("l_quantity") > 45)
+      o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+    },
+
+    // Left-anti join == NOT EXISTS (the reference's delete detection,
+    // operations.py:556-574).
+    "q14_anti_join" -> { (s, dir) =>
+      val c = Tables.t(s, dir, "customer")
+      val o = Tables.t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    },
+
+    // As-of join: for each purchase, the most recent strictly-earlier
+    // signup of the same user. Implemented shuffle-once with a range-frame
+    // window over the unioned event stream — no self-join, no skew
+    // amplification at 100 TB (the oracle uses the O(n²)-per-user join
+    // formulation, which is the semantics, not the plan).
+    "q15_asof_join" -> { (s, dir) =>
+      val ev = Tables.t(s, dir, "events")
+        .withColumn("tsu", unix_micros(col("ts")))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      ev.withColumn(
+          "last_signup_ts",
+          last(when(col("event_type") === "signup", col("ts")), ignoreNulls = true)
+            .over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("last_signup_ts"))
+        .orderBy("event_id")
+    },
+
+    // Distinct aggregation + avg.
+    "q16_agg_distinct" -> { (s, dir) =>
+      Tables.t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          countDistinct(col("o_custkey")).as("n_customers"),
+          count(lit(1)).as("n_orders"),
+          Fns.davg(col("o_totalprice")).as("avg_price"))
+        .orderBy("o_orderpriority")
+    },
+
+    // ROLLUP grouping sets; subtotal rows surfaced via COALESCE so the
+    // ordering is total without relying on engine null-ordering defaults.
+    "q17_rollup" -> { (s, dir) =>
+      Tables.t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+          col("n_rows"), col("sum_qty"))
+        .orderBy("returnflag", "linestatus")
+    },
+
+    // Ranking window functions: top-3 orders per customer.
+    "q18_window_rank" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("rnk", rank().over(w))
+        .withColumn("drnk", dense_rank().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("rn"), col("rnk"), col("drnk"))
+        .orderBy("o_custkey", "rn")
+    },
+
+    // Running aggregate over an explicit rows frame.
+    "q19_window_running" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.t(s, dir, "events")
+        .withColumn("running_value", round(sum(col("value")).over(w), 4))
+        .withColumn("n_so_far", count(lit(1)).over(w))
+        .select(col("event_id"), col("user_id"), col("running_value"),
+          col("n_so_far"))
+        .orderBy("event_id")
+    },
+
+    // Analytic window functions: lag / lead.
+    "q20_window_lag" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          lead(col("value"), 1).over(w).as("next_value"))
+        .orderBy("event_id")
+    },
+
+    // Top-k: planner compiles orderBy+limit to TakeOrderedAndProject —
+    // per-partition heaps, no global sort (SURVEY.md §2.2).
+    "q21_topk" -> { (s, dir) =>
+      Tables.t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    },
+
+    // Set operations: UNION (distinct) → INTERSECT → EXCEPT.
+    "q22_set_ops" -> { (s, dir) =>
+      val c = Tables.t(s, dir, "customer")
+      val o = Tables.t(s, dir, "orders")
+      val rich    = c.filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("custkey"))
+      val bigBuy  = o.filter(col("o_totalprice") > 200000)
+        .select(col("o_custkey").as("custkey"))
+      val anyBuy  = o.select(col("o_custkey").as("custkey"))
+      val settled = o.filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("custkey"))
+      rich.union(bigBuy).distinct()
+        .intersect(anyBuy)
+        .except(settled)
+        .orderBy("custkey")
+    })
+
+  override def oracles: Map[String, String] = Map(
+    "q10_join_agg" ->
+      s"""SELECT c_mktsegment,
+         |  COUNT(DISTINCT o_orderkey) AS n_orders,
+         |  COUNT(*) AS n_items,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM customer
+         |JOIN orders   ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q11_join_star" ->
+      s"""SELECT n_name,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation   ON c_nationkey = n_nationkey
+         |JOIN region   ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q12_join_left" ->
+      s"""SELECT o_orderkey,
+         |  COUNT(l_orderkey) AS n_big_items,
+         |  COALESCE(${dsumSql("l_quantity")}, 0.0) AS big_qty
+         |FROM orders
+         |LEFT JOIN (SELECT * FROM lineitem WHERE l_quantity > 40) li
+         |  ON o_orderkey = li.l_orderkey
+         |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+
+    "q13_semi_join" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q14_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q15_asof_join" ->
+      """SELECT p.event_id, p.user_id, p.ts, MAX(s.ts) AS last_signup_ts
+        |FROM events p
+        |LEFT JOIN events s
+        |  ON s.user_id = p.user_id AND s.event_type = 'signup' AND s.ts < p.ts
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY p.event_id, p.user_id, p.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q16_agg_distinct" ->
+      s"""SELECT o_orderpriority,
+        |  COUNT(DISTINCT o_custkey) AS n_customers,
+        |  COUNT(*) AS n_orders,
+        |  ${Fns.davgSql("o_totalprice")} AS avg_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q17_rollup" ->
+      s"""SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+         |  COALESCE(l_linestatus, '(all)') AS linestatus,
+         |  COUNT(*) AS n_rows,
+         |  ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q18_window_rank" ->
+      """WITH ranked AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER w AS rn,
+        |    RANK()       OVER w AS rnk,
+        |    DENSE_RANK() OVER w AS drnk
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY o_totalprice DESC, o_orderkey ASC))
+        |SELECT * FROM ranked WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q19_window_running" ->
+      """SELECT event_id, user_id,
+        |  ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+        |    AS running_value,
+        |  COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_so_far
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q20_window_lag" ->
+      """SELECT event_id, user_id, value,
+        |  LAG(value, 1)  OVER w AS prev_value,
+        |  LEAD(value, 1) OVER w AS next_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "q21_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+
+    "q22_set_ops" ->
+      """SELECT custkey FROM (
+        |  SELECT custkey FROM (
+        |    SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+        |    UNION
+        |    SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders)
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY custkey""".stripMargin)
+}
