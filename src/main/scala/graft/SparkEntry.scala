@@ -11,7 +11,11 @@ object SparkEntry {
     etl.EtlQueries,
     ops.RelationalQueries,
     ops.ScalarQueries,
-    ops.EventQueries)
+    ops.EventQueries,
+    llm.TextQueries,
+    llm.DedupQueries,
+    llm.SimilarityQueries,
+    llm.Multimodal)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,123 @@
+package graft.llm
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Probabilistic near-dedup operators (north-star extension set, SURVEY.md
+  * §2.3): MinHash + LSH banding and SimHash. These are the 100 TB scale path
+  * — the exact inverted-index Jaccard (q34) degrades with posting-list
+  * length, while LSH only ever joins on (band, band-hash) buckets.
+  *
+  * No DuckDB oracle: the operators hinge on hash functions with no
+  * cross-engine twin. Correctness is ScalaTest-verified instead — candidate
+  * pairs are exact-Jaccard-verified inside the query (precision 1 by
+  * construction) and recall is asserted against q34's exact answer.
+  */
+object DedupQueries extends QueryModule {
+
+  val NumHashes = 32
+  val Bands     = 8
+  val RowsPerBand = NumHashes / Bands
+
+  /** Per-doc MinHash signature columns sig0..sig{n-1}: min over the doc's
+    * distinct tokens of xxhash64(seed_i, token). Seeded xxhash64 instead of
+    * `a*h+b` so ANSI mode can't overflow-error, and everything stays in
+    * whole-stage codegen.
+    */
+  def signatures(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), col("source"),
+      explode(array_distinct(split(col("text"), " "))).as("token"))
+    val mins = (0 until NumHashes).map(i =>
+      min(xxhash64(lit(i), col("token"))).as(s"sig$i"))
+    tok.groupBy(col("doc_id"), col("source")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** (doc_id, source, band, band_hash) — one row per band; candidate pairs
+    * are docs sharing any (band, band_hash) bucket.
+    */
+  def bands(sig: DataFrame): DataFrame = {
+    val bandRows = (0 until Bands).map { b =>
+      val cols = (0 until RowsPerBand).map(r => col(s"sig${b * RowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("band_hash"))
+    }
+    sig.select(col("doc_id"), col("source"),
+        explode(array(bandRows: _*)).as("bb"))
+      .select(col("doc_id"), col("source"),
+        col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
+  }
+
+  /** LSH candidate pairs (a_id < b_id, same source), deduplicated across
+    * bands. The join key is (source, band, band_hash) — bucket-local, so no
+    * quadratic blowup at scale unless a bucket is genuinely hot.
+    */
+  def candidatePairs(docs: DataFrame): DataFrame = {
+    val bb = bands(signatures(docs))
+    val a = bb.select(col("source"), col("band"), col("band_hash"),
+      col("doc_id").as("a_id"))
+    val b = bb.select(col("source"), col("band"), col("band_hash"),
+      col("doc_id").as("b_id"))
+    a.join(b, Seq("source", "band", "band_hash"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("source"), col("a_id"), col("b_id"))
+      .distinct()
+  }
+
+  /** MinHash-LSH near-dup pairs, exact-Jaccard-verified: same output shape
+    * as q34 but candidates come from LSH buckets, not a full inverted-index
+    * join.
+    */
+  def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("tok"))
+    val cand = candidatePairs(docs)
+    cand
+      .join(toks.select(col("doc_id").as("a_id"), col("tok").as("a_tok")), "a_id")
+      .join(toks.select(col("doc_id").as("b_id"), col("tok").as("b_tok")), "b_id")
+      .withColumn("n_common",
+        size(array_intersect(col("a_tok"), col("b_tok"))).cast("long"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (size(col("a_tok")) + size(col("b_tok")) - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("source"), col("a_id"), col("b_id"),
+        round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("source", "a_id", "b_id")
+  }
+
+  /** 64-bit SimHash over distinct tokens: per bit, sum +1/-1 weighted by the
+    * token hash's bit, then reassemble the sign vector with bitwise OR (no
+    * additive overflow under ANSI mode). One explode + one aggregation —
+    * shuffles once on doc_id.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("token"))
+      .withColumn("h", xxhash64(col("token")))
+    val bitSums = (0 until 64).map(i =>
+      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1))
+        .as(s"b$i"))
+    val agg = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sh = (0 until 64).map(i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce((x, y) => x.bitwiseOR(y))
+    agg.select(col("doc_id"), sh.as("simhash"))
+  }
+
+  def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // MinHash-LSH near-dup pairs (no oracle — hash-dependent candidates;
+    // ScalaTest asserts recall vs q34's exact pairs).
+    "q36_minhash_pairs" -> { (s, dir) =>
+      minhashPairs(Tables.t(s, dir, "documents"), 0.6)
+    },
+
+    // SimHash fingerprints (no oracle — Spark-specific xxhash64; ScalaTest
+    // asserts identical token sets give identical simhash).
+    "q37_simhash" -> { (s, dir) =>
+      simhash(Tables.t(s, dir, "documents")).orderBy("doc_id")
+    })
+
+  override def oracles: Map[String, String] = Map.empty
+}

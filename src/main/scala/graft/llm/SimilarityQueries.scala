@@ -1,0 +1,162 @@
+package graft.llm
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embeddings fixture (SURVEY.md §2.3):
+  * brute-force cosine top-k as the exact baseline, and a random-hyperplane
+  * LSH-bucketed variant as the scale path (candidates come from matching
+  * sign-buckets instead of the full cross product).
+  *
+  * All vector math runs in double precision via higher-order functions
+  * (`zip_with` + `aggregate`) — 64-term double sums carry ~1e-15 error, far
+  * below the ROUND(.,4) grid and the gaps between neighbor cosines, so
+  * ranking and rounded values are cross-engine deterministic.
+  */
+object SimilarityQueries extends QueryModule {
+
+  val Dim = 64
+
+  /** embedding (float array) -> double array column. */
+  private def asDouble(c: Column): Column =
+    transform(c, (x: Column) => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x: Column, y: Column) => x * y),
+      lit(0.0), (acc: Column, x: Column) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc: Column, x: Column) => acc + x * x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force top-k cosine neighbors for each query vector. The query
+    * side is tiny -> broadcast; ranking via per-query row_number (planner:
+    * one shuffle on query_id, per-partition top-k heaps under AQE).
+    */
+  def topK(embeddings: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      asDouble(col("embedding")).as("qv"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("v"), col("qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"),
+        round(col("cos"), 4).as("cosine"), col("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Random-hyperplane LSH: bucket = sign bits of dot(v, plane_j). Planes
+    * are deterministic pseudo-random (fixed-seed), embedded as literals.
+    * Neighbor candidates share the bucket -> join on bucket id, then exact
+    * cosine re-rank inside the bucket. Probing the query's bucket only
+    * (single-probe) — the recall/latency trade is documented in the spec.
+    */
+  def lshBuckets(e: DataFrame, nPlanes: Int, seed: Long): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(nPlanes)(Array.fill(Dim)(rnd.nextGaussian()))
+    val bucketBits = (0 until nPlanes).map { j =>
+      val p = typedlit(planes(j).toSeq)
+      when(dot(col("v"), p) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    e.withColumn("bucket", bucketBits.reduce((a, b) => a.bitwiseOR(b)))
+  }
+
+  def annTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
+              nPlanes: Int = 8, seed: Long = 42L): DataFrame = {
+    val e = lshBuckets(
+      embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v")),
+      nPlanes, seed)
+    val q = lshBuckets(
+      queries.select(col("vec_id"), asDouble(col("embedding")).as("v")),
+      nPlanes, seed)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"))
+    val scored = e.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("v"), col("qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"),
+        round(col("cos"), 4).as("cosine"), col("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Grouped similarity: per label, the strongest cross-pair among the
+    * label's first 20 vectors — exercises filtered/grouped search.
+    */
+  def strongestPairPerLabel(embeddings: DataFrame): DataFrame = {
+    val e = embeddings.filter(col("vec_id") % 100 < 20)
+      .select(col("label"), col("vec_id"), asDouble(col("embedding")).as("v"))
+    val a = e.select(col("label"), col("vec_id").as("a_id"), col("v").as("av"))
+    val b = e.select(col("label"), col("vec_id").as("b_id"), col("v").as("bv"))
+    val pairs = a.join(b, Seq("label")).filter(col("a_id") < col("b_id"))
+      .withColumn("cos", cosine(col("av"), col("bv")))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("cos").desc, col("a_id").asc, col("b_id").asc)
+    pairs.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("label"), col("a_id"), col("b_id"),
+        round(col("cos"), 4).as("cosine"))
+      .orderBy("label")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact brute-force cosine top-10 for query vectors vec_id < 5.
+    "q38_cosine_topk" -> { (s, dir) =>
+      val e = Tables.t(s, dir, "embeddings")
+      topK(e, e.filter(col("vec_id") < 5), 10)
+    },
+
+    // ANN via hyperplane LSH (no oracle — bucket membership is
+    // seed-dependent; ScalaTest asserts every returned cosine matches the
+    // brute-force value and results are subsets of the bucket).
+    "q39_ann_topk" -> { (s, dir) =>
+      val e = Tables.t(s, dir, "embeddings")
+      annTopK(e, e.filter(col("vec_id") < 5), 10)
+    },
+
+    // Strongest pair per label group.
+    "q40_label_pairs" -> { (s, dir) =>
+      strongestPairPerLabel(Tables.t(s, dir, "embeddings"))
+    })
+
+  override def oracles: Map[String, String] = Map(
+    "q38_cosine_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        |s AS (
+        |  SELECT query_id, vec_id,
+        |    LIST_COSINE_SIMILARITY(v, qv) AS cos
+        |  FROM e, q WHERE vec_id <> query_id),
+        |r AS (
+        |  SELECT query_id, vec_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |                       ORDER BY cos DESC, vec_id ASC) AS rnk
+        |  FROM s)
+        |SELECT query_id, vec_id, ROUND(cos, 4) AS cosine, rnk
+        |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+
+    "q40_label_pairs" ->
+      """WITH e AS (
+        |  SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 100 < 20),
+        |p AS (
+        |  SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
+        |    LIST_COSINE_SIMILARITY(a.v, b.v) AS cos
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
+        |r AS (
+        |  SELECT label, a_id, b_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY label
+        |                       ORDER BY cos DESC, a_id ASC, b_id ASC) AS rnk
+        |  FROM p)
+        |SELECT label, a_id, b_id, ROUND(cos, 4) AS cosine
+        |FROM r WHERE rnk = 1 ORDER BY label""".stripMargin)
+}

@@ -1,0 +1,220 @@
+package graft.llm
+
+import graft.{Fns, QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (north-star extension
+  * set, SURVEY.md §2.3): exact dedup, per-corpus text statistics, quality
+  * scoring, document fingerprinting, language ID, and exact n-gram-Jaccard
+  * near-dup pairs. All built-in codegen'd functions — no UDFs.
+  */
+object TextQueries extends QueryModule {
+  import Fns.{davgSql, davg}
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to")
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup by content hash (SURVEY.md §2.3): canonical id = min id
+    // per hash — the deterministic version of dropDuplicates. At 100 TB this
+    // is one shuffle on a 128-bit key; the md5 is computed scan-side.
+    "q31_dedup_exact" -> { (s, dir) =>
+      Tables.t(s, dir, "documents")
+        .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+        .agg(
+          min(col("doc_id")).as("canonical_id"),
+          count(lit(1)).as("n_copies"))
+        .orderBy("text_hash")
+    },
+
+    // Corpus statistics per (lang, source).
+    "q32_text_stats" -> { (s, dir) =>
+      Tables.t(s, dir, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          davg(col("n_chars").cast("double")).as("avg_chars"),
+          sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"),
+          max(col("n_chars")).as("max_chars"),
+          min(col("n_chars")).as("min_chars"))
+        .orderBy("lang", "source")
+    },
+
+    // Per-document quality scoring: token stats, stopword ratio, lexical
+    // diversity. Ratios are exact-int divisions -> deterministic doubles.
+    "q33_quality_score" -> { (s, dir) =>
+      val tok  = split(col("text"), " ")
+      val nTok = size(tok).cast("double")
+      val nStop = size(filter(tok, (t: Column) =>
+        t.isInCollection(Stopwords))).cast("double")
+      val nDist = size(array_distinct(tok)).cast("double")
+      Tables.t(s, dir, "documents").select(
+        col("doc_id"),
+        col("lang"),
+        size(tok).cast("long").as("n_tokens"),
+        (col("n_chars").cast("double") / nTok).as("chars_per_token"),
+        (nStop / nTok).as("stopword_ratio"),
+        (nDist / nTok).as("distinct_ratio"),
+        (nDist / nTok * lit(0.5) + (lit(1.0) - nStop / nTok) * lit(0.5))
+          .as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // Document fingerprint: canonical form (lowercase, collapsed whitespace)
+    // -> md5; short prefix as a shard/bucket key.
+    "q35_fingerprint" -> { (s, dir) =>
+      val normd = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+      Tables.t(s, dir, "documents").select(
+        col("doc_id"),
+        md5(normd.cast("binary")).as("fingerprint"),
+        substring(md5(normd.cast("binary")), 1, 8).as("fp_bucket"))
+        .orderBy("doc_id")
+    },
+
+    // Exact token-set Jaccard near-dup pairs within a source, via an
+    // inverted index (explode tokens -> equi-join on token -> count common).
+    // This is the exact oracle-checkable formulation; the probabilistic
+    // MinHash/LSH version that scales past it is q36 (DedupQueries).
+    "q34_jaccard_pairs" -> { (s, dir) =>
+      val d = Tables.t(s, dir, "documents").select(
+        col("doc_id"), col("source"),
+        array_distinct(split(col("text"), " ")).as("tok"))
+      val t = d.select(col("source"), col("doc_id"),
+        size(col("tok")).cast("long").as("ntok"),
+        explode(col("tok")).as("token"))
+      val a = t.select(col("source"), col("token"),
+        col("doc_id").as("a_id"), col("ntok").as("a_n"))
+      val b = t.select(col("source"), col("token"),
+        col("doc_id").as("b_id"), col("ntok").as("b_n"))
+      val common = a.join(b, Seq("source", "token"))
+        .filter(col("a_id") < col("b_id"))
+        .groupBy(col("source"), col("a_id"), col("a_n"),
+          col("b_id"), col("b_n"))
+        .agg(count(lit(1)).as("n_common"))
+      common
+        .withColumn("jaccard",
+          col("n_common").cast("double") /
+            (col("a_n") + col("b_n") - col("n_common")))
+        .filter(col("jaccard") >= 0.6)
+        .select(col("source"), col("a_id"), col("b_id"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("source", "a_id", "b_id")
+    },
+
+    // Language-ID by marker-token profile scoring: count hits per language
+    // profile, predict the argmax with a fixed tie-break order. A real
+    // pipeline would use char-n-gram profiles; the mechanism (profile score
+    // -> argmax, one scan, no shuffle) is identical.
+    "q42_langid" -> { (s, dir) =>
+      val tok = split(col("text"), " ")
+      def score(words: Seq[String]): Column =
+        size(filter(tok, (t: Column) => t.isInCollection(words))).cast("long")
+      val sEn = score(Seq("the", "a", "of"))
+      val sDe = score(Seq("table", "row"))
+      val sEs = score(Seq("data", "value"))
+      val sFr = score(Seq("filter", "join"))
+      val sZh = score(Seq("spark", "vector"))
+      val top = greatest(sEn, sDe, sEs, sFr, sZh)
+      Tables.t(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        sEn.as("s_en"), sDe.as("s_de"), sEs.as("s_es"),
+        sFr.as("s_fr"), sZh.as("s_zh"),
+        when(sDe >= top, "de").when(sEn >= top, "en")
+          .when(sEs >= top, "es").when(sFr >= top, "fr")
+          .otherwise("zh").as("pred_lang"))
+        .orderBy("doc_id")
+    })
+
+  override def oracles: Map[String, String] = Map(
+    "q31_dedup_exact" ->
+      """SELECT MD5(text) AS text_hash,
+        |  MIN(doc_id) AS canonical_id,
+        |  COUNT(*) AS n_copies
+        |FROM documents GROUP BY MD5(text) ORDER BY text_hash""".stripMargin,
+
+    "q32_text_stats" ->
+      s"""SELECT lang, source,
+         |  COUNT(*) AS n_docs,
+         |  ${davgSql("CAST(n_chars AS DOUBLE)")} AS avg_chars,
+         |  CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS total_tokens,
+         |  MAX(n_chars) AS max_chars,
+         |  MIN(n_chars) AS min_chars
+         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "q33_quality_score" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    STRING_SPLIT(text, ' ') AS tok
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, lang,
+        |    CAST(LEN(tok) AS BIGINT) AS n_tokens,
+        |    CAST(n_chars AS DOUBLE) / LEN(tok) AS chars_per_token,
+        |    CAST(LEN(LIST_FILTER(tok,
+        |      t -> t IN ('the','a','of','and','to'))) AS DOUBLE) / LEN(tok)
+        |      AS stopword_ratio,
+        |    CAST(LEN(LIST_DISTINCT(tok)) AS DOUBLE) / LEN(tok)
+        |      AS distinct_ratio
+        |  FROM d)
+        |SELECT doc_id, lang, n_tokens, chars_per_token, stopword_ratio,
+        |  distinct_ratio,
+        |  distinct_ratio * 0.5 + (1.0 - stopword_ratio) * 0.5 AS quality
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q35_fingerprint" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g'))) AS normd
+        |  FROM documents)
+        |SELECT doc_id, MD5(normd) AS fingerprint,
+        |  SUBSTRING(MD5(normd), 1, 8) AS fp_bucket
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    "q34_jaccard_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    LIST_DISTINCT(STRING_SPLIT(text, ' ')) AS tok
+        |  FROM documents),
+        |t AS (
+        |  SELECT source, doc_id, CAST(LEN(tok) AS BIGINT) AS ntok,
+        |    UNNEST(tok) AS token
+        |  FROM d),
+        |c AS (
+        |  SELECT a.source, a.doc_id AS a_id, a.ntok AS a_n,
+        |    b.doc_id AS b_id, b.ntok AS b_n, COUNT(*) AS n_common
+        |  FROM t a JOIN t b
+        |    ON a.source = b.source AND a.token = b.token
+        |   AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4, 5)
+        |SELECT source, a_id, b_id,
+        |  ROUND(CAST(n_common AS DOUBLE) / (a_n + b_n - n_common), 4)
+        |    AS jaccard
+        |FROM c
+        |WHERE CAST(n_common AS DOUBLE) / (a_n + b_n - n_common) >= 0.6
+        |ORDER BY source, a_id, b_id""".stripMargin,
+
+    "q42_langid" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS tok
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang,
+        |    CAST(LEN(LIST_FILTER(tok, t -> t IN ('the','a','of'))) AS BIGINT)
+        |      AS s_en,
+        |    CAST(LEN(LIST_FILTER(tok, t -> t IN ('table','row'))) AS BIGINT)
+        |      AS s_de,
+        |    CAST(LEN(LIST_FILTER(tok, t -> t IN ('data','value'))) AS BIGINT)
+        |      AS s_es,
+        |    CAST(LEN(LIST_FILTER(tok, t -> t IN ('filter','join'))) AS BIGINT)
+        |      AS s_fr,
+        |    CAST(LEN(LIST_FILTER(tok, t -> t IN ('spark','vector'))) AS BIGINT)
+        |      AS s_zh
+        |  FROM d)
+        |SELECT doc_id, lang, s_en, s_de, s_es, s_fr, s_zh,
+        |  CASE WHEN s_de >= GREATEST(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
+        |       WHEN s_en >= GREATEST(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
+        |       WHEN s_es >= GREATEST(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
+        |       WHEN s_fr >= GREATEST(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
+        |       ELSE 'zh' END AS pred_lang
+        |FROM s ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import graft.etl.UpsertKernel
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.Row
+
+/** Structured Streaming variants of the engine's incremental semantics
+  * (SURVEY.md §2.2 "Streaming"). The reference is batch-incremental: server
+  * cursors (`pyopenetl/connections.py:58,84,118-121`) stream rows, and the
+  * `data_interval_hours` lookback (`operations.py:539-540`) is a crude
+  * late-data allowance — re-reading n hours tolerates data arriving up to n
+  * hours late. Structured Streaming makes both explicit: micro-batches
+  * replace cursor chunks, watermarks replace the lookback.
+  *
+  * Batch twins of each transform live in `graft.ops.EventQueries`
+  * (q28/q29/q30) where the DuckDB oracle can check them; these streaming
+  * shapes are ScalaTest-verified with MemoryStream.
+  */
+object StreamingOps {
+
+  /** Tumbling-window aggregation with a 1-hour watermark (batch twin: q28).
+    * State is bounded: windows older than watermark are finalized and
+    * dropped.
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Session windows with a 30-minute inactivity gap (batch twin: q29). */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"),
+        col("session_value"))
+
+  /** Stateful stream dedup bounded by the watermark (batch twin: q30). */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  /** Streaming upsert sink: every micro-batch runs the batch upsert kernel
+    * against the destination snapshot — exactly `UpdatePipeline` as a
+    * stream (`pyopenetl/pipelines.py:73-115` made continuous). `foreachBatch`
+    * reuses the tested batch kernel, so streaming and batch cannot diverge.
+    */
+  def upsertSink(delta: DataFrame, destPath: String, pk: String)
+      : DataStreamWriter[Row] = {
+    val spark = delta.sparkSession
+    delta.writeStream
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val old = spark.read.parquet(destPath)
+        val merged = UpsertKernel.merge(old, batch.dropDuplicates(pk), pk)
+        // two-phase write: parquet has no in-place merge (the Delta/Iceberg
+        // seam at 100 TB, SURVEY.md §7.3)
+        val tmp = destPath + "_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(destPath)
+      }
+  }
+}

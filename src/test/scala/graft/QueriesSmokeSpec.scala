@@ -1,0 +1,31 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every declared query runs on sf0.001 and yields a sane result; queries
+  * whose semantics guarantee output are asserted non-empty. Oracle equality
+  * is covered by the driver gate (tools/local_verify.py replica).
+  */
+class QueriesSmokeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  // may legitimately be empty at tiny SF (no customer without orders, etc.)
+  private val mayBeEmpty = Set("q14_anti_join", "q34_jaccard_pairs",
+    "q36_minhash_pairs")
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name runs on sf0.001") {
+      val n = fn(spark, TestSpark.Sf).count()
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("entry flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+}

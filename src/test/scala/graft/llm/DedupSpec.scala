@@ -1,0 +1,46 @@
+package graft.llm
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Correctness of the no-oracle probabilistic operators: LSH candidates are
+  * exact-verified (precision 1 by construction), so the test surface is
+  * recall vs the exact inverted-index answer (q34), plus SimHash invariants.
+  */
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def docs = Tables.t(spark, TestSpark.Sf, "documents")
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("minhash-LSH pairs: precision 1 and recall >= 0.8 vs exact jaccard") {
+    val exact = pairSet(
+      TextQueries.queries("q34_jaccard_pairs")(spark, TestSpark.Sf))
+    val lsh = pairSet(DedupQueries.minhashPairs(docs, 0.6))
+    assert(lsh.subsetOf(exact), "LSH must not invent pairs (exact-verified)")
+    assert(exact.nonEmpty, "fixture should contain near-dup pairs")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall too low (${lsh.size}/${exact.size})")
+  }
+
+  test("identical token sets get identical simhash; hamming tracks overlap") {
+    val sh = DedupQueries.simhash(docs)
+    // token-set-identical pairs == jaccard 1.0 pairs from the exact query
+    val ones = TextQueries.queries("q34_jaccard_pairs")(spark, TestSpark.Sf)
+      .filter(col("jaccard") === 1.0)
+    assert(ones.count() > 0, "fixture should contain jaccard-1.0 pairs")
+    val joined = ones
+      .join(sh.select(col("doc_id").as("a_id"), col("simhash").as("ha")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("simhash").as("hb")), "b_id")
+    val mismatched = joined.filter(col("ha") =!= col("hb")).count()
+    assert(mismatched == 0, "equal token sets must hash identically")
+  }
+
+  test("simhash output is one row per document") {
+    assert(DedupQueries.simhash(docs).count() == docs.count())
+  }
+}

@@ -1,0 +1,44 @@
+package graft.llm
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def emb = Tables.t(spark, TestSpark.Sf, "embeddings")
+
+  test("brute-force topK returns k ordered neighbors per query") {
+    val out = SimilarityQueries.topK(emb, emb.filter(col("vec_id") < 3), 5)
+      .collect()
+    assert(out.length == 15)
+    val byQ = out.groupBy(_.getLong(0))
+    byQ.foreach { case (_, rows) =>
+      val cosines = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(cosines.sameElements(cosines.sortBy(-(_: Double))),
+        "neighbors must be in descending cosine order")
+    }
+  }
+
+  test("ANN results carry true cosines and are a subset of correctness") {
+    // every ANN neighbor's cosine must equal the brute-force cosine for the
+    // same (query, vec) pair — ANN may miss pairs, never mis-score them
+    val ann = SimilarityQueries.annTopK(emb, emb.filter(col("vec_id") < 3), 5)
+      .select(col("query_id"), col("vec_id"), col("cosine"))
+    val brute = SimilarityQueries
+      .topK(emb, emb.filter(col("vec_id") < 3), Int.MaxValue)
+      .select(col("query_id"), col("vec_id"),
+        col("cosine").as("true_cosine"))
+    val joined = ann.join(brute, Seq("query_id", "vec_id"), "left")
+    assert(joined.filter(col("true_cosine").isNull).count() == 0)
+    assert(joined.filter(col("cosine") =!= col("true_cosine")).count() == 0)
+  }
+
+  test("ANN self-bucket membership: every query finds at least one neighbor") {
+    val ann = SimilarityQueries.annTopK(emb, emb.filter(col("vec_id") < 5), 10)
+    val perQuery = ann.groupBy("query_id").count().collect()
+    assert(perQuery.nonEmpty)
+    perQuery.foreach(r => assert(r.getLong(1) >= 1))
+  }
+}

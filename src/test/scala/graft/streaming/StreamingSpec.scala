@@ -1,0 +1,85 @@
+package graft.streaming
+
+import graft.TestSpark
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming shapes verified with MemoryStream against their batch twins
+  * (SURVEY.md §5 strategy: batch twins carry the DuckDB oracle; the
+  * streaming runs are checked here).
+  */
+case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+              event_type: String, value: Double)
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private val fixture = Seq(
+    Ev(0, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+    Ev(1, ts("2024-01-01 10:15:00"), 1, "click", 2.0),
+    Ev(2, ts("2024-01-01 11:05:00"), 1, "view", 3.0),
+    Ev(3, ts("2024-01-01 10:20:00"), 2, "click", 4.0),
+    Ev(4, ts("2024-01-01 12:30:00"), 2, "click", 5.0),
+    Ev(5, ts("2024-01-01 12:40:00"), 2, "click", 6.0))
+
+  private def runStream(out: org.apache.spark.sql.DataFrame, name: String) = {
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    spark.table(name)
+  }
+
+  test("streaming hourly counts match the batch twin") {
+    val ms = MemoryStream[Ev](spark)
+    ms.addData(fixture: _*)
+    val got = runStream(StreamingOps.hourlyCounts(ms.toDF()), "hourly")
+      .orderBy("hour", "event_type")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+    val want = fixture.groupBy(e =>
+        (e.ts.toLocalDateTime.withMinute(0).withSecond(0), e.event_type))
+      .map { case ((h, t), es) => (java.sql.Timestamp.valueOf(h).toString, t, es.size.toLong) }
+      .toSeq.sorted
+    assert(got.toSeq.sorted == want)
+  }
+
+  test("streaming session windows close on the 30-minute gap") {
+    val ms = MemoryStream[Ev](spark)
+    ms.addData(fixture: _*)
+    val got = runStream(StreamingOps.sessionAgg(ms.toDF()), "sessions")
+    // user 1: events at 10:05,10:15 (one session) and 11:05 (new session);
+    // user 2: 10:20 alone, then 12:30+12:40 together
+    val counts = got.orderBy("user_id", "session_start")
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(counts.toSeq == Seq((1L, 2L), (1L, 1L), (2L, 1L), (2L, 2L)))
+  }
+
+  test("dropDuplicatesWithinWatermark keeps one row per user+type") {
+    val ms = MemoryStream[Ev](spark)
+    ms.addData(fixture: _*)
+    val q = StreamingOps.dedupWithinWatermark(ms.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("dedup").groupBy("user_id", "event_type").count()
+    assert(got.filter(col("count") > 1).count() == 0)
+    assert(spark.table("dedup").count() == 3) // (1,click)(1,view)(2,click)
+  }
+
+  test("foreachBatch upsert sink applies the batch kernel per micro-batch") {
+    val dest = s"/tmp/graft-test-upsert-${System.nanoTime()}"
+    Seq(Ev(100, ts("2024-01-01 09:00:00"), 9, "seed", 0.0))
+      .toDF().write.mode("overwrite").parquet(dest)
+    val ms = MemoryStream[Ev](spark)
+    ms.addData(Ev(100, ts("2024-01-01 10:00:00"), 9, "updated", 1.0),
+               Ev(101, ts("2024-01-01 10:01:00"), 9, "new", 2.0))
+    val q = StreamingOps.upsertSink(ms.toDF(), dest, "event_id").start()
+    q.awaitTermination(60000)
+    val out = spark.read.parquet(dest).orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getString(3)))
+    assert(out.toSeq == Seq((100L, "updated"), (101L, "new")))
+  }
+}
