@@ -21,16 +21,21 @@ object DedupQueries extends QueryModule {
   val RowsPerBand = NumHashes / Bands
 
   /** Per-doc MinHash signature columns sig0..sig{n-1}: min over the doc's
-    * distinct tokens of xxhash64(seed_i, token). Seeded xxhash64 instead of
-    * `a*h+b` so ANSI mode can't overflow-error, and everything stays in
-    * whole-stage codegen.
+    * distinct tokens of a seeded hash. Two-level hashing — each token STRING
+    * is hashed once, then the n lanes re-hash the resulting fixed-width long
+    * (seeded xxhash64, so ANSI mode can't overflow-error like `a*h+b`
+    * would). Computed entirely scan-local with array higher-order functions:
+    * no explode, no shuffle — the signature step costs zero exchanges at any
+    * scale.
     */
   def signatures(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"), col("source"),
-      explode(array_distinct(split(col("text"), " "))).as("token"))
-    val mins = (0 until NumHashes).map(i =>
-      min(xxhash64(lit(i), col("token"))).as(s"sig$i"))
-    tok.groupBy(col("doc_id"), col("source")).agg(mins.head, mins.tail: _*)
+    val base = docs.select(col("doc_id"), col("source"),
+      transform(array_distinct(split(col("text"), " ")),
+        (t: Column) => xxhash64(t)).as("th"))
+    val sigs = (0 until NumHashes).map(i =>
+      array_min(transform(col("th"), (h: Column) => xxhash64(lit(i), h)))
+        .as(s"sig$i"))
+    base.select(col("doc_id") +: col("source") +: sigs: _*)
   }
 
   /** (doc_id, source, band, band_hash) — one row per band; candidate pairs
@@ -48,18 +53,24 @@ object DedupQueries extends QueryModule {
   }
 
   /** LSH candidate pairs (a_id < b_id, same source), deduplicated across
-    * bands. The join key is (source, band, band_hash) — bucket-local, so no
-    * quadratic blowup at scale unless a bucket is genuinely hot.
+    * bands. One aggregation to buckets, then pairs are generated inside each
+    * bucket array — no self-join, so the signature pipeline is computed once
+    * and the only shuffles are the bucket groupBy and the final distinct.
+    * Blowup is bounded by bucket size (genuinely-hot buckets are quadratic
+    * by the problem's definition).
     */
   def candidatePairs(docs: DataFrame): DataFrame = {
     val bb = bands(signatures(docs))
-    val a = bb.select(col("source"), col("band"), col("band_hash"),
-      col("doc_id").as("a_id"))
-    val b = bb.select(col("source"), col("band"), col("band_hash"),
-      col("doc_id").as("b_id"))
-    a.join(b, Seq("source", "band", "band_hash"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("source"), col("a_id"), col("b_id"))
+    bb.groupBy(col("source"), col("band"), col("band_hash"))
+      .agg(collect_set(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .withColumn("sids", array_sort(col("ids")))
+      .select(col("source"), explode(expr(
+        """flatten(transform(sids,
+          |  (x, i) -> transform(slice(sids, i + 2, size(sids)),
+          |            y -> struct(x AS a_id, y AS b_id))))""".stripMargin))
+        .as("p"))
+      .select(col("source"), col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
       .distinct()
   }
 

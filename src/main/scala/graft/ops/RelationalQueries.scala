@@ -21,18 +21,28 @@ object RelationalQueries extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Inner equi-join chain over the fact tables + group-agg.
+    // Aggregate-below-join: lineitem collapses to one row per order before
+    // joining, so (a) the join input shrinks ~4x, and (b) the
+    // count-distinct on o_orderkey becomes a plain count of 1:1 join rows —
+    // no Expand operator, one less aggregation pass. Partial decimal sums
+    // re-aggregate exactly, so the revenue stays order-independent.
     "q10_join_agg" -> { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
       val c = Tables.t(s, dir, "customer")
       val o = Tables.t(s, dir, "orders")
-      val l = Tables.t(s, dir, "lineitem")
+      val lAgg = Tables.t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(27, 6))).as("rev_dec"))
       c.join(o, c("c_custkey") === o("o_custkey"))
-        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .join(lAgg, o("o_orderkey") === lAgg("l_orderkey"))
         .groupBy(col("c_mktsegment"))
         .agg(
-          countDistinct(col("o_orderkey")).as("n_orders"),
-          count(lit(1)).as("n_items"),
-          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .as("revenue"))
+          count(lit(1)).as("n_orders"),
+          sum(col("cnt")).as("n_items"),
+          sum(col("rev_dec")).cast("double").as("revenue"))
         .orderBy("c_mktsegment")
     },
 
@@ -58,15 +68,20 @@ object RelationalQueries extends QueryModule {
         .orderBy("n_name")
     },
 
-    // Left outer join + null-tolerant aggregation.
+    // Left outer join + null-tolerant aggregation. Aggregate-below-join:
+    // lineitem collapses to one row per order key BEFORE the join, so the
+    // join input shrinks ~4x and the shuffle carries aggregates, not rows —
+    // the partial-agg pushdown Catalyst won't do on its own.
     "q12_join_left" -> { (s, dir) =>
       val o = Tables.t(s, dir, "orders")
-      val l = Tables.t(s, dir, "lineitem").filter(col("l_quantity") > 40)
-      o.join(l, o("o_orderkey") === l("l_orderkey"), "left")
-        .groupBy(o("o_orderkey"))
-        .agg(
-          count(l("l_orderkey")).as("n_big_items"),
-          coalesce(dsum(col("l_quantity")), lit(0.0)).as("big_qty"))
+      val lAgg = Tables.t(s, dir, "lineitem")
+        .filter(col("l_quantity") > 40)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("qty"))
+      o.join(lAgg, o("o_orderkey") === lAgg("l_orderkey"), "left")
+        .select(col("o_orderkey"),
+          coalesce(col("cnt"), lit(0L)).as("n_big_items"),
+          coalesce(col("qty"), lit(0.0)).as("big_qty"))
         .orderBy("o_orderkey")
     },
 
@@ -179,6 +194,42 @@ object RelationalQueries extends QueryModule {
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         .limit(100)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    },
+
+    // CUBE grouping sets (all four combinations of the two keys).
+    "q43_cube" -> { (s, dir) =>
+      Tables.t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+          col("n_rows"), col("sum_qty"))
+        .orderBy("returnflag", "linestatus")
+    },
+
+    // Approximate distinct (HLL++). No oracle — sketch internals are
+    // engine-specific; ScalaTest bounds the error against the exact count.
+    "q44_approx_distinct" -> { (s, dir) =>
+      Tables.t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy("l_returnflag")
+    },
+
+    // Multiset set operations: UNION ALL → EXCEPT ALL keeps one copy per
+    // excess occurrence (bag semantics, unlike q22's set semantics).
+    "q45_setops_all" -> { (s, dir) =>
+      val o = Tables.t(s, dir, "orders")
+      val open    = o.filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey").as("custkey"))
+      val pending = o.filter(col("o_orderstatus") === "P")
+        .select(col("o_custkey").as("custkey"))
+      val settled = o.filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("custkey"))
+      open.unionAll(pending).exceptAll(settled).orderBy("custkey")
     },
 
     // Set operations: UNION (distinct) → INTERSECT → EXCEPT.
@@ -300,6 +351,25 @@ object RelationalQueries extends QueryModule {
     "q21_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+
+    "q43_cube" ->
+      s"""SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+         |  COALESCE(l_linestatus, '(all)') AS linestatus,
+         |  COUNT(*) AS n_rows,
+         |  ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |GROUP BY CUBE(l_returnflag, l_linestatus)
+         |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q45_setops_all" ->
+      """SELECT custkey FROM (
+        |  SELECT custkey FROM (
+        |    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        |    UNION ALL
+        |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+        |  EXCEPT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |ORDER BY custkey""".stripMargin,
 
     "q22_set_ops" ->
       """SELECT custkey FROM (

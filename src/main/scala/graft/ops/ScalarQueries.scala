@@ -84,16 +84,42 @@ object ScalarQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
-    // JSON extraction from the events.props payload column.
+    // JSON extraction from the events.props payload column. Parse once per
+    // row (from_json into a struct), derive every output from the parsed
+    // struct — three separate path extractions would re-parse the document
+    // each time.
     "q27_json_funcs" -> { (s, dir) =>
-      Tables.t(s, dir, "events").select(
-        col("event_id"),
-        get_json_object(col("props"), "$.k").cast("long").as("k_value"),
-        from_json(col("props"),
-            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
-          .getField("k").cast("long").as("k_struct"),
-        (get_json_object(col("props"), "$.k").cast("long") % 10)
-          .as("k_bucket"))
+      Tables.t(s, dir, "events")
+        .withColumn("parsed", from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+        .select(
+          col("event_id"),
+          col("parsed.k").cast("long").as("k_value"),
+          col("parsed.k").cast("long").as("k_struct"),
+          (col("parsed.k").cast("long") % 10).as("k_bucket"))
+        .orderBy("event_id")
+    },
+
+    // Map functions: parse the JSON payload as a MapType and inspect it.
+    "q46_map_funcs" -> { (s, dir) =>
+      import org.apache.spark.sql.types.{IntegerType, MapType, StringType}
+      Tables.t(s, dir, "events")
+        .withColumn("m", from_json(col("props"), MapType(StringType, IntegerType)))
+        .select(
+          col("event_id"),
+          size(col("m")).cast("long").as("n_keys"),
+          element_at(map_keys(col("m")), 1).as("first_key"),
+          element_at(col("m"), "k").cast("long").as("k_val"))
+        .orderBy("event_id")
+    },
+
+    // Structured row -> JSON string (mirrors the reference's JSON stats
+    // report, operations.py:601-609).
+    "q47_to_json" -> { (s, dir) =>
+      Tables.t(s, dir, "events")
+        .select(
+          col("event_id"),
+          to_json(struct(col("event_id"), col("event_type"))).as("j"))
         .orderBy("event_id")
     })
 
@@ -149,5 +175,18 @@ object ScalarQueries extends QueryModule {
         |  CAST(props->>'$.k' AS BIGINT) AS k_value,
         |  CAST(props->>'$.k' AS BIGINT) AS k_struct,
         |  CAST(props->>'$.k' AS BIGINT) % 10 AS k_bucket
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q46_map_funcs" ->
+      """SELECT event_id,
+        |  CAST(LEN(JSON_KEYS(props)) AS BIGINT) AS n_keys,
+        |  JSON_KEYS(props)[1] AS first_key,
+        |  CAST(props->>'$.k' AS BIGINT) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q47_to_json" ->
+      """SELECT event_id,
+        |  CAST(TO_JSON(STRUCT_PACK(event_id := event_id,
+        |    event_type := event_type)) AS VARCHAR) AS j
         |FROM events ORDER BY event_id""".stripMargin)
 }

@@ -28,4 +28,13 @@ class QueriesSmokeSpec extends AnyFunSuite {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
+
+  test("approx_count_distinct is within 10% of exact (q44)") {
+    SparkEntry.queries("q44_approx_distinct")(spark, TestSpark.Sf)
+      .collect().foreach { r =>
+        val (approx, exact) = (r.getLong(1), r.getLong(2))
+        assert(math.abs(approx - exact).toDouble / exact < 0.1,
+          s"approx $approx vs exact $exact")
+      }
+  }
 }
