@@ -125,6 +125,32 @@ object RelationalQueries extends QueryModule {
         .orderBy("event_id")
     },
 
+    // Range (interval) join: clicks within 10 minutes after each error,
+    // per user. A naive non-equi join plans as BroadcastNestedLoop —
+    // quadratic per user; instead both sides get a 10-minute time-bucket
+    // key and clicks are exploded to their two candidate buckets, turning
+    // the range join into an equi shuffle join + residual range filter.
+    // This is the pattern that survives 100x data; the oracle states the
+    // plain non-equi semantics.
+    "q48_range_join" -> { (s, dir) =>
+      val ev = Tables.t(s, dir, "events")
+      val bucket = (unix_micros(col("ts")) / lit(600000000L)).cast("long")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts").as("err_ts"),
+          bucket.as("bucket"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"),
+          explode(array(bucket, bucket - 1)).as("bucket"))
+      errors.join(clicks, Seq("user_id", "bucket"), "left")
+        .withColumn("hit",
+          col("click_ts").isNotNull &&
+          col("click_ts") > col("err_ts") &&
+          col("click_ts") <= col("err_ts") + expr("INTERVAL 10 MINUTES"))
+        .groupBy(col("event_id"))
+        .agg(sum(when(col("hit"), 1L).otherwise(0L)).as("n_clicks_10m"))
+        .orderBy("event_id")
+    },
+
     // Distinct aggregation + avg.
     "q16_agg_distinct" -> { (s, dir) =>
       Tables.t(s, dir, "orders")
@@ -302,6 +328,16 @@ object RelationalQueries extends QueryModule {
         |WHERE p.event_type = 'purchase'
         |GROUP BY p.event_id, p.user_id, p.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    "q48_range_join" ->
+      """SELECT e.event_id,
+        |  CAST(COUNT(c.user_id) AS BIGINT) AS n_clicks_10m
+        |FROM events e
+        |LEFT JOIN events c
+        |  ON c.user_id = e.user_id AND c.event_type = 'click'
+        | AND c.ts > e.ts AND c.ts <= e.ts + INTERVAL 10 MINUTE
+        |WHERE e.event_type = 'error'
+        |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin,
 
     "q16_agg_distinct" ->
       s"""SELECT o_orderpriority,

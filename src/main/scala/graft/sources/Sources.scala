@@ -1,0 +1,92 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, DataFrameReader, SparkSession}
+
+/** Source/sink endpoint ADT — the compile-time restatement of the
+  * reference's runtime connection dispatch (`pyopenetl/connections.py`:
+  * `PostgresConnection` :42, `HerokuConnection` :92, `CloudSQLConnection`
+  * :140, `BQConnection` :177, and the isinstance guards at
+  * `operations.py:70-95, 307-309` / `pipelines.py:17-32`). A sealed trait
+  * makes illegal reader/writer pairings unrepresentable instead of raising
+  * `TypeError` at runtime (P0, `pipelines.py:29-32`).
+  *
+  * Each case maps to a `DataFrameReader` option bundle. JDBC bundles carry
+  * the reference's streaming knobs: `fetchsize` ≙ the server-side cursor
+  * (`stream_results`, connections.py:58,84), `partitionColumn/numPartitions`
+  * ≙ chunked parallel scan (the 100k-row chunk loop at operations.py:39-51,
+  * parallelized). Credentials come from a [[SecretProvider]] — the
+  * Secret-Manager fetch (connections.py:23-39) abstracted to config.
+  */
+sealed trait Source {
+  def read(spark: SparkSession): DataFrame
+}
+
+/** Parquet lake path — the harness's stand-in for warehouse tables. */
+final case class ParquetSource(path: String) extends Source {
+  def read(spark: SparkSession): DataFrame = spark.read.parquet(path)
+}
+
+/** Schema-inferred CSV (W10/W13 ingest shape). */
+final case class CsvSource(paths: Seq[String], header: Boolean = true)
+    extends Source {
+  def read(spark: SparkSession): DataFrame =
+    spark.read.option("header", header.toString)
+      .option("inferSchema", "true").csv(paths: _*)
+}
+
+/** JSON-lines source (events.props-style payloads as whole files). */
+final case class JsonSource(path: String) extends Source {
+  def read(spark: SparkSession): DataFrame = spark.read.json(path)
+}
+
+/** JDBC endpoint ≙ PostgresConnection/CloudSQLConnection option bundles
+  * (connections.py:42-174). `readReplica` mirrors the Heroku
+  * follower-for-reads routing (connections.py:118-121).
+  */
+final case class JdbcSource(
+    url: String,
+    table: String,
+    user: String,
+    secretName: String,
+    secrets: SecretProvider,
+    fetchSize: Int = 100000,           // ≙ stream_results server cursor
+    partitionColumn: Option[String] = None,
+    numPartitions: Int = 32,
+    readReplica: Option[String] = None) extends Source {
+
+  /** The reader is fully configured but only executed against a live
+    * endpoint — offline harness covers construction, not connectivity. */
+  def configure(spark: SparkSession): DataFrameReader = {
+    val base = spark.read.format("jdbc")
+      .option("url", readReplica.getOrElse(url))
+      .option("dbtable", table)
+      .option("user", user)
+      .option("password", secrets.get(secretName))
+      .option("fetchsize", fetchSize.toString)
+    partitionColumn match {
+      case Some(c) => base.option("partitionColumn", c)
+        .option("numPartitions", numPartitions.toString)
+      case None => base
+    }
+  }
+
+  def read(spark: SparkSession): DataFrame = configure(spark).load()
+}
+
+/** Credential lookup seam (C1, connections.py:23-39): the engine never
+  * hard-codes secrets; providers resolve them from config/env at run time.
+  */
+trait SecretProvider {
+  def get(name: String): String
+}
+
+final case class EnvSecretProvider(prefix: String = "") extends SecretProvider {
+  def get(name: String): String =
+    sys.env.getOrElse(prefix + name,
+      throw new IllegalArgumentException(s"secret not found: $prefix$name"))
+}
+
+final case class MapSecretProvider(m: Map[String, String]) extends SecretProvider {
+  def get(name: String): String = m.getOrElse(name,
+    throw new IllegalArgumentException(s"secret not found: $name"))
+}
