@@ -30,7 +30,16 @@ object SimilarityQueries extends QueryModule {
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc: Column, x: Column) => acc + x * x))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Higher-order-function formulation — kept as the reference semantics
+    * (and for the bit-equality test against the native expression). */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Production path: the fused native expression (one codegen'd loop, no
+    * intermediate arrays — graft.functions.CosineSimilarity). Bit-identical
+    * to [[cosineHof]]: same sequential accumulation order.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity.cosineSim(a, b)
 
   /** Brute-force top-k cosine neighbors for each query vector. The query
     * side is tiny -> broadcast; ranking via per-query row_number (planner:

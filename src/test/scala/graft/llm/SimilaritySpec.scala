@@ -35,6 +35,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(joined.filter(col("cosine") =!= col("true_cosine")).count() == 0)
   }
 
+  test("native CosineSimilarity expression is bit-identical to the HOF form") {
+    import org.apache.spark.sql.Column
+    val e = emb.limit(200).select(
+      col("vec_id"),
+      org.apache.spark.sql.functions.transform(
+        col("embedding"), (x: Column) => x.cast("double")).as("v"))
+    val paired = e.alias("a").join(e.alias("b"),
+      col("a.vec_id") < col("b.vec_id"))
+    val diff = paired.select(
+        SimilarityQueries.cosine(col("a.v"), col("b.v")).as("native"),
+        SimilarityQueries.cosineHof(col("a.v"), col("b.v")).as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(diff.count() == 0, "native expression must equal HOF bit-for-bit")
+  }
+
+  test("native CosineSimilarity participates in whole-stage codegen") {
+    import org.apache.spark.sql.Column
+    val e = emb.limit(10).select(
+      org.apache.spark.sql.functions.transform(
+        col("embedding"), (x: Column) => x.cast("double")).as("v"))
+    val plan = e.select(SimilarityQueries.cosine(col("v"), col("v")).as("c"))
+      .queryExecution.executedPlan.toString
+    // a `*(n)` prefix marks the operator as inside a WholeStageCodegen stage
+    assert(plan.linesIterator.exists(l =>
+      l.contains("cosinesimilarity") && l.contains("*(")),
+      s"cosinesimilarity not codegen'd:\n$plan")
+  }
+
   test("ANN self-bucket membership: every query finds at least one neighbor") {
     val ann = SimilarityQueries.annTopK(emb, emb.filter(col("vec_id") < 5), 10)
     val perQuery = ann.groupBy("query_id").count().collect()
