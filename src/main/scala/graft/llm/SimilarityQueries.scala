@@ -134,6 +134,24 @@ object SimilarityQueries extends QueryModule {
     // Strongest pair per label group.
     "q40_label_pairs" -> { (s, dir) =>
       strongestPairPerLabel(Tables.t(s, dir, "embeddings"))
+    },
+
+    // Embedding-cosine near-dup pairs within a label partition. Brute force
+    // within the partition key is the exact baseline; at 100 TB the label
+    // join becomes the LSH bucket join (q39's bucketing) — same shape,
+    // probabilistic key.
+    "q49_embedding_neardup" -> { (s, dir) =>
+      val e = Tables.t(s, dir, "embeddings").select(col("label"),
+        col("vec_id"),
+        transform(col("embedding"), (x: Column) => x.cast("double")).as("v"))
+      val a = e.select(col("label"), col("vec_id").as("a_id"), col("v").as("av"))
+      val b = e.select(col("label"), col("vec_id").as("b_id"), col("v").as("bv"))
+      a.join(b, Seq("label")).filter(col("a_id") < col("b_id"))
+        .withColumn("cos", cosine(col("av"), col("bv")))
+        .filter(col("cos") >= 0.3)
+        .select(col("label"), col("a_id"), col("b_id"),
+          round(col("cos"), 4).as("cosine"))
+        .orderBy("label", "a_id", "b_id")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -152,6 +170,18 @@ object SimilarityQueries extends QueryModule {
         |  FROM s)
         |SELECT query_id, vec_id, ROUND(cos, 4) AS cosine, rnk
         |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+
+    "q49_embedding_neardup" ->
+      """WITH e AS (
+        |  SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
+        |    LIST_COSINE_SIMILARITY(a.v, b.v) AS cos
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT label, a_id, b_id, ROUND(cos, 4) AS cosine
+        |FROM p WHERE cos >= 0.3
+        |ORDER BY label, a_id, b_id""".stripMargin,
 
     "q40_label_pairs" ->
       """WITH e AS (

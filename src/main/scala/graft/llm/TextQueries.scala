@@ -101,6 +101,66 @@ object TextQueries extends QueryModule {
         .orderBy("source", "a_id", "b_id")
     },
 
+    // Word count via explode — the Generator/UDTF surface (SURVEY.md §2.2):
+    // built-in generators subsume custom UDTFs for tokenization.
+    "q53_token_freq" -> { (s, dir) =>
+      Tables.t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("source"), col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("source", "token")
+    },
+
+    // TF-IDF as groupBy + join (SURVEY.md §2.3): tf per (doc, token), df per
+    // token, corpus size via a broadcast 1-row aggregate (no driver-side
+    // count action).
+    "q51_tfidf" -> { (s, dir) =>
+      val tok = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      val tf = tok.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tok.groupBy(col("token"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val n = Tables.t(s, dir, "documents").agg(count(lit(1)).as("n"))
+      tf.join(df, "token")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("token"),
+          round(col("tf") * log(col("n").cast("double") / col("df")), 4)
+            .as("tfidf"))
+        .orderBy("doc_id", "token")
+    },
+
+    // n-gram (3-shingle) Jaccard near-dup pairs — the order-sensitive
+    // variant of q34: token-set-identical docs in different order score low
+    // here. Same inverted-index shape, over distinct shingles.
+    "q50_shingle_jaccard" -> { (s, dir) =>
+      val tok = split(col("text"), " ")
+      val d = Tables.t(s, dir, "documents")
+        .filter(size(tok) >= 3)
+        .select(col("doc_id"), col("source"),
+          array_distinct(transform(sequence(lit(1), size(tok) - 2),
+            (i: Column) => array_join(slice(tok, i, lit(3)), " "))).as("sh"))
+      val t = d.select(col("source"), col("doc_id"),
+        size(col("sh")).cast("long").as("nsh"),
+        explode(col("sh")).as("shingle"))
+      val a = t.select(col("source"), col("shingle"),
+        col("doc_id").as("a_id"), col("nsh").as("a_n"))
+      val b = t.select(col("source"), col("shingle"),
+        col("doc_id").as("b_id"), col("nsh").as("b_n"))
+      a.join(b, Seq("source", "shingle"))
+        .filter(col("a_id") < col("b_id"))
+        .groupBy(col("source"), col("a_id"), col("a_n"),
+          col("b_id"), col("b_n"))
+        .agg(count(lit(1)).as("n_common"))
+        .withColumn("jaccard",
+          col("n_common").cast("double") /
+            (col("a_n") + col("b_n") - col("n_common")))
+        .filter(col("jaccard") >= 0.4)
+        .select(col("source"), col("a_id"), col("b_id"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("source", "a_id", "b_id")
+    },
+
     // Language-ID by marker-token profile scoring: count hits per language
     // profile, predict the argmax with a fixed tie-break order. A real
     // pipeline would use char-n-gram profiles; the mechanism (profile score
@@ -191,6 +251,51 @@ object TextQueries extends QueryModule {
         |    AS jaccard
         |FROM c
         |WHERE CAST(n_common AS DOUBLE) / (a_n + b_n - n_common) >= 0.6
+        |ORDER BY source, a_id, b_id""".stripMargin,
+
+    "q53_token_freq" ->
+      """SELECT source, token, COUNT(*) AS n
+        |FROM (SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS token
+        |      FROM documents)
+        |GROUP BY source, token ORDER BY source, token""".stripMargin,
+
+    "q51_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents)
+        |SELECT tf.doc_id, tf.token,
+        |  ROUND(tf.tf * LN(CAST(n.n AS DOUBLE) / df.df), 4) AS tfidf
+        |FROM tf JOIN df USING (token) CROSS JOIN n
+        |ORDER BY tf.doc_id, tf.token""".stripMargin,
+
+    "q50_shingle_jaccard" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, STRING_SPLIT(text, ' ') AS tok
+        |  FROM documents WHERE LEN(STRING_SPLIT(text, ' ')) >= 3),
+        |s AS (
+        |  SELECT doc_id, source,
+        |    LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(tok) - 1),
+        |      i -> ARRAY_TO_STRING(LIST_SLICE(tok, i, i + 2), ' '))) AS sh
+        |  FROM d),
+        |t AS (
+        |  SELECT source, doc_id, CAST(LEN(sh) AS BIGINT) AS nsh,
+        |    UNNEST(sh) AS shingle
+        |  FROM s),
+        |c AS (
+        |  SELECT a.source, a.doc_id AS a_id, a.nsh AS a_n,
+        |    b.doc_id AS b_id, b.nsh AS b_n, COUNT(*) AS n_common
+        |  FROM t a JOIN t b
+        |    ON a.source = b.source AND a.shingle = b.shingle
+        |   AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4, 5)
+        |SELECT source, a_id, b_id,
+        |  ROUND(CAST(n_common AS DOUBLE) / (a_n + b_n - n_common), 4)
+        |    AS jaccard
+        |FROM c
+        |WHERE CAST(n_common AS DOUBLE) / (a_n + b_n - n_common) >= 0.4
         |ORDER BY source, a_id, b_id""".stripMargin,
 
     "q42_langid" ->
