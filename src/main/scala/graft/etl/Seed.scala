@@ -26,4 +26,19 @@ object Seed {
 
   def readBack(spark: SparkSession, dstPath: String): DataFrame =
     spark.read.parquet(dstPath)
+
+  /** Bucketed seed — the closest Spark analog to the reference's post-load
+    * index clone (W7/W8, operations.py:368-402): a hash-bucketed, sorted
+    * table layout lets later equi-joins and aggregations on the bucket
+    * column skip their shuffle entirely (co-located join), the way a
+    * secondary index skips a table scan.
+    */
+  def seedBucketed(spark: SparkSession, srcPath: String, table: String,
+                   bucketCol: String, nBuckets: Int): DataFrame = {
+    TypeNormalizer.normalize(spark.read.parquet(srcPath))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
+      .saveAsTable(table)
+    spark.table(table)
+  }
 }

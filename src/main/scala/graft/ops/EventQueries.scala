@@ -55,6 +55,18 @@ object EventQueries extends QueryModule {
         .orderBy("user_id", "session_id")
     },
 
+    // Salted two-phase aggregation over the 5-value event_type key — the
+    // genuinely-hot-key shape (every row lands on one of five groups). Same
+    // result as a direct groupBy; the salt spreads each hot key over 16
+    // partial groups first (graft.ops.Skew).
+    "q54_salted_agg" -> { (s, dir) =>
+      Skew.saltedSumCount(
+        Tables.t(s, dir, "events"),
+        col("event_type"), "event_type", col("value"),
+        pmod(col("event_id"), lit(16)))
+        .orderBy("event_type")
+    },
+
     // Deterministic first-event dedup (streaming:
     // dropDuplicatesWithinWatermark) — row_number is also the reference's
     // upsert dedup kernel shape (SURVEY.md §2.1 W14).
@@ -98,6 +110,12 @@ object EventQueries extends QueryModule {
          |  ${dsumSql("value")} AS session_value
          |FROM sessions GROUP BY user_id, session_id
          |ORDER BY user_id, session_id""".stripMargin,
+
+    "q54_salted_agg" ->
+      s"""SELECT event_type,
+         |  ${dsumSql("value")} AS sum_value,
+         |  COUNT(*) AS n_rows
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q30_dedup_first" ->
       """WITH ranked AS (

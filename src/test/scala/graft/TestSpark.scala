@@ -8,9 +8,12 @@ object TestSpark {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        s"/tmp/graft-test-warehouse-${System.nanoTime()}")
       .config("spark.sql.streaming.checkpointLocation",
         s"/tmp/graft-test-ckpt-${System.nanoTime()}")
       .getOrCreate()

@@ -27,6 +27,32 @@ class IngestSpec extends AnyFunSuite {
     assert(back.columns.sorted.sameElements(nation.columns.sorted))
   }
 
+  test("bucketed seed enables shuffle-free self-join on the bucket column") {
+    val t = s"orders_bucketed_${System.nanoTime()}"
+    val out = Seed.seedBucketed(spark, s"${TestSpark.Sf}/orders.parquet",
+      t, "o_custkey", 4)
+    assert(out.count() == 1500)
+    // force a shuffling join shape (the table is small enough to broadcast,
+    // which would bypass bucketing entirely)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table(t).alias("a")
+        .join(spark.table(t).alias("b"), "o_custkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"scan not bucketed:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("cosine_sim is SQL-callable via GraftExtensions") {
+    val r = spark.sql(
+      """SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c""")
+      .collect()(0).getDouble(0)
+    assert(r == 1.0)
+  }
+
   test("safe insert splits conflicts from insertables") {
     import spark.implicits._
     val existing = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
