@@ -79,8 +79,13 @@ object DedupQueries extends QueryModule {
     * join.
     */
   def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    // verification compares hashed token sets (longs), not strings: set
+    // sizes and intersection counts are preserved (64-bit collisions are
+    // negligible at any corpus size) and the long-array intersect avoids
+    // per-pair string hashing — the dominant cost at high near-dup density
     val toks = docs.select(col("doc_id"),
-      array_distinct(split(col("text"), " ")).as("tok"))
+      array_distinct(transform(split(col("text"), " "),
+        (t: Column) => xxhash64(t))).as("tok"))
     val cand = candidatePairs(docs)
     cand
       .join(toks.select(col("doc_id").as("a_id"), col("tok").as("a_tok")), "a_id")

