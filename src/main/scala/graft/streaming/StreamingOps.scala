@@ -1,9 +1,10 @@
 package graft.streaming
 
 import graft.etl.UpsertKernel
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState,
+  GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.Row
 
 /** Structured Streaming variants of the engine's incremental semantics
@@ -47,6 +48,42 @@ object StreamingOps {
     events
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  /** Input/output shapes for the custom-state operator. */
+  case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class UserRunning(user_id: Long, n_events: Long, total_value: Double,
+                         last_seen: java.sql.Timestamp)
+
+  /** Custom keyed state via flatMapGroupsWithState (SURVEY.md §2.2 UDF/state
+    * surface): a per-user running profile (count, value total, last-seen),
+    * emitted on every update — the hand-rolled generalization of what
+    * session_window/dropDuplicatesWithinWatermark do with built-in state.
+    * (No state timeout: a ProcessingTimeTimeout makes the scheduler keep
+    * firing empty batches to evaluate expirations, which livelocks
+    * processAllAvailable-style draining; production eviction belongs to an
+    * event-time watermark policy.)
+    */
+  def runningUserProfile(events: Dataset[UserEvent])
+      : Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[UserEvent],
+         state: GroupState[UserRunning]) =>
+          val prev = state.getOption
+            .getOrElse(UserRunning(userId, 0L, 0.0, null))
+          val updated = rows.foldLeft(prev) { (acc, e) =>
+            val newer = acc.last_seen == null || e.ts.after(acc.last_seen)
+            UserRunning(userId, acc.n_events + 1,
+              acc.total_value + e.value,
+              if (newer) e.ts else acc.last_seen)
+          }
+          state.update(updated)
+          Iterator.single(updated)
+      }
+  }
 
   /** Streaming upsert sink: every micro-batch runs the batch upsert kernel
     * against the destination snapshot — exactly `UpdatePipeline` as a

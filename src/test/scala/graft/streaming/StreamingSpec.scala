@@ -69,6 +69,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("dedup").count() == 3) // (1,click)(1,view)(2,click)
   }
 
+  test("flatMapGroupsWithState keeps a running per-user profile") {
+    val ms = MemoryStream[StreamingOps.UserEvent](spark)
+    ms.addData(
+      StreamingOps.UserEvent(1, ts("2024-01-01 10:00:00"), 1.0),
+      StreamingOps.UserEvent(1, ts("2024-01-01 10:05:00"), 2.0),
+      StreamingOps.UserEvent(2, ts("2024-01-01 10:01:00"), 5.0))
+    val q = StreamingOps.runningUserProfile(ms.toDS())
+      .writeStream.format("memory").queryName("profiles")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // second micro-batch: user 1 gets one more event — state must carry over
+    ms.addData(StreamingOps.UserEvent(1, ts("2024-01-01 10:10:00"), 4.0))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("profiles")
+      .orderBy("user_id", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // emissions: batch1 → (1, 2 events, 3.0), (2, 1, 5.0); batch2 → (1, 3, 7.0)
+    assert(rows.toSeq == Seq((1L, 2L, 3.0), (1L, 3L, 7.0), (2L, 1L, 5.0)))
+  }
+
   test("foreachBatch upsert sink applies the batch kernel per micro-batch") {
     val dest = s"/tmp/graft-test-upsert-${System.nanoTime()}"
     Seq(Ev(100, ts("2024-01-01 09:00:00"), 9, "seed", 0.0))
