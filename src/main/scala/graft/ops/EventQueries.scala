@@ -55,6 +55,18 @@ object EventQueries extends QueryModule {
         .orderBy("user_id", "session_id")
     },
 
+    // Pivot: long-to-wide reshape with an explicit value list (required for
+    // determinism — an inferred list costs an extra scan and can reorder).
+    "q55_pivot" -> { (s, dir) =>
+      Tables.t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")
+    },
+
     // Salted two-phase aggregation over the 5-value event_type key — the
     // genuinely-hot-key shape (every row lands on one of five groups). Same
     // result as a direct groupBy; the salt spreads each hot key over 16
@@ -110,6 +122,15 @@ object EventQueries extends QueryModule {
          |  ${dsumSql("value")} AS session_value
          |FROM sessions GROUP BY user_id, session_id
          |ORDER BY user_id, session_id""".stripMargin,
+
+    "q55_pivot" ->
+      """SELECT user_id,
+        |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q54_salted_agg" ->
       s"""SELECT event_type,

@@ -245,6 +245,21 @@ object RelationalQueries extends QueryModule {
         .orderBy("l_returnflag")
     },
 
+    // Exact interpolated percentiles per group. Safe to round at 4: the
+    // fixture values sit on a 2-decimal grid and interpolation fractions on
+    // a .25/.1 grid, so true percentiles have at most 4 decimals — never on
+    // a round-half boundary.
+    "q56_percentiles" -> { (s, dir) =>
+      Tables.t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+          round(expr("percentile(l_discount, 0.25)"), 4).as("p25_disc"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
     // Multiset set operations: UNION ALL → EXCEPT ALL keeps one copy per
     // excess occurrence (bag semantics, unlike q22's set semantics).
     "q45_setops_all" -> { (s, dir) =>
@@ -396,6 +411,14 @@ object RelationalQueries extends QueryModule {
          |FROM lineitem
          |GROUP BY CUBE(l_returnflag, l_linestatus)
          |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q56_percentiles" ->
+      """SELECT l_returnflag,
+        |  ROUND(QUANTILE_CONT(l_quantity, 0.5), 4) AS median_qty,
+        |  ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 4) AS p90_price,
+        |  ROUND(QUANTILE_CONT(l_discount, 0.25), 4) AS p25_disc,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q45_setops_all" ->
       """SELECT custkey FROM (

@@ -29,6 +29,19 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
+  test("pivot fills absent combinations with 0 (fixtures never exercise it)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, "click"), (1L, "view"), (2L, "click"))
+      .toDF("user_id", "event_type")
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "view"))
+      .agg(count(lit(1))).na.fill(0L)
+      .orderBy("user_id")
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq((1L, 1L, 0L, 1L), (2L, 1L, 0L, 0L)))
+  }
+
   test("approx_count_distinct is within 10% of exact (q44)") {
     SparkEntry.queries("q44_approx_distinct")(spark, TestSpark.Sf)
       .collect().foreach { r =>
