@@ -122,6 +122,34 @@ object DedupQueries extends QueryModule {
 
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  val WinnowWindow = 4
+
+  /** Winnowing fingerprints (the rolling-hash fingerprint scheme): hash
+    * every 3-token shingle, then keep the minimum hash of each sliding
+    * window of [[WinnowWindow]] shingles — a deterministic, position-robust
+    * sample of the document guaranteeing any match of sufficient length
+    * shares a fingerprint. Computed scan-local (array HOFs, no explode, no
+    * shuffle); documents shorter than window+2 tokens are excluded.
+    * No oracle: fingerprints are xxhash64-valued (engine-specific); the
+    * invariants are ScalaTest-checked.
+    */
+  def winnowFingerprints(docs: DataFrame): DataFrame = {
+    val tok = split(col("text"), " ")
+    val sh = transform(sequence(lit(1), size(tok) - 2),
+      (i: Column) => xxhash64(array_join(slice(tok, i, lit(3)), " ")))
+    docs
+      .filter(size(tok) >= 3 + WinnowWindow - 1)
+      .withColumn("sh", sh)
+      .select(col("doc_id"),
+        array_distinct(transform(
+          sequence(lit(1), size(col("sh")) - (WinnowWindow - 1)),
+          (i: Column) => array_min(slice(col("sh"), i, lit(WinnowWindow)))))
+          .as("fingerprints"))
+      .select(col("doc_id"),
+        col("fingerprints"),
+        size(col("fingerprints")).cast("long").as("n_fingerprints"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // MinHash-LSH near-dup pairs (no oracle — hash-dependent candidates;
     // ScalaTest asserts recall vs q34's exact pairs).
@@ -133,6 +161,12 @@ object DedupQueries extends QueryModule {
     // asserts identical token sets give identical simhash).
     "q37_simhash" -> { (s, dir) =>
       simhash(Tables.t(s, dir, "documents")).orderBy("doc_id")
+    },
+
+    // Winnowing rolling-window fingerprints (no oracle — hash-valued;
+    // invariants ScalaTest-checked).
+    "q57_winnow_fingerprint" -> { (s, dir) =>
+      winnowFingerprints(Tables.t(s, dir, "documents")).orderBy("doc_id")
     })
 
   override def oracles: Map[String, String] = Map.empty

@@ -43,4 +43,23 @@ class DedupSpec extends AnyFunSuite {
   test("simhash output is one row per document") {
     assert(DedupQueries.simhash(docs).count() == docs.count())
   }
+
+  test("winnowing: identical text gives identical fingerprints; counts bounded") {
+    import spark.implicits._
+    val dup = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j"),     // exact duplicate
+      (3L, "z y x w v u t s r q"))
+      .toDF("doc_id", "text")
+    val fp = DedupQueries.winnowFingerprints(dup)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fp(1L) == fp(2L), "identical text must fingerprint identically")
+    assert(fp(1L) != fp(3L), "different text must differ")
+    // n_fingerprints <= n_windows <= n_shingles on the real corpus
+    val both = DedupQueries.winnowFingerprints(docs)
+      .join(docs.select(col("doc_id"),
+        (size(split(col("text"), " ")) - 2).cast("long").as("n_shingles")),
+        "doc_id")
+    assert(both.filter(col("n_fingerprints") > col("n_shingles")).count() == 0)
+  }
 }
