@@ -82,6 +82,24 @@ object EtlQueries extends QueryModule {
       val existing = ev.filter(col("event_id") % 2 === 0)
       SafeInsert.insertable(incoming, existing, "event_id")
         .orderBy("event_id")
+    },
+
+    // The upsert's JSON stats report (operations.py:601-609:
+    // rows_added/rows_deleted returned as JSON) on the q04 scenario.
+    "q58_upsert_stats" -> { (s, dir) =>
+      val ev    = Tables.t(s, dir, "events")
+      val old   = ev.filter(col("ts") < expr(T))
+      val src   = ev.filter(col("event_id") % 10 =!= 0)
+      val delta = src.filter(
+        col("ts") >= expr(T) - expr("INTERVAL 48 HOURS"))
+      val merged  = UpsertKernel.merge(old, delta, "event_id")
+      val deleted = UpsertKernel.deletedIds(merged, src, "event_id")
+      val added   = delta.agg(count(lit(1)).as("rows_added"))
+      val removed = deleted.agg(count(lit(1)).as("rows_deleted"))
+      added.crossJoin(removed)
+        .select(col("rows_added"), col("rows_deleted"),
+          to_json(struct(col("rows_added"), col("rows_deleted")))
+            .as("report"))
     })
 
   override def oracles: Map[String, String] = Map(
@@ -138,5 +156,27 @@ object EtlQueries extends QueryModule {
         |WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'
         |  AND event_id NOT IN (
         |    SELECT event_id FROM events WHERE event_id % 2 = 0)
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin,
+
+    "q58_upsert_stats" ->
+      """WITH old AS (
+        |  SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00'),
+        |src AS (SELECT * FROM events WHERE event_id % 10 <> 0),
+        |delta AS (
+        |  SELECT * FROM src
+        |  WHERE ts >= TIMESTAMP '2024-01-20 00:00:00' - INTERVAL 48 HOUR),
+        |merged AS (
+        |  SELECT event_id FROM old
+        |  WHERE event_id NOT IN (SELECT event_id FROM delta)
+        |  UNION ALL SELECT event_id FROM delta),
+        |deleted AS (
+        |  SELECT event_id FROM merged
+        |  EXCEPT SELECT event_id FROM src)
+        |SELECT
+        |  (SELECT COUNT(*) FROM delta) AS rows_added,
+        |  (SELECT COUNT(*) FROM deleted) AS rows_deleted,
+        |  CAST(TO_JSON(STRUCT_PACK(
+        |    rows_added := (SELECT COUNT(*) FROM delta),
+        |    rows_deleted := (SELECT COUNT(*) FROM deleted))) AS VARCHAR)
+        |    AS report""".stripMargin)
 }
