@@ -128,25 +128,37 @@ object DedupQueries extends QueryModule {
     * every 3-token shingle, then keep the minimum hash of each sliding
     * window of [[WinnowWindow]] shingles — a deterministic, position-robust
     * sample of the document guaranteeing any match of sufficient length
-    * shares a fingerprint. Computed scan-local (array HOFs, no explode, no
-    * shuffle); documents shorter than window+2 tokens are excluded.
+    * shares a fingerprint. Documents shorter than window+2 tokens are
+    * excluded.
+    *
+    * Shape: posexplode the shingle array (the generator evaluates the
+    * array expression ONCE per document) then a rows-frame window min per
+    * position — one shuffle on doc_id, linear work. The tempting pure-HOF
+    * form (`transform(sequence(...), i -> array_min(slice(sh, i, w)))`)
+    * profiles ~10x slower: CollapseProject inlines the shingle-construction
+    * expression into the lambda, re-evaluating it per window.
+    *
     * No oracle: fingerprints are xxhash64-valued (engine-specific); the
     * invariants are ScalaTest-checked.
     */
   def winnowFingerprints(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val tok = split(col("text"), " ")
     val sh = transform(sequence(lit(1), size(tok) - 2),
       (i: Column) => xxhash64(array_join(slice(tok, i, lit(3)), " ")))
-    docs
+    val exploded = docs
       .filter(size(tok) >= 3 + WinnowWindow - 1)
-      .withColumn("sh", sh)
-      .select(col("doc_id"),
-        array_distinct(transform(
-          sequence(lit(1), size(col("sh")) - (WinnowWindow - 1)),
-          (i: Column) => array_min(slice(col("sh"), i, lit(WinnowWindow)))))
-          .as("fingerprints"))
-      .select(col("doc_id"),
-        col("fingerprints"),
+      .select(col("doc_id"), posexplode(sh).as(Seq("pos", "h")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    exploded
+      .withColumn("wmin",
+        min(col("h")).over(w.rowsBetween(0, WinnowWindow - 1)))
+      .withColumn("n", count(lit(1)).over(w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter(col("pos") <= col("n") - WinnowWindow)
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("wmin")).as("fingerprints"))
+      .select(col("doc_id"), col("fingerprints"),
         size(col("fingerprints")).cast("long").as("n_fingerprints"))
   }
 
