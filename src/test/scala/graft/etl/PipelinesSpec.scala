@@ -48,6 +48,15 @@ class PipelinesSpec extends AnyFunSuite {
     assert(out("cb_region").count() == 5)
   }
 
+  test("json source round-trips rows through JSON lines") {
+    val dir = s"/tmp/graft-test-json-${System.nanoTime()}"
+    val nation = Tables.t(spark, TestSpark.Sf, "nation")
+    nation.write.json(dir)
+    val back = JsonSource(dir).read(spark)
+    assert(back.count() == 25)
+    assert(back.columns.sorted.sameElements(nation.columns.sorted))
+  }
+
   test("jdbc source configures the full option bundle without connecting") {
     val src = JdbcSource(
       url = "jdbc:postgresql://example.invalid:5432/db",
