@@ -79,19 +79,21 @@ object DedupQueries extends QueryModule {
     * join.
     */
   def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    // verification compares hashed token sets (longs), not strings: set
-    // sizes and intersection counts are preserved (64-bit collisions are
-    // negligible at any corpus size) and the long-array intersect avoids
-    // per-pair string hashing — the dominant cost at high near-dup density
+    // verification compares SORTED hashed token sets: set sizes and
+    // intersection counts are preserved (64-bit collisions negligible), and
+    // the fused two-pointer SortedIntersectCount expression walks both
+    // arrays allocation-free — array_intersect would build a hash set per
+    // candidate pair, the dominant cost at high near-dup density
     val toks = docs.select(col("doc_id"),
-      array_distinct(transform(split(col("text"), " "),
-        (t: Column) => xxhash64(t))).as("tok"))
+      array_sort(array_distinct(transform(split(col("text"), " "),
+        (t: Column) => xxhash64(t)))).as("tok"))
     val cand = candidatePairs(docs)
     cand
       .join(toks.select(col("doc_id").as("a_id"), col("tok").as("a_tok")), "a_id")
       .join(toks.select(col("doc_id").as("b_id"), col("tok").as("b_tok")), "b_id")
       .withColumn("n_common",
-        size(array_intersect(col("a_tok"), col("b_tok"))).cast("long"))
+        graft.functions.SortedIntersectCount.sortedIntersectCount(
+          col("a_tok"), col("b_tok")))
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (size(col("a_tok")) + size(col("b_tok")) - col("n_common")))

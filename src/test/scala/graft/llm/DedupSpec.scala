@@ -44,6 +44,22 @@ class DedupSpec extends AnyFunSuite {
     assert(DedupQueries.simhash(docs).count() == docs.count())
   }
 
+  test("SortedIntersectCount equals size(array_intersect) on sorted sets") {
+    import org.apache.spark.sql.Column
+    val toks = docs.select(col("doc_id"),
+      array_sort(array_distinct(org.apache.spark.sql.functions.transform(
+        split(col("text"), " "), (t: Column) => xxhash64(t)))).as("tok"))
+    val a = toks.select(col("doc_id").as("a_id"), col("tok").as("a_tok"))
+    val b = toks.select(col("doc_id").as("b_id"), col("tok").as("b_tok"))
+    val pairs = a.join(b, col("a_id") < col("b_id")).limit(5000)
+      .withColumn("fused",
+        graft.functions.SortedIntersectCount.sortedIntersectCount(
+          col("a_tok"), col("b_tok")))
+      .withColumn("builtin",
+        size(array_intersect(col("a_tok"), col("b_tok"))).cast("long"))
+    assert(pairs.filter(col("fused") =!= col("builtin")).count() == 0)
+  }
+
   test("winnowing: identical text gives identical fingerprints; counts bounded") {
     import spark.implicits._
     val dup = Seq(
