@@ -86,6 +86,8 @@ object EtlQueries extends QueryModule {
 
     // The upsert's JSON stats report (operations.py:601-609:
     // rows_added/rows_deleted returned as JSON) on the q04 scenario.
+    // No trailing ORDER BY: the crossJoin of two 1-row aggregates yields
+    // exactly one row, so the determinism contract is trivially met.
     "q58_upsert_stats" -> { (s, dir) =>
       val ev    = Tables.t(s, dir, "events")
       val old   = ev.filter(col("ts") < expr(T))

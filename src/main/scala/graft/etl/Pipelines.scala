@@ -26,8 +26,12 @@ object Pipelines {
 
   /** UpdatePipeline.execute (pipelines.py:73-115 → update_table_via_upsert,
     * operations.py:515-609): delta-window upsert + delete reconciliation
-    * against the current destination snapshot, then atomic snapshot swap.
-    * `asOf` is explicit (never wall-clock — operations.py:539 quirk).
+    * against the current destination snapshot, then a two-phase snapshot
+    * swap. The staging hop only resolves the read-your-own-overwrite
+    * conflict (the merged plan reads destPath); the final overwrite is NOT
+    * crash-atomic — parquet directories have no commit protocol, which is
+    * the Delta/Iceberg seam at 100 TB (SURVEY.md §7.3). `asOf` is explicit
+    * (never wall-clock — operations.py:539 quirk).
     */
   def updatePipeline(spark: SparkSession, src: Source, destPath: String,
                      pk: String, deltaCol: String, asOf: Column,
@@ -39,7 +43,14 @@ object Pipelines {
     val tmp = destPath + "_stage"
     result.write.mode("overwrite").parquet(tmp)
     spark.read.parquet(tmp).write.mode("overwrite").parquet(destPath)
+    // destPath is fully written at this point; the staging snapshot is dead
+    deleteRecursively(new java.io.File(tmp))
     spark.read.parquet(destPath)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete(); ()
   }
 
   /** CrunchbaseFlatfilePipeline.execute (pipelines.py:118-127 →

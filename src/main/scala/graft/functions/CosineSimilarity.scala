@@ -18,12 +18,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   *
   * Math matches `SimilarityQueries.cosine` exactly: sequential
   * left-to-right double accumulation, so results are bit-identical to the
-  * HOF version and to any engine that sums sequentially (DuckDB oracle).
+  * HOF version and to any engine that sums sequentially (DuckDB oracle) —
+  * including the degenerate inputs: mismatched lengths and null elements
+  * both yield NULL, exactly like `aggregate(zip_with(a, b, *), …)` (zip_with
+  * pads with null / propagates null into the sum). Exposed through SQL as
+  * `cosine_sim`, so user input can hit both cases.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  // NULL-out on mismatched lengths / null elements even when the input
+  // columns themselves are non-nullable
+  override def nullable: Boolean = true
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     if (left.dataType == ArrayType(DoubleType, containsNull = false) ||
@@ -38,13 +45,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
   }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData].toDoubleArray()
-    val y = b.asInstanceOf[ArrayData].toDoubleArray()
-    val n = math.min(x.length, y.length)
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
-      dot += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xi = x.getDouble(i); val yi = y.getDouble(i)
+      dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
     }
     dot / (math.sqrt(nx) * math.sqrt(ny))
   }
@@ -59,14 +69,21 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = $a.getDouble($i);
-         |  double $yi = $b.getDouble($i);
-         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $xi = $a.getDouble($i);
+         |    double $yi = $b.getDouble($i);
+         |    $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |  }
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
        """.stripMargin
     })
 

@@ -178,9 +178,16 @@ object DedupQueries extends QueryModule {
     },
 
     // Winnowing rolling-window fingerprints (no oracle — hash-valued;
-    // invariants ScalaTest-checked).
+    // invariants ScalaTest-checked). The declared output serializes the
+    // fingerprint set to a sorted CSV string: the harness row-hashes results
+    // through pandas, and an array-typed column is unhashable there — the
+    // scalar form is equivalent (sorted, total) and driver-safe.
     "q57_winnow_fingerprint" -> { (s, dir) =>
-      winnowFingerprints(Tables.t(s, dir, "documents")).orderBy("doc_id")
+      winnowFingerprints(Tables.t(s, dir, "documents"))
+        .select(col("doc_id"),
+          array_join(array_sort(col("fingerprints")), ",").as("fingerprints"),
+          col("n_fingerprints"))
+        .orderBy("doc_id")
     })
 
   override def oracles: Map[String, String] = Map.empty

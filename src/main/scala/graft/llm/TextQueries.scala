@@ -14,6 +14,85 @@ object TextQueries extends QueryModule {
 
   private val Stopwords = Seq("the", "a", "of", "and", "to")
 
+  /** Exact Jaccard near-dup pairs via df-ordered prefix filtering
+    * (the all-pairs similarity-join technique of Chaudhuri et al. 2006 /
+    * Bayardo et al. 2007). Input: `(doc_id, source, tok)` where `tok` is the
+    * ascending-sorted array of distinct 64-bit token hashes.
+    *
+    * A naive inverted-index self-join is quadratic in hot-token document
+    * frequency — the classic scale-killer on skewed text ("the"). Prefix
+    * filtering keeps it EXACT while bounding the postings: order each doc's
+    * tokens by ascending global df (rarest first, ties by hash) and index
+    * only the first `|d| - ceil(t*|d|) + 1`. Any pair with Jaccard >= t
+    * shares >= ceil(t*|d|) tokens, so its globally-smallest common token
+    * provably lands in BOTH prefixes — no pair is lost — while hot tokens
+    * sort to the un-indexed suffix and their posting lists all but vanish.
+    * Candidates are then verified exactly with the fused two-pointer
+    * [[graft.functions.SortedIntersectCount]] over the full sorted hash
+    * arrays (allocation-free; `array_intersect` builds a hash set per pair).
+    *
+    * Any TOTAL global order makes the prefix bound correct; df-ascending is
+    * the one that starves hot-token postings. `dfOrdered = false` instead
+    * uses the hash order the `tok` array is already sorted in — the prefix
+    * is then a plain `slice`, no df aggregation / join / window, which wins
+    * when the token space is high-cardinality (3-shingles: df ≈ 1
+    * everywhere, so df-ordering buys nothing and each extra plan branch
+    * re-evaluates the expensive shingle-hash array).
+    *
+    * Shuffles (df-ordered): token df aggregation, one window on
+    * (source, doc_id) for the df-rank, the prefix equi-join, and two hash
+    * joins to attach the full arrays — all equi-keyed and AQE-replannable;
+    * the df lookup table is one row per distinct (source, token) and
+    * broadcasts while small. Hash-ordered drops the first two.
+    */
+  def prefixJaccardPairs(docs: DataFrame, threshold: Double,
+                         dfOrdered: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // 1e-9 slack: ceil must never overshoot when t*|d| lands on an integer
+    // (a too-long prefix only costs time; a too-short one loses pairs)
+    def prefixLen(n: Column) =
+      n - ceil(lit(threshold) * n - lit(1e-9)).cast("long") + lit(1L)
+    val prefix = if (dfOrdered) {
+      val toks = docs.select(col("source"), col("doc_id"),
+        size(col("tok")).cast("long").as("ntok"),
+        explode(col("tok")).as("h"))
+      val dfreq = toks.groupBy(col("source"), col("h"))
+        .agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("source"), col("doc_id"))
+        .orderBy(col("df"), col("h"))
+      toks.join(dfreq, Seq("source", "h"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= prefixLen(col("ntok")))
+        .select(col("source"), col("h"), col("doc_id"))
+    } else
+      docs.select(col("source"), col("doc_id"),
+        explode(slice(col("tok"), lit(1),
+          prefixLen(size(col("tok")).cast("long")).cast("int"))).as("h"))
+        .select(col("source"), col("h"), col("doc_id"))
+    val cand = prefix.select(col("source"), col("h"), col("doc_id").as("a_id"))
+      .join(prefix.select(col("source"), col("h"), col("doc_id").as("b_id")),
+        Seq("source", "h"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("source"), col("a_id"), col("b_id"))
+      .distinct()
+    val sides = docs.select(col("doc_id"), col("tok"))
+    cand
+      .join(sides.select(col("doc_id").as("a_id"), col("tok").as("a_tok")),
+        "a_id")
+      .join(sides.select(col("doc_id").as("b_id"), col("tok").as("b_tok")),
+        "b_id")
+      .withColumn("n_common",
+        graft.functions.SortedIntersectCount.sortedIntersectCount(
+          col("a_tok"), col("b_tok")))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (size(col("a_tok")) + size(col("b_tok")) - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("source"), col("a_id"), col("b_id"),
+        round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("source", "a_id", "b_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup by content hash (SURVEY.md §2.3): canonical id = min id
     // per hash — the deterministic version of dropDuplicates. At 100 TB this
@@ -71,37 +150,18 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
-    // Exact token-set Jaccard near-dup pairs within a source, via an
-    // inverted index (explode tokens -> equi-join on token -> count common).
-    // This is the exact oracle-checkable formulation; the probabilistic
-    // MinHash/LSH version that scales past it is q36 (DedupQueries).
+    // Exact token-set Jaccard near-dup pairs within a source, via a
+    // prefix-filtered inverted index ([[prefixJaccardPairs]]): identical
+    // output to the naive posting self-join (the oracle SQL still states
+    // that semantics) without its quadratic hot-token term. Tokens join as
+    // 64-bit hashes so the verify step can use the fused sorted-intersect
+    // expression. The probabilistic MinHash/LSH variant is q36.
     "q34_jaccard_pairs" -> { (s, dir) =>
-      // postings join on raw token strings: the vocabulary is small and
-      // tokens short, so string keys beat paying an extra hash pass per
-      // side (profiled: 4.3s vs 5.7s at sf0.1)
       val d = Tables.t(s, dir, "documents").select(
         col("doc_id"), col("source"),
-        array_distinct(split(col("text"), " ")).as("tok"))
-      val t = d.select(col("source"), col("doc_id"),
-        size(col("tok")).cast("long").as("ntok"),
-        explode(col("tok")).as("token"))
-      val a = t.select(col("source"), col("token"),
-        col("doc_id").as("a_id"), col("ntok").as("a_n"))
-      val b = t.select(col("source"), col("token"),
-        col("doc_id").as("b_id"), col("ntok").as("b_n"))
-      val common = a.join(b, Seq("source", "token"))
-        .filter(col("a_id") < col("b_id"))
-        .groupBy(col("source"), col("a_id"), col("a_n"),
-          col("b_id"), col("b_n"))
-        .agg(count(lit(1)).as("n_common"))
-      common
-        .withColumn("jaccard",
-          col("n_common").cast("double") /
-            (col("a_n") + col("b_n") - col("n_common")))
-        .filter(col("jaccard") >= 0.6)
-        .select(col("source"), col("a_id"), col("b_id"),
-          round(col("jaccard"), 4).as("jaccard"))
-        .orderBy("source", "a_id", "b_id")
+        array_sort(array_distinct(transform(split(col("text"), " "),
+          (t: Column) => xxhash64(t)))).as("tok"))
+      prefixJaccardPairs(d, 0.6)
     },
 
     // Word count via explode — the Generator/UDTF surface (SURVEY.md §2.2):
@@ -135,40 +195,23 @@ object TextQueries extends QueryModule {
 
     // n-gram (3-shingle) Jaccard near-dup pairs — the order-sensitive
     // variant of q34: token-set-identical docs in different order score low
-    // here. Same inverted-index shape, over distinct shingles. Shingles
-    // join as 64-bit hashes of the shingle string (counts — and therefore
-    // jaccard — are preserved; collisions negligible): unlike q34's short
-    // common tokens, shingles are long and high-cardinality, so fixed-width
-    // keys shrink the shuffle/broadcast payload. (An element_at-based
-    // construction that avoided the string entirely profiled 2x SLOWER —
-    // the lambda re-evaluates inside the explode stage.)
+    // here. Same prefix-filtered shape over distinct shingle hashes
+    // ([[prefixJaccardPairs]]); shingles are long and high-cardinality, so
+    // fixed-width 64-bit keys also shrink the shuffle payload. (An
+    // element_at-based construction that avoided the string entirely
+    // profiled 2x SLOWER — the lambda re-evaluates inside the explode
+    // stage.)
     "q50_shingle_jaccard" -> { (s, dir) =>
       val tok = split(col("text"), " ")
       val d = Tables.t(s, dir, "documents")
         .filter(size(tok) >= 3)
         .select(col("doc_id"), col("source"),
-          array_distinct(transform(sequence(lit(1), size(tok) - 2),
-            (i: Column) => xxhash64(array_join(slice(tok, i, lit(3)), " "))))
-            .as("sh"))
-      val t = d.select(col("source"), col("doc_id"),
-        size(col("sh")).cast("long").as("nsh"),
-        explode(col("sh")).as("shingle"))
-      val a = t.select(col("source"), col("shingle"),
-        col("doc_id").as("a_id"), col("nsh").as("a_n"))
-      val b = t.select(col("source"), col("shingle"),
-        col("doc_id").as("b_id"), col("nsh").as("b_n"))
-      a.join(b, Seq("source", "shingle"))
-        .filter(col("a_id") < col("b_id"))
-        .groupBy(col("source"), col("a_id"), col("a_n"),
-          col("b_id"), col("b_n"))
-        .agg(count(lit(1)).as("n_common"))
-        .withColumn("jaccard",
-          col("n_common").cast("double") /
-            (col("a_n") + col("b_n") - col("n_common")))
-        .filter(col("jaccard") >= 0.4)
-        .select(col("source"), col("a_id"), col("b_id"),
-          round(col("jaccard"), 4).as("jaccard"))
-        .orderBy("source", "a_id", "b_id")
+          array_sort(array_distinct(transform(sequence(lit(1), size(tok) - 2),
+            (i: Column) => xxhash64(array_join(slice(tok, i, lit(3)), " ")))))
+            .as("tok"))
+      // hash-ordered prefix: shingle df ≈ 1, so the df aggregation would
+      // only add plan branches that re-evaluate the shingle arrays
+      prefixJaccardPairs(d, 0.4, dfOrdered = false)
     },
 
     // Language-ID by marker-token profile scoring: count hits per language

@@ -32,6 +32,23 @@ object EventQueries extends QueryModule {
         .orderBy("hour", "event_type")
     },
 
+    // Sliding-window aggregation (streaming: StreamingOps.slidingCounts):
+    // 1-hour windows every 30 minutes, so each event lands in exactly two
+    // overlapping windows. Uses the same built-in `window()` generator as
+    // the streaming variant — windows are epoch-aligned multiples of the
+    // slide; the oracle states the overlap by exploding each event to its
+    // two candidate window starts.
+    "q61_sliding_window" -> { (s, dir) =>
+      Tables.t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          dsum(col("value")).as("sum_value"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("n_events"), col("sum_value"))
+        .orderBy("win_start", "event_type")
+    },
+
     // Sessionization with a 30-minute inactivity gap (streaming:
     // session_window). Two windows — a lag to mark session starts, a running
     // sum to number them — then one aggregation; shuffles once on user_id.
@@ -100,6 +117,19 @@ object EventQueries extends QueryModule {
          |  ${dsumSql("value")} AS sum_value,
          |  ${Fns.davgSql("value")} AS avg_value
          |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "q61_sliding_window" ->
+      s"""WITH w AS (
+         |  SELECT TIMESTAMP '1970-01-01 00:00:00'
+         |      + (CAST(FLOOR(EPOCH(ts) / 1800) AS BIGINT) - off)
+         |        * INTERVAL 30 MINUTE AS win_start,
+         |    event_type, value
+         |  FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS off) offs)
+         |SELECT win_start, event_type,
+         |  COUNT(*) AS n_events,
+         |  ${dsumSql("value")} AS sum_value
+         |FROM w GROUP BY win_start, event_type
+         |ORDER BY win_start, event_type""".stripMargin,
 
     "q29_sessionize" ->
       s"""WITH marked AS (

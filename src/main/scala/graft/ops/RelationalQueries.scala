@@ -85,6 +85,45 @@ object RelationalQueries extends QueryModule {
         .orderBy("o_orderkey")
     },
 
+    // Right outer join: the aggregate-below-join of q12 restated from the
+    // small side — the pre-aggregated lineitem sits on the left and every
+    // order row is preserved from the right. Plans identically to the left
+    // variant (Spark canonicalizes build sides); declared separately because
+    // SURVEY §2.2 promises all four equi-join types as operators.
+    "q59_join_right" -> { (s, dir) =>
+      val o = Tables.t(s, dir, "orders")
+      val lAgg = Tables.t(s, dir, "lineitem")
+        .filter(col("l_quantity") > 30)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("qty"))
+      lAgg.join(o, lAgg("l_orderkey") === o("o_orderkey"), "right")
+        .select(col("o_orderkey"),
+          coalesce(col("cnt"), lit(0L)).as("n_big_items"),
+          coalesce(col("qty"), lit(0.0)).as("big_qty"))
+        .orderBy("o_orderkey")
+    },
+
+    // Full outer join as merge: the reference's PK-keyed upsert
+    // (operations.py:716-723) IS a full-outer-preferring-new — rows only in
+    // the old snapshot are kept, rows only in the delta are inserts, rows in
+    // both take the new version. The USING-style join coalesces the key;
+    // values coalesce new-over-old. Shuffles once on the pk.
+    "q60_join_full" -> { (s, dir) =>
+      val ev  = Tables.t(s, dir, "events")
+      val old = ev.filter(col("event_id") % 3 =!= 0)
+        .select(col("event_id"), col("value").as("old_value"))
+      val neu = ev.filter(col("event_id") % 2 === 0)
+        .select(col("event_id"), (col("value") * 2).as("new_value"))
+      old.join(neu, Seq("event_id"), "full")
+        .select(col("event_id"),
+          coalesce(col("new_value"), col("old_value")).as("value"),
+          when(col("new_value").isNotNull && col("old_value").isNotNull,
+            "updated")
+            .when(col("new_value").isNotNull, "inserted")
+            .otherwise("kept").as("merge_action"))
+        .orderBy("event_id")
+    },
+
     // Left-semi join == EXISTS (the reference's conflict check,
     // operations.py:785-789, promoted to a first-class operator).
     "q13_semi_join" -> { (s, dir) =>
@@ -273,6 +312,19 @@ object RelationalQueries extends QueryModule {
       open.unionAll(pending).exceptAll(settled).orderBy("custkey")
     },
 
+    // Bag-semantics intersection: INTERSECT ALL keeps min(multiplicity) of
+    // each value — the one *All set-op q45 doesn't exercise. Customers with
+    // an open order per open order, intersected with their big-order
+    // occurrences.
+    "q62_intersect_all" -> { (s, dir) =>
+      val o = Tables.t(s, dir, "orders")
+      val open = o.filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey").as("custkey"))
+      val big = o.filter(col("o_totalprice") > 100000)
+        .select(col("o_custkey").as("custkey"))
+      open.intersectAll(big).orderBy("custkey")
+    },
+
     // Set operations: UNION (distinct) → INTERSECT → EXCEPT.
     "q22_set_ops" -> { (s, dir) =>
       val c = Tables.t(s, dir, "customer")
@@ -323,6 +375,37 @@ object RelationalQueries extends QueryModule {
          |LEFT JOIN (SELECT * FROM lineitem WHERE l_quantity > 40) li
          |  ON o_orderkey = li.l_orderkey
          |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+
+    "q59_join_right" ->
+      s"""SELECT o_orderkey,
+         |  COUNT(li.l_orderkey) AS n_big_items,
+         |  COALESCE(${dsumSql("li.l_quantity")}, 0.0) AS big_qty
+         |FROM (SELECT * FROM lineitem WHERE l_quantity > 30) li
+         |RIGHT JOIN orders ON li.l_orderkey = o_orderkey
+         |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+
+    "q60_join_full" ->
+      """WITH old AS (
+        |  SELECT event_id, value AS old_value FROM events
+        |  WHERE event_id % 3 <> 0),
+        |neu AS (
+        |  SELECT event_id, value * 2 AS new_value FROM events
+        |  WHERE event_id % 2 = 0)
+        |SELECT COALESCE(old.event_id, neu.event_id) AS event_id,
+        |  COALESCE(new_value, old_value) AS value,
+        |  CASE WHEN new_value IS NOT NULL AND old_value IS NOT NULL
+        |         THEN 'updated'
+        |       WHEN new_value IS NOT NULL THEN 'inserted'
+        |       ELSE 'kept' END AS merge_action
+        |FROM old FULL OUTER JOIN neu ON old.event_id = neu.event_id
+        |ORDER BY event_id""".stripMargin,
+
+    "q62_intersect_all" ->
+      """SELECT custkey FROM (
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        |  INTERSECT ALL
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+        |ORDER BY custkey""".stripMargin,
 
     "q13_semi_join" ->
       """SELECT o_orderkey, o_totalprice FROM orders

@@ -84,10 +84,11 @@ object ScalarQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
-    // JSON extraction from the events.props payload column. Parse once per
-    // row (from_json into a struct), derive every output from the parsed
-    // struct — three separate path extractions would re-parse the document
-    // each time.
+    // JSON extraction from the events.props payload column, both APIs:
+    // from_json parses once per row into a struct (every struct-derived
+    // output shares that single parse); get_json_object is the
+    // one-off-path alternative (its own parse — fine for a single path,
+    // wasteful for several).
     "q27_json_funcs" -> { (s, dir) =>
       Tables.t(s, dir, "events")
         .withColumn("parsed", from_json(col("props"),
@@ -95,7 +96,7 @@ object ScalarQueries extends QueryModule {
         .select(
           col("event_id"),
           col("parsed.k").cast("long").as("k_value"),
-          col("parsed.k").cast("long").as("k_struct"),
+          get_json_object(col("props"), "$.k").as("k_path"),
           (col("parsed.k").cast("long") % 10).as("k_bucket"))
         .orderBy("event_id")
     },
@@ -173,7 +174,7 @@ object ScalarQueries extends QueryModule {
     "q27_json_funcs" ->
       """SELECT event_id,
         |  CAST(props->>'$.k' AS BIGINT) AS k_value,
-        |  CAST(props->>'$.k' AS BIGINT) AS k_struct,
+        |  props->>'$.k' AS k_path,
         |  CAST(props->>'$.k' AS BIGINT) % 10 AS k_bucket
         |FROM events ORDER BY event_id""".stripMargin,
 

@@ -73,6 +73,79 @@ final case class JdbcSource(
   def read(spark: SparkSession): DataFrame = configure(spark).load()
 }
 
+/** BigQuery endpoint ≙ BQConnection (connections.py:177-212): the reference
+  * opens `bigquery://{project}` with `stream_results` toggling read-side
+  * chunking. Spark's public spark-bigquery connector expresses the same
+  * surface as a format bundle: `parentProject` ≙ the constructor's
+  * `project`, the Storage Read API streams are the `stream_results=True`
+  * path (always-on in the connector), `viewsEnabled` +
+  * `materializationDataset` cover reading views (the client() seam).
+  * Credentials resolve through [[SecretProvider]] like every connection —
+  * never hard-coded.
+  *
+  * Offline contract: `configure` fully assembles the reader; `load()` only
+  * works where the connector jar + a live endpoint exist (same harness rule
+  * as [[JdbcSource]] — construction is tested, connectivity is not).
+  */
+final case class BigQuerySource(
+    project: String,
+    table: String,                       // "dataset.table"
+    credentialsSecret: Option[String] = None,
+    secrets: SecretProvider = MapSecretProvider(Map.empty),
+    viewsEnabled: Boolean = false,
+    materializationDataset: Option[String] = None) extends Source {
+
+  def configure(spark: SparkSession): DataFrameReader = {
+    val base = spark.read.format("bigquery")
+      .option("parentProject", project)
+      .option("table", table)
+      .option("viewsEnabled", viewsEnabled.toString)
+    val withMat = materializationDataset match {
+      case Some(d) => base.option("materializationDataset", d)
+      case None => base
+    }
+    credentialsSecret match {
+      case Some(s) => withMat.option("credentials", secrets.get(s))
+      case None => withMat
+    }
+  }
+
+  def read(spark: SparkSession): DataFrame = configure(spark).load()
+}
+
+/** JDBC sink ≙ the reference's bulk append write (W2,
+  * operations.py:130-212): `write_from_dataframe` COPYs CSV chunks into a
+  * pre-existing table. `batchSize` ≙ the `chunksize` buffer,
+  * `numPartitions` caps concurrent connections (the chunk loop,
+  * parallelized), `truncate=false` + SaveMode.Append ≙ `if_exists="append"`
+  * against an existing schema. Same offline contract as [[JdbcSource]]:
+  * `configure` assembles the writer, execution needs a live endpoint.
+  */
+final case class JdbcSink(
+    url: String,
+    table: String,
+    user: String,
+    secretName: String,
+    secrets: SecretProvider,
+    batchSize: Int = 100000,             // ≙ COPY chunk size
+    numPartitions: Int = 8,
+    isolationLevel: String = "READ_COMMITTED") {
+
+  def configure(df: DataFrame): org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =
+    df.write.format("jdbc")
+      .mode(org.apache.spark.sql.SaveMode.Append)
+      .option("url", url)
+      .option("dbtable", table)
+      .option("user", user)
+      .option("password", secrets.get(secretName))
+      .option("batchsize", batchSize.toString)
+      .option("numPartitions", numPartitions.toString)
+      .option("isolationLevel", isolationLevel)
+      .option("truncate", "false")
+
+  def write(df: DataFrame): Unit = configure(df).save()
+}
+
 /** Credential lookup seam (C1, connections.py:23-39): the engine never
   * hard-codes secrets; providers resolve them from config/env at run time.
   */

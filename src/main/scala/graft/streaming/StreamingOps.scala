@@ -33,6 +33,19 @@ object StreamingOps {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Sliding-window aggregation: 1-hour windows every 30 minutes, so each
+    * event contributes to two overlapping windows (batch twin: q61). State
+    * is 2x the tumbling variant's — one open window per slide step — and
+    * still watermark-bounded.
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
   /** Session windows with a 30-minute inactivity gap (batch twin: q29). */
   def sessionAgg(events: DataFrame): DataFrame =
     events
@@ -90,17 +103,26 @@ object StreamingOps {
     * stream (`pyopenetl/pipelines.py:73-115` made continuous). `foreachBatch`
     * reuses the tested batch kernel, so streaming and batch cannot diverge.
     */
-  def upsertSink(delta: DataFrame, destPath: String, pk: String)
-      : DataStreamWriter[Row] = {
+  def upsertSink(delta: DataFrame, destPath: String, pk: String,
+                 deltaCol: String = "ts"): DataStreamWriter[Row] = {
     val spark = delta.sparkSession
     delta.writeStream
       .outputMode("update")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // deterministic in-batch dedup: a micro-batch can carry several
+        // versions of one key; keep the newest by deltaCol (dropDuplicates
+        // would pick an arbitrary row and could resurrect an older version)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(pk)).orderBy(col(deltaCol).desc)
+        val latest = batch.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
         val old = spark.read.parquet(destPath)
-        val merged = UpsertKernel.merge(old, batch.dropDuplicates(pk), pk)
+        val merged = UpsertKernel.merge(old, latest, pk)
         // two-phase write: parquet has no in-place merge (the Delta/Iceberg
-        // seam at 100 TB, SURVEY.md §7.3)
+        // seam at 100 TB, SURVEY.md §7.3). The staging hop only resolves the
+        // read-your-own-overwrite conflict; the final overwrite is NOT
+        // crash-atomic (that's the table-format seam too).
         val tmp = destPath + "_tmp"
         merged.write.mode("overwrite").parquet(tmp)
         spark.read.parquet(tmp).write.mode("overwrite").parquet(destPath)

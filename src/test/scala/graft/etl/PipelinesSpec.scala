@@ -71,6 +71,33 @@ class PipelinesSpec extends AnyFunSuite {
     src.configure(spark)
   }
 
+  test("bigquery source configures the full option bundle without connecting") {
+    val src = BigQuerySource(
+      project = "example-project",
+      table = "analytics.events",
+      credentialsSecret = Some("bq_key"),
+      secrets = MapSecretProvider(Map("bq_key" -> "base64-key")),
+      viewsEnabled = true,
+      materializationDataset = Some("scratch"))
+    // construction + option resolution offline (C5, connections.py:177-212);
+    // load() needs the connector jar + a live endpoint
+    src.configure(spark)
+  }
+
+  test("jdbc sink configures the append writer without connecting") {
+    val sink = JdbcSink(
+      url = "jdbc:postgresql://example.invalid:5432/db",
+      table = "events_out",
+      user = "writer",
+      secretName = "db_password",
+      secrets = MapSecretProvider(Map("db_password" -> "hunter2")),
+      batchSize = 50000)
+    // the write side of W2 (operations.py:130-212): writer assembles
+    // offline; save() would need a live endpoint
+    val df = Tables.t(spark, TestSpark.Sf, "region")
+    sink.configure(df)
+  }
+
   test("secret providers resolve and fail loudly") {
     assert(MapSecretProvider(Map("a" -> "b")).get("a") == "b")
     intercept[IllegalArgumentException] {

@@ -46,6 +46,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq.sorted == want)
   }
 
+  test("streaming sliding windows assign each event to two windows") {
+    val ms = MemoryStream[Ev](spark)
+    ms.addData(fixture: _*)
+    val got = runStream(StreamingOps.slidingCounts(ms.toDF()), "sliding")
+    // 1-hour windows sliding every 30 min: every event lands in exactly two
+    assert(got.agg(sum("n_events")).collect()(0).getLong(0) ==
+      fixture.size * 2L)
+    // clicks at 10:05/10:15/10:20 → windows 09:30+10:00; 12:30/12:40 →
+    // 12:00+12:30
+    val clicks = got.filter(col("event_type") === "click")
+      .orderBy("win_start").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(2)))
+    assert(clicks.toSeq == Seq(
+      ("2024-01-01 09:30:00.0", 3L), ("2024-01-01 10:00:00.0", 3L),
+      ("2024-01-01 12:00:00.0", 2L), ("2024-01-01 12:30:00.0", 2L)))
+  }
+
   test("streaming session windows close on the 30-minute gap") {
     val ms = MemoryStream[Ev](spark)
     ms.addData(fixture: _*)
