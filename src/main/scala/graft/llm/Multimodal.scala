@@ -8,12 +8,12 @@ import org.apache.spark.sql.functions._
   * media payloads ride as opaque `binary` columns (the reference's `bytea`
   * mapping, `pyopenetl/operations.py:253`) with typed metadata alongside.
   *
-  * The decode step is where a real pipeline calls an image/audio codec over
-  * row batches; this container has no codec libraries, so [[fakeDecode]] is
-  * a clearly-marked deterministic stand-in. Everything around it — the
-  * binary schema, the typed-batch `mapPartitions` shape (one decoder
-  * instance per partition, streaming iterator, no per-row setup), the
-  * metadata struct — is the real plumbing and is exercised end-to-end.
+  * The decode step is a real header decoder ([[MediaCodec]]): container
+  * format and pixel dimensions parsed from the payload's leading bytes
+  * (PNG IHDR / JPEG SOF / GIF screen descriptor), plus content hash and
+  * byte length. It runs through the typed-batch `mapPartitions` shape —
+  * one decoder scope per partition, streaming iterator, no per-row setup —
+  * which is exactly where a full pixel codec would slot in at 100 TB.
   */
 object Multimodal extends QueryModule {
 
@@ -21,20 +21,12 @@ object Multimodal extends QueryModule {
   case class MediaMeta(doc_id: Long, byte_len: Long, sha256: String,
                        format: String, width: Long, height: Long)
 
-  /** STUB: deterministic fake decoder. A real implementation would hand the
-    * bytes to a codec (e.g. image decode → dimensions); the fake derives
-    * metadata from the payload alone so tests and oracles stay exact.
-    */
-  def fakeDecode(docId: Long, payload: Array[Byte]): MediaMeta = {
+  /** Decode one payload: content hash + header sniff ([[MediaCodec]]). */
+  def decode(docId: Long, payload: Array[Byte]): MediaMeta = {
     val md  = java.security.MessageDigest.getInstance("SHA-256")
     val hex = md.digest(payload).map("%02x".format(_)).mkString
-    val len = payload.length.toLong
-    val fmt = (len % 3) match {
-      case 0 => "png"
-      case 1 => "jpeg"
-      case _ => "webp"
-    }
-    MediaMeta(docId, len, hex, fmt, len % 640 + 1, len % 480 + 1)
+    val s   = MediaCodec.sniff(payload)
+    MediaMeta(docId, payload.length.toLong, hex, s.format, s.width, s.height)
   }
 
   /** Batch-shaped decode: one pass per partition over a streaming iterator —
@@ -46,12 +38,16 @@ object Multimodal extends QueryModule {
     import spark.implicits._
     media.as[MediaIn].mapPartitions { it =>
       // per-partition decoder init would go here (codec handles, buffers)
-      it.map(m => fakeDecode(m.doc_id, m.payload))
+      it.map(m => decode(m.doc_id, m.payload))
     }.toDF()
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Binary payload + metadata extraction through the typed batch path.
+    // The fixture payloads are text bytes, so the sniffer classifies every
+    // row as opaque `bin` with 0x0 dimensions — the oracle states exactly
+    // that; the image-header paths are ScalaTest-covered with real
+    // PNG/JPEG/GIF header bytes (MultimodalSpec).
     "q41_multimodal_meta" -> { (s, dir) =>
       val media = Tables.t(s, dir, "documents")
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
@@ -60,14 +56,11 @@ object Multimodal extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "q41_multimodal_meta" ->
-      """WITH m AS (
-        |  SELECT doc_id, CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS byte_len,
-        |    SHA256(text) AS sha256
-        |  FROM documents)
-        |SELECT doc_id, byte_len, sha256,
-        |  CASE byte_len % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
-        |       ELSE 'webp' END AS format,
-        |  byte_len % 640 + 1 AS width,
-        |  byte_len % 480 + 1 AS height
-        |FROM m ORDER BY doc_id""".stripMargin)
+      """SELECT doc_id,
+        |  CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS byte_len,
+        |  SHA256(text) AS sha256,
+        |  'bin' AS format,
+        |  CAST(0 AS BIGINT) AS width,
+        |  CAST(0 AS BIGINT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin)
 }

@@ -299,6 +299,22 @@ object RelationalQueries extends QueryModule {
         .orderBy("l_returnflag")
     },
 
+    // Approximate percentiles — the 100 TB path for q56: a mergeable
+    // quantile sketch (GK-style) aggregates in one pass with bounded state,
+    // where exact `percentile` sorts every group. No oracle (sketch
+    // internals are engine-specific); ScalaTest bounds the error against
+    // the exact interpolated values.
+    "q63_approx_percentiles" -> { (s, dir) =>
+      Tables.t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("approx_percentile(l_quantity, 0.5, 10000)").as("median_qty"),
+          expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("p90_price"),
+          expr("approx_percentile(l_discount, 0.25, 10000)").as("p25_disc"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
     // Multiset set operations: UNION ALL → EXCEPT ALL keeps one copy per
     // excess occurrence (bag semantics, unlike q22's set semantics).
     "q45_setops_all" -> { (s, dir) =>

@@ -42,6 +42,24 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((1L, 1L, 0L, 1L), (2L, 1L, 0L, 0L)))
   }
 
+  test("approx_percentile tracks the exact percentiles (q63 vs q56)") {
+    val approx = SparkEntry.queries("q63_approx_percentiles")(spark, TestSpark.Sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val exact = SparkEntry.queries("q56_percentiles")(spark, TestSpark.Sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    exact.foreach { case (flag, (med, p90)) =>
+      val (aMed, aP90) = approx(flag)
+      // approx returns a real data point; exact interpolates — allow the
+      // gap of one observation at this accuracy
+      assert(math.abs(aMed - med) / math.max(med, 1.0) < 0.05,
+        s"$flag median: $aMed vs $med")
+      assert(math.abs(aP90 - p90) / math.max(p90, 1.0) < 0.05,
+        s"$flag p90: $aP90 vs $p90")
+    }
+  }
+
   test("approx_count_distinct is within 10% of exact (q44)") {
     SparkEntry.queries("q44_approx_distinct")(spark, TestSpark.Sf)
       .collect().foreach { r =>

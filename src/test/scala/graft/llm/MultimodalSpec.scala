@@ -1,0 +1,59 @@
+package graft.llm
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The multimodal decode path with real media headers: MediaCodec parses
+  * format + dimensions straight from bytes, and decodeMeta carries them
+  * through the typed-batch plumbing. The declared q41 covers the opaque
+  * (`bin`) path over the fixture corpus; these bytes cover the image paths.
+  */
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def png(w: Int, h: Int): Array[Byte] = {
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    val ihdr = Array(0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      w >> 24, (w >> 16) & 0xff, (w >> 8) & 0xff, w & 0xff,
+      h >> 24, (h >> 16) & 0xff, (h >> 8) & 0xff, h & 0xff,
+      8, 2, 0, 0, 0)
+    (sig ++ ihdr).map(_.toByte)
+  }
+
+  // SOI, APP0 segment (length 4, payload skipped), SOF0 with h/w big-endian
+  private def jpeg(w: Int, h: Int): Array[Byte] =
+    Array(0xff, 0xd8,
+      0xff, 0xe0, 0x00, 0x04, 0x4a, 0x46,
+      0xff, 0xc0, 0x00, 0x0b, 8,
+      h >> 8, h & 0xff, w >> 8, w & 0xff, 1, 1, 0x11, 0)
+      .map(_.toByte)
+
+  private def gif(w: Int, h: Int): Array[Byte] =
+    (Array[Int]('G', 'I', 'F', '8', '9', 'a',
+      w & 0xff, w >> 8, h & 0xff, h >> 8, 0, 0, 0)).map(_.toByte)
+
+  test("MediaCodec parses PNG / JPEG / GIF headers and rejects junk") {
+    assert(MediaCodec.sniff(png(640, 480)) == MediaCodec.Sniffed("png", 640, 480))
+    assert(MediaCodec.sniff(jpeg(1920, 1080)) == MediaCodec.Sniffed("jpeg", 1920, 1080))
+    assert(MediaCodec.sniff(gif(320, 200)) == MediaCodec.Sniffed("gif", 320, 200))
+    assert(MediaCodec.sniff("not an image".getBytes) == MediaCodec.Sniffed("bin", 0, 0))
+    assert(MediaCodec.sniff(Array[Byte]()) == MediaCodec.Sniffed("bin", 0, 0))
+    // truncated PNG signature must not throw
+    assert(MediaCodec.sniff(png(9, 9).take(10)) == MediaCodec.Sniffed("bin", 0, 0))
+  }
+
+  test("decodeMeta carries real headers through the typed batch path") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaIn(1L, png(640, 480)),
+      Multimodal.MediaIn(2L, jpeg(1920, 1080)),
+      Multimodal.MediaIn(3L, "plain text".getBytes))
+      .toDS().toDF()
+    val out = Multimodal.decodeMeta(media).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (1L, "png", 640L, 480L),
+      (2L, "jpeg", 1920L, 1080L),
+      (3L, "bin", 0L, 0L)))
+  }
+}
