@@ -13,6 +13,7 @@ object SparkEntry {
     ops.ScalarQueries,
     ops.EventQueries,
     llm.TextQueries,
+    llm.CorpusQueries,
     llm.DedupQueries,
     llm.SimilarityQueries,
     llm.Multimodal)

@@ -1,0 +1,147 @@
+package graft.llm
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators (north-star extension set, SURVEY.md §2.3):
+  * the steps between raw scraped text and training shards — deterministic
+  * sampling, context-length chunking, cleaning, and PII redaction. All
+  * scan-local except chunking's generator; no UDFs, no shuffles beyond the
+  * final presentation ORDER BY — each one is a map over a 100 TB scan.
+  */
+object CorpusQueries extends QueryModule {
+
+  /** Deterministic hash-based sampling: keep a row iff a hex prefix of
+    * md5(key) falls under the stratum's threshold. Unlike `sample()`/
+    * `TABLESAMPLE` (seeded per-partition RNG — resplitting the input
+    * changes the sample), the hash tie to the KEY makes the sample stable
+    * across partitioning, engines, and reruns — the only reproducible way
+    * to cut a training subset at scale.
+    */
+  def hashSample(key: Column, keepBelow: Column): Column =
+    conv(substring(md5(key.cast("string").cast("binary")), 1, 4), 16, 10)
+      .cast("long") < keepBelow
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Stratified deterministic sample: per-source rates (web-scale corpora
+    // downsample common crawl hard, books lightly). 16^4 = 65536 hash
+    // buckets; rate = threshold / 65536.
+    "q64_hash_sample" -> { (s, dir) =>
+      val rate = when(col("source") === "web", lit(8192L))     // 1/8
+        .when(col("source") === "wiki", lit(32768L))           // 1/2
+        .otherwise(lit(16384L))                                // 1/4
+      Tables.t(s, dir, "documents")
+        .filter(hashSample(col("doc_id"), rate))
+        .select(col("doc_id"), col("source"), col("lang"))
+        .orderBy("doc_id")
+    },
+
+    // Context-length chunking: overlapping token windows (size 50, stride
+    // 40) — the sequence-packing precursor. The token array materializes
+    // once per document in the same projection as the generator; each
+    // exploded row then slices the materialized attribute (slicing inside a
+    // transform-lambda would re-evaluate the split per chunk —
+    // CollapseProject inlines aliased expressions into HOF lambdas).
+    "q65_doc_chunks" -> { (s, dir) =>
+      val chunkSize = 50
+      val stride = 40
+      val tok = split(col("text"), " ")
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"), tok.as("tok"),
+          posexplode(sequence(lit(1), greatest(size(tok) - (chunkSize - stride),
+            lit(1)), lit(stride))).as(Seq("chunk_id", "start")))
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          size(slice(col("tok"), col("start"), lit(chunkSize)))
+            .cast("long").as("n_tokens"),
+          array_join(slice(col("tok"), col("start"), lit(chunkSize)), " ")
+            .as("chunk_text"))
+        .orderBy("doc_id", "chunk_id")
+    },
+
+    // Cleaning: strip markup-ish tags, collapse whitespace, trim, lowercase
+    // — the canonical normalize pass before dedup/tokenization. Pure
+    // codegen'd string expressions; the patterns stay in the common
+    // Java-regex/RE2 subset so the oracle states the identical transform.
+    "q66_clean_text" -> { (s, dir) =>
+      val stripped = regexp_replace(col("text"), "<[^>]*>", " ")
+      val collapsed = trim(regexp_replace(stripped, "\\s+", " "))
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"),
+          lower(collapsed).as("clean_text"),
+          length(collapsed).cast("long").as("clean_chars"),
+          (length(col("text")) - length(collapsed)).cast("long")
+            .as("removed_chars"))
+        .orderBy("doc_id")
+    },
+
+    // PII redaction: emails and phone numbers replaced with typed tokens.
+    // The fixture corpus carries no PII, so the query plants a synthetic
+    // contact line per document and redacts it — the assertion is that the
+    // regexes fire exactly and the surrounding text survives byte-for-byte.
+    "q67_pii_redact" -> { (s, dir) =>
+      val withPii = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or 555-867-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+      val redacted = regexp_replace(
+        regexp_replace(withPii, emailRe, "[EMAIL]"), phoneRe, "[PHONE]")
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"), redacted.as("redacted"),
+          (length(withPii) - length(redacted)).cast("long").as("delta_chars"))
+        .orderBy("doc_id")
+    })
+
+  override def oracles: Map[String, String] = Map(
+    "q64_hash_sample" ->
+      """SELECT doc_id, source, lang FROM documents
+        |WHERE CAST(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |        AS BIGINT)
+        |  < CASE source WHEN 'web' THEN 8192
+        |                WHEN 'wiki' THEN 32768
+        |                ELSE 16384 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "q65_doc_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id, STRING_SPLIT(text, ' ') AS tok FROM documents),
+        |starts AS (
+        |  SELECT doc_id, tok,
+        |    UNNEST(RANGE(1, GREATEST(LEN(tok) - 10, 1) + 1, 40)) AS start
+        |  FROM d)
+        |SELECT doc_id, CAST((start - 1) // 40 AS BIGINT) AS chunk_id,
+        |  CAST(LEN(LIST_SLICE(tok, start, start + 49)) AS BIGINT) AS n_tokens,
+        |  ARRAY_TO_STRING(LIST_SLICE(tok, start, start + 49), ' ') AS chunk_text
+        |FROM starts ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q66_clean_text" ->
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |    TRIM(REGEXP_REPLACE(REGEXP_REPLACE(text, '<[^>]*>', ' ', 'g'),
+        |      '\s+', ' ', 'g')) AS collapsed
+        |  FROM documents)
+        |SELECT doc_id, LOWER(collapsed) AS clean_text,
+        |  CAST(LENGTH(collapsed) AS BIGINT) AS clean_chars,
+        |  CAST(LENGTH(text) - LENGTH(collapsed) AS BIGINT) AS removed_chars
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q67_pii_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@example.com or 555-867-'
+        |      || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS with_pii
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, with_pii,
+        |    REGEXP_REPLACE(
+        |      REGEXP_REPLACE(with_pii,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |      '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g') AS redacted
+        |  FROM p)
+        |SELECT doc_id, redacted,
+        |  CAST(LENGTH(with_pii) - LENGTH(redacted) AS BIGINT) AS delta_chars
+        |FROM r ORDER BY doc_id""".stripMargin)
+}

@@ -62,6 +62,28 @@ object StreamingOps {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
+  /** Watermarked stream-stream join (batch twin: q48's range join): each
+    * error joined to the same user's clicks in the following 10 minutes.
+    * Both sides are watermarked and the join condition time-bounds the
+    * buffered state, so Spark can evict rows older than
+    * watermark - interval — unbounded-state stream joins don't survive a
+    * 100 TB day; the time bound is what makes this one production-shaped.
+    */
+  def errorClickJoin(events: DataFrame): DataFrame = {
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"),
+        col("ts").as("err_ts"))
+      .withWatermark("err_ts", "1 hour")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    errors.join(clicks,
+      expr("""user_id = click_user AND
+              click_ts > err_ts AND
+              click_ts <= err_ts + INTERVAL 10 MINUTES"""))
+      .select(col("error_id"), col("user_id"), col("err_ts"), col("click_ts"))
+  }
+
   /** Input/output shapes for the custom-state operator. */
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class UserRunning(user_id: Long, n_events: Long, total_value: Double,

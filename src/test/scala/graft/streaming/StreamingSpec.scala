@@ -74,6 +74,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(counts.toSeq == Seq((1L, 2L), (1L, 1L), (2L, 1L), (2L, 2L)))
   }
 
+  test("stream-stream join pairs errors with clicks in the next 10 minutes") {
+    val ms = MemoryStream[Ev](spark)
+    ms.addData(
+      Ev(10, ts("2024-01-01 10:00:00"), 1, "error", 0.0),
+      Ev(11, ts("2024-01-01 10:05:00"), 1, "click", 1.0), // within 10 min
+      Ev(12, ts("2024-01-01 10:20:00"), 1, "click", 1.0), // too late
+      Ev(13, ts("2024-01-01 10:04:00"), 2, "click", 1.0), // other user
+      Ev(14, ts("2024-01-01 10:30:00"), 2, "error", 0.0)) // no click after
+    val q = StreamingOps.errorClickJoin(ms.toDF())
+      .writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ssjoin").orderBy("error_id", "click_ts")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(3).toString))
+    assert(got.toSeq == Seq((10L, "2024-01-01 10:05:00.0")))
+  }
+
   test("dropDuplicatesWithinWatermark keeps one row per user+type") {
     val ms = MemoryStream[Ev](spark)
     ms.addData(fixture: _*)
