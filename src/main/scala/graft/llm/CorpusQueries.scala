@@ -75,6 +75,24 @@ object CorpusQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // BPE-ish pre-tokenization: the GPT-2-style pre-tokenizer regex (minus
+    // the apostrophe contractions — absent from the fixture) splits text
+    // into letter runs, digit runs, punctuation runs, and whitespace, each
+    // with its leading space attached. Token counting over THIS split —
+    // rather than plain whitespace (q53) — is what matches how a trained
+    // BPE vocabulary consumes text. The pattern stays in the shared
+    // Java-regex/RE2 subset so the oracle runs it verbatim.
+    "q68_bpe_tokens" -> { (s, dir) =>
+      val pat = " ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+      Tables.t(s, dir, "documents")
+        .select(col("source"),
+          explode(regexp_extract_all(col("text"), lit(pat), lit(0)))
+            .as("token"))
+        .groupBy(col("source"), col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("source", "token")
+    },
+
     // PII redaction: emails and phone numbers replaced with typed tokens.
     // The fixture corpus carries no PII, so the query plants a synthetic
     // contact line per document and redacts it — the assertion is that the
@@ -126,6 +144,13 @@ object CorpusQueries extends QueryModule {
         |  CAST(LENGTH(collapsed) AS BIGINT) AS clean_chars,
         |  CAST(LENGTH(text) - LENGTH(collapsed) AS BIGINT) AS removed_chars
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q68_bpe_tokens" ->
+      """SELECT source, token, COUNT(*) AS n
+        |FROM (SELECT source, UNNEST(REGEXP_EXTRACT_ALL(text,
+        |        ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS token
+        |      FROM documents)
+        |GROUP BY source, token ORDER BY source, token""".stripMargin,
 
     "q67_pii_redact" ->
       """WITH p AS (

@@ -116,6 +116,50 @@ object SimilarityQueries extends QueryModule {
       .orderBy("label")
   }
 
+  /** Per-label centroids, one row per (label, dimension): posexplode the
+    * vectors and average per dimension with the exact-decimal mean, so the
+    * centroid is cross-engine deterministic. This is the training half of
+    * an IVF index (labels standing in for learned coarse cells): one
+    * generator pass + one aggregation, shuffling (label, dim) pairs — never
+    * whole vectors.
+    */
+  def labelCentroids(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(graft.Fns.davg(col("x").cast("double")).as("centroid"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("dim").cast("long").as("dim"),
+        col("centroid"), col("n"))
+
+  /** IVF coarse assignment: every vector scored against every label
+    * centroid (the centroid table is tiny — one row per label — and
+    * broadcast), keeping the nearest by cosine. The probe half of an IVF
+    * index; with `nprobe` > 1 the same plan keeps rnk <= nprobe instead of
+    * rnk = 1.
+    */
+  def ivfAssign(embeddings: DataFrame): DataFrame = {
+    val cArr = labelCentroids(embeddings)
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("centroid"))))
+        .as("dc"))
+      .select(col("label").as("c_label"),
+        expr("transform(dc, s -> s.centroid)").as("cv"))
+    val v = embeddings.select(col("vec_id"), col("label"),
+      asDouble(col("embedding")).as("v"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("c_label").asc)
+    v.crossJoin(broadcast(cArr))
+      .withColumn("cos", cosine(col("v"), col("cv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("vec_id"), col("label"),
+        col("c_label").as("assigned_label"),
+        round(col("cos"), 4).as("cosine"),
+        (col("label") === col("c_label")).as("own_label"))
+      .orderBy("vec_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact brute-force cosine top-10 for query vectors vec_id < 5.
     "q38_cosine_topk" -> { (s, dir) =>
@@ -134,6 +178,16 @@ object SimilarityQueries extends QueryModule {
     // Strongest pair per label group.
     "q40_label_pairs" -> { (s, dir) =>
       strongestPairPerLabel(Tables.t(s, dir, "embeddings"))
+    },
+
+    // Per-label centroids (the IVF training step).
+    "q69_embed_centroids" -> { (s, dir) =>
+      labelCentroids(Tables.t(s, dir, "embeddings")).orderBy("label", "dim")
+    },
+
+    // IVF coarse assignment: nearest centroid per vector.
+    "q70_ivf_assign" -> { (s, dir) =>
+      ivfAssign(Tables.t(s, dir, "embeddings"))
     },
 
     // Embedding-cosine near-dup pairs within a label partition. Brute force
@@ -155,6 +209,45 @@ object SimilarityQueries extends QueryModule {
     })
 
   override def oracles: Map[String, String] = Map(
+    "q69_embed_centroids" ->
+      s"""WITH d AS (
+         |  SELECT label,
+         |    UNNEST(CAST(embedding AS DOUBLE[])) AS x,
+         |    GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS dim
+         |  FROM embeddings)
+         |SELECT label, CAST(dim AS BIGINT) AS dim,
+         |  ${graft.Fns.davgSql("x")} AS centroid,
+         |  COUNT(*) AS n
+         |FROM d GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+
+    "q70_ivf_assign" ->
+      s"""WITH d AS (
+         |  SELECT label,
+         |    UNNEST(CAST(embedding AS DOUBLE[])) AS x,
+         |    GENERATE_SUBSCRIPTS(embedding, 1) AS dim
+         |  FROM embeddings),
+         |cent AS (
+         |  SELECT label AS c_label, dim, ${graft.Fns.davgSql("x")} AS c
+         |  FROM d GROUP BY label, dim),
+         |carr AS (
+         |  SELECT c_label, LIST(c ORDER BY dim) AS cv
+         |  FROM cent GROUP BY c_label),
+         |v AS (
+         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |s AS (
+         |  SELECT vec_id, label, c_label,
+         |    LIST_COSINE_SIMILARITY(v, cv) AS cos
+         |  FROM v CROSS JOIN carr),
+         |r AS (
+         |  SELECT vec_id, label, c_label, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                       ORDER BY cos DESC, c_label ASC) AS rnk
+         |  FROM s)
+         |SELECT vec_id, label, c_label AS assigned_label,
+         |  ROUND(cos, 4) AS cosine, label = c_label AS own_label
+         |FROM r WHERE rnk = 1 ORDER BY vec_id""".stripMargin,
+
     "q38_cosine_topk" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
