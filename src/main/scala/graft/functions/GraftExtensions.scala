@@ -24,5 +24,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "cosine_sim takes exactly 2 arguments")
         CosineSimilarity(args(0), args(1))
       }))
+    // rewrite HOF dot products into the fused native expression (path (c):
+    // Rule[LogicalPlan] via injectOptimizerRule)
+    ext.injectOptimizerRule(_ => FuseDotProduct)
   }
 }
