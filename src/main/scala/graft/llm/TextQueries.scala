@@ -63,16 +63,24 @@ object TextQueries extends QueryModule {
       toks.join(dfreq, Seq("source", "h"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= prefixLen(col("ntok")))
-        .select(col("source"), col("h"), col("doc_id"))
+        .select(col("source"), col("h"), col("doc_id"), col("ntok"))
     } else
       docs.select(col("source"), col("doc_id"),
+        size(col("tok")).cast("long").as("ntok"),
         explode(slice(col("tok"), lit(1),
           prefixLen(size(col("tok")).cast("long")).cast("int"))).as("h"))
-        .select(col("source"), col("h"), col("doc_id"))
-    val cand = prefix.select(col("source"), col("h"), col("doc_id").as("a_id"))
-      .join(prefix.select(col("source"), col("h"), col("doc_id").as("b_id")),
+        .select(col("source"), col("h"), col("doc_id"), col("ntok"))
+    // length filter: J >= t forces min(|A|,|B|) >= t*max(|A|,|B|)
+    // (J <= min/max) — prunes size-incompatible candidates before the
+    // array-attach joins, for the cost of one long per posting
+    val cand = prefix.select(col("source"), col("h"),
+        col("doc_id").as("a_id"), col("ntok").as("a_n"))
+      .join(prefix.select(col("source"), col("h"),
+        col("doc_id").as("b_id"), col("ntok").as("b_n")),
         Seq("source", "h"))
-      .filter(col("a_id") < col("b_id"))
+      .filter(col("a_id") < col("b_id") &&
+        least(col("a_n"), col("b_n")).cast("double") >=
+          lit(threshold) * greatest(col("a_n"), col("b_n")) - lit(1e-9))
       .select(col("source"), col("a_id"), col("b_id"))
       .distinct()
     val sides = docs.select(col("doc_id"), col("tok"))
