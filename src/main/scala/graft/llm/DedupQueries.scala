@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
   * — the exact inverted-index Jaccard (q34) degrades with posting-list
   * length, while LSH only ever joins on (band, band-hash) buckets.
   *
-  * No DuckDB oracle: the operators hinge on hash functions with no
-  * cross-engine twin. Correctness is ScalaTest-verified instead — candidate
-  * pairs are exact-Jaccard-verified inside the query (precision 1 by
-  * construction) and recall is asserted against q34's exact answer.
+  * The hash-seeded operators (MinHash/SimHash/winnowing) have no DuckDB
+  * oracle — they hinge on hash functions with no cross-engine twin — and
+  * are ScalaTest-verified instead: candidate pairs are
+  * exact-Jaccard-verified inside the query (precision 1 by construction)
+  * and recall is asserted against q34's exact answer. The clustering
+  * operator (q71) IS oracle-checked, via a recursive-CTE fixpoint.
   */
 object DedupQueries extends QueryModule {
 
@@ -124,6 +126,48 @@ object DedupQueries extends QueryModule {
 
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Connected components over a near-dup pair list — the dedup endgame:
+    * pairs alone don't say which docs to drop; components do (keep one
+    * canonical doc per component). Iterative min-label propagation: every
+    * node starts labeled with its own id and repeatedly takes the minimum
+    * label in its neighborhood until a fixpoint — the unique fixpoint labels
+    * every node with its component's minimum id, so the output is
+    * deterministic regardless of iteration schedule.
+    *
+    * Each round is one equi-join + one aggregation on node id — all
+    * distributed; the driver only orchestrates rounds and checks the
+    * converged count (the standard shape for iterative algorithms — ALS,
+    * PageRank — on Spark). `localCheckpoint` truncates the growing lineage
+    * so round N's plan doesn't replay rounds 1..N-1. Rounds needed = graph
+    * diameter; near-dup components are clique-like (diameter 1-3).
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
+      val updated = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(labels("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label")))
+            .as("label"))
+        .localCheckpoint()
+      converged = updated.as("u")
+        .join(labels.as("l"), "id")
+        .filter(col("u.label") < col("l.label"))
+        .isEmpty
+      labels = updated
+      iter += 1
+    }
+    labels
+  }
+
   val WinnowWindow = 4
 
   /** Winnowing fingerprints (the rolling-hash fingerprint scheme): hash
@@ -177,6 +221,22 @@ object DedupQueries extends QueryModule {
       simhash(Tables.t(s, dir, "documents")).orderBy("doc_id")
     },
 
+    // Near-dup clustering: connected components over the exact Jaccard
+    // pairs (same pair semantics as q34), labeling each involved doc with
+    // its component's minimum doc_id; is_canonical marks the survivor per
+    // cluster. Oracle: recursive-CTE reachability fixpoint in DuckDB.
+    "q71_dedup_clusters" -> { (s, dir) =>
+      val d = Tables.t(s, dir, "documents").select(
+        col("doc_id"), col("source"),
+        array_sort(array_distinct(transform(split(col("text"), " "),
+          (t: Column) => xxhash64(t)))).as("tok"))
+      val pairs = TextQueries.prefixJaccardPairs(d, 0.6)
+      connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+          (col("id") === col("label")).as("is_canonical"))
+        .orderBy("doc_id")
+    },
+
     // Winnowing rolling-window fingerprints (no oracle — hash-valued;
     // invariants ScalaTest-checked). The declared output serializes the
     // fingerprint set to a sorted CSV string: the harness row-hashes results
@@ -190,5 +250,21 @@ object DedupQueries extends QueryModule {
         .orderBy("doc_id")
     })
 
-  override def oracles: Map[String, String] = Map.empty
+  override def oracles: Map[String, String] = Map(
+    // reachability fixpoint: every node's cluster is the min id that can
+    // reach it through the symmetric pair edges
+    "q71_dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (
+         |${TextQueries.oracles("q34_jaccard_pairs")}),
+         |e AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION ALL SELECT b_id, a_id FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM e),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT e.dst AS id, reach.r FROM reach JOIN e ON e.src = reach.id)
+         |SELECT id AS doc_id, MIN(r) AS cluster_id,
+         |  id = MIN(r) AS is_canonical
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)
 }

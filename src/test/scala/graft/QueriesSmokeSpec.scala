@@ -11,7 +11,8 @@ class QueriesSmokeSpec extends AnyFunSuite {
 
   // may legitimately be empty at tiny SF (no customer without orders, etc.)
   private val mayBeEmpty = Set("q14_anti_join", "q34_jaccard_pairs",
-    "q36_minhash_pairs", "q50_shingle_jaccard", "q49_embedding_neardup")
+    "q36_minhash_pairs", "q50_shingle_jaccard", "q49_embedding_neardup",
+    "q71_dedup_clusters")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs on sf0.001") {

@@ -60,6 +60,26 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.filter(col("fused") =!= col("builtin")).count() == 0)
   }
 
+  test("connected components label every node with its component minimum") {
+    import spark.implicits._
+    // components: {1,2,3,9} via chain, {5,6}; 3-9 closes a cycle
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (9L, 1L), (5L, 6L))
+      .toDF("a_id", "b_id")
+    val got = DedupQueries.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
+      5L -> 5L, 6L -> 5L))
+  }
+
+  test("connected components converge on a long path graph") {
+    import spark.implicits._
+    // a 12-node path needs multiple propagation rounds end-to-end
+    val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val got = DedupQueries.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 12 && got.values.forall(_ == 1L))
+  }
+
   test("winnowing: identical text gives identical fingerprints; counts bounded") {
     import spark.implicits._
     val dup = Seq(
