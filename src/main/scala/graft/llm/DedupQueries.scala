@@ -153,16 +153,16 @@ object DedupQueries extends QueryModule {
     while (!converged && iter < maxIter) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
+      // convergence flag computed inside the same join — no second pass
+      // over the round's result
       val updated = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(labels("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
-            .as("label"))
+            .as("label"),
+          (coalesce(col("nbr_label"), col("label")) < col("label")).as("chg"))
         .localCheckpoint()
-      converged = updated.as("u")
-        .join(labels.as("l"), "id")
-        .filter(col("u.label") < col("l.label"))
-        .isEmpty
-      labels = updated
+      converged = updated.filter(col("chg")).isEmpty
+      labels = updated.drop("chg")
       iter += 1
     }
     labels
