@@ -222,9 +222,37 @@ object TextQueries extends QueryModule {
       prefixJaccardPairs(d, 0.4, dfOrdered = false)
     },
 
+    // Language-ID by character-trigram profile scoring — the actual
+    // n-gram mechanism (textcat-style): slide a 3-char window over the
+    // lowercased text, count hits against each language's trigram profile,
+    // argmax with a fixed tie-break. One scan, no shuffle; the trigram
+    // array materializes once per row (generator-free — scoring is
+    // size(filter(...)), not an explode).
+    "q72_langid_ngram" -> { (s, dir) =>
+      val txt = lower(col("text"))
+      val grams = transform(
+        sequence(lit(1), greatest(length(txt) - 2, lit(0))),
+        (i: Column) => substr(txt, i, lit(3)))
+      def score(profile: Seq[String]): Column =
+        size(filter(grams, (g: Column) => g.isInCollection(profile)))
+          .cast("long")
+      // profiles over the fixture's vocabulary: common trigrams with the
+      // space context that distinguishes function words from substrings
+      val sEn = score(Seq("the", "he ", " th", "of ", "and"))
+      val sDa = score(Seq("tab", "row", " ro", "le "))
+      val sEs = score(Seq("dat", "val", " va", "ta "))
+      val top = greatest(sEn, sDa, sEs)
+      Tables.t(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        sEn.as("g_en"), sDa.as("g_da"), sEs.as("g_es"),
+        when(sEn >= top, "en").when(sDa >= top, "da")
+          .otherwise("es").as("pred_lang"))
+        .orderBy("doc_id")
+    },
+
     // Language-ID by marker-token profile scoring: count hits per language
-    // profile, predict the argmax with a fixed tie-break order. A real
-    // pipeline would use char-n-gram profiles; the mechanism (profile score
+    // profile, predict the argmax with a fixed tie-break order. The
+    // char-n-gram variant is q72; the mechanism here (profile score
     // -> argmax, one scan, no shuffle) is identical.
     "q42_langid" -> { (s, dir) =>
       val tok = split(col("text"), " ")
@@ -358,6 +386,28 @@ object TextQueries extends QueryModule {
         |FROM c
         |WHERE CAST(n_common AS DOUBLE) / (a_n + b_n - n_common) >= 0.4
         |ORDER BY source, a_id, b_id""".stripMargin,
+
+    "q72_langid_ngram" ->
+      """WITH g AS (
+        |  SELECT doc_id, lang,
+        |    LIST_TRANSFORM(
+        |      RANGE(1, GREATEST(LENGTH(LOWER(text)) - 2, 0) + 1),
+        |      i -> SUBSTRING(LOWER(text), i, 3)) AS grams
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang,
+        |    CAST(LEN(LIST_FILTER(grams,
+        |      x -> x IN ('the','he ',' th','of ','and'))) AS BIGINT) AS g_en,
+        |    CAST(LEN(LIST_FILTER(grams,
+        |      x -> x IN ('tab','row',' ro','le '))) AS BIGINT) AS g_da,
+        |    CAST(LEN(LIST_FILTER(grams,
+        |      x -> x IN ('dat','val',' va','ta '))) AS BIGINT) AS g_es
+        |  FROM g)
+        |SELECT doc_id, lang, g_en, g_da, g_es,
+        |  CASE WHEN g_en >= GREATEST(g_en, g_da, g_es) THEN 'en'
+        |       WHEN g_da >= GREATEST(g_en, g_da, g_es) THEN 'da'
+        |       ELSE 'es' END AS pred_lang
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "q42_langid" ->
       """WITH d AS (
