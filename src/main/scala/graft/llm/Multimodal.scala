@@ -42,7 +42,108 @@ object Multimodal extends QueryModule {
     }.toDF()
   }
 
+  case class MediaFeatures(doc_id: Long, byte_len: Long, mean_byte: Double,
+                           entropy: Double, printable_ratio: Double)
+  case class ResizedMedia(doc_id: Long, format: String,
+                          src_width: Long, src_height: Long,
+                          dst_width: Long, dst_height: Long,
+                          payload: Array[Byte])
+  case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Content feature extraction — real features, no codec needed: byte
+    * histogram statistics (mean, Shannon entropy, printable ratio) are the
+    * standard cheap signals for corpus triage (compressed-vs-text,
+    * truncated payloads, binary junk). Same per-partition batch shape as
+    * [[decodeMeta]]; a learned-embedding extractor slots into the same
+    * iterator.
+    */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaIn].mapPartitions { it =>
+      it.map { m =>
+        val b = m.payload
+        val n = b.length.max(1)
+        val hist = new Array[Long](256)
+        var sum = 0L; var printable = 0L
+        b.foreach { x =>
+          val u = x & 0xff
+          hist(u) += 1; sum += u
+          if (u >= 32 && u < 127) printable += 1
+        }
+        var h = 0.0
+        hist.foreach { c =>
+          if (c > 0) { val p = c.toDouble / n; h -= p * math.log(p) }
+        }
+        MediaFeatures(m.doc_id, b.length.toLong, sum.toDouble / n,
+          h / math.log(2.0), printable.toDouble / n)
+      }
+    }.toDF()
+  }
+
+  /** STUB (pixel step): resizing needs a pixel codec, which this container
+    * lacks. The seam takes `(payload, w, h) => payload`; the default fake
+    * deterministically truncates/pads so tests stay exact. Everything else
+    * — header-derived source dimensions, target metadata, the batch shape —
+    * is the real plumbing a codec-backed implementation keeps unchanged.
+    */
+  def resize(media: DataFrame, dstW: Long, dstH: Long,
+             resizePixels: (Array[Byte], Long, Long) => Array[Byte] =
+               fakeResizePixels): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaIn].mapPartitions { it =>
+      it.map { m =>
+        val s = MediaCodec.sniff(m.payload)
+        ResizedMedia(m.doc_id, s.format, s.width, s.height, dstW, dstH,
+          resizePixels(m.payload, dstW, dstH))
+      }
+    }.toDF()
+  }
+
+  /** STUB: deterministic stand-in for pixel resampling (truncate or
+    * zero-pad to w*h bytes). */
+  def fakeResizePixels(payload: Array[Byte], w: Long, h: Long): Array[Byte] =
+    java.util.Arrays.copyOf(payload, (w * h).min(1 << 20).toInt)
+
+  /** STUB (codec step): frame sampling needs a video demuxer; the fake
+    * slices the payload into `n` equal deterministic chunks. The one-to-many
+    * typed flatMap — one input row fanning out to a row per sampled frame,
+    * still one decoder scope per partition — is the real shape a demuxer
+    * plugs into.
+    */
+  def sampleFrames(media: DataFrame, n: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaIn].mapPartitions { it =>
+      it.flatMap { m =>
+        val len = m.payload.length
+        if (len == 0) Iterator.empty
+        else (0 until n).iterator.map { i =>
+          val from = (len.toLong * i / n).toInt
+          val to   = (len.toLong * (i + 1) / n).toInt
+          Frame(m.doc_id, i,
+            java.util.Arrays.copyOfRange(m.payload, from, to.max(from)))
+        }
+      }
+    }.toDF()
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Byte-level content features through the batch path — real features
+    // (histogram stats), oracle-checkable since DuckDB can state the same
+    // arithmetic over the text bytes.
+    "q73_media_features" -> { (s, dir) =>
+      val media = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      extractFeatures(media)
+        .select(col("doc_id"), col("byte_len"),
+          round(col("mean_byte"), 4).as("mean_byte"),
+          round(col("entropy"), 4).as("entropy"),
+          round(col("printable_ratio"), 4).as("printable_ratio"))
+        .orderBy("doc_id")
+    },
+
     // Binary payload + metadata extraction through the typed batch path.
     // The fixture payloads are text bytes, so the sniffer classifies every
     // row as opaque `bin` with 0x0 dimensions — the oracle states exactly
@@ -55,6 +156,38 @@ object Multimodal extends QueryModule {
     })
 
   override def oracles: Map[String, String] = Map(
+    // fixture text is ASCII, so char codes == payload bytes. mean/ratio are
+    // exact integer arithmetic; the entropy sum is 30-odd double terms with
+    // ~1e-15 spread — far inside the ROUND(.,4) grid (same argument as the
+    // cosine oracles).
+    "q73_media_features" ->
+      """WITH ch AS (
+        |  SELECT doc_id,
+        |    UNNEST(LIST_TRANSFORM(RANGE(1, LENGTH(text) + 1),
+        |      i -> ASCII(SUBSTRING(text, i, 1)))) AS c
+        |  FROM documents),
+        |cnt AS (SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY doc_id, c),
+        |base AS (
+        |  SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS byte_len
+        |  FROM documents),
+        |stats AS (
+        |  SELECT cnt.doc_id,
+        |    SUM(cnt.k * cnt.c) AS code_sum,
+        |    SUM(CASE WHEN cnt.c BETWEEN 32 AND 126 THEN cnt.k ELSE 0 END)
+        |      AS printable,
+        |    -SUM((CAST(cnt.k AS DOUBLE) / b.byte_len)
+        |         * LN(CAST(cnt.k AS DOUBLE) / b.byte_len)) / LN(2)
+        |      AS entropy
+        |  FROM cnt JOIN base b ON cnt.doc_id = b.doc_id
+        |  GROUP BY cnt.doc_id)
+        |SELECT b.doc_id, b.byte_len,
+        |  ROUND(CAST(s.code_sum AS DOUBLE) / b.byte_len, 4) AS mean_byte,
+        |  ROUND(s.entropy, 4) AS entropy,
+        |  ROUND(CAST(s.printable AS DOUBLE) / b.byte_len, 4)
+        |    AS printable_ratio
+        |FROM base b JOIN stats s ON b.doc_id = s.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
+
     "q41_multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS byte_len,

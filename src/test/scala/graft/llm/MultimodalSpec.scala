@@ -42,6 +42,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(MediaCodec.sniff(png(9, 9).take(10)) == MediaCodec.Sniffed("bin", 0, 0))
   }
 
+  test("extractFeatures computes byte-histogram signals") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaIn(1L, Array.fill[Byte](64)(65)),        // all 'A'
+      Multimodal.MediaIn(2L, Array[Byte](0, 1, 2, 3)))
+      .toDS().toDF()
+    val out = Multimodal.extractFeatures(media).orderBy("doc_id").collect()
+    // uniform payload: zero entropy, mean = 65, fully printable
+    assert(out(0).getDouble(2) == 65.0)
+    assert(out(0).getDouble(3) == 0.0)
+    assert(out(0).getDouble(4) == 1.0)
+    // four distinct bytes: exactly 2 bits of entropy, none printable
+    assert(out(1).getDouble(3) == 2.0)
+    assert(out(1).getDouble(4) == 0.0)
+  }
+
+  test("resize carries source header dims and target metadata (stub pixels)") {
+    import spark.implicits._
+    val media = Seq(Multimodal.MediaIn(1L, png(640, 480))).toDS().toDF()
+    val out = Multimodal.resize(media, 32, 32).collect()(0)
+    assert(out.getString(1) == "png")
+    assert((out.getLong(2), out.getLong(3)) == (640L, 480L))
+    assert((out.getLong(4), out.getLong(5)) == (32L, 32L))
+    assert(out.getAs[Array[Byte]](6).length == 32 * 32)
+  }
+
+  test("sampleFrames fans one payload out to n deterministic frames") {
+    import spark.implicits._
+    val payload = (0 until 100).map(_.toByte).toArray
+    val media = Seq(Multimodal.MediaIn(7L, payload)).toDS().toDF()
+    val frames = Multimodal.sampleFrames(media, 4).orderBy("frame_idx")
+      .collect().map(r => (r.getInt(1), r.getAs[Array[Byte]](2)))
+    assert(frames.length == 4)
+    assert(frames.map(_._2.length).sum == 100)
+    assert(frames(0)._2.head == 0.toByte && frames(3)._2.last == 99.toByte)
+  }
+
   test("decodeMeta carries real headers through the typed batch path") {
     import spark.implicits._
     val media = Seq(
