@@ -44,13 +44,16 @@ object Pipelines {
     result.write.mode("overwrite").parquet(tmp)
     spark.read.parquet(tmp).write.mode("overwrite").parquet(destPath)
     // destPath is fully written at this point; the staging snapshot is dead
-    deleteRecursively(new java.io.File(tmp))
+    deletePath(spark, tmp)
     spark.read.parquet(destPath)
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
-    f.delete(); ()
+  /** Hadoop-FS delete: works for any scheme (local, HDFS, object stores) —
+    * a java.io.File delete only covers the local harness. */
+  private[graft] def deletePath(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    ()
   }
 
   /** CrunchbaseFlatfilePipeline.execute (pipelines.py:118-127 →

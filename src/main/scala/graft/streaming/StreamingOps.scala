@@ -148,6 +148,7 @@ object StreamingOps {
         val tmp = destPath + "_tmp"
         merged.write.mode("overwrite").parquet(tmp)
         spark.read.parquet(tmp).write.mode("overwrite").parquet(destPath)
+        graft.etl.Pipelines.deletePath(spark, tmp)
       }
   }
 }
