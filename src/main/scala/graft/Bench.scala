@@ -49,9 +49,14 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     println(json)
     // stdout passes through sbt's [info] logger prefix, which breaks the
-    // driver's JSON parse — also land the line in a file it can read raw
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH.json")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    // driver's JSON parse — also land the line in a file it can read raw.
+    // Relative default (cwd = repo root under sbt); best-effort so a bad
+    // path can't lose the stdout line after the whole run has finished.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -141,7 +141,7 @@ object DedupQueries extends QueryModule {
     * so round N's plan doesn't replay rounds 1..N-1. Rounds needed = graph
     * diameter; near-dup components are clique-like (diameter 1-3).
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .localCheckpoint()
@@ -165,6 +165,10 @@ object DedupQueries extends QueryModule {
       labels = updated.drop("chg")
       iter += 1
     }
+    // fail loudly: returning mid-propagation labels would silently split
+    // components (a >maxIter-diameter chain is pathological, not silent)
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds")
     labels
   }
 

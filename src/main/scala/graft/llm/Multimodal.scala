@@ -181,11 +181,12 @@ object Multimodal extends QueryModule {
         |  FROM cnt JOIN base b ON cnt.doc_id = b.doc_id
         |  GROUP BY cnt.doc_id)
         |SELECT b.doc_id, b.byte_len,
-        |  ROUND(CAST(s.code_sum AS DOUBLE) / b.byte_len, 4) AS mean_byte,
-        |  ROUND(s.entropy, 4) AS entropy,
-        |  ROUND(CAST(s.printable AS DOUBLE) / b.byte_len, 4)
-        |    AS printable_ratio
-        |FROM base b JOIN stats s ON b.doc_id = s.doc_id
+        |  ROUND(CAST(COALESCE(s.code_sum, 0) AS DOUBLE)
+        |        / GREATEST(b.byte_len, 1), 4) AS mean_byte,
+        |  ROUND(COALESCE(s.entropy, 0.0), 4) AS entropy,
+        |  ROUND(CAST(COALESCE(s.printable, 0) AS DOUBLE)
+        |        / GREATEST(b.byte_len, 1), 4) AS printable_ratio
+        |FROM base b LEFT JOIN stats s ON b.doc_id = s.doc_id
         |ORDER BY b.doc_id""".stripMargin,
 
     "q41_multimodal_meta" ->

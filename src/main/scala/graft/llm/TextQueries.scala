@@ -233,9 +233,13 @@ object TextQueries extends QueryModule {
     // so the argmax costs nothing.
     "q72_langid_ngram" -> { (s, dir) =>
       val txt = lower(col("text"))
-      val grams = transform(
-        sequence(lit(1), greatest(length(txt) - 2, lit(0))),
-        (i: Column) => substr(txt, i, lit(3)))
+      // guard, not greatest(len-2, 0): sequence(1, 0) yields [1, 0] (step
+      // defaults to -1 when stop < start), which would fabricate two bogus
+      // short grams for <3-char docs where the oracle's RANGE is empty
+      val grams = when(length(txt) >= 3,
+        transform(sequence(lit(1), length(txt) - 2),
+          (i: Column) => substr(txt, i, lit(3))))
+        .otherwise(array().cast("array<string>"))
       def hits(profile: Seq[String]): Column =
         sum(when(col("g").isInCollection(profile), 1L).otherwise(0L))
       // profiles over the fixture's vocabulary: common trigrams with the

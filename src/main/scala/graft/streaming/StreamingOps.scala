@@ -134,9 +134,13 @@ object StreamingOps {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // deterministic in-batch dedup: a micro-batch can carry several
         // versions of one key; keep the newest by deltaCol (dropDuplicates
-        // would pick an arbitrary row and could resurrect an older version)
+        // would pick an arbitrary row and could resurrect an older version).
+        // deltaCol ties (same-timestamp double update) break on a content
+        // hash so a replayed batch always persists the same version.
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col(pk)).orderBy(col(deltaCol).desc)
+          .partitionBy(col(pk))
+          .orderBy(col(deltaCol).desc,
+            xxhash64(to_json(struct(batch.columns.map(col): _*))).asc)
         val latest = batch.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
         val old = spark.read.parquet(destPath)
