@@ -62,10 +62,12 @@ object CorpusQueries extends QueryModule {
     // Cleaning: strip markup-ish tags, collapse whitespace, trim, lowercase
     // — the canonical normalize pass before dedup/tokenization. Pure
     // codegen'd string expressions; the patterns stay in the common
-    // Java-regex/RE2 subset so the oracle states the identical transform.
+    // Java-regex/RE2 subset — whitespace is the EXPLICIT class
+    // [ \t\n\f\r], because \s itself diverges (Java includes U+000B
+    // vertical tab, RE2 does not).
     "q66_clean_text" -> { (s, dir) =>
       val stripped = regexp_replace(col("text"), "<[^>]*>", " ")
-      val collapsed = trim(regexp_replace(stripped, "\\s+", " "))
+      val collapsed = trim(regexp_replace(stripped, "[ \\t\\n\\f\\r]+", " "))
       Tables.t(s, dir, "documents")
         .select(col("doc_id"),
           lower(collapsed).as("clean_text"),
@@ -81,9 +83,12 @@ object CorpusQueries extends QueryModule {
     // with its leading space attached. Token counting over THIS split —
     // rather than plain whitespace (q53) — is what matches how a trained
     // BPE vocabulary consumes text. The pattern stays in the shared
-    // Java-regex/RE2 subset so the oracle runs it verbatim.
+    // Java-regex/RE2 subset so the oracle runs it verbatim — whitespace as
+    // the explicit [ \t\n\f\r] class (\s diverges on U+000B between
+    // engines).
     "q68_bpe_tokens" -> { (s, dir) =>
-      val pat = " ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+      val pat = " ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\f\\r\\p{L}\\p{N}]+" +
+        "|[ \\t\\n\\f\\r]+"
       Tables.t(s, dir, "documents")
         .select(col("source"),
           explode(regexp_extract_all(col("text"), lit(pat), lit(0)))
@@ -138,7 +143,7 @@ object CorpusQueries extends QueryModule {
       """WITH c AS (
         |  SELECT doc_id, text,
         |    TRIM(REGEXP_REPLACE(REGEXP_REPLACE(text, '<[^>]*>', ' ', 'g'),
-        |      '\s+', ' ', 'g')) AS collapsed
+        |      '[ \t\n\f\r]+', ' ', 'g')) AS collapsed
         |  FROM documents)
         |SELECT doc_id, LOWER(collapsed) AS clean_text,
         |  CAST(LENGTH(collapsed) AS BIGINT) AS clean_chars,
@@ -148,7 +153,8 @@ object CorpusQueries extends QueryModule {
     "q68_bpe_tokens" ->
       """SELECT source, token, COUNT(*) AS n
         |FROM (SELECT source, UNNEST(REGEXP_EXTRACT_ALL(text,
-        |        ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS token
+        |        ' ?\p{L}+| ?\p{N}+| ?[^ \t\n\f\r\p{L}\p{N}]+|[ \t\n\f\r]+'))
+        |        AS token
         |      FROM documents)
         |GROUP BY source, token ORDER BY source, token""".stripMargin,
 

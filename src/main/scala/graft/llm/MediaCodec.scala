@@ -54,9 +54,14 @@ object MediaCodec {
     // walk marker segments until a start-of-frame header
     var i = 2
     while (i + 9 < b.length && u8(b, i) == 0xff) {
+      // spec-legal fill: markers may be preceded by any run of 0xFF bytes
+      while (i + 9 < b.length && u8(b, i + 1) == 0xff) i += 1
       val m = u8(b, i + 1)
       if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
         return Sniffed("jpeg", be16(b, i + 7), be16(b, i + 5))
+      // entropy-coded data (SOS) or end-of-image: dimensions not in view —
+      // stop rather than misparse scan bytes as segments
+      if (m == 0xda || m == 0xd9) return Sniffed("jpeg", 0L, 0L)
       if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2 // no payload
       else i += 2 + be16(b, i + 2).toInt
     }

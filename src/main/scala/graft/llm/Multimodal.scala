@@ -21,10 +21,26 @@ object Multimodal extends QueryModule {
   case class MediaMeta(doc_id: Long, byte_len: Long, sha256: String,
                        format: String, width: Long, height: Long)
 
-  /** Decode one payload: content hash + header sniff ([[MediaCodec]]). */
-  def decode(docId: Long, payload: Array[Byte]): MediaMeta = {
-    val md  = java.security.MessageDigest.getInstance("SHA-256")
-    val hex = md.digest(payload).map("%02x".format(_)).mkString
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  private def toHex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      out(i * 2) = HexChars((bytes(i) >> 4) & 0xf)
+      out(i * 2 + 1) = HexChars(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Decode one payload with a caller-owned digest (hoisted per partition
+    * in [[decodeMeta]] — provider lookup per row is exactly the setup cost
+    * the batch shape exists to avoid). */
+  def decode(md: java.security.MessageDigest, docId: Long,
+             payload: Array[Byte]): MediaMeta = {
+    md.reset()
+    val hex = toHex(md.digest(payload))
     val s   = MediaCodec.sniff(payload)
     MediaMeta(docId, payload.length.toLong, hex, s.format, s.width, s.height)
   }
@@ -37,8 +53,9 @@ object Multimodal extends QueryModule {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaIn].mapPartitions { it =>
-      // per-partition decoder init would go here (codec handles, buffers)
-      it.map(m => decode(m.doc_id, m.payload))
+      // per-partition decoder init: one digest instance for the partition
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      it.map(m => decode(md, m.doc_id, m.payload))
     }.toDF()
   }
 

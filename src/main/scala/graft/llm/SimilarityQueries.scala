@@ -118,7 +118,12 @@ object SimilarityQueries extends QueryModule {
 
   /** Per-label centroids, one row per (label, dimension): posexplode the
     * vectors and average per dimension with the exact-decimal mean, so the
-    * centroid is cross-engine deterministic. This is the training half of
+    * centroid is cross-engine deterministic. (davg's DECIMAL(27,6) cast
+    * ROUNDS the full-precision components — safe cross-engine because a
+    * binary float can never sit exactly on a 6-decimal half boundary:
+    * (2k+1)/(2*10^6) has a factor 5^-6 and dyadic rationals don't — so
+    * both engines round the same double the same way, and the sum of
+    * identically-rounded decimals is exact.) This is the training half of
     * an IVF index (labels standing in for learned coarse cells): one
     * generator pass + one aggregation, shuffling (label, dim) pairs — never
     * whole vectors.

@@ -44,9 +44,13 @@ object TextQueries extends QueryModule {
     * joins to attach the full arrays — all equi-keyed and AQE-replannable;
     * the df lookup table is one row per distinct (source, token) and
     * broadcasts while small. Hash-ordered drops the first two.
+    *
+    * Split as candidates ([[prefixCandidates]], exposed so profiling tools
+    * measure the SHIPPED stage instead of a drifting copy) + exact verify
+    * ([[prefixJaccardPairs]]).
     */
-  def prefixJaccardPairs(docs: DataFrame, threshold: Double,
-                         dfOrdered: Boolean = true): DataFrame = {
+  def prefixCandidates(docs: DataFrame, threshold: Double,
+                       dfOrdered: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // 1e-9 slack: ceil must never overshoot when t*|d| lands on an integer
     // (a too-long prefix only costs time; a too-short one loses pairs)
@@ -83,6 +87,12 @@ object TextQueries extends QueryModule {
           lit(threshold) * greatest(col("a_n"), col("b_n")) - lit(1e-9))
       .select(col("source"), col("a_id"), col("b_id"))
       .distinct()
+    cand
+  }
+
+  def prefixJaccardPairs(docs: DataFrame, threshold: Double,
+                         dfOrdered: Boolean = true): DataFrame = {
+    val cand = prefixCandidates(docs, threshold, dfOrdered)
     val sides = docs.select(col("doc_id"), col("tok"))
     cand
       .join(sides.select(col("doc_id").as("a_id"), col("tok").as("a_tok")),

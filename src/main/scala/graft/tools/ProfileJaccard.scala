@@ -34,29 +34,14 @@ object ProfileJaccard {
           (i: Column) => xxhash64(array_join(slice(tokE, i, lit(3)), " ")))))
           .as("tok"))
 
+    // stages come from the SHIPPED pipeline (TextQueries.prefixCandidates /
+    // prefixJaccardPairs) — an inline copy here drifted from the real plan
+    // once the length filter landed
     def stages(tag: String, docs: DataFrame, threshold: Double,
                dfOrdered: Boolean = true): Unit = {
-      val toks = docs.select(col("source"), col("doc_id"),
-        size(col("tok")).cast("long").as("ntok"), explode(col("tok")).as("h"))
-      val dfreq = toks.groupBy(col("source"), col("h"))
-        .agg(count(lit(1)).as("df"))
-      val prefixLen = col("ntok") -
-        ceil(lit(threshold) * col("ntok") - lit(1e-9)).cast("long") + lit(1L)
-      val w = Window.partitionBy(col("source"), col("doc_id"))
-        .orderBy(col("df"), col("h"))
-      val prefix = toks.join(dfreq, Seq("source", "h"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= prefixLen)
-        .select(col("source"), col("h"), col("doc_id"))
-      val cand = prefix.select(col("source"), col("h"), col("doc_id").as("a_id"))
-        .join(prefix.select(col("source"), col("h"), col("doc_id").as("b_id")),
-          Seq("source", "h"))
-        .filter(col("a_id") < col("b_id"))
-        .select(col("source"), col("a_id"), col("b_id"))
-        .distinct()
+      val cand = graft.llm.TextQueries
+        .prefixCandidates(docs, threshold, dfOrdered)
       time(s"$tag tokenize")(docs)
-      time(s"$tag explode+df")(dfreq)
-      time(s"$tag prefix")(prefix)
       time(s"$tag candidates")(cand)
       println(s"$tag n_candidates = " + cand.count())
       time(s"$tag full")(
