@@ -32,6 +32,17 @@ class MultimodalSpec extends AnyFunSuite {
     (Array[Int]('G', 'I', 'F', '8', '9', 'a',
       w & 0xff, w >> 8, h & 0xff, h >> 8, 0, 0, 0)).map(_.toByte)
 
+  test("MediaCodec handles JPEG fill bytes and stops at SOS") {
+    // spec-legal fill: extra 0xFF run before the SOF marker
+    val padded = Array(0xff, 0xd8, 0xff, 0xff, 0xff, 0xc0, 0x00, 0x0b, 8,
+      0x01, 0x00, 0x02, 0x00, 1, 1, 0x11, 0).map(_.toByte)
+    assert(MediaCodec.sniff(padded) == MediaCodec.Sniffed("jpeg", 512, 256))
+    // SOS before any SOF: stop with unknown dims, never parse scan bytes
+    val scanFirst = Array(0xff, 0xd8, 0xff, 0xda, 0x00, 0x04, 0x01, 0x02,
+      0xff, 0xc0, 0x99, 0x99, 0x99, 0x99, 0x99, 0x99, 0x99).map(_.toByte)
+    assert(MediaCodec.sniff(scanFirst) == MediaCodec.Sniffed("jpeg", 0, 0))
+  }
+
   test("MediaCodec parses PNG / JPEG / GIF headers and rejects junk") {
     assert(MediaCodec.sniff(png(640, 480)) == MediaCodec.Sniffed("png", 640, 480))
     assert(MediaCodec.sniff(jpeg(1920, 1080)) == MediaCodec.Sniffed("jpeg", 1920, 1080))
