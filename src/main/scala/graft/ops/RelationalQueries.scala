@@ -228,6 +228,20 @@ object RelationalQueries extends QueryModule {
         .orderBy("o_custkey", "rn")
     },
 
+    // Window distribution functions: quartile bucketing + relative ranks.
+    // percent_rank/cume_dist are exact integer ratios — both engines
+    // compute the same IEEE division, so the doubles hash-match unrounded.
+    "q74_window_dist" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      Tables.t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy("o_orderkey")
+    },
+
     // Running aggregate over an explicit rows frame.
     "q19_window_running" -> { (s, dir) =>
       val w = Window.partitionBy(col("user_id"))
@@ -480,6 +494,16 @@ object RelationalQueries extends QueryModule {
         |               ORDER BY o_totalprice DESC, o_orderkey ASC))
         |SELECT * FROM ranked WHERE rn <= 3
         |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q74_window_dist" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(NTILE(4) OVER w AS INT) AS quartile,
+        |  PERCENT_RANK() OVER w AS pct_rank,
+        |  CUME_DIST() OVER w AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice ASC, o_orderkey ASC)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q19_window_running" ->
       """SELECT event_id, user_id,
