@@ -145,8 +145,12 @@ object DedupQueries extends QueryModule {
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // seed with min(id, min neighbor): the first propagation round as a
+    // plain aggregation, saving one full join round
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("m"))
+      .select(col("src").as("id"),
+        least(col("src"), col("m")).as("label"))
       .localCheckpoint()
     var iter = 0
     var converged = false
