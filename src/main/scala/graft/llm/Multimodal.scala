@@ -21,26 +21,13 @@ object Multimodal extends QueryModule {
   case class MediaMeta(doc_id: Long, byte_len: Long, sha256: String,
                        format: String, width: Long, height: Long)
 
-  private val HexChars = "0123456789abcdef".toCharArray
-
-  private def toHex(bytes: Array[Byte]): String = {
-    val out = new Array[Char](bytes.length * 2)
-    var i = 0
-    while (i < bytes.length) {
-      out(i * 2) = HexChars((bytes(i) >> 4) & 0xf)
-      out(i * 2 + 1) = HexChars(bytes(i) & 0xf)
-      i += 1
-    }
-    new String(out)
-  }
-
   /** Decode one payload with a caller-owned digest (hoisted per partition
     * in [[decodeMeta]] — provider lookup per row is exactly the setup cost
-    * the batch shape exists to avoid). */
+    * the batch shape exists to avoid; digest(byte[]) resets afterwards, so
+    * the shared instance is always clean). */
   def decode(md: java.security.MessageDigest, docId: Long,
              payload: Array[Byte]): MediaMeta = {
-    md.reset()
-    val hex = toHex(md.digest(payload))
+    val hex = java.util.HexFormat.of().formatHex(md.digest(payload))
     val s   = MediaCodec.sniff(payload)
     MediaMeta(docId, payload.length.toLong, hex, s.format, s.width, s.height)
   }

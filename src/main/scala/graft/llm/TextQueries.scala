@@ -158,9 +158,12 @@ object TextQueries extends QueryModule {
     },
 
     // Document fingerprint: canonical form (lowercase, collapsed whitespace)
-    // -> md5; short prefix as a shard/bucket key.
+    // -> md5; short prefix as a shard/bucket key. Whitespace as the
+    // explicit [ \t\n\f\r] class — \s diverges on U+000B between Java
+    // regex and RE2.
     "q35_fingerprint" -> { (s, dir) =>
-      val normd = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+      val normd =
+        lower(trim(regexp_replace(col("text"), "[ \\t\\n\\f\\r]+", " ")))
       Tables.t(s, dir, "documents").select(
         col("doc_id"),
         md5(normd.cast("binary")).as("fingerprint"),
@@ -332,7 +335,8 @@ object TextQueries extends QueryModule {
     "q35_fingerprint" ->
       """WITH n AS (
         |  SELECT doc_id,
-        |    LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g'))) AS normd
+        |    LOWER(TRIM(REGEXP_REPLACE(text, '[ \t\n\f\r]+', ' ', 'g')))
+        |      AS normd
         |  FROM documents)
         |SELECT doc_id, MD5(normd) AS fingerprint,
         |  SUBSTRING(MD5(normd), 1, 8) AS fp_bucket
