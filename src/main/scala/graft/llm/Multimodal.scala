@@ -12,8 +12,9 @@ import org.apache.spark.sql.functions._
   * format and pixel dimensions parsed from the payload's leading bytes
   * (PNG IHDR / JPEG SOF / GIF screen descriptor), plus content hash and
   * byte length. It runs through the typed-batch `mapPartitions` shape —
-  * one decoder scope per partition, streaming iterator, no per-row setup —
-  * which is exactly where a full pixel codec would slot in at 100 TB.
+  * one decoder scope per partition, streaming iterator, no per-row setup.
+  * The pixel step ([[resize]]) is a full JDK-ImageIO decode/resample/
+  * re-encode; only video demux remains a documented seam.
   */
 object Multimodal extends QueryModule {
 
@@ -85,15 +86,18 @@ object Multimodal extends QueryModule {
     }.toDF()
   }
 
-  /** STUB (pixel step): resizing needs a pixel codec, which this container
-    * lacks. The seam takes `(payload, w, h) => payload`; the default fake
-    * deterministically truncates/pads so tests stay exact. Everything else
-    * — header-derived source dimensions, target metadata, the batch shape —
-    * is the real plumbing a codec-backed implementation keeps unchanged.
+  /** Pixel resize through the per-partition batch shape. The default codec
+    * is the real JDK one ([[imageResizePixels]]): decode PNG/JPEG/GIF via
+    * `javax.imageio`, bilinear-resample to (dstW, dstH), re-encode PNG. The
+    * `resizePixels` seam stays so a native codec (libjpeg-turbo JNI, GPU
+    * batch decoder) can replace the JDK path without touching the plumbing.
+    * Non-decodable payloads yield an empty output payload — never an
+    * exception: malformed media must not kill a 100 TB scan (the header
+    * metadata columns still carry what the sniffer saw).
     */
   def resize(media: DataFrame, dstW: Long, dstH: Long,
              resizePixels: (Array[Byte], Long, Long) => Array[Byte] =
-               fakeResizePixels): DataFrame = {
+               imageResizePixels): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaIn].mapPartitions { it =>
@@ -105,16 +109,44 @@ object Multimodal extends QueryModule {
     }.toDF()
   }
 
-  /** STUB: deterministic stand-in for pixel resampling (truncate or
-    * zero-pad to w*h bytes). */
-  def fakeResizePixels(payload: Array[Byte], w: Long, h: Long): Array[Byte] =
-    java.util.Arrays.copyOf(payload, (w * h).min(1 << 20).toInt)
+  /** Real pixel resampling on the JDK's built-in codecs (PNG/JPEG/GIF/BMP —
+    * no external dependency): decode, bilinear `drawImage` onto an RGB
+    * canvas, re-encode as PNG (lossless, so the output is deterministic
+    * across JDK builds in a way a JPEG re-encode would not be). Returns an
+    * empty array for anything `ImageIO` cannot decode (truncated or
+    * non-image bytes) rather than throwing.
+    */
+  def imageResizePixels(payload: Array[Byte], w: Long, h: Long): Array[Byte] =
+    try {
+      // explicit memory-cached streams: the ImageIO default spools through
+      // temp files on local disk, which an executor must not do per row
+      val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val img = javax.imageio.ImageIO.read(in)
+      if (img == null || w <= 0 || h <= 0) Array.emptyByteArray
+      else {
+        val dst = new java.awt.image.BufferedImage(
+          w.toInt, h.toInt, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w.toInt, h.toInt, null)
+        g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        val out = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+        javax.imageio.ImageIO.write(dst, "png", out)
+        out.flush()
+        bos.toByteArray
+      }
+    } catch { case scala.util.control.NonFatal(_) => Array.emptyByteArray }
 
-  /** STUB (codec step): frame sampling needs a video demuxer; the fake
-    * slices the payload into `n` equal deterministic chunks. The one-to-many
-    * typed flatMap — one input row fanning out to a row per sampled frame,
-    * still one decoder scope per partition — is the real shape a demuxer
-    * plugs into.
+  /** SEAM (video demux): frame sampling needs a container demuxer + video
+    * codec (MP4/H.264 etc.), which the JDK does not ship — unlike the image
+    * path above, no dependency-free implementation exists, so the
+    * deterministic stand-in (slice the payload into `n` equal chunks)
+    * stays. The one-to-many typed flatMap — one input row fanning out to a
+    * row per sampled frame, still one decoder scope per partition — is the
+    * real shape a demuxer plugs into.
     */
   def sampleFrames(media: DataFrame, n: Int): DataFrame = {
     val spark = media.sparkSession

@@ -69,14 +69,61 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(1).getDouble(4) == 0.0)
   }
 
-  test("resize carries source header dims and target metadata (stub pixels)") {
+  /** A real, fully decodable image produced by the JDK encoder itself:
+    * a w×h gradient so resampling has non-trivial pixels to interpolate. */
+  private def realImage(w: Int, h: Int, fmt: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 255 / w) << 16) | ((y * 255 / h) << 8) | 0x40)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  test("resize decodes real images and resamples to the target dims") {
     import spark.implicits._
-    val media = Seq(Multimodal.MediaIn(1L, png(640, 480))).toDS().toDF()
-    val out = Multimodal.resize(media, 32, 32).collect()(0)
-    assert(out.getString(1) == "png")
-    assert((out.getLong(2), out.getLong(3)) == (640L, 480L))
-    assert((out.getLong(4), out.getLong(5)) == (32L, 32L))
-    assert(out.getAs[Array[Byte]](6).length == 32 * 32)
+    val media = Seq(
+      Multimodal.MediaIn(1L, realImage(64, 48, "png")),
+      Multimodal.MediaIn(2L, realImage(100, 40, "jpg")),
+      Multimodal.MediaIn(3L, realImage(16, 16, "gif"))).toDS().toDF()
+    val out = Multimodal.resize(media, 32, 24).orderBy("doc_id").collect()
+    assert(out.map(_.getString(1)).toSeq == Seq("png", "jpeg", "gif"))
+    assert(out.map(r => (r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((64L, 48L), (100L, 40L), (16L, 16L)))
+    out.foreach { r =>
+      // output payload is a real PNG whose header carries the target dims...
+      val resized = r.getAs[Array[Byte]](6)
+      assert(MediaCodec.sniff(resized) == MediaCodec.Sniffed("png", 32, 24))
+      // ...and fully decodes back to a 32x24 pixel raster
+      val back = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(resized))
+      assert(back.getWidth == 32 && back.getHeight == 24)
+    }
+  }
+
+  test("resize interpolates pixels (gradient survives downsampling)") {
+    val src = realImage(64, 64, "png")
+    val resized = Multimodal.imageResizePixels(src, 8, 8)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(resized))
+    // red channel still increases left-to-right after bilinear downsample
+    val leftRed  = (img.getRGB(0, 4) >> 16) & 0xff
+    val rightRed = (img.getRGB(7, 4) >> 16) & 0xff
+    assert(rightRed > leftRed + 64)
+  }
+
+  test("resize yields empty payload (not an exception) on non-decodable bytes") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaIn(1L, png(640, 480)),              // header only, no IDAT
+      Multimodal.MediaIn(2L, "plain text".getBytes),
+      Multimodal.MediaIn(3L, Array.emptyByteArray)).toDS().toDF()
+    val out = Multimodal.resize(media, 32, 32).orderBy("doc_id").collect()
+    // header metadata still flows through even when pixels can't decode
+    assert(out(0).getString(1) == "png")
+    assert((out(0).getLong(2), out(0).getLong(3)) == (640L, 480L))
+    assert(out.forall(_.getAs[Array[Byte]](6).isEmpty))
   }
 
   test("sampleFrames fans one payload out to n deterministic frames") {
