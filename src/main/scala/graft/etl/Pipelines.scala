@@ -13,47 +13,36 @@ object Pipelines {
   /** SeedPipeline.execute (pipelines.py:35-70 → seed_table,
     * operations.py:404-474): snapshot copy, schema carried by parquet,
     * chunk loop ≙ partition parallelism, post-load index clone ≙ sorted
-    * write.
+    * write. Committed through [[Snapshot]], so a crashed seed never
+    * clobbers an existing destination.
     */
   def seedPipeline(spark: SparkSession, src: Source, destPath: String,
                    sortCols: Seq[String] = Nil): DataFrame = {
     val df  = TypeNormalizer.normalize(src.read(spark))
     val out = if (sortCols.nonEmpty)
       df.sortWithinPartitions(sortCols.map(df(_)): _*) else df
-    out.write.mode("overwrite").parquet(destPath)
-    spark.read.parquet(destPath)
+    Snapshot.commit(out, destPath)
   }
 
   /** UpdatePipeline.execute (pipelines.py:73-115 → update_table_via_upsert,
     * operations.py:515-609): delta-window upsert + delete reconciliation
-    * against the current destination snapshot, then a two-phase snapshot
-    * swap. The staging hop only resolves the read-your-own-overwrite
-    * conflict (the merged plan reads destPath); the final overwrite is NOT
-    * crash-atomic — parquet directories have no commit protocol, which is
-    * the Delta/Iceberg seam at 100 TB (SURVEY.md §7.3). `asOf` is explicit
-    * (never wall-clock — operations.py:539 quirk).
+    * against the current destination snapshot, then a crash-atomic
+    * [[Snapshot]] commit — the reference's per-chunk transaction
+    * (operations.py:181) restored at snapshot granularity. The merged plan
+    * reads the committed `_v<N>` directory and writes `_v<N+1>`, so the
+    * old two-phase staging copy (which existed only to break the
+    * read-your-own-overwrite cycle) is gone: one write instead of two, and
+    * a crash at any point leaves readers on the old complete snapshot.
+    * `asOf` is explicit (never wall-clock — operations.py:539 quirk).
     */
   def updatePipeline(spark: SparkSession, src: Source, destPath: String,
                      pk: String, deltaCol: String, asOf: Column,
                      lookbackHours: Int = 1): DataFrame = {
     val source = TypeNormalizer.normalize(src.read(spark))
-    val old    = spark.read.parquet(destPath)
+    val old    = Snapshot.read(spark, destPath)
     val result = UpsertKernel.upsert(old, source, pk, deltaCol, asOf,
       lookbackHours)
-    val tmp = destPath + "_stage"
-    result.write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(destPath)
-    // destPath is fully written at this point; the staging snapshot is dead
-    deletePath(spark, tmp)
-    spark.read.parquet(destPath)
-  }
-
-  /** Hadoop-FS delete: works for any scheme (local, HDFS, object stores) —
-    * a java.io.File delete only covers the local harness. */
-  private[graft] def deletePath(spark: SparkSession, path: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-    ()
+    Snapshot.commit(result, destPath)
   }
 
   /** CrunchbaseFlatfilePipeline.execute (pipelines.py:118-127 →
@@ -65,10 +54,9 @@ object Pipelines {
                        targets: Map[String, Seq[String]],
                        destRoot: String): Map[String, DataFrame] =
     targets.map { case (table, csvPaths) =>
-      val dest = s"$destRoot/$table"
-      TypeNormalizer.normalize(CsvSource(csvPaths).read(spark))
-        .write.mode("overwrite").parquet(dest)
-      table -> spark.read.parquet(dest)
+      table -> Snapshot.commit(
+        TypeNormalizer.normalize(CsvSource(csvPaths).read(spark)),
+        s"$destRoot/$table")
     }
 
   /** Convenience: seed straight from a lake path (the harness's common

@@ -143,16 +143,16 @@ object StreamingOps {
             xxhash64(to_json(struct(batch.columns.map(col): _*))).asc)
         val latest = batch.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
-        val old = spark.read.parquet(destPath)
+        val old = graft.etl.Snapshot.read(spark, destPath)
         val merged = UpsertKernel.merge(old, latest, pk)
-        // two-phase write: parquet has no in-place merge (the Delta/Iceberg
-        // seam at 100 TB, SURVEY.md §7.3). The staging hop only resolves the
-        // read-your-own-overwrite conflict; the final overwrite is NOT
-        // crash-atomic (that's the table-format seam too).
-        val tmp = destPath + "_tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(destPath)
-        graft.etl.Pipelines.deletePath(spark, tmp)
+        // crash-atomic versioned commit (graft.etl.Snapshot): the merged
+        // plan reads the committed _v<N> and writes _v<N+1>, then the
+        // pointer swings atomically — a crash mid-batch leaves readers on
+        // the old complete snapshot, and the replayed batch recommits the
+        // same content. Row-level (non-snapshot) merges remain the
+        // Delta/Iceberg seam at 100 TB (SURVEY.md §7.3).
+        graft.etl.Snapshot.commit(merged, destPath)
+        ()
       }
   }
 }

@@ -1,0 +1,102 @@
+package graft.etl
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.TestSpark
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Crash-atomicity of the versioned snapshot commit: a writer killed
+  * between any two phases must leave readers on a complete snapshot
+  * (the reference's transactional write, operations.py:181, at snapshot
+  * granularity). Each "kill" is simulated by reproducing on disk exactly
+  * the state the protocol passes through.
+  */
+class SnapshotSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def df(n: Int) = {
+    import spark.implicits._
+    (1 to n).map(i => (i.toLong, s"row$i")).toDF("id", "payload")
+  }
+
+  private def freshRoot() = s"/tmp/graft-test-snap-${System.nanoTime()}"
+
+  test("commit round-trips and bumps the version") {
+    val root = freshRoot()
+    Snapshot.commit(df(5), root)
+    assert(Snapshot.currentVersion(spark, root).contains(1L))
+    Snapshot.commit(df(7), root)
+    assert(Snapshot.currentVersion(spark, root).contains(2L))
+    assert(Snapshot.read(spark, root).count() == 7)
+  }
+
+  test("kill during the snapshot write: readers stay on the old version") {
+    val root = freshRoot()
+    Snapshot.commit(df(5), root)
+    // phase-1 crash state: a partial _v2 (one stray non-parquet file, no
+    // _SUCCESS, pointer untouched) — exactly what a killed executor leaves
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val partial = new Path(root, "_v2/part-00000.parquet")
+    val out = fs.create(partial, true)
+    out.write("torn bytes, not parquet".getBytes(UTF_8)); out.close()
+
+    assert(Snapshot.currentVersion(spark, root).contains(1L))
+    assert(Snapshot.read(spark, root).count() == 5)
+    // recovery: the next commit skips the orphan version and GCs it
+    Snapshot.commit(df(9), root)
+    assert(Snapshot.currentVersion(spark, root).contains(3L))
+    assert(Snapshot.read(spark, root).count() == 9)
+    assert(!fs.exists(new Path(root, "_v2")))
+  }
+
+  test("kill between pointer-temp write and rename: reader unaffected") {
+    val root = freshRoot()
+    Snapshot.commit(df(5), root)
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // phase-2 crash state: complete _v2 exists, pointer temp written but
+    // never renamed over _current
+    Snapshot.commit(df(8), root) // produce a real _v2...
+    val tmp = new Path(root, "_current.tmp")
+    val o = fs.create(tmp, true); o.write("99".getBytes(UTF_8)); o.close()
+
+    // the stray temp never shadows the committed pointer
+    assert(Snapshot.currentVersion(spark, root).contains(2L))
+    assert(Snapshot.read(spark, root).count() == 8)
+    // and the next commit just rolls forward past it
+    Snapshot.commit(df(3), root)
+    assert(Snapshot.read(spark, root).count() == 3)
+  }
+
+  test("GC keeps the previous version for in-flight readers, drops older") {
+    val root = freshRoot()
+    Snapshot.commit(df(1), root)
+    Snapshot.commit(df(2), root)
+    Snapshot.commit(df(3), root)
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(root, "_v1")))
+    assert(fs.exists(new Path(root, "_v2"))) // reader grace window
+    assert(fs.exists(new Path(root, "_v3")))
+  }
+
+  test("legacy plain-parquet roots read through and upgrade on commit") {
+    val root = freshRoot()
+    df(4).write.parquet(root) // pre-protocol destination layout
+    assert(Snapshot.read(spark, root).count() == 4)
+    Snapshot.commit(df(6), root)
+    assert(Snapshot.currentVersion(spark, root).contains(1L))
+    assert(Snapshot.read(spark, root).count() == 6)
+  }
+
+  test("a missing committed version fails loudly, not with wrong data") {
+    val root = freshRoot()
+    Snapshot.commit(df(2), root)
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(root, "_v1"), true)
+    intercept[IllegalArgumentException] { Snapshot.read(spark, root) }
+  }
+}

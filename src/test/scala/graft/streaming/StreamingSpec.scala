@@ -132,7 +132,7 @@ class StreamingSpec extends AnyFunSuite {
                Ev(101, ts("2024-01-01 10:01:00"), 9, "new", 2.0))
     val q = StreamingOps.upsertSink(ms.toDF(), dest, "event_id").start()
     q.awaitTermination(60000)
-    val out = spark.read.parquet(dest).orderBy("event_id")
+    val out = graft.etl.Snapshot.read(spark, dest).orderBy("event_id")
       .collect().map(r => (r.getLong(0), r.getString(3)))
     assert(out.toSeq == Seq((100L, "updated"), (101L, "new")))
   }
