@@ -27,6 +27,23 @@ object Seed {
   def readBack(spark: SparkSession, dstPath: String): DataFrame =
     spark.read.parquet(dstPath)
 
+  /** Hive-style partitioned seed — the other half of the reference's
+    * index-clone analog (W7/W8, operations.py:368-402) for time-series
+    * tables: `partitionBy(partCol)` lays one directory per partition value,
+    * so a filter on `partCol` prunes whole directories at planning time
+    * (the scan's `PartitionFilters`) before a single file is opened — the
+    * first thing a 100 TB date-partitioned events table needs. `partCol`
+    * should be low-cardinality (a date, not a timestamp): each distinct
+    * value is a directory, and 10^6 tiny partitions is its own pathology.
+    */
+  def seedPartitioned(df: DataFrame, dstPath: String, partCol: String)
+      : DataFrame = {
+    val spark = df.sparkSession
+    TypeNormalizer.normalize(df)
+      .write.mode("overwrite").partitionBy(partCol).parquet(dstPath)
+    spark.read.parquet(dstPath)
+  }
+
   /** Bucketed seed — the closest Spark analog to the reference's post-load
     * index clone (W7/W8, operations.py:368-402): a hash-bucketed, sorted
     * table layout lets later equi-joins and aggregations on the bucket

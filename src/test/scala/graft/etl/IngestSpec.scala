@@ -46,6 +46,27 @@ class IngestSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("partitioned seed prunes the scan to the filtered date partition") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions._
+    val dst = s"/tmp/graft-test-seed-part-${System.nanoTime()}"
+    val ev  = Tables.t(spark, TestSpark.Sf, "events")
+      .withColumn("event_date", to_date(col("ts")))
+    val back = Seed.seedPartitioned(ev, dst, "event_date")
+    assert(back.count() == ev.count())
+
+    val oneDay = back.filter(col("event_date") === lit("2024-01-15"))
+    val scans = oneDay.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    // the date predicate must prune at the directory level, not per-row
+    assert(scans.head.partitionFilters.nonEmpty,
+      s"no PartitionFilters:\n${oneDay.queryExecution.executedPlan}")
+    val expected = ev.filter(col("event_date") === lit("2024-01-15")).count()
+    assert(oneDay.count() == expected && expected > 0)
+  }
+
   test("cosine_sim is SQL-callable via GraftExtensions") {
     val r = spark.sql(
       """SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c""")
