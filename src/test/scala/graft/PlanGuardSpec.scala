@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guard: the physical plan of every declared query
+  * is swept for the two shapes that kill a 100 TB run — nested-loop joins
+  * and cartesian products — and the hottest queries carry shuffle-count
+  * ceilings, so a future edit can't silently reintroduce a scale-killer
+  * that the row-level oracle would never notice.
+  */
+class PlanGuardSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** The deliberate broadcast cross joins: a tiny broadcast side crossed
+    * into a big scan (exact top-k baseline q38, corpus-size attach q51,
+    * 1-row × 1-row stats report q58, broadcast centroid table q70). Each
+    * is reasoned about in its module doc; everything else must stay
+    * nested-loop-free.
+    */
+  private val AllowedBnlj =
+    Set("q38_cosine_topk", "q51_tfidf", "q58_upsert_stats", "q70_ivf_assign")
+
+  /** Shuffle ceilings for the most expensive plans (round-2 plan audit
+    * values + 0 slack): these are the queries where one extra Exchange is
+    * a real regression, not noise. */
+  private val ShuffleCeilings = Map(
+    "q34_jaccard_pairs"  -> 5,
+    "q50_shingle_jaccard" -> 3,
+    "q51_tfidf"          -> 5,
+    "q36_minhash_pairs"  -> 3,
+    "q70_ivf_assign"     -> 4,
+    "q72_langid_ngram"   -> 2)
+
+  /** Every declared query stays under this many shuffles regardless. */
+  private val GlobalShuffleCeiling = 6
+
+  private lazy val plans: Map[String, String] =
+    SparkEntry.queries.map { case (name, fn) =>
+      name -> fn(spark, TestSpark.Sf).queryExecution.executedPlan.toString
+    }
+
+  /** Shuffles only — BroadcastExchange is deliberately not counted (a
+    * broadcast is the cheap alternative the ceilings exist to protect). */
+  private def countShuffles(plan: String): Int =
+    """Exchange (hashpartitioning|rangepartitioning|SinglePartition)""".r
+      .findAllIn(plan).length
+
+  test("no CartesianProduct in any declared query plan") {
+    val hits = plans.filter(_._2.contains("CartesianProduct")).keys.toSeq
+    assert(hits.isEmpty, s"cartesian product in: ${hits.sorted}")
+  }
+
+  test("BroadcastNestedLoopJoin only in the deliberate broadcast crosses") {
+    val hits = plans.filter(_._2.contains("BroadcastNestedLoopJoin"))
+      .keys.toSet
+    assert((hits -- AllowedBnlj).isEmpty,
+      s"unexpected nested-loop join in: ${(hits -- AllowedBnlj).toSeq.sorted}")
+    // and the allowlist itself stays honest: entries that stop using a
+    // BNLJ should be removed from it
+    assert((AllowedBnlj -- hits).isEmpty,
+      s"stale allowlist entries: ${(AllowedBnlj -- hits).toSeq.sorted}")
+  }
+
+  test("hot queries respect their shuffle-count ceilings") {
+    val over = ShuffleCeilings.flatMap { case (name, ceiling) =>
+      val n = countShuffles(plans(name))
+      if (n > ceiling) Some(s"$name: $n > $ceiling") else None
+    }
+    assert(over.isEmpty, s"shuffle regressions: ${over.toSeq.sorted}")
+  }
+
+  test("no declared query exceeds the global shuffle ceiling") {
+    val over = plans.flatMap { case (name, plan) =>
+      val n = countShuffles(plan)
+      if (n > GlobalShuffleCeiling) Some(s"$name: $n") else None
+    }
+    assert(over.isEmpty, s"shuffle-heavy plans: ${over.toSeq.sorted}")
+  }
+
+  test("the star join broadcasts its dimension tables") {
+    assert(plans("q11_join_star").contains("BroadcastHashJoin"),
+      s"q11 lost its broadcast:\n${plans("q11_join_star")}")
+  }
+
+  test("the range join stays an equi-join (bucketed rewrite intact)") {
+    val p = plans("q48_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"q48 regressed to a non-equi join:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"q48 has no equi-join:\n$p")
+  }
+}
