@@ -142,8 +142,14 @@ object DedupQueries extends QueryModule {
     * diameter; near-dup components are clique-like (diameter 1-3).
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    // edges hash-partitioned on dst, labels on id: localCheckpoint
+    // preserves outputPartitioning, so every round's edges-to-labels join
+    // is co-partitioned and the only shuffle per round is the groupBy(src)
+    // aggregation (whose output is again partitioned on the label key,
+    // feeding the next join shuffle-free)
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .repartition(col("dst"))
       .localCheckpoint()
     // seed with min(id, min neighbor): the first propagation round as a
     // plain aggregation, saving one full join round
@@ -157,16 +163,22 @@ object DedupQueries extends QueryModule {
     while (!converged && iter < maxIter) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
-      // convergence flag computed inside the same join — no second pass
-      // over the round's result
+      // convergence is an `observe` metric on the checkpoint write itself:
+      // the changed-row count rides the same job that materializes the
+      // round, so each round is exactly one action (a separate
+      // filter+isEmpty pass would re-run the round's join)
+      val obs = new org.apache.spark.sql.Observation(s"cc_round_$iter")
       val updated = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(labels("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
             .as("label"),
           (coalesce(col("nbr_label"), col("label")) < col("label")).as("chg"))
+        .observe(obs, coalesce(sum(when(col("chg"), 1L).otherwise(0L)),
+          lit(0L)).as("changed"))
+        .drop("chg")
         .localCheckpoint()
-      converged = updated.filter(col("chg")).isEmpty
-      labels = updated.drop("chg")
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
+      labels = updated
       iter += 1
     }
     // fail loudly: returning mid-propagation labels would silently split
