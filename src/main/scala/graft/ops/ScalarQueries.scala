@@ -84,11 +84,11 @@ object ScalarQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
-    // JSON extraction from the events.props payload column, both APIs:
-    // from_json parses once per row into a struct (every struct-derived
-    // output shares that single parse); get_json_object is the
-    // one-off-path alternative (its own parse — fine for a single path,
-    // wasteful for several).
+    // JSON extraction from the events.props payload column: from_json
+    // parses once per row into a struct and every output derives from that
+    // single parse — the multi-field extraction shape (the one-off
+    // get_json_object alternative is q75, on its own plan, so neither
+    // query pays a redundant second parse).
     "q27_json_funcs" -> { (s, dir) =>
       Tables.t(s, dir, "events")
         .withColumn("parsed", from_json(col("props"),
@@ -96,8 +96,18 @@ object ScalarQueries extends QueryModule {
         .select(
           col("event_id"),
           col("parsed.k").cast("long").as("k_value"),
-          get_json_object(col("props"), "$.k").as("k_path"),
           (col("parsed.k").cast("long") % 10).as("k_bucket"))
+        .orderBy("event_id")
+    },
+
+    // Single-path JSON extraction via get_json_object: one parse per row
+    // for one path — the right API when a query touches exactly one field
+    // (a full from_json struct parse would build the whole row object).
+    "q75_json_path" -> { (s, dir) =>
+      Tables.t(s, dir, "events")
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").as("k_path"))
         .orderBy("event_id")
     },
 
@@ -174,8 +184,12 @@ object ScalarQueries extends QueryModule {
     "q27_json_funcs" ->
       """SELECT event_id,
         |  CAST(props->>'$.k' AS BIGINT) AS k_value,
-        |  props->>'$.k' AS k_path,
         |  CAST(props->>'$.k' AS BIGINT) % 10 AS k_bucket
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q75_json_path" ->
+      """SELECT event_id,
+        |  props->>'$.k' AS k_path
         |FROM events ORDER BY event_id""".stripMargin,
 
     "q46_map_funcs" ->
