@@ -23,10 +23,13 @@ object Bench {
     // JIT/codegen warm-up outside the timed region: run the whole query set
     // once at the smallest fixture so the timed pass measures steady-state
     // execution, not first-call compilation.
-    SparkEntry.queries.foreach { case (_, fn) =>
+    SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, "/root/testdata/sf0.001")
         .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        // visible but non-fatal: the timed pass reports the real failure
+        System.err.println(s"[bench] warm-up $name failed: ${e.getMessage}")
+      }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -50,6 +50,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(diff.count() == 0, "native expression must equal HOF bit-for-bit")
   }
 
+  test("cosine_sim NULLs on mismatched lengths and null elements, like the HOF") {
+    // SQL-reachable degenerate inputs (user arrays hit cosine_sim directly):
+    // both must yield NULL, matching aggregate(zip_with(...)) semantics
+    val r = spark.sql(
+      """SELECT
+        |  cosine_sim(array(1.0D, 2.0D), array(1.0D)) AS len_mismatch,
+        |  cosine_sim(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2.0D))
+        |    AS null_elem,
+        |  cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS ok
+        |""".stripMargin).collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.getDouble(2) == 1.0)
+  }
+
   test("native CosineSimilarity participates in whole-stage codegen") {
     import org.apache.spark.sql.Column
     val e = emb.limit(10).select(
