@@ -238,36 +238,31 @@ object TextQueries extends QueryModule {
     // Language-ID by character-trigram profile scoring — the actual
     // n-gram mechanism (textcat-style): slide a 3-char window over the
     // lowercased text, count hits against each language's trigram profile,
-    // argmax with a fixed tie-break. The trigram array goes through a
-    // GENERATOR + one aggregation on doc_id: a pure-projection spelling
-    // (size(filter(grams, ...)) per profile + greatest + when) re-evaluates
-    // the array expression at every reference after CollapseProject inlines
-    // it — profiled 9x slower. Post-aggregation the scores are attributes,
-    // so the argmax costs nothing.
+    // argmax with a fixed tie-break. The window slides INSIDE the row via
+    // the native TrigramProfileHits expression — one scan-local pass, one
+    // hash probe per position, all profiles at once. This retired the
+    // generator + aggregation formulation (which exploded ~length(text)
+    // rows per document into a doc_id shuffle, the round-2 bench's #4
+    // query) and the even older pure-HOF spelling (9x slower again:
+    // CollapseProject re-evaluates the trigram array per profile).
+    // Subexpression elimination evaluates the hits array once for all
+    // four output references.
     "q72_langid_ngram" -> { (s, dir) =>
-      val txt = lower(col("text"))
-      // guard, not greatest(len-2, 0): sequence(1, 0) yields [1, 0] (step
-      // defaults to -1 when stop < start), which would fabricate two bogus
-      // short grams for <3-char docs where the oracle's RANGE is empty
-      val grams = when(length(txt) >= 3,
-        transform(sequence(lit(1), length(txt) - 2),
-          (i: Column) => substr(txt, i, lit(3))))
-        .otherwise(array().cast("array<string>"))
-      def hits(profile: Seq[String]): Column =
-        sum(when(col("g").isInCollection(profile), 1L).otherwise(0L))
       // profiles over the fixture's vocabulary: common trigrams with the
       // space context that distinguishes function words from substrings
-      val scored = Tables.t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), explode_outer(grams).as("g"))
-        .groupBy(col("doc_id"), col("lang"))
-        .agg(
-          hits(Seq("the", "he ", " th", "of ", "and")).as("g_en"),
-          hits(Seq("tab", "row", " ro", "le ")).as("g_da"),
-          hits(Seq("dat", "val", " va", "ta ")).as("g_es"))
-      val top = greatest(col("g_en"), col("g_da"), col("g_es"))
-      scored.select(col("doc_id"), col("lang"),
-          col("g_en"), col("g_da"), col("g_es"),
-          when(col("g_en") >= top, "en").when(col("g_da") >= top, "da")
+      val hits = graft.functions.TrigramProfileHits.trigramProfileHits(
+        lower(col("text")),
+        Seq(Seq("the", "he ", " th", "of ", "and"),
+            Seq("tab", "row", " ro", "le "),
+            Seq("dat", "val", " va", "ta ")))
+      val gEn = hits.getItem(0)
+      val gDa = hits.getItem(1)
+      val gEs = hits.getItem(2)
+      val top = greatest(gEn, gDa, gEs)
+      Tables.t(s, dir, "documents").select(
+          col("doc_id"), col("lang"),
+          gEn.as("g_en"), gDa.as("g_da"), gEs.as("g_es"),
+          when(gEn >= top, "en").when(gDa >= top, "da")
             .otherwise("es").as("pred_lang"))
         .orderBy("doc_id")
     },
