@@ -39,6 +39,36 @@ final case class JsonSource(path: String) extends Source {
   def read(spark: SparkSession): DataFrame = spark.read.json(path)
 }
 
+/** ORC lake path — the other columnar warehouse format Spark ships a
+  * vectorized reader for; same pushdown/pruning contract as parquet, so
+  * a reference user on an ORC-backed warehouse plugs in unchanged. */
+final case class OrcSource(path: String) extends Source {
+  def read(spark: SparkSession): DataFrame = spark.read.orc(path)
+}
+
+/** Whole-file binary source — the multimodal ingest edge: each matched
+  * file becomes one row of (path, modificationTime, length, content),
+  * feeding payloads straight into the `Multimodal` decode/resize/feature
+  * path without any driver-side file walking. `pathGlobFilter` narrows by
+  * extension; `maxBytes` fails loudly on files that would not fit an
+  * executor task (a 100 GB stray video must be caught, not OOM a task).
+  */
+final case class BinaryFileSource(
+    path: String,
+    globFilter: Option[String] = None,
+    maxBytes: Long = 512L << 20) extends Source {
+  def read(spark: SparkSession): DataFrame = {
+    val base = spark.read.format("binaryFile")
+    val r = globFilter.fold(base)(g => base.option("pathGlobFilter", g))
+    val df = r.load(path)
+    import org.apache.spark.sql.functions.{col, lit, raise_error, when}
+    df.withColumn("content",
+      when(col("length") > lit(maxBytes),
+        raise_error(lit(s"binary file exceeds maxBytes=$maxBytes")))
+        .otherwise(col("content")))
+  }
+}
+
 /** JDBC endpoint ≙ PostgresConnection/CloudSQLConnection option bundles
   * (connections.py:42-174). `readReplica` mirrors the Heroku
   * follower-for-reads routing (connections.py:118-121).

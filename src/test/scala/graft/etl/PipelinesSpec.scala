@@ -57,6 +57,45 @@ class PipelinesSpec extends AnyFunSuite {
     assert(back.columns.sorted.sameElements(nation.columns.sorted))
   }
 
+  test("orc source round-trips rows through ORC files") {
+    val dir = s"/tmp/graft-test-orc-${System.nanoTime()}"
+    val nation = Tables.t(spark, TestSpark.Sf, "nation")
+    nation.write.orc(dir)
+    val back = OrcSource(dir).read(spark)
+    assert(back.count() == 25)
+    assert(back.columns.sorted.sameElements(nation.columns.sorted))
+  }
+
+  test("binary-file source feeds whole files into the multimodal decoder") {
+    val dir = s"/tmp/graft-test-bin-${System.nanoTime()}"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    // one real PNG (via the JDK encoder), one text file the glob excludes
+    val img = new java.awt.image.BufferedImage(
+      20, 10, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    javax.imageio.ImageIO.write(img, "png", new java.io.File(s"$dir/a.png"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/skip.txt"), "not an image")
+
+    val files = BinaryFileSource(dir, globFilter = Some("*.png")).read(spark)
+    assert(files.count() == 1)
+    val meta = graft.llm.Multimodal.decodeMeta(
+      files.select(monotonically_increasing_id().as("doc_id"),
+        col("content").as("payload")))
+      .collect()(0)
+    assert(meta.getString(3) == "png")
+    assert((meta.getLong(4), meta.getLong(5)) == (20L, 10L))
+  }
+
+  test("binary-file source fails loudly past the per-file size bound") {
+    val dir = s"/tmp/graft-test-bin-big-${System.nanoTime()}"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/big.bin"),
+      Array.fill[Byte](1024)(1))
+    val src = BinaryFileSource(dir, maxBytes = 100L)
+    val e = intercept[Exception] { src.read(spark).collect() }
+    assert(e.getMessage != null)
+  }
+
   test("jdbc source configures the full option bundle without connecting") {
     val src = JdbcSource(
       url = "jdbc:postgresql://example.invalid:5432/db",
