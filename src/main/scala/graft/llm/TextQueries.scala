@@ -115,6 +115,31 @@ object TextQueries extends QueryModule {
     // Exact dedup by content hash (SURVEY.md §2.3): canonical id = min id
     // per hash — the deterministic version of dropDuplicates. At 100 TB this
     // is one shuffle on a 128-bit key; the md5 is computed scan-side.
+    // Edit-distance fuzzy matching under blocking keys — the third
+    // near-dup family next to token-set Jaccard (q34) and embeddings
+    // (q49): levenshtein is O(len²) per pair, so all-pairs is never an
+    // option; candidates are blocked on (brand, first name token) and
+    // length-prefiltered (|len(a)-len(b)| > k implies dist > k — lossless
+    // for threshold k) BEFORE the quadratic comparator runs. At 100 TB the
+    // blocking key is the shuffle key and block sizes bound the work.
+    "q78_edit_distance" -> { (s, dir) =>
+      val p = Tables.t(s, dir, "part").select(
+        col("p_partkey"), col("p_brand"),
+        element_at(split(col("p_name"), " "), 1).as("blk"),
+        col("p_name"))
+      val a = p.select(col("p_brand"), col("blk"),
+        col("p_partkey").as("a_key"), col("p_name").as("a_name"))
+      val b = p.select(col("p_brand"), col("blk"),
+        col("p_partkey").as("b_key"), col("p_name").as("b_name"))
+      a.join(b, Seq("p_brand", "blk"))
+        .filter(col("a_key") < col("b_key") &&
+          abs(length(col("a_name")) - length(col("b_name"))) <= 12)
+        .select(col("p_brand"), col("a_key"), col("b_key"),
+          levenshtein(col("a_name"), col("b_name")).as("edit_dist"))
+        .filter(col("edit_dist") <= 12)
+        .orderBy("p_brand", "a_key", "b_key")
+    },
+
     "q31_dedup_exact" -> { (s, dir) =>
       Tables.t(s, dir, "documents")
         .groupBy(md5(col("text").cast("binary")).as("text_hash"))
@@ -292,6 +317,21 @@ object TextQueries extends QueryModule {
     })
 
   override def oracles: Map[String, String] = Map(
+    // no length prefilter needed: it is lossless at the same threshold,
+    // so the oracle states the plain blocked comparison
+    "q78_edit_distance" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_brand,
+        |    STRING_SPLIT(p_name, ' ')[1] AS blk, p_name
+        |  FROM part)
+        |SELECT a.p_brand, a.p_partkey AS a_key, b.p_partkey AS b_key,
+        |  LEVENSHTEIN(a.p_name, b.p_name) AS edit_dist
+        |FROM p a JOIN p b
+        |  ON a.p_brand = b.p_brand AND a.blk = b.blk
+        |  AND a.p_partkey < b.p_partkey
+        |WHERE LEVENSHTEIN(a.p_name, b.p_name) <= 12
+        |ORDER BY a.p_brand, a_key, b_key""".stripMargin,
+
     "q31_dedup_exact" ->
       """SELECT MD5(text) AS text_hash,
         |  MIN(doc_id) AS canonical_id,

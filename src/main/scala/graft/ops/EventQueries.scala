@@ -96,6 +96,29 @@ object EventQueries extends QueryModule {
         .orderBy("event_type")
     },
 
+    // Time-series gap fill: daily counts per event_type with missing days
+    // materialized as zero rows — the calendar-spine pattern (generate the
+    // observed date span, cross it with the dimension values, left-join
+    // the real counts). Both spine and dimension sides are a handful of
+    // rows at any data scale (days × types), so the grid cross join is a
+    // broadcast of nothing against nothing; the only real work is the
+    // daily aggregation.
+    "q79_gap_fill" -> { (s, dir) =>
+      val ev = Tables.t(s, dir, "events")
+        .select(to_date(col("ts")).as("d"), col("event_type"), col("value"))
+      val spine = ev.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("d"))
+      val types = ev.select(col("event_type")).distinct()
+      val daily = ev.groupBy(col("d"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      spine.crossJoin(types)
+        .join(daily, Seq("d", "event_type"), "left")
+        .select(col("d"), col("event_type"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+        .orderBy("d", "event_type")
+    },
+
     // Deterministic first-event dedup (streaming:
     // dropDuplicatesWithinWatermark) — row_number is also the reference's
     // upsert dedup kernel shape (SURVEY.md §2.1 W14).
@@ -111,6 +134,26 @@ object EventQueries extends QueryModule {
     })
 
   override def oracles: Map[String, String] = Map(
+    "q79_gap_fill" ->
+      s"""WITH ev AS (
+         |  SELECT CAST(ts AS DATE) AS d, event_type, value FROM events),
+         |span AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM ev),
+         |spine AS (
+         |  SELECT CAST(UNNEST(GENERATE_SERIES(d0, d1, INTERVAL 1 DAY))
+         |    AS DATE) AS d
+         |  FROM span),
+         |types AS (SELECT DISTINCT event_type FROM ev),
+         |daily AS (
+         |  SELECT d, event_type, COUNT(*) AS n_events,
+         |    ${dsumSql("value")} AS sum_value
+         |  FROM ev GROUP BY d, event_type)
+         |SELECT s.d, t.event_type,
+         |  COALESCE(daily.n_events, 0) AS n_events,
+         |  COALESCE(daily.sum_value, 0.0) AS sum_value
+         |FROM spine s CROSS JOIN types t
+         |LEFT JOIN daily ON daily.d = s.d AND daily.event_type = t.event_type
+         |ORDER BY s.d, t.event_type""".stripMargin,
+
     "q28_events_hourly" ->
       s"""SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
          |  COUNT(*) AS n_events,

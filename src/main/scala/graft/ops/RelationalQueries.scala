@@ -355,6 +355,69 @@ object RelationalQueries extends QueryModule {
       open.intersectAll(big).orderBy("custkey")
     },
 
+    // Explicit GROUPING SETS — the two 1-D marginals with no 2-D cells,
+    // a set combination neither rollup (q17) nor cube (q43) can express.
+    "q76_grouping_sets" -> { (s, dir) =>
+      Tables.t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+          col("n_rows"), col("sum_qty"))
+        .orderBy("returnflag", "linestatus")
+    },
+
+    // Statistical aggregates (variance / stddev / covariance / correlation)
+    // spelled from exact-decimal moment sums: the built-ins stream Welford
+    // M2 partials whose double accumulation is order-dependent, so their
+    // low bits differ per partitioning AND per engine — the moment-sum
+    // spelling feeds identical exact decimals into an identical final
+    // double expression tree on both sides, making the result bit-stable
+    // (the dsum/davg argument extended to second moments).
+    "q77_stat_aggs" -> { (s, dir) =>
+      val a = Tables.t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(lit(1)).cast("double").as("n"),
+          dsum(col("l_quantity")).as("sx"),
+          dsum(col("l_quantity") * col("l_quantity")).as("sx2"),
+          dsum(col("l_extendedprice")).as("sy"),
+          dsum(col("l_extendedprice") * col("l_extendedprice")).as("sy2"),
+          dsum(col("l_quantity") * col("l_extendedprice")).as("sxy"))
+      val varQty = (col("sx2") - col("sx") * col("sx") / col("n")) /
+        (col("n") - 1)
+      val covar  = (col("sxy") - col("sx") * col("sy") / col("n")) /
+        (col("n") - 1)
+      val corr   = (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (sqrt(col("n") * col("sx2") - col("sx") * col("sx")) *
+          sqrt(col("n") * col("sy2") - col("sy") * col("sy")))
+      a.select(col("l_returnflag"), col("n_rows"),
+          varQty.as("var_qty"), sqrt(varQty).as("stddev_qty"),
+          covar.as("covar_qty_price"), corr.as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    },
+
+    // Argmax/argmin aggregation (max_by / min_by) + filtered counting —
+    // one pass, no window: the struct ordering key makes ties impossible
+    // (o_orderkey is unique), so the result is deterministic.
+    "q80_argmax_agg" -> { (s, dir) =>
+      Tables.t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          max_by(col("o_orderkey"),
+            struct(col("o_totalprice"), col("o_orderkey"))).as("top_order"),
+          min_by(col("o_orderkey"),
+            struct(col("o_totalprice"), col("o_orderkey"))).as("bottom_order"),
+          max(col("o_totalprice")).as("top_price"),
+          expr("count_if(o_totalprice > 150000)").as("n_big"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    },
+
     // Set operations: UNION (distinct) → INTERSECT → EXCEPT.
     "q22_set_ops" -> { (s, dir) =>
       val c = Tables.t(s, dir, "customer")
@@ -373,6 +436,65 @@ object RelationalQueries extends QueryModule {
     })
 
   override def oracles: Map[String, String] = Map(
+    "q76_grouping_sets" ->
+      s"""SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+         |  COALESCE(l_linestatus, '(all)') AS linestatus,
+         |  COUNT(*) AS n_rows,
+         |  ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+         |ORDER BY returnflag, linestatus""".stripMargin,
+
+    // the final double expression trees mirror the Spark side token for
+    // token — identical exact-decimal inputs + identical IEEE ops =
+    // identical bits
+    "q77_stat_aggs" ->
+      s"""WITH a AS (
+         |  SELECT l_returnflag,
+         |    COUNT(*) AS n_rows,
+         |    CAST(COUNT(*) AS DOUBLE) AS n,
+         |    ${dsumSql("l_quantity")} AS sx,
+         |    ${dsumSql("l_quantity * l_quantity")} AS sx2,
+         |    ${dsumSql("l_extendedprice")} AS sy,
+         |    ${dsumSql("l_extendedprice * l_extendedprice")} AS sy2,
+         |    ${dsumSql("l_quantity * l_extendedprice")} AS sxy
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, n_rows,
+         |  ((sx2 - sx * sx / n) / (n - 1)) AS var_qty,
+         |  SQRT(((sx2 - sx * sx / n) / (n - 1))) AS stddev_qty,
+         |  ((sxy - sx * sy / n) / (n - 1)) AS covar_qty_price,
+         |  ((n * sxy - sx * sy) /
+         |    (SQRT(n * sx2 - sx * sx) * SQRT(n * sy2 - sy * sy)))
+         |    AS corr_qty_price
+         |FROM a ORDER BY l_returnflag""".stripMargin,
+
+    // argmax restated as a window rank (any SQL shape is fine for the
+    // oracle; the Spark side is the one-pass max_by)
+    "q80_argmax_agg" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn_max,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn_min
+        |  FROM orders),
+        |agg AS (
+        |  SELECT o_orderpriority,
+        |    MAX(o_totalprice) AS top_price,
+        |    COUNT(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+        |    COUNT(*) AS n_orders
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT agg.o_orderpriority,
+        |  mx.o_orderkey AS top_order,
+        |  mn.o_orderkey AS bottom_order,
+        |  agg.top_price, agg.n_big, agg.n_orders
+        |FROM agg
+        |JOIN r mx ON mx.o_orderpriority = agg.o_orderpriority
+        |  AND mx.rn_max = 1
+        |JOIN r mn ON mn.o_orderpriority = agg.o_orderpriority
+        |  AND mn.rn_min = 1
+        |ORDER BY agg.o_orderpriority""".stripMargin,
+
     "q10_join_agg" ->
       s"""SELECT c_mktsegment,
          |  COUNT(DISTINCT o_orderkey) AS n_orders,
