@@ -418,6 +418,41 @@ object RelationalQueries extends QueryModule {
         .orderBy("o_orderpriority")
     },
 
+    // UNPIVOT (melt): wide aggregate columns stacked into (measure, value)
+    // rows — the inverse of q55's pivot; ids stay, measure names become
+    // data. Scan-local besides the aggregation that builds the wide input.
+    "q81_unpivot" -> { (s, dir) =>
+      Tables.t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          dsum(col("l_discount")).as("sum_disc"))
+        .unpivot(
+          Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+          "measure", "value")
+        .orderBy("l_returnflag", "measure")
+    },
+
+    // Null-safe equi-join (<=>): NULL keys match each other instead of
+    // dropping out — still a hash-joinable equality, not a nested loop
+    // (Catalyst rewrites the key as coalesce-compare). The nulled-out
+    // 'click' group survives the join; output coalesces the key for
+    // engine-neutral NULL ordering.
+    "q82_nullsafe_join" -> { (s, dir) =>
+      val ev = Tables.t(s, dir, "events")
+      val a = ev.groupBy(expr("nullif(event_type, 'click')").as("k"))
+        .agg(count(lit(1)).as("n_a"))
+      val b = ev.filter(col("value") > 0.5)
+        .groupBy(expr("nullif(event_type, 'click')").as("k"))
+        .agg(count(lit(1)).as("n_b"))
+      a.join(b, a("k") <=> b("k"), "left")
+        .select(coalesce(a("k"), lit("(null)")).as("k"),
+          col("n_a"), col("n_b"))
+        .orderBy("k")
+    },
+
     // Set operations: UNION (distinct) → INTERSECT → EXCEPT.
     "q22_set_ops" -> { (s, dir) =>
       val c = Tables.t(s, dir, "customer")
@@ -494,6 +529,31 @@ object RelationalQueries extends QueryModule {
         |JOIN r mn ON mn.o_orderpriority = agg.o_orderpriority
         |  AND mn.rn_min = 1
         |ORDER BY agg.o_orderpriority""".stripMargin,
+
+    "q81_unpivot" ->
+      s"""WITH a AS (
+         |  SELECT l_returnflag,
+         |    ${dsumSql("l_quantity")} AS sum_qty,
+         |    ${dsumSql("l_extendedprice")} AS sum_price,
+         |    ${dsumSql("l_discount")} AS sum_disc
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM a
+         |UNION ALL
+         |SELECT l_returnflag, 'sum_price', sum_price FROM a
+         |UNION ALL
+         |SELECT l_returnflag, 'sum_disc', sum_disc FROM a
+         |ORDER BY l_returnflag, measure""".stripMargin,
+
+    "q82_nullsafe_join" ->
+      """WITH a AS (
+        |  SELECT NULLIF(event_type, 'click') AS k, COUNT(*) AS n_a
+        |  FROM events GROUP BY 1),
+        |b AS (
+        |  SELECT NULLIF(event_type, 'click') AS k, COUNT(*) AS n_b
+        |  FROM events WHERE value > 0.5 GROUP BY 1)
+        |SELECT COALESCE(a.k, '(null)') AS k, a.n_a, b.n_b
+        |FROM a LEFT JOIN b ON a.k IS NOT DISTINCT FROM b.k
+        |ORDER BY k""".stripMargin,
 
     "q10_join_agg" ->
       s"""SELECT c_mktsegment,

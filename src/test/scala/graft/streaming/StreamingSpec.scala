@@ -123,6 +123,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((1L, 2L, 3.0), (1L, 3L, 7.0), (2L, 1L, 5.0)))
   }
 
+  test("stateful aggregation runs on the RocksDB state store (SCALE.md posture)") {
+    // the production state-store configuration from SCALE.md, exercised
+    // for real: same results as the default in-memory provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      val ms = MemoryStream[Ev](spark)
+      ms.addData(fixture: _*)
+      val got = runStream(StreamingOps.hourlyCounts(ms.toDF()), "rocksdb_hourly")
+      assert(got.agg(sum("n_events")).collect()(0).getLong(0) ==
+        fixture.size.toLong)
+      // state survives across micro-batches inside RocksDB, not the heap
+      ms.addData(Ev(6, ts("2024-01-01 10:25:00"), 3, "click", 7.0))
+      val q2 = StreamingOps.hourlyCounts(ms.toDF()).writeStream
+        .format("memory").queryName("rocksdb_hourly2")
+        .outputMode("complete").start()
+      q2.processAllAvailable(); q2.stop()
+      val hour10clicks = spark.table("rocksdb_hourly2")
+        .filter(col("event_type") === "click" &&
+          col("hour") === ts("2024-01-01 10:00:00"))
+        .collect()(0).getLong(2)
+      assert(hour10clicks == 4L) // 3 fixture clicks + the late arrival
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("foreachBatch upsert sink applies the batch kernel per micro-batch") {
     val dest = s"/tmp/graft-test-upsert-${System.nanoTime()}"
     Seq(Ev(100, ts("2024-01-01 09:00:00"), 9, "seed", 0.0))
