@@ -56,7 +56,9 @@ object TextQueries extends QueryModule {
     // (a too-long prefix only costs time; a too-short one loses pairs)
     def prefixLen(n: Column) =
       n - ceil(lit(threshold) * n - lit(1e-9)).cast("long") + lit(1L)
-    val prefix = if (dfOrdered) {
+    // postings carry the token's 1-based rank in the doc's global-order
+    // token list — the positional filter's input
+    val postings = if (dfOrdered) {
       val toks = docs.select(col("source"), col("doc_id"),
         size(col("tok")).cast("long").as("ntok"),
         explode(col("tok")).as("h"))
@@ -65,29 +67,81 @@ object TextQueries extends QueryModule {
       val w = Window.partitionBy(col("source"), col("doc_id"))
         .orderBy(col("df"), col("h"))
       toks.join(dfreq, Seq("source", "h"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= prefixLen(col("ntok")))
-        .select(col("source"), col("h"), col("doc_id"), col("ntok"))
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .filter(col("pos") <= prefixLen(col("ntok")))
+        .select(col("source"), col("h"), col("doc_id"), col("ntok"),
+          col("pos"))
     } else
       docs.select(col("source"), col("doc_id"),
         size(col("tok")).cast("long").as("ntok"),
-        explode(slice(col("tok"), lit(1),
-          prefixLen(size(col("tok")).cast("long")).cast("int"))).as("h"))
-        .select(col("source"), col("h"), col("doc_id"), col("ntok"))
-    // length filter: J >= t forces min(|A|,|B|) >= t*max(|A|,|B|)
-    // (J <= min/max) — prunes size-incompatible candidates before the
-    // array-attach joins, for the cost of one long per posting
-    val cand = prefix.select(col("source"), col("h"),
-        col("doc_id").as("a_id"), col("ntok").as("a_n"))
-      .join(prefix.select(col("source"), col("h"),
-        col("doc_id").as("b_id"), col("ntok").as("b_n")),
-        Seq("source", "h"))
-      .filter(col("a_id") < col("b_id") &&
-        least(col("a_n"), col("b_n")).cast("double") >=
-          lit(threshold) * greatest(col("a_n"), col("b_n")) - lit(1e-9))
-      .select(col("source"), col("a_id"), col("b_id"))
-      .distinct()
-    cand
+        posexplode(slice(col("tok"), lit(1),
+          prefixLen(size(col("tok")).cast("long")).cast("int")))
+          .as(Seq("p0", "h")))
+        .select(col("source"), col("h"), col("doc_id"), col("ntok"),
+          (col("p0") + 1).cast("long").as("pos"))
+    // Two exact prunes applied pair-wise, both BEFORE any candidate
+    // becomes verify work:
+    //  - length filter: J >= t forces min(|A|,|B|) >= t*max(|A|,|B|);
+    //  - positional filter (the PPJoin bound, Xiao et al. 2008): overlap
+    //    o >= ceil(t*(|A|+|B|)/(1+t)), and from this shared token on, at
+    //    most 1 + min(|A|-posA, |B|-posB) common tokens remain. For a
+    //    pair's globally-smallest shared token no earlier common token
+    //    can exist, so the bound is valid there and every true pair
+    //    survives via that posting; pairs admitted through a later token
+    //    are a superset the exact verify kills — output is provably
+    //    unchanged (property-tested against the naive oracle).
+    def lengthOk(aN: Column, bN: Column): Column =
+      least(aN, bN).cast("double") >=
+        lit(threshold) * greatest(aN, bN) - lit(1e-9)
+    def positionOk(aN: Column, aP: Column, bN: Column, bP: Column): Column =
+      lit(1) + least(aN - aP, bN - bP) >=
+        ceil(lit(threshold) * (aN + bN) / lit(1 + threshold) - lit(1e-9))
+    // Pair generation splits by posting-list shape (profiled at sf0.1):
+    //  - df-ordered (word tokens): posting lists are longer and skewed, so
+    //    pairs come from a partition-parallel self-join — a hot token's
+    //    pair expansion spreads over its probe rows instead of serializing
+    //    inside one aggregation row (the in-array spelling was 2.7x slower
+    //    here).
+    //  - hash-ordered (shingles, df≈1): buckets are tiny and uniform, so
+    //    one aggregation + in-array expansion (the q36 bucket shape) wins
+    //    — one shuffle instead of two, the postings pipeline runs once,
+    //    and no join machinery for 2-element buckets (1.7x faster, and
+    //    the positional filter halves the candidates).
+    if (dfOrdered) {
+      postings.select(col("source"), col("h"), col("doc_id").as("a_id"),
+          col("ntok").as("a_n"), col("pos").as("a_p"))
+        .join(postings.select(col("source"), col("h"),
+          col("doc_id").as("b_id"), col("ntok").as("b_n"),
+          col("pos").as("b_p")), Seq("source", "h"))
+        .filter(col("a_id") < col("b_id") &&
+          lengthOk(col("a_n"), col("b_n")) &&
+          positionOk(col("a_n"), col("a_p"), col("b_n"), col("b_p")))
+        .select(col("source"), col("a_id"), col("b_id"))
+        .distinct()
+    } else {
+      val t = threshold
+      postings
+        .groupBy(col("source"), col("h"))
+        .agg(array_sort(collect_list(
+          struct(col("doc_id"), col("ntok"), col("pos")))).as("ds"))
+        .filter(size(col("ds")) > 1)
+        .select(col("source"), explode(expr(
+          s"""flatten(transform(ds, (x, i) ->
+             |  filter(
+             |    transform(slice(ds, i + 2, size(ds)), y ->
+             |      struct(x.doc_id AS a_id, y.doc_id AS b_id,
+             |             x.ntok AS a_n, y.ntok AS b_n,
+             |             x.pos AS a_p, y.pos AS b_p)),
+             |    p ->
+             |      CAST(least(p.a_n, p.b_n) AS DOUBLE) >=
+             |        $t * greatest(p.a_n, p.b_n) - 1e-9
+             |      AND 1 + least(p.a_n - p.a_p, p.b_n - p.b_p) >=
+             |        ceil($t * (p.a_n + p.b_n) / (1 + $t) - 1e-9))))"""
+            .stripMargin)).as("p"))
+        .select(col("source"), col("p.a_id").as("a_id"),
+          col("p.b_id").as("b_id"))
+        .distinct()
+    }
   }
 
   def prefixJaccardPairs(docs: DataFrame, threshold: Double,
@@ -112,9 +166,6 @@ object TextQueries extends QueryModule {
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Exact dedup by content hash (SURVEY.md §2.3): canonical id = min id
-    // per hash — the deterministic version of dropDuplicates. At 100 TB this
-    // is one shuffle on a 128-bit key; the md5 is computed scan-side.
     // Edit-distance fuzzy matching under blocking keys — the third
     // near-dup family next to token-set Jaccard (q34) and embeddings
     // (q49): levenshtein is O(len²) per pair, so all-pairs is never an
@@ -140,6 +191,9 @@ object TextQueries extends QueryModule {
         .orderBy("p_brand", "a_key", "b_key")
     },
 
+    // Exact dedup by content hash (SURVEY.md §2.3): canonical id = min id
+    // per hash — the deterministic version of dropDuplicates. At 100 TB this
+    // is one shuffle on a 128-bit key; the md5 is computed scan-side.
     "q31_dedup_exact" -> { (s, dir) =>
       Tables.t(s, dir, "documents")
         .groupBy(md5(col("text").cast("binary")).as("text_hash"))
