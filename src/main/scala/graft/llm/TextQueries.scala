@@ -169,14 +169,18 @@ object TextQueries extends QueryModule {
     // Edit-distance fuzzy matching under blocking keys — the third
     // near-dup family next to token-set Jaccard (q34) and embeddings
     // (q49): levenshtein is O(len²) per pair, so all-pairs is never an
-    // option; candidates are blocked on (brand, first name token) and
-    // length-prefiltered (|len(a)-len(b)| > k implies dist > k — lossless
-    // for threshold k) BEFORE the quadratic comparator runs. At 100 TB the
-    // blocking key is the shuffle key and block sizes bound the work.
+    // option; candidates are blocked on (brand, first two name tokens)
+    // and length-prefiltered (|len(a)-len(b)| > k implies dist > k —
+    // lossless for threshold k) BEFORE the quadratic comparator runs. At
+    // 100 TB the blocking key is the shuffle key and block sizes bound
+    // the work — blocking granularity is the recall/cost dial every
+    // production fuzzy-matcher exposes (one token: ~9 parts/block at
+    // sf0.1 but quadratic creep as the table grows; two tokens holds
+    // block sizes near 1).
     "q78_edit_distance" -> { (s, dir) =>
       val p = Tables.t(s, dir, "part").select(
         col("p_partkey"), col("p_brand"),
-        element_at(split(col("p_name"), " "), 1).as("blk"),
+        array_join(slice(split(col("p_name"), " "), 1, 2), " ").as("blk"),
         col("p_name"))
       val a = p.select(col("p_brand"), col("blk"),
         col("p_partkey").as("a_key"), col("p_name").as("a_name"))
@@ -376,7 +380,8 @@ object TextQueries extends QueryModule {
     "q78_edit_distance" ->
       """WITH p AS (
         |  SELECT p_partkey, p_brand,
-        |    STRING_SPLIT(p_name, ' ')[1] AS blk, p_name
+        |    ARRAY_TO_STRING(STRING_SPLIT(p_name, ' ')[1:2], ' ') AS blk,
+        |    p_name
         |  FROM part)
         |SELECT a.p_brand, a.p_partkey AS a_key, b.p_partkey AS b_key,
         |  LEVENSHTEIN(a.p_name, b.p_name) AS edit_dist
