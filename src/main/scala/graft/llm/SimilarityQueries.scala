@@ -195,6 +195,27 @@ object SimilarityQueries extends QueryModule {
       ivfAssign(Tables.t(s, dir, "embeddings"))
     },
 
+    // Int8 scalar quantization, per vector (the memory lever for
+    // billion-vector ANN: 4 bytes -> 1 byte per dimension, here with
+    // per-vector min/max scaling so no global pass is needed). Entirely
+    // scan-local — zero shuffles at any scale; the quantized codes ride
+    // as a CSV string because the driver's hash compare can't take raw
+    // arrays (same serialization rule as q57). floor() keeps the
+    // cross-engine determinism argument: identical double inputs through
+    // an identical expression tree, no round-half boundary.
+    "q83_quantize_embed" -> { (s, dir) =>
+      val e = Tables.t(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), (x: Column) => x.cast("double")).as("v"))
+      val mn = array_min(col("v"))
+      val mx = array_max(col("v"))
+      val q = transform(col("v"), (x: Column) =>
+        when(mx === mn, lit(0L)).otherwise(
+          floor((x - mn) * lit(255.0) / (mx - mn)).cast("long")))
+      e.select(col("vec_id"), mn.as("v_min"), mx.as("v_max"),
+          array_join(q, ",").as("q8"))
+        .orderBy("vec_id")
+    },
+
     // Embedding-cosine near-dup pairs within a label partition. Brute force
     // within the partition key is the exact baseline; at 100 TB the label
     // join becomes the LSH bucket join (q39's bucketing) — same shape,
@@ -214,6 +235,18 @@ object SimilarityQueries extends QueryModule {
     })
 
   override def oracles: Map[String, String] = Map(
+    "q83_quantize_embed" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, v, LIST_MIN(v) AS mn, LIST_MAX(v) AS mx FROM e)
+        |SELECT vec_id, mn AS v_min, mx AS v_max,
+        |  ARRAY_TO_STRING(LIST_TRANSFORM(v, x ->
+        |    CASE WHEN mx = mn THEN 0
+        |         ELSE CAST(FLOOR((x - mn) * 255.0 / (mx - mn)) AS BIGINT)
+        |    END), ',') AS q8
+        |FROM m ORDER BY vec_id""".stripMargin,
+
     "q69_embed_centroids" ->
       s"""WITH d AS (
          |  SELECT label,
