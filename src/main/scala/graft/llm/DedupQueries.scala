@@ -197,33 +197,25 @@ object DedupQueries extends QueryModule {
     * shares a fingerprint. Documents shorter than window+2 tokens are
     * excluded.
     *
-    * Shape: posexplode the shingle array (the generator evaluates the
-    * array expression ONCE per document) then a rows-frame window min per
-    * position — one shuffle on doc_id, linear work. The tempting pure-HOF
-    * form (`transform(sequence(...), i -> array_min(slice(sh, i, w)))`)
-    * profiles ~10x slower: CollapseProject inlines the shingle-construction
-    * expression into the lambda, re-evaluating it per window.
+    * Shape: the fingerprint is a per-document scalar, so it's computed
+    * INSIDE the row by the native [[graft.functions.WinnowFingerprints]]
+    * expression — zero extra rows, zero shuffles (the fused-q72 pattern).
+    * This retired the generator spelling (posexplode → rows-frame window
+    * min → collect_set: ~n_tokens rows per doc and two doc_id shuffles;
+    * bit-identical output asserted in WinnowFingerprintsSpec) and the
+    * even older pure-HOF form (~10x slower again: CollapseProject
+    * re-evaluates the shingle array per window).
     *
     * No oracle: fingerprints are xxhash64-valued (engine-specific); the
     * invariants are ScalaTest-checked.
     */
   def winnowFingerprints(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val tok = split(col("text"), " ")
-    val sh = transform(sequence(lit(1), size(tok) - 2),
-      (i: Column) => xxhash64(array_join(slice(tok, i, lit(3)), " ")))
-    val exploded = docs
+    docs
       .filter(size(tok) >= 3 + WinnowWindow - 1)
-      .select(col("doc_id"), posexplode(sh).as(Seq("pos", "h")))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    exploded
-      .withColumn("wmin",
-        min(col("h")).over(w.rowsBetween(0, WinnowWindow - 1)))
-      .withColumn("n", count(lit(1)).over(w.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing)))
-      .filter(col("pos") <= col("n") - WinnowWindow)
-      .groupBy(col("doc_id"))
-      .agg(collect_set(col("wmin")).as("fingerprints"))
+      .select(col("doc_id"),
+        graft.functions.WinnowFingerprints.winnow(col("text"), WinnowWindow)
+          .as("fingerprints"))
       .select(col("doc_id"), col("fingerprints"),
         size(col("fingerprints")).cast("long").as("n_fingerprints"))
   }
