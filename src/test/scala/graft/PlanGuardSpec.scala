@@ -30,7 +30,10 @@ class PlanGuardSpec extends AnyFunSuite {
     "q51_tfidf"          -> 5,
     "q36_minhash_pairs"  -> 3,
     "q70_ivf_assign"     -> 4,
-    "q72_langid_ngram"   -> 1) // the final ORDER BY only — scoring is scan-local
+    "q72_langid_ngram"   -> 1, // the final ORDER BY only — scoring is scan-local
+    "q57_winnow_fingerprint" -> 1, // ditto — fingerprints are scan-local
+    "q83_quantize_embed" -> 1, // ditto — per-vector quantization
+    "q78_edit_distance"  -> 3) // block-key join (2) + presentation sort
 
   /** Every declared query stays under this many shuffles regardless. */
   private val GlobalShuffleCeiling = 6
