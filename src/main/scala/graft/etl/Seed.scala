@@ -35,14 +35,13 @@ object Seed {
     * first thing a 100 TB date-partitioned events table needs. `partCol`
     * should be low-cardinality (a date, not a timestamp): each distinct
     * value is a directory, and 10^6 tiny partitions is its own pathology.
+    * Commits through [[Snapshot]] like every pipeline destination, so a
+    * killed writer never leaves the table half-deleted.
     */
   def seedPartitioned(df: DataFrame, dstPath: String, partCol: String)
-      : DataFrame = {
-    val spark = df.sparkSession
-    TypeNormalizer.normalize(df)
-      .write.mode("overwrite").partitionBy(partCol).parquet(dstPath)
-    spark.read.parquet(dstPath)
-  }
+      : DataFrame =
+    Snapshot.commit(TypeNormalizer.normalize(df), dstPath,
+      partitionCols = Seq(partCol))
 
   /** Bucketed seed — the closest Spark analog to the reference's post-load
     * index clone (W7/W8, operations.py:368-402): a hash-bucketed, sorted

@@ -80,20 +80,37 @@ object Snapshot {
 
   /** Commit `df` as the next version of `root` (see object doc for the
     * crash-safety argument) and return a reader over the committed files.
+    * `partitionCols` lays the version out hive-partitioned (directory
+    * pruning inside the committed snapshot).
     */
-  def commit(df: DataFrame, root: String): DataFrame = {
+  def commit(df: DataFrame, root: String,
+             partitionCols: Seq[String] = Nil): DataFrame = {
     val spark = df.sparkSession
     val prev  = currentVersion(spark, root)
-    val next  = (prev.getOrElse(0L) max
-      listVersions(spark, root).maxOption.getOrElse(0L)) + 1
+    // one listing serves both the next-version pick and GC (single-writer
+    // contract — nothing else appends versions mid-commit); on an object
+    // store that's one LIST per commit, not two
+    val seen  = listVersions(spark, root)
+    val next  = (prev.getOrElse(0L) max seen.maxOption.getOrElse(0L)) + 1
 
-    df.write.mode("overwrite").parquet(versionDir(root, next).toString)
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(versionDir(root, next).toString)
     writePointer(spark, root, next)
 
     val fs = new Path(root).getFileSystem(conf(spark))
-    listVersions(spark, root)
-      .filter(v => v != next && !prev.contains(v))
+    seen.filter(v => v != next && !prev.contains(v))
       .foreach(v => fs.delete(versionDir(root, v), true))
+    // first commit over a legacy plain-parquet root: drop the pre-protocol
+    // top-level files, otherwise a reader still on the old contract
+    // (spark.read.parquet(root)) silently reads the frozen pre-upgrade
+    // snapshot forever and the dead copy holds its disk. After cleanup a
+    // legacy read fails loudly instead — the correct outcome once the
+    // root's contract has changed.
+    if (prev.isEmpty)
+      fs.listStatus(new Path(root))
+        .filter(st => !st.getPath.getName.startsWith("_"))
+        .foreach(st => fs.delete(st.getPath, true))
     spark.read.parquet(versionDir(root, next).toString)
   }
 

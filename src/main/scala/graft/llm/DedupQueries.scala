@@ -161,24 +161,17 @@ object DedupQueries extends QueryModule {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
-        .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
       // convergence is an `observe` metric on the checkpoint write itself:
       // the changed-row count rides the same job that materializes the
       // round, so each round is exactly one action (a separate
       // filter+isEmpty pass would re-run the round's join)
       val obs = new org.apache.spark.sql.Observation(s"cc_round_$iter")
-      val updated = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select(labels("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label")))
-            .as("label"),
-          (coalesce(col("nbr_label"), col("label")) < col("label")).as("chg"))
+      labels = propagateRound(edges, labels)
         .observe(obs, coalesce(sum(when(col("chg"), 1L).otherwise(0L)),
           lit(0L)).as("changed"))
         .drop("chg")
         .localCheckpoint()
       converged = obs.get("changed").asInstanceOf[Long] == 0L
-      labels = updated
       iter += 1
     }
     // fail loudly: returning mid-propagation labels would silently split
@@ -186,6 +179,24 @@ object DedupQueries extends QueryModule {
     require(converged,
       s"connectedComponents did not converge in $maxIter rounds")
     labels
+  }
+
+  /** One min-label propagation round: equi-join to the neighborhood, min
+    * per node, fold into the labels (with the changed flag the loop's
+    * observe metric sums). Exposed so the plan guard can assert the
+    * per-round join topology — inside [[connectedComponents]] every round
+    * is immediately localCheckpoint'd, which truncates the lineage the
+    * guard would otherwise inspect.
+    */
+  private[graft] def propagateRound(edges: DataFrame, labels: DataFrame)
+      : DataFrame = {
+    val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+      .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
+    labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+      .select(labels("id"),
+        least(col("label"), coalesce(col("nbr_label"), col("label")))
+          .as("label"),
+        (coalesce(col("nbr_label"), col("label")) < col("label")).as("chg"))
   }
 
   val WinnowWindow = 4

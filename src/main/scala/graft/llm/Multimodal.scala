@@ -119,9 +119,14 @@ object Multimodal extends QueryModule {
   def imageResizePixels(payload: Array[Byte], w: Long, h: Long): Array[Byte] =
     try {
       // explicit memory-cached streams: the ImageIO default spools through
-      // temp files on local disk, which an executor must not do per row
+      // temp files on local disk, which an executor must not do per row.
+      // Both streams are closed deterministically — their cache segments
+      // must not wait for GC on a per-row hot path.
       val in = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(payload))
+      // no explicit close: ImageIO.read(ImageInputStream) closes the
+      // stream itself after the read, success or not (a second close
+      // throws and would mask the decode result)
       val img = javax.imageio.ImageIO.read(in)
       if (img == null || w <= 0 || h <= 0) Array.emptyByteArray
       else {
@@ -134,8 +139,7 @@ object Multimodal extends QueryModule {
         g.dispose()
         val bos = new java.io.ByteArrayOutputStream()
         val out = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
-        javax.imageio.ImageIO.write(dst, "png", out)
-        out.flush()
+        try javax.imageio.ImageIO.write(dst, "png", out) finally out.close()
         bos.toByteArray
       }
     } catch { case scala.util.control.NonFatal(_) => Array.emptyByteArray }

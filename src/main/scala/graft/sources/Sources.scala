@@ -51,21 +51,29 @@ final case class OrcSource(path: String) extends Source {
   * feeding payloads straight into the `Multimodal` decode/resize/feature
   * path without any driver-side file walking. `pathGlobFilter` narrows by
   * extension; `maxBytes` fails loudly on files that would not fit an
-  * executor task (a 100 GB stray video must be caught, not OOM a task).
+  * executor task (a 100 GB stray video must be caught, not OOM a task):
+  * the check runs as a metadata-only pre-scan — `content` is pruned from
+  * the required schema, so no file byte is read to find offenders — and
+  * the main scan never materializes an oversized row.
   */
 final case class BinaryFileSource(
     path: String,
     globFilter: Option[String] = None,
     maxBytes: Long = 512L << 20) extends Source {
   def read(spark: SparkSession): DataFrame = {
-    val base = spark.read.format("binaryFile")
-    val r = globFilter.fold(base)(g => base.option("pathGlobFilter", g))
-    val df = r.load(path)
-    import org.apache.spark.sql.functions.{col, lit, raise_error, when}
-    df.withColumn("content",
-      when(col("length") > lit(maxBytes),
-        raise_error(lit(s"binary file exceeds maxBytes=$maxBytes")))
-        .otherwise(col("content")))
+    import org.apache.spark.sql.functions.col
+    def load() = {
+      val base = spark.read.format("binaryFile")
+      globFilter.fold(base)(g => base.option("pathGlobFilter", g)).load(path)
+    }
+    val oversized = load().select("path", "length")
+      .filter(col("length") > maxBytes).limit(3).collect()
+    if (oversized.nonEmpty)
+      throw new IllegalArgumentException(
+        s"binary files exceed maxBytes=$maxBytes: " +
+          oversized.map(r => s"${r.getString(0)} (${r.getLong(1)}B)")
+            .mkString(", "))
+    load()
   }
 }
 

@@ -86,6 +86,20 @@ class PlanGuardSpec extends AnyFunSuite {
       s"q11 lost its broadcast:\n${plans("q11_join_star")}")
   }
 
+  test("the connected-components round is an equi-join (q71's real topology)") {
+    // q71's swept plan is vacuous: every round localCheckpoints, so the
+    // final frame is Scan ExistingRDD + sort and the sweep can't see the
+    // per-round joins. Inspect the un-checkpointed round body directly.
+    import spark.implicits._
+    val edges  = Seq((1L, 2L)).toDF("src", "dst")
+    val labels = Seq((1L, 1L)).toDF("id", "label")
+    val p = graft.llm.DedupQueries.propagateRound(edges, labels)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"cc round regressed to a non-equi join:\n$p")
+  }
+
   test("the range join stays an equi-join (bucketed rewrite intact)") {
     val p = plans("q48_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") &&

@@ -91,9 +91,14 @@ class PipelinesSpec extends AnyFunSuite {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/big.bin"),
       Array.fill[Byte](1024)(1))
-    val src = BinaryFileSource(dir, maxBytes = 100L)
-    val e = intercept[Exception] { src.read(spark).collect() }
-    assert(e.getMessage != null)
+    // the metadata pre-scan rejects at read() time, naming the offender —
+    // before any content byte is materialized
+    val e = intercept[IllegalArgumentException] {
+      BinaryFileSource(dir, maxBytes = 100L).read(spark)
+    }
+    assert(e.getMessage.contains("big.bin"))
+    // raising the bound admits the same file
+    assert(BinaryFileSource(dir, maxBytes = 10000L).read(spark).count() == 1)
   }
 
   test("jdbc source configures the full option bundle without connecting") {

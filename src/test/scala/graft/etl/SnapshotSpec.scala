@@ -89,6 +89,24 @@ class SnapshotSpec extends AnyFunSuite {
     Snapshot.commit(df(6), root)
     assert(Snapshot.currentVersion(spark, root).contains(1L))
     assert(Snapshot.read(spark, root).count() == 6)
+    // the pre-protocol top-level files are gone: a reader still on the old
+    // contract fails loudly instead of silently reading the frozen
+    // pre-upgrade snapshot forever
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(new Path(root))
+      .forall(_.getPath.getName.startsWith("_")))
+  }
+
+  test("partitioned commit lays the version out hive-partitioned") {
+    import spark.implicits._
+    val root = freshRoot()
+    val data = Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "grp")
+    Snapshot.commit(data, root, partitionCols = Seq("grp"))
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new Path(root, "_v1/grp=a")))
+    assert(Snapshot.read(spark, root).count() == 3)
   }
 
   test("a missing committed version fails loudly, not with wrong data") {
