@@ -137,13 +137,12 @@ object SimilarityQueries extends QueryModule {
       .select(col("label"), col("dim").cast("long").as("dim"),
         col("centroid"), col("n"))
 
-  /** IVF coarse assignment: every vector scored against every label
-    * centroid (the centroid table is tiny — one row per label — and
-    * broadcast), keeping the nearest by cosine. The probe half of an IVF
-    * index; with `nprobe` > 1 the same plan keeps rnk <= nprobe instead of
-    * rnk = 1.
+  /** Every vector scored against every label centroid (the centroid table
+    * is tiny — one row per label — and broadcast), ranked per vector by
+    * cosine. Shared by coarse assignment (rnk = 1) and multi-probe search
+    * (rnk <= nprobe) — the same plan either way.
     */
-  def ivfAssign(embeddings: DataFrame): DataFrame = {
+  private def ivfScored(embeddings: DataFrame): DataFrame = {
     val cArr = labelCentroids(embeddings)
       .groupBy(col("label"))
       .agg(array_sort(collect_list(struct(col("dim"), col("centroid"))))
@@ -157,13 +156,32 @@ object SimilarityQueries extends QueryModule {
     v.crossJoin(broadcast(cArr))
       .withColumn("cos", cosine(col("v"), col("cv")))
       .withColumn("rnk", row_number().over(w))
+  }
+
+  /** IVF coarse assignment: nearest centroid per vector — the probe half
+    * of an IVF index at nprobe = 1. */
+  def ivfAssign(embeddings: DataFrame): DataFrame =
+    ivfScored(embeddings)
       .filter(col("rnk") === 1)
       .select(col("vec_id"), col("label"),
         col("c_label").as("assigned_label"),
         round(col("cos"), 4).as("cosine"),
         (col("label") === col("c_label")).as("own_label"))
       .orderBy("vec_id")
-  }
+
+  /** Multi-probe IVF: each vector keeps its `nprobe` nearest cells — the
+    * recall dial of IVF search (the candidate set unions the probed
+    * cells' postings; more probes, more recall, linearly more work).
+    * Identical plan to [[ivfAssign]], only the rank cutoff differs.
+    */
+  def ivfProbe(embeddings: DataFrame, nprobe: Int): DataFrame =
+    ivfScored(embeddings)
+      .filter(col("rnk") <= nprobe)
+      .select(col("vec_id"),
+        col("c_label").as("probe_label"),
+        col("rnk").cast("long").as("probe_rank"),
+        round(col("cos"), 4).as("cosine"))
+      .orderBy("vec_id", "probe_rank")
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact brute-force cosine top-10 for query vectors vec_id < 5.
@@ -193,6 +211,11 @@ object SimilarityQueries extends QueryModule {
     // IVF coarse assignment: nearest centroid per vector.
     "q70_ivf_assign" -> { (s, dir) =>
       ivfAssign(Tables.t(s, dir, "embeddings"))
+    },
+
+    // Multi-probe IVF: the 2 nearest cells per vector (the recall dial).
+    "q84_ivf_multiprobe" -> { (s, dir) =>
+      ivfProbe(Tables.t(s, dir, "embeddings"), 2)
     },
 
     // Int8 scalar quantization, per vector (the memory lever for
@@ -246,6 +269,34 @@ object SimilarityQueries extends QueryModule {
         |         ELSE CAST(FLOOR((x - mn) * 255.0 / (mx - mn)) AS BIGINT)
         |    END), ',') AS q8
         |FROM m ORDER BY vec_id""".stripMargin,
+
+    "q84_ivf_multiprobe" ->
+      s"""WITH d AS (
+         |  SELECT label,
+         |    UNNEST(CAST(embedding AS DOUBLE[])) AS x,
+         |    GENERATE_SUBSCRIPTS(embedding, 1) AS dim
+         |  FROM embeddings),
+         |cent AS (
+         |  SELECT label AS c_label, dim, ${graft.Fns.davgSql("x")} AS c
+         |  FROM d GROUP BY label, dim),
+         |carr AS (
+         |  SELECT c_label, LIST(c ORDER BY dim) AS cv
+         |  FROM cent GROUP BY c_label),
+         |v AS (
+         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |s AS (
+         |  SELECT vec_id, c_label,
+         |    LIST_COSINE_SIMILARITY(v, cv) AS cos
+         |  FROM v CROSS JOIN carr),
+         |r AS (
+         |  SELECT vec_id, c_label, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                       ORDER BY cos DESC, c_label ASC) AS rnk
+         |  FROM s)
+         |SELECT vec_id, c_label AS probe_label,
+         |  CAST(rnk AS BIGINT) AS probe_rank, ROUND(cos, 4) AS cosine
+         |FROM r WHERE rnk <= 2 ORDER BY vec_id, probe_rank""".stripMargin,
 
     "q69_embed_centroids" ->
       s"""WITH d AS (
