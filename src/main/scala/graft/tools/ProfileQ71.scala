@@ -35,6 +35,13 @@ object ProfileQ71 {
       SparkEntry.queries("q71_dedup_clusters")(spark, dir)
         .write.format("noop").mode("overwrite").save()
     }
+    // how many propagation rounds does the sf0.1 pair graph need?
+    val pairs = TextQueries.prefixJaccardPairs(d, 0.6)
+    val rounds = (1 to 6).find { k =>
+      try { DedupQueries.connectedComponents(pairs, maxIter = k); true }
+      catch { case _: IllegalArgumentException => false }
+    }
+    println(s"cc-rounds     ${rounds.getOrElse(-1)}")
     spark.stop()
   }
 }

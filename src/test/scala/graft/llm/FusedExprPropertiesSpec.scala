@@ -1,0 +1,81 @@
+package graft.llm
+
+import graft.TestSpark
+import graft.functions.TrigramProfileHits.trigramProfileHits
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** Property tests for the fused scan-local expressions against their
+  * declarative references on RANDOM corpora — beyond the fixture corpus
+  * the corpus-equality specs cover: short strings, repeated tokens,
+  * double spaces, non-ASCII (including astral-plane codepoints), and
+  * empty documents.
+  */
+class FusedExprPropertiesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def randomCorpus(seed: Int, n: Int): Seq[(Long, String)] = {
+    val rnd = new Random(seed)
+    val vocab = Seq("the", "of", "and", "tab", "row", "data", "value",
+      "x", "", "thé", "δata", "a😀b", "longertokenhere")
+    (1 to n).map { i =>
+      val len = rnd.nextInt(30)
+      (i.toLong, (0 until len).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    }
+  }
+
+  test("TrigramProfileHits equals the explode formulation on random text") {
+    import spark.implicits._
+    val profiles = Seq(
+      Seq("the", "he ", " th"), Seq("tab", "row"), Seq("dat", " va"))
+    for (seed <- Seq(2, 11, 77)) {
+      val docs = randomCorpus(seed, 120).toDF("doc_id", "text")
+      val txt = lower(col("text"))
+      val hits = trigramProfileHits(txt, profiles)
+      val grams = when(length(txt) >= 3,
+        transform(sequence(lit(1), length(txt) - 2),
+          (i: Column) => substr(txt, i, lit(3))))
+        .otherwise(array().cast("array<string>"))
+      def ref(p: Seq[String]): Column =
+        size(filter(grams, (g: Column) => g.isInCollection(p))).cast("long")
+      val bad = docs.select(
+          hits.getItem(0).as("f0"), hits.getItem(1).as("f1"),
+          hits.getItem(2).as("f2"),
+          ref(profiles(0)).as("r0"), ref(profiles(1)).as("r1"),
+          ref(profiles(2)).as("r2"))
+        .filter(col("f0") =!= col("r0") || col("f1") =!= col("r1") ||
+          col("f2") =!= col("r2"))
+      assert(bad.count() == 0, s"seed=$seed")
+    }
+  }
+
+  test("WinnowFingerprints equals the generator formulation on random text") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val W = DedupQueries.WinnowWindow
+    for (seed <- Seq(3, 13, 99)) {
+      val docs = randomCorpus(seed, 120).toDF("doc_id", "text")
+      val tok = split(col("text"), " ")
+      val sh = transform(sequence(lit(1), size(tok) - 2),
+        (i: Column) => xxhash64(array_join(slice(tok, i, lit(3)), " ")))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val ref = docs.filter(size(tok) >= 3 + W - 1)
+        .select(col("doc_id"), posexplode(sh).as(Seq("pos", "h")))
+        .withColumn("wmin", min(col("h")).over(w.rowsBetween(0, W - 1)))
+        .withColumn("n", count(lit(1)).over(w.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+        .filter(col("pos") <= col("n") - W)
+        .groupBy(col("doc_id"))
+        .agg(array_sort(collect_set(col("wmin"))).as("ref_fp"))
+      val got = DedupQueries.winnowFingerprints(docs)
+        .select(col("doc_id"), array_sort(col("fingerprints")).as("got_fp"))
+      assert(got.count() == ref.count(), s"seed=$seed row sets differ")
+      assert(got.join(ref, "doc_id")
+        .filter(col("got_fp") =!= col("ref_fp")).count() == 0, s"seed=$seed")
+    }
+  }
+}
