@@ -84,6 +84,29 @@ object StreamingOps {
       .select(col("error_id"), col("user_id"), col("err_ts"), col("click_ts"))
   }
 
+  /** Left-outer watermarked stream-stream join — the state-eviction hard
+    * case: an error with no click in its 10-minute window must still emit
+    * (with a null click_ts), but only once the watermark proves no
+    * matching click can arrive. Same time-bounded condition as
+    * [[errorClickJoin]]; the outer side's null emission is what the
+    * watermark makes safe (without it the row would wait forever).
+    */
+  def errorClickJoinLeft(events: DataFrame): DataFrame = {
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"),
+        col("ts").as("err_ts"))
+      .withWatermark("err_ts", "1 hour")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    errors.join(clicks,
+      expr("""user_id = click_user AND
+              click_ts > err_ts AND
+              click_ts <= err_ts + INTERVAL 10 MINUTES"""),
+      "leftOuter")
+      .select(col("error_id"), col("user_id"), col("err_ts"), col("click_ts"))
+  }
+
   /** Input/output shapes for the custom-state operator. */
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class UserRunning(user_id: Long, n_events: Long, total_value: Double,

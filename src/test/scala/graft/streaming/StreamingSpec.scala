@@ -91,6 +91,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((10L, "2024-01-01 10:05:00.0")))
   }
 
+  test("left-outer stream-stream join emits unmatched errors after the watermark") {
+    val ms = MemoryStream[Ev](spark)
+    ms.addData(
+      Ev(0, ts("2024-01-01 10:00:00"), 1, "error", 0.0),
+      Ev(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),  // matches error 0
+      Ev(2, ts("2024-01-01 11:00:00"), 2, "error", 0.0))  // never matched
+    val q = StreamingOps.errorClickJoinLeft(ms.toDF())
+      .writeStream.format("memory").queryName("left_join")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // null emission for error 2 requires the GLOBAL watermark (min across
+    // both input streams) to pass 11:00 + 10 min + 1 h, so BOTH the error
+    // and click branches need a later event (a filtered-out event type
+    // never reaches either watermark node); the advance lands at the END
+    // of its batch, so the outer row emits one batch later (the second
+    // nudge). The 14:xx nudge error itself stays unmatched in state —
+    // the watermark never passes ITS horizon, so it never emits.
+    ms.addData(Ev(9, ts("2024-01-01 14:00:00"), 98, "error", 0.0),
+               Ev(10, ts("2024-01-01 14:00:00"), 99, "click", 0.0))
+    q.processAllAvailable()
+    ms.addData(Ev(11, ts("2024-01-01 14:01:00"), 98, "error", 0.0),
+               Ev(12, ts("2024-01-01 14:01:00"), 99, "click", 0.0))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("left_join").orderBy("error_id").collect()
+      .map(r => (r.getLong(0), Option(r.getTimestamp(3)).map(_.toString)))
+    assert(rows.toSeq == Seq(
+      (0L, Some("2024-01-01 10:05:00.0")),   // matched within the window
+      (2L, None)))                           // watermark-proven unmatched
+  }
+
   test("dropDuplicatesWithinWatermark keeps one row per user+type") {
     val ms = MemoryStream[Ev](spark)
     ms.addData(fixture: _*)
