@@ -137,6 +137,17 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames(0)._2.head == 0.toByte && frames(3)._2.last == 99.toByte)
   }
 
+  test("sniffer and resize never throw on fuzzed bytes") {
+    val rnd = new scala.util.Random(5)
+    for (_ <- 1 to 500) {
+      val b = Array.fill[Byte](rnd.nextInt(64))(rnd.nextInt().toByte)
+      // seed with real magic numbers sometimes so parsing goes deeper
+      if (b.length >= 2 && rnd.nextBoolean()) { b(0) = 0xff.toByte; b(1) = 0xd8.toByte }
+      MediaCodec.sniff(b)
+      Multimodal.imageResizePixels(b, 8, 8)
+    }
+  }
+
   test("decodeMeta carries real headers through the typed batch path") {
     import spark.implicits._
     val media = Seq(
