@@ -19,8 +19,38 @@ object CsvIngest {
       .csv(paths: _*)
 
   /** Ingest = read + normalize + overwrite, mirroring
-    * create-table-then-append (`operations.py:679-680`). */
-  def ingest(spark: SparkSession, dstPath: String, paths: String*): Unit =
-    TypeNormalizer.normalize(readCsv(spark, paths: _*))
-      .write.mode("overwrite").parquet(dstPath)
+    * create-table-then-append (`operations.py:679-680`), committed through
+    * the crash-atomic snapshot. */
+  def ingest(spark: SparkSession, dstPath: String, paths: String*): Unit = {
+    Snapshot.commit(
+      TypeNormalizer.normalize(readCsv(spark, paths: _*)), dstPath)
+    ()
+  }
+
+  /** Dirty-CSV ingest: rows that don't parse against the declared schema
+    * land whole in a quarantine column instead of aborting the scan or
+    * silently nulling — the reference's `errors="coerce"` posture
+    * (operations.py:120-128) extended to row shape, and the only viable
+    * posture on a 100 TB crawl where some malformed rows are certain.
+    * Returns (clean rows, quarantined raw lines); the caller decides
+    * whether quarantine volume fails the load.
+    */
+  def readCsvQuarantined(spark: SparkSession, schemaDdl: String,
+                         paths: String*): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
+      .add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    val all = spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(schema)
+      .csv(paths: _*)
+      // corrupt-record extraction is lazy per-column: cache so the
+      // clean/quarantine split doesn't re-parse the files
+      .cache()
+    (all.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
+      all.filter(col("_corrupt_record").isNotNull)
+        .select(col("_corrupt_record").as("raw_line")))
+  }
 }

@@ -22,9 +22,26 @@ class IngestSpec extends AnyFunSuite {
     val nation = Tables.t(spark, TestSpark.Sf, "nation")
     nation.write.option("header", "true").csv(csvDir)
     CsvIngest.ingest(spark, dst, csvDir)
-    val back = spark.read.parquet(dst)
+    val back = Snapshot.read(spark, dst)
     assert(back.count() == nation.count())
     assert(back.columns.sorted.sameElements(nation.columns.sorted))
+  }
+
+  test("dirty csv rows quarantine instead of aborting or silently nulling") {
+    val dir = s"/tmp/graft-test-csv-dirty-${System.nanoTime()}"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/data.csv"),
+      """id,qty
+        |1,10
+        |2,not-a-number
+        |3,30
+        |""".stripMargin)
+    val (clean, quarantined) = CsvIngest.readCsvQuarantined(
+      spark, "id BIGINT, qty BIGINT", s"$dir/data.csv")
+    assert(clean.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    val bad = quarantined.collect().map(_.getString(0))
+    assert(bad.length == 1 && bad(0).contains("not-a-number"))
   }
 
   test("bucketed seed enables shuffle-free self-join on the bucket column") {
