@@ -98,6 +98,48 @@ object CorpusQueries extends QueryModule {
         .orderBy("source", "token")
     },
 
+    // The end-to-end corpus-prep pipeline in ONE query: clean → quality
+    // gate → exact-dedup (keep the canonical doc per cleaned-content hash)
+    // → context-length chunking. This is the composition a real
+    // training-data run executes; each stage is the already-verified
+    // operator (q66, q33's scoring, q31's canonical rule, q65's chunker)
+    // and the whole chain stays one scan + one dedup shuffle + one
+    // generator — no stage materializes an intermediate table.
+    "q85_corpus_pipeline" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val chunkSize = 50
+      val stride = 40
+      val stripped  = regexp_replace(col("text"), "<[^>]*>", " ")
+      val collapsed = trim(regexp_replace(stripped, "[ \\t\\n\\f\\r]+", " "))
+      val cleaned = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), lower(collapsed).as("clean_text"))
+      val tok   = split(col("clean_text"), " ")
+      val nTok  = size(tok).cast("double")
+      val nStop = size(filter(tok, (t: Column) =>
+        t.isInCollection(Seq("the", "a", "of", "and", "to")))).cast("double")
+      val nDist = size(array_distinct(tok)).cast("double")
+      val quality = nDist / nTok * lit(0.5) +
+        (lit(1.0) - nStop / nTok) * lit(0.5)
+      val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+      val canonical = cleaned
+        .filter(size(tok) >= 10 && quality >= 0.6)
+        .withColumn("h", md5(col("clean_text").cast("binary")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      val ctok = split(col("clean_text"), " ")
+      canonical
+        .select(col("doc_id"), ctok.as("tok"),
+          posexplode(sequence(lit(1),
+            greatest(size(ctok) - (chunkSize - stride), lit(1)),
+            lit(stride))).as(Seq("chunk_id", "start")))
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          size(slice(col("tok"), col("start"), lit(chunkSize)))
+            .cast("long").as("n_tokens"),
+          array_join(slice(col("tok"), col("start"), lit(chunkSize)), " ")
+            .as("chunk_text"))
+        .orderBy("doc_id", "chunk_id")
+    },
+
     // PII redaction: emails and phone numbers replaced with typed tokens.
     // The fixture corpus carries no PII, so the query plants a synthetic
     // contact line per document and redacts it — the assertion is that the
@@ -157,6 +199,40 @@ object CorpusQueries extends QueryModule {
         |        AS token
         |      FROM documents)
         |GROUP BY source, token ORDER BY source, token""".stripMargin,
+
+    "q85_corpus_pipeline" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    LOWER(TRIM(REGEXP_REPLACE(
+        |      REGEXP_REPLACE(text, '<[^>]*>', ' ', 'g'),
+        |      '[ \t\n\f\r]+', ' ', 'g'))) AS clean_text
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, clean_text,
+        |    STRING_SPLIT(clean_text, ' ') AS tok
+        |  FROM c),
+        |q AS (
+        |  SELECT doc_id, clean_text, tok
+        |  FROM t
+        |  WHERE LEN(tok) >= 10
+        |    AND CAST(LEN(LIST_DISTINCT(tok)) AS DOUBLE) / LEN(tok) * 0.5
+        |      + (1.0 - CAST(LEN(LIST_FILTER(tok,
+        |          x -> x IN ('the','a','of','and','to'))) AS DOUBLE)
+        |          / LEN(tok)) * 0.5 >= 0.6),
+        |k AS (
+        |  SELECT doc_id, tok,
+        |    ROW_NUMBER() OVER (PARTITION BY MD5(clean_text)
+        |                       ORDER BY doc_id) AS rn
+        |  FROM q),
+        |starts AS (
+        |  SELECT doc_id, tok,
+        |    UNNEST(RANGE(1, GREATEST(LEN(tok) - 10, 1) + 1, 40)) AS start
+        |  FROM k WHERE rn = 1)
+        |SELECT doc_id, CAST((start - 1) // 40 AS BIGINT) AS chunk_id,
+        |  CAST(LEN(LIST_SLICE(tok, start, start + 49)) AS BIGINT) AS n_tokens,
+        |  ARRAY_TO_STRING(LIST_SLICE(tok, start, start + 49), ' ')
+        |    AS chunk_text
+        |FROM starts ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q67_pii_redact" ->
       """WITH p AS (
