@@ -183,6 +183,34 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stateful query restarts from its checkpoint and carries state over") {
+    // the durability claim behind SCALE.md's checkpoint guidance: stop a
+    // stateful query mid-stream, start a NEW query from the same
+    // checkpoint, and the aggregation state must carry over (not recount
+    // from zero / not reprocess consumed offsets)
+    val ckpt = s"/tmp/graft-test-restart-ckpt-${System.nanoTime()}"
+    val ms = MemoryStream[Ev](spark)
+    ms.addData(fixture: _*) // 4 clicks total, 3 in the 10:00 hour
+    val q1 = StreamingOps.hourlyCounts(ms.toDF())
+      .writeStream.format("memory").queryName("restart_a")
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete").start()
+    q1.processAllAvailable(); q1.stop()
+
+    ms.addData(Ev(7, ts("2024-01-01 10:45:00"), 3, "click", 1.0))
+    val q2 = StreamingOps.hourlyCounts(ms.toDF())
+      .writeStream.format("memory").queryName("restart_b")
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete").start()
+    q2.processAllAvailable(); q2.stop()
+    val hour10 = spark.table("restart_b")
+      .filter(col("event_type") === "click" &&
+        col("hour") === ts("2024-01-01 10:00:00"))
+      .collect()(0).getLong(2)
+    // 3 pre-restart clicks recovered from state + 1 post-restart
+    assert(hour10 == 4L)
+  }
+
   test("foreachBatch upsert sink applies the batch kernel per micro-batch") {
     val dest = s"/tmp/graft-test-upsert-${System.nanoTime()}"
     Seq(Ev(100, ts("2024-01-01 09:00:00"), 9, "seed", 0.0))
