@@ -27,16 +27,27 @@ object CsvIngest {
     ()
   }
 
+  /** The two sides of a quarantined read, sharing one parse cache. Call
+    * [[release]] once both sides are consumed — the cache backs BOTH
+    * frames (unpersisting either result frame would not free it), and a
+    * driver looping over many loads would otherwise pin every parsed
+    * dataset until the session dies.
+    */
+  final case class QuarantinedCsv(clean: DataFrame, quarantined: DataFrame,
+                                  private val shared: DataFrame) {
+    def release(): Unit = { shared.unpersist(); () }
+  }
+
   /** Dirty-CSV ingest: rows that don't parse against the declared schema
     * land whole in a quarantine column instead of aborting the scan or
     * silently nulling — the reference's `errors="coerce"` posture
     * (operations.py:120-128) extended to row shape, and the only viable
     * posture on a 100 TB crawl where some malformed rows are certain.
-    * Returns (clean rows, quarantined raw lines); the caller decides
-    * whether quarantine volume fails the load.
+    * The caller decides whether quarantine volume fails the load, then
+    * calls [[QuarantinedCsv.release]].
     */
   def readCsvQuarantined(spark: SparkSession, schemaDdl: String,
-                         paths: String*): (DataFrame, DataFrame) = {
+                         paths: String*): QuarantinedCsv = {
     import org.apache.spark.sql.functions.col
     val schema = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
       .add("_corrupt_record", org.apache.spark.sql.types.StringType)
@@ -46,11 +57,15 @@ object CsvIngest {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .schema(schema)
       .csv(paths: _*)
-      // corrupt-record extraction is lazy per-column: cache so the
-      // clean/quarantine split doesn't re-parse the files
+      // the cache is load-bearing, not an optimization: Spark disallows
+      // projecting ONLY the internal corrupt-record column from a live
+      // CSV scan (the quarantine side), and it also keeps the
+      // clean/quarantine split from re-parsing the files
       .cache()
-    (all.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
+    QuarantinedCsv(
+      all.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
       all.filter(col("_corrupt_record").isNotNull)
-        .select(col("_corrupt_record").as("raw_line")))
+        .select(col("_corrupt_record").as("raw_line")),
+      all)
   }
 }

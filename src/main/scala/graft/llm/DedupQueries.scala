@@ -141,7 +141,14 @@ object DedupQueries extends QueryModule {
     * so round N's plan doesn't replay rounds 1..N-1. Rounds needed = graph
     * diameter; near-dup components are clique-like (diameter 1-3).
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame =
+    connectedComponentsWithRounds(pairs, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of propagation rounds it ran
+    * — the diagnostic ProfileQ71 reports (probing with increasing maxIter
+    * would redo the whole pair join per attempt). */
+  private[graft] def connectedComponentsWithRounds(
+      pairs: DataFrame, maxIter: Int): (DataFrame, Int) = {
     // edges hash-partitioned on dst, labels on id: localCheckpoint
     // preserves outputPartitioning, so every round's edges-to-labels join
     // is co-partitioned and the only shuffle per round is the groupBy(src)
@@ -178,7 +185,7 @@ object DedupQueries extends QueryModule {
     // components (a >maxIter-diameter chain is pathological, not silent)
     require(converged,
       s"connectedComponents did not converge in $maxIter rounds")
-    labels
+    (labels, iter)
   }
 
   /** One min-label propagation round: equi-join to the neighborhood, min

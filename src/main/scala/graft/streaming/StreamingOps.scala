@@ -69,29 +69,11 @@ object StreamingOps {
     * watermark - interval — unbounded-state stream joins don't survive a
     * 100 TB day; the time bound is what makes this one production-shaped.
     */
-  def errorClickJoin(events: DataFrame): DataFrame = {
-    val errors = events.filter(col("event_type") === "error")
-      .select(col("event_id").as("error_id"), col("user_id"),
-        col("ts").as("err_ts"))
-      .withWatermark("err_ts", "1 hour")
-    val clicks = events.filter(col("event_type") === "click")
-      .select(col("user_id").as("click_user"), col("ts").as("click_ts"))
-      .withWatermark("click_ts", "1 hour")
-    errors.join(clicks,
-      expr("""user_id = click_user AND
-              click_ts > err_ts AND
-              click_ts <= err_ts + INTERVAL 10 MINUTES"""))
-      .select(col("error_id"), col("user_id"), col("err_ts"), col("click_ts"))
-  }
+  def errorClickJoin(events: DataFrame): DataFrame =
+    errorClickJoin(events, "inner")
 
-  /** Left-outer watermarked stream-stream join — the state-eviction hard
-    * case: an error with no click in its 10-minute window must still emit
-    * (with a null click_ts), but only once the watermark proves no
-    * matching click can arrive. Same time-bounded condition as
-    * [[errorClickJoin]]; the outer side's null emission is what the
-    * watermark makes safe (without it the row would wait forever).
-    */
-  def errorClickJoinLeft(events: DataFrame): DataFrame = {
+  private def errorClickJoin(events: DataFrame, joinType: String)
+      : DataFrame = {
     val errors = events.filter(col("event_type") === "error")
       .select(col("event_id").as("error_id"), col("user_id"),
         col("ts").as("err_ts"))
@@ -103,9 +85,19 @@ object StreamingOps {
       expr("""user_id = click_user AND
               click_ts > err_ts AND
               click_ts <= err_ts + INTERVAL 10 MINUTES"""),
-      "leftOuter")
+      joinType)
       .select(col("error_id"), col("user_id"), col("err_ts"), col("click_ts"))
   }
+
+  /** Left-outer watermarked stream-stream join — the state-eviction hard
+    * case: an error with no click in its 10-minute window must still emit
+    * (with a null click_ts), but only once the watermark proves no
+    * matching click can arrive. Same time-bounded condition as
+    * [[errorClickJoin]]; the outer side's null emission is what the
+    * watermark makes safe (without it the row would wait forever).
+    */
+  def errorClickJoinLeft(events: DataFrame): DataFrame =
+    errorClickJoin(events, "leftOuter")
 
   /** Input/output shapes for the custom-state operator. */
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)

@@ -37,11 +37,9 @@ object ProfileQ71 {
     }
     // how many propagation rounds does the sf0.1 pair graph need?
     val pairs = TextQueries.prefixJaccardPairs(d, 0.6)
-    val rounds = (1 to 6).find { k =>
-      try { DedupQueries.connectedComponents(pairs, maxIter = k); true }
-      catch { case _: IllegalArgumentException => false }
-    }
-    println(s"cc-rounds     ${rounds.getOrElse(-1)}")
+    val (_, rounds) =
+      DedupQueries.connectedComponentsWithRounds(pairs, maxIter = 50)
+    println(s"cc-rounds     $rounds")
     spark.stop()
   }
 }

@@ -37,11 +37,13 @@ class IngestSpec extends AnyFunSuite {
         |2,not-a-number
         |3,30
         |""".stripMargin)
-    val (clean, quarantined) = CsvIngest.readCsvQuarantined(
+    val q = CsvIngest.readCsvQuarantined(
       spark, "id BIGINT, qty BIGINT", s"$dir/data.csv")
-    assert(clean.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
-    val bad = quarantined.collect().map(_.getString(0))
-    assert(bad.length == 1 && bad(0).contains("not-a-number"))
+    try {
+      assert(q.clean.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+      val bad = q.quarantined.collect().map(_.getString(0))
+      assert(bad.length == 1 && bad(0).contains("not-a-number"))
+    } finally q.release()
   }
 
   test("bucketed seed enables shuffle-free self-join on the bucket column") {
