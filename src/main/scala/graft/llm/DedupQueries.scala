@@ -168,18 +168,24 @@ object DedupQueries extends QueryModule {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // convergence is an `observe` metric on the checkpoint write itself:
-      // the changed-row count rides the same job that materializes the
-      // round, so each round is exactly one action (a separate
-      // filter+isEmpty pass would re-run the round's join)
+      // Two propagation steps per materialized round: each checkpoint is
+      // a full job (schedule + materialize), so halving the action count
+      // halves the fixed per-round cost while the lineage stays two
+      // joins deep — diameter-d components need ceil(d/2) actions, not d.
+      // Convergence is an `observe` metric on the checkpoint write
+      // itself: the changed-row count of the SECOND step rides the same
+      // job that materializes the round (a separate filter+isEmpty pass
+      // would re-run the joins), and step2 changing nothing proves the
+      // fixpoint regardless of what step1 did.
       val obs = new org.apache.spark.sql.Observation(s"cc_round_$iter")
-      labels = propagateRound(edges, labels)
+      labels = propagateRound(edges,
+          propagateRound(edges, labels).drop("chg"))
         .observe(obs, coalesce(sum(when(col("chg"), 1L).otherwise(0L)),
           lit(0L)).as("changed"))
         .drop("chg")
         .localCheckpoint()
       converged = obs.get("changed").asInstanceOf[Long] == 0L
-      iter += 1
+      iter += 2
     }
     // fail loudly: returning mid-propagation labels would silently split
     // components (a >maxIter-diameter chain is pathological, not silent)
@@ -260,7 +266,8 @@ object DedupQueries extends QueryModule {
         col("doc_id"), col("source"),
         array_sort(array_distinct(transform(split(col("text"), " "),
           (t: Column) => xxhash64(t)))).as("tok"))
-      val pairs = TextQueries.prefixJaccardPairs(d, 0.6)
+      val pairs =
+        TextQueries.prefixJaccardPairs(d, 0.6, presentationSort = false)
       connectedComponents(pairs)
         .select(col("id").as("doc_id"), col("label").as("cluster_id"),
           (col("id") === col("label")).as("is_canonical"))

@@ -96,6 +96,25 @@ object TextQueries extends QueryModule {
     def positionOk(aN: Column, aP: Column, bN: Column, bP: Column): Column =
       lit(1) + least(aN - aP, bN - bP) >=
         ceil(lit(threshold) * (aN + bN) / lit(1 + threshold) - lit(1e-9))
+    //  - asymmetric index prefix (the PPJoin indexing bound): for a true
+    //    pair J >= t, orient A = the (|d|, id)-lex smaller side; then
+    //    |A| >= t*|B| (J >= t forces it), so the required overlap
+    //    o >= ceil(t/(1+t)*(|A|+|B|)) >= ceil(2t/(1+t)*|A|), and the
+    //    pair's globally-smallest shared token sits within A's first
+    //    |A| - ceil(2t/(1+t)*|A|) + 1 tokens — a strictly shorter prefix
+    //    than the probing t-prefix (0.25|A| vs 0.4|A| at t=0.6). Applied
+    //    as a pure predicate over the SAME postings (no extra plan
+    //    branch): every pair must present its shared token inside the
+    //    shorter side's index prefix, or another posting of the same pair
+    //    will (the guaranteed token does) — candidates shrink, output is
+    //    provably unchanged (property-tested against the naive oracle).
+    val tIdx = 2 * threshold / (1 + threshold)
+    def idxPrefixLen(n: Column) =
+      n - ceil(lit(tIdx) * n - lit(1e-9)).cast("long") + lit(1L)
+    def indexPrefixOk(aN: Column, aP: Column, aId: Column,
+                      bN: Column, bP: Column, bId: Column): Column =
+      when(aN < bN || (aN === bN && aId < bId),
+        aP <= idxPrefixLen(aN)).otherwise(bP <= idxPrefixLen(bN))
     // Pair generation splits by posting-list shape (profiled at sf0.1):
     //  - df-ordered (word tokens): posting lists are longer and skewed, so
     //    pairs come from a partition-parallel self-join — a hot token's
@@ -108,14 +127,26 @@ object TextQueries extends QueryModule {
     //    and no join machinery for 2-element buckets (1.7x faster, and
     //    the positional filter halves the candidates).
     if (dfOrdered) {
-      postings.select(col("source"), col("h"), col("doc_id").as("a_id"),
+      // shuffle_hash (not the planner's broadcast pick): both sides are
+      // the SAME postings subplan, so with identical hashpartitioning
+      // exchanges Spark's ReuseExchange computes the whole postings
+      // pipeline (scan -> tokenize -> df agg -> rank window) ONCE — a
+      // broadcast join instead rebuilds it per side (profiled 2x the
+      // stage cost at sf0.1). At 100 TB this is also the only honest
+      // plan: prefix postings don't broadcast, and the df-ordered prefix
+      // is what keeps (source, h) un-skewed (hot tokens live in the
+      // un-indexed suffix), so the shuffle is safe.
+      postings.hint("shuffle_hash")
+        .select(col("source"), col("h"), col("doc_id").as("a_id"),
           col("ntok").as("a_n"), col("pos").as("a_p"))
-        .join(postings.select(col("source"), col("h"),
+        .join(postings.hint("shuffle_hash").select(col("source"), col("h"),
           col("doc_id").as("b_id"), col("ntok").as("b_n"),
           col("pos").as("b_p")), Seq("source", "h"))
         .filter(col("a_id") < col("b_id") &&
           lengthOk(col("a_n"), col("b_n")) &&
-          positionOk(col("a_n"), col("a_p"), col("b_n"), col("b_p")))
+          positionOk(col("a_n"), col("a_p"), col("b_n"), col("b_p")) &&
+          indexPrefixOk(col("a_n"), col("a_p"), col("a_id"),
+            col("b_n"), col("b_p"), col("b_id")))
         .select(col("source"), col("a_id"), col("b_id"))
         .distinct()
     } else {
@@ -136,7 +167,11 @@ object TextQueries extends QueryModule {
              |      CAST(least(p.a_n, p.b_n) AS DOUBLE) >=
              |        $t * greatest(p.a_n, p.b_n) - 1e-9
              |      AND 1 + least(p.a_n - p.a_p, p.b_n - p.b_p) >=
-             |        ceil($t * (p.a_n + p.b_n) / (1 + $t) - 1e-9))))"""
+             |        ceil($t * (p.a_n + p.b_n) / (1 + $t) - 1e-9)
+             |      AND (CASE WHEN p.a_n <= p.b_n
+             |        THEN p.a_p <= p.a_n - ceil($tIdx * p.a_n - 1e-9) + 1
+             |        ELSE p.b_p <= p.b_n - ceil($tIdx * p.b_n - 1e-9) + 1
+             |        END))))"""
             .stripMargin)).as("p"))
         .select(col("source"), col("p.a_id").as("a_id"),
           col("p.b_id").as("b_id"))
@@ -144,11 +179,15 @@ object TextQueries extends QueryModule {
     }
   }
 
+  /** `presentationSort = false` skips the final total ORDER BY — for
+    * consumers like q71's clustering that only need the edge set, the
+    * sort's range exchange is pure waste. */
   def prefixJaccardPairs(docs: DataFrame, threshold: Double,
-                         dfOrdered: Boolean = true): DataFrame = {
+                         dfOrdered: Boolean = true,
+                         presentationSort: Boolean = true): DataFrame = {
     val cand = prefixCandidates(docs, threshold, dfOrdered)
     val sides = docs.select(col("doc_id"), col("tok"))
-    cand
+    val verified = cand
       .join(sides.select(col("doc_id").as("a_id"), col("tok").as("a_tok")),
         "a_id")
       .join(sides.select(col("doc_id").as("b_id"), col("tok").as("b_tok")),
@@ -162,7 +201,8 @@ object TextQueries extends QueryModule {
       .filter(col("jaccard") >= threshold)
       .select(col("source"), col("a_id"), col("b_id"),
         round(col("jaccard"), 4).as("jaccard"))
-      .orderBy("source", "a_id", "b_id")
+    if (presentationSort) verified.orderBy("source", "a_id", "b_id")
+    else verified
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

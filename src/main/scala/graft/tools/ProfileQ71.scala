@@ -19,9 +19,12 @@ object ProfileQ71 {
     val dir = "/root/testdata/sf0.1"
     def time(name: String)(body: => Unit): Unit = {
       body // warm
-      val t0 = System.nanoTime()
-      body
-      println(f"$name%-12s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        body
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$name%-12s ${ts.sorted.apply(1)}%.2f s (min ${ts.min}%.2f max ${ts.max}%.2f)")
     }
     val d = Tables.t(spark, dir, "documents").select(
       col("doc_id"), col("source"),
