@@ -31,25 +31,39 @@ object Bench {
         System.err.println(s"[bench] warm-up $name failed: ${e.getMessage}")
       }
     }
+    // Median of >= 3 timed passes per query: single runs on this box swing
+    // ±25% run-to-run (round-3 saw 2x "regressions" on provably unchanged
+    // code), so per-query regression tracking needs a location estimate
+    // plus the spread that says how much signal a delta carries.
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt max 1
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+      val times = (1 to nRuns).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+              Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); None
         }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      }
+      (name, times)
     }
-    // failed queries report null, not a near-zero time indistinguishable
-    // from success; total covers succeeded queries only
-    val qs = results.map { case (k, v, ok) =>
-      "\"" + k + "\":" + (if (ok) v.toString else "null")
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    // a query failing ANY pass reports null (a near-zero or partial time is
+    // indistinguishable from success); total covers succeeded queries only
+    val qs = results.map { case (k, ts) =>
+      "\"" + k + "\":" + (if (ts.size == nRuns) median(ts).toString else "null")
     }.mkString("{", ",", "}")
-    val errs = results.filter(!_._3).map("\"" + _._1 + "\"")
+    val spread = results.filter(_._2.size == nRuns).map { case (k, ts) =>
+      "\"" + k + "\":[" + ts.min + "," + ts.max + "]"
+    }.mkString("{", ",", "}")
+    val errs = results.filter(_._2.size != nRuns).map("\"" + _._1 + "\"")
       .mkString("[", ",", "]")
-    val total = results.filter(_._3).map(_._2).sum
+    val total = results.filter(_._2.size == nRuns).map(r => median(r._2)).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$nRuns,"queries":$qs,"spread":$spread,"errors":$errs,"sf":"$sfDir"}"""
     println(json)
     // stdout passes through sbt's [info] logger prefix, which breaks the
     // driver's JSON parse — also land the line in a file it can read raw.
