@@ -4,6 +4,7 @@ import java.nio.charset.StandardCharsets.UTF_8
 
 import org.apache.hadoop.fs.{FileContext, Options, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Crash-atomic snapshot commit over plain parquet — the reference wraps
   * every chunk write in a transaction (`pyopenetl/operations.py:181`
@@ -11,18 +12,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * granularity without a table-format dependency (the full Delta/Iceberg
   * log remains the seam for row-level commits, SURVEY.md §7.3).
   *
-  * Layout: `root/_v<N>/` holds complete parquet snapshots; `root/_current`
-  * is a one-line pointer file naming the committed version. Commit order:
+  * Layout: `root/_v<N>/` holds complete parquet base snapshots;
+  * `root/_v<N>_d<M>/` holds incremental delta snapshots on top of base
+  * `<N>` (see [[commitDelta]]); `root/_current` is a one-line pointer file
+  * naming the committed (base, delta-count) pair. Base commit order:
   *
   *   1. write the new snapshot into a fresh `_v<N+1>` directory — readers
   *      never look at it because the pointer still names `<N>`;
   *   2. write the pointer to a temp file and atomically rename it over
   *      `_current` ([[FileContext.rename]] with OVERWRITE — atomic on
   *      HDFS and POSIX; on S3-likes the pointer is one small object so
-  *      the swap is a single atomic PUT);
-  *   3. garbage-collect all versions except the new one and its
-  *      predecessor (kept for readers that resolved the pointer just
-  *      before the swap).
+  *      the swap is a single atomic PUT), then read it back and verify it
+  *      carries this writer's commit token — two committers racing the
+  *      same version fail loudly instead of silently dropping a commit;
+  *   3. garbage-collect all versions (and their deltas) except the new
+  *      one and its predecessor (kept for readers that resolved the
+  *      pointer just before the swap).
   *
   * A crash at any point leaves either the old pointer + a dead `_v` dir
   * (invisible to readers — underscore-prefixed paths are also ignored by
@@ -30,31 +35,86 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * sees a partial version) or the new pointer + a complete snapshot. The
   * next successful commit always picks `max(pointer, existing dirs) + 1`,
   * so a crashed writer's orphan directory is never reused, and the GC pass
-  * removes it. Single-writer: concurrent committers need the table-format
-  * seam (a compare-and-swap on the pointer).
+  * removes it.
+  *
+  * Concurrency contract: optimistic single-winner. The pointer swap is the
+  * commit point; each writer stamps a unique token into the pointer and
+  * re-reads it after the rename — the writer whose token survives won, any
+  * other raises [[Snapshot.ConcurrentCommitException]] with nothing
+  * half-committed (its orphan data directory is GC'd later). True
+  * lock-free multi-writer (compare-and-swap on the pointer) remains the
+  * table-format seam.
   */
 object Snapshot {
 
+  /** Thrown when the post-rename pointer read-back shows another writer's
+    * commit landed on top of ours — the loser of an optimistic race. The
+    * winning commit is intact; the caller retries from a fresh read. */
+  final class ConcurrentCommitException(msg: String)
+      extends RuntimeException(msg)
+
   private val PointerName = "_current"
+
+  /** Deltas folded into a new base once a commitDelta would exceed this
+    * many stacked deltas (merge-on-read cost is linear in the stack). */
+  val CompactThreshold = 8
+
+  /** Committed pointer state: base version, number of stacked deltas, the
+    * upsert key the deltas merge on (empty until the first commitDelta),
+    * and the committing writer's unique token. */
+  private[etl] final case class Pointer(base: Long, nDeltas: Long,
+                                        pk: String, token: String) {
+    def line: String = s"$base:$nDeltas:$pk:$token"
+  }
+
+  private[etl] def parsePointer(s: String): Pointer = {
+    val t = s.trim
+    t.toLongOption match {
+      case Some(v) => Pointer(v, 0L, "", "") // legacy plain-version pointer
+      case None =>
+        // limit=-1 keeps trailing empties: "3:2:id:" splits to 4 fields
+        val parts = t.split(":", -1)
+        require(parts.length == 4, s"unparseable snapshot pointer: $t")
+        Pointer(parts(0).toLong, parts(1).toLong, parts(2), parts(3))
+    }
+  }
 
   private def conf(spark: SparkSession) =
     spark.sparkContext.hadoopConfiguration
 
   private def versionDir(root: String, v: Long) = new Path(root, s"_v$v")
 
-  /** The committed version, if the root has ever been committed to. */
-  def currentVersion(spark: SparkSession, root: String): Option[Long] = {
+  private def deltaDir(root: String, v: Long, d: Long) =
+    new Path(root, s"_v${v}_d$d")
+
+  /** The raw pointer line — kept verbatim (not re-serialized) because the
+    * optimistic-concurrency check compares it byte-for-byte. */
+  private def readPointerLine(spark: SparkSession, root: String)
+      : Option[String] = {
     val ptr = new Path(root, PointerName)
     val fs  = ptr.getFileSystem(conf(spark))
     if (!fs.exists(ptr)) None
     else {
       val in = fs.open(ptr)
-      try Some(new String(in.readAllBytes(), UTF_8).trim.toLong)
+      try Some(new String(in.readAllBytes(), UTF_8).trim)
       finally in.close()
     }
   }
 
-  /** All `_v<N>` directories present, committed or not. */
+  private def readPointer(spark: SparkSession, root: String)
+      : Option[Pointer] =
+    readPointerLine(spark, root).map(parsePointer)
+
+  /** The committed base version, if the root has ever been committed to. */
+  def currentVersion(spark: SparkSession, root: String): Option[Long] =
+    readPointer(spark, root).map(_.base)
+
+  /** The number of delta snapshots stacked on the committed base. */
+  def currentDeltaCount(spark: SparkSession, root: String): Long =
+    readPointer(spark, root).map(_.nDeltas).getOrElse(0L)
+
+  /** All `_v<N>` base directories present, committed or not (delta dirs
+    * `_v<N>_d<M>` fail the toLong parse and drop out). */
   private def listVersions(spark: SparkSession, root: String): Seq[Long] = {
     val p  = new Path(root)
     val fs = p.getFileSystem(conf(spark))
@@ -64,43 +124,96 @@ object Snapshot {
       .flatMap(s => s.getPath.getName.stripPrefix("_v").toLongOption)
   }
 
-  /** Resolve the pointer and read the committed snapshot. Roots that have
-    * never been committed through [[commit]] fall back to a plain parquet
-    * read, so legacy destinations upgrade on their next commit.
+  /** All `_d<M>` indices present for base `v`, committed or not. */
+  private def listDeltas(spark: SparkSession, root: String, v: Long)
+      : Seq[Long] = {
+    val p  = new Path(root)
+    val fs = p.getFileSystem(conf(spark))
+    if (!fs.exists(p)) Nil
+    else fs.globStatus(new Path(root, s"_v${v}_d*")).toSeq
+      .filter(_.isDirectory)
+      .flatMap(s => s.getPath.getName.stripPrefix(s"_v${v}_d").toLongOption)
+  }
+
+  /** Resolve the pointer and read the committed table: the base snapshot
+    * with any committed deltas folded in, newest delta winning per key
+    * (exactly iterated [[UpsertKernel.merge]], restated as one window).
+    * Roots that have never been committed through [[commit]] fall back to
+    * a plain parquet read, so legacy destinations upgrade on their next
+    * commit.
     */
   def read(spark: SparkSession, root: String): DataFrame =
-    currentVersion(spark, root) match {
-      case Some(v) =>
-        val dir = versionDir(root, v)
+    readPointer(spark, root) match {
+      case Some(p) =>
+        val dir = versionDir(root, p.base)
         require(dir.getFileSystem(conf(spark)).exists(dir),
-          s"snapshot pointer names _v$v but the directory is missing: $root")
-        spark.read.parquet(dir.toString)
+          s"snapshot pointer names _v${p.base} but the directory is missing: $root")
+        val base = spark.read.parquet(dir.toString)
+        if (p.nDeltas == 0L) base
+        else mergedView(base, (1L to p.nDeltas).map(d =>
+          spark.read.parquet(deltaDir(root, p.base, d).toString)), p.pk)
       case None => spark.read.parquet(root)
     }
 
-  /** Commit `df` as the next version of `root` (see object doc for the
-    * crash-safety argument) and return a reader over the committed files.
-    * `partitionCols` lays the version out hive-partitioned (directory
-    * pruning inside the committed snapshot).
+  /** base ⊎ deltas with latest-wins-per-pk semantics: one union + one
+    * window on pk — O(base + Σdeltas) with a single shuffle, not the
+    * O(nDeltas) chained anti-joins of iterated merge. `unionByName` with
+    * null-fill tolerates per-delta schema drift (added/dropped columns),
+    * matching [[UpsertKernel.merge]]'s documented policy. Rows within one
+    * source are assumed pk-unique ([[commitDelta]]'s contract). */
+  private def mergedView(base: DataFrame, deltas: Seq[DataFrame],
+                         pk: String): DataFrame = {
+    val ranked = (base +: deltas).zipWithIndex
+      .map { case (df, i) => df.withColumn("__prec", lit(i)) }
+      .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(pk)).orderBy(col("__prec").desc)
+    ranked.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__prec", "__rn")
+  }
+
+  /** Commit `df` as the next base version of `root` (see object doc for
+    * the crash-safety argument) and return a reader over the committed
+    * files. `partitionCols` lays the version out hive-partitioned
+    * (directory pruning inside the committed snapshot). Resets the delta
+    * stack: a base commit is the whole table.
     */
   def commit(df: DataFrame, root: String,
-             partitionCols: Seq[String] = Nil): DataFrame = {
+             partitionCols: Seq[String] = Nil): DataFrame =
+    commitHooked(df, root, partitionCols, () => ())
+
+  /** [[commit]] with a phase hook fired between the data write and the
+    * pointer swap — the deterministic seam the concurrent-commit test
+    * interleaves through (production callers never pass it). */
+  private[etl] def commitHooked(df: DataFrame, root: String,
+                                partitionCols: Seq[String],
+                                beforeSwap: () => Unit): DataFrame = {
     val spark = df.sparkSession
-    val prev  = currentVersion(spark, root)
-    // one listing serves both the next-version pick and GC (single-writer
-    // contract — nothing else appends versions mid-commit); on an object
+    val prevLine = readPointerLine(spark, root)
+    val prev  = prevLine.map(parsePointer)
+    // one listing serves both the next-version pick and GC; on an object
     // store that's one LIST per commit, not two
     val seen  = listVersions(spark, root)
-    val next  = (prev.getOrElse(0L) max seen.maxOption.getOrElse(0L)) + 1
+    val next  =
+      (prev.map(_.base).getOrElse(0L) max seen.maxOption.getOrElse(0L)) + 1
 
     val w = df.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(versionDir(root, next).toString)
-    writePointer(spark, root, next)
+    beforeSwap()
+    swapPointer(spark, root, Pointer(next, 0L, "", newToken()), prevLine)
 
     val fs = new Path(root).getFileSystem(conf(spark))
-    seen.filter(v => v != next && !prev.contains(v))
-      .foreach(v => fs.delete(versionDir(root, v), true))
+    // GC dead bases and their delta stacks; the predecessor base keeps
+    // both (reader grace window — an in-flight reader may hold a pointer
+    // resolved just before the swap, deltas included)
+    seen.filter(v => v != next && !prev.map(_.base).contains(v))
+      .foreach { v =>
+        fs.delete(versionDir(root, v), true)
+        listDeltas(spark, root, v)
+          .foreach(d => fs.delete(deltaDir(root, v, d), true))
+      }
     // first commit over a legacy plain-parquet root: drop the pre-protocol
     // top-level files, otherwise a reader still on the old contract
     // (spark.read.parquet(root)) silently reads the frozen pre-upgrade
@@ -114,16 +227,99 @@ object Snapshot {
     spark.read.parquet(versionDir(root, next).toString)
   }
 
+  /** Commit `delta` incrementally: O(batch) write of a `_v<N>_d<M+1>`
+    * delta directory + the atomic pointer swap — never a rewrite of the
+    * base. [[read]] resolves base ⊎ deltas with latest-wins-per-`pk`
+    * merge semantics (the upsert kernel's `ON CONFLICT DO UPDATE`), so a
+    * continuously-running update pipeline (the reference's hourly
+    * `UpdatePipeline`, pipelines.py:73-115) costs per micro-batch what
+    * the batch carries, not what the table holds. Once the stack would
+    * exceed [[CompactThreshold]] the resolved view is folded into a new
+    * base — O(table) once every K batches, amortized O(batch + table/K).
+    *
+    * Contract: `delta` rows are pk-unique (the streaming sink dedups
+    * deterministically before committing); `pk` must match the stack's
+    * (verified — a key change mid-stack would silently corrupt the
+    * merge). A root with no base yet takes the delta as base version 1.
+    *
+    * Crash-safety is the base protocol's: a crash before the swap leaves
+    * a torn `_d<M+1>` directory the pointer never names — invisible to
+    * readers, and overwritten whole by the retried commit (the next
+    * index is always pointer-count + 1); base commits GC the whole
+    * stack of dead versions.
+    */
+  def commitDelta(delta: DataFrame, root: String, pk: String): DataFrame = {
+    val spark = delta.sparkSession
+    val prevLine = readPointerLine(spark, root)
+    prevLine.map(parsePointer) match {
+      case None =>
+        val p  = new Path(root)
+        val fs = p.getFileSystem(conf(spark))
+        val legacyData = fs.exists(p) && fs.listStatus(p)
+          .exists(!_.getPath.getName.startsWith("_"))
+        if (legacyData) {
+          // pre-protocol root with live data: upgrade it to base v1 first
+          // (one O(table) pass, once), THEN stack the delta — committing
+          // the delta as the table would silently drop the legacy rows
+          commit(spark.read.parquet(root), root)
+          commitDelta(delta, root, pk)
+        } else commit(delta, root) // first ever write: delta IS the table
+      case Some(p) =>
+        require(p.pk.isEmpty || p.pk == pk,
+          s"delta pk '$pk' does not match the stack's pk '${p.pk}' at $root")
+        // always pointer-count + 1: a crashed writer's torn _d<M+1> is
+        // invisible (the pointer never named it) and the retry's
+        // mode=overwrite IS the recovery — deriving the index from
+        // directory listings instead would skip past the orphan and
+        // then read would fold the torn data in (indices 1..nDeltas
+        // are what read resolves)
+        val nextD = p.nDeltas + 1
+        delta.write.mode("overwrite")
+          .parquet(deltaDir(root, p.base, nextD).toString)
+        swapPointer(spark, root, Pointer(p.base, nextD, pk, newToken()),
+          prevLine)
+        if (nextD >= CompactThreshold) commit(read(spark, root), root)
+        else read(spark, root)
+    }
+  }
+
+  private def newToken(): String = java.util.UUID.randomUUID().toString
+
   /** Pointer swap: temp write + atomic OVERWRITE rename, so readers see
-    * the old or the new pointer, never a torn one. */
-  private def writePointer(spark: SparkSession, root: String, v: Long): Unit = {
+    * the old or the new pointer, never a torn one. Optimistic-concurrency
+    * commit point, checked on BOTH edges:
+    *  - before the rename, the pointer must still read exactly what this
+    *    writer saw at commit start (`expected`) — a writer that would
+    *    otherwise blind-overwrite an interloper's committed pointer fails
+    *    loudly instead, with the interloper's commit intact;
+    *  - after the rename, the pointer must read back this writer's token
+    *    — a racer whose rename landed on top of ours makes US the loser,
+    *    and we must not report success.
+    * A racer landing exactly between the check and the rename can still
+    * be clobbered — closing that window needs a true compare-and-swap,
+    * which is the table-format (Delta/Iceberg log) seam. */
+  private def swapPointer(spark: SparkSession, root: String,
+                          p: Pointer, expected: Option[String]): Unit = {
     val ptr = new Path(root, PointerName)
     val tmp = new Path(root, s"$PointerName.tmp")
     val fs  = ptr.getFileSystem(conf(spark))
+    val atStart = readPointerLine(spark, root)
+    if (atStart != expected)
+      throw new ConcurrentCommitException(
+        s"lost commit race at $root: pointer moved from " +
+          s"'${expected.getOrElse("<none>")}' to " +
+          s"'${atStart.getOrElse("<none>")}' while this commit was " +
+          "writing — another writer committed; retry from a fresh read")
     val out = fs.create(tmp, true)
-    try { out.write(v.toString.getBytes(UTF_8)); out.hflush() }
+    try { out.write(p.line.getBytes(UTF_8)); out.hflush() }
     finally out.close()
     FileContext.getFileContext(ptr.toUri, conf(spark))
       .rename(tmp, ptr, Options.Rename.OVERWRITE)
+    val found = readPointerLine(spark, root)
+    if (!found.contains(p.line))
+      throw new ConcurrentCommitException(
+        s"lost commit race at $root: wrote pointer '${p.line}' but found " +
+          s"'${found.getOrElse("<none>")}' — another writer committed " +
+          "concurrently; retry from a fresh read")
   }
 }

@@ -26,13 +26,46 @@ import org.apache.spark.sql.functions._
   */
 object UpsertKernel {
 
+  /** Thrown when the delta re-types a column the destination already has —
+    * the one schema drift no null-fill can paper over. Mirrors the
+    * reference's fail-loud posture on unmappable types
+    * (`operations.py:262-266`), but names the offending columns instead of
+    * surfacing an opaque analysis error.
+    */
+  final class SchemaDriftException(val drifted: Seq[(String, String, String)])
+      extends IllegalArgumentException(
+        "upsert delta re-types existing column(s): " +
+          drifted.map { case (n, o, d) => s"$n: $o -> $d" }.mkString(", ") +
+          " — cast the delta explicitly (TypeNormalizer) before merging")
+
   /** W14 (`operations.py:716-723`): `INSERT … ON CONFLICT (pk) DO UPDATE` ≙
     * keep every old row whose pk is absent from the delta, then add the delta.
     * `unionByName` makes the reference's strict column-order requirement
     * (`operations.py:522-526`) order-insensitive — a deliberate improvement.
+    *
+    * Schema-drift policy (documented contract, tested in UpsertKernelSpec):
+    *  - column ADDED by the delta → kept; pre-existing rows null-fill;
+    *  - column DROPPED by the delta → kept; delta rows null-fill
+    *    (additive drift never loses data — the posture a long-running
+    *    ingest needs when upstream schemas evolve mid-stream);
+    *  - column RE-TYPED by the delta → [[SchemaDriftException]] naming the
+    *    drifted columns (silent coercion corrupts; the caller decides the
+    *    cast). The pk must exist on both sides.
     */
-  def merge(old: DataFrame, delta: DataFrame, pk: String): DataFrame =
-    old.join(delta.select(pk), Seq(pk), "left_anti").unionByName(delta)
+  def merge(old: DataFrame, delta: DataFrame, pk: String): DataFrame = {
+    require(delta.columns.contains(pk) && old.columns.contains(pk),
+      s"upsert pk '$pk' must exist on both sides")
+    val oldTypes = old.schema.map(f => f.name -> f.dataType).toMap
+    val drifted = delta.schema.flatMap { f =>
+      oldTypes.get(f.name).collect {
+        case t if t != f.dataType =>
+          (f.name, t.simpleString, f.dataType.simpleString)
+      }
+    }
+    if (drifted.nonEmpty) throw new SchemaDriftException(drifted)
+    old.join(delta.select(pk), Seq(pk), "left_anti")
+      .unionByName(delta, allowMissingColumns = true)
+  }
 
   /** Delete detection (`operations.py:556-574`, documented intent — the
     * reference swaps table↔connection, see SURVEY.md §2.1 quirks):

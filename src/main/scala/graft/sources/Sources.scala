@@ -62,18 +62,21 @@ final case class BinaryFileSource(
     maxBytes: Long = 512L << 20) extends Source {
   def read(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.functions.col
-    def load() = {
-      val base = spark.read.format("binaryFile")
-      globFilter.fold(base)(g => base.option("pathGlobFilter", g)).load(path)
-    }
-    val oversized = load().select("path", "length")
+    // ONE load() backs both the pre-scan and the returned frame: the
+    // DataFrame caches its file index, so the directory is LISTed once —
+    // on an object store LIST is the expensive call, and a second load()
+    // would repeat it for every read
+    val base = spark.read.format("binaryFile")
+    val df = globFilter.fold(base)(g => base.option("pathGlobFilter", g))
+      .load(path)
+    val oversized = df.select("path", "length")
       .filter(col("length") > maxBytes).limit(3).collect()
     if (oversized.nonEmpty)
       throw new IllegalArgumentException(
         s"binary files exceed maxBytes=$maxBytes: " +
           oversized.map(r => s"${r.getString(0)} (${r.getLong(1)}B)")
             .mkString(", "))
-    load()
+    df
   }
 }
 

@@ -1,6 +1,5 @@
 package graft.streaming
 
-import graft.etl.UpsertKernel
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState,
@@ -142,7 +141,6 @@ object StreamingOps {
     */
   def upsertSink(delta: DataFrame, destPath: String, pk: String,
                  deltaCol: String = "ts"): DataStreamWriter[Row] = {
-    val spark = delta.sparkSession
     delta.writeStream
       .outputMode("update")
       .trigger(Trigger.AvailableNow())
@@ -158,15 +156,17 @@ object StreamingOps {
             xxhash64(to_json(struct(batch.columns.map(col): _*))).asc)
         val latest = batch.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
-        val old = graft.etl.Snapshot.read(spark, destPath)
-        val merged = UpsertKernel.merge(old, latest, pk)
-        // crash-atomic versioned commit (graft.etl.Snapshot): the merged
-        // plan reads the committed _v<N> and writes _v<N+1>, then the
-        // pointer swings atomically — a crash mid-batch leaves readers on
-        // the old complete snapshot, and the replayed batch recommits the
-        // same content. Row-level (non-snapshot) merges remain the
-        // Delta/Iceberg seam at 100 TB (SURVEY.md §7.3).
-        graft.etl.Snapshot.commit(merged, destPath)
+        // crash-atomic INCREMENTAL commit (graft.etl.Snapshot.commitDelta):
+        // the micro-batch writes only its own deduped rows as a _d<M>
+        // delta and swings the pointer atomically — O(batch) per trigger,
+        // not O(table); Snapshot.read folds the stack latest-wins on pk
+        // (exactly UpsertKernel.merge semantics) and the stack compacts
+        // into a new base every CompactThreshold batches. A crash
+        // mid-batch leaves readers on the old complete pointer state, and
+        // the replayed batch recommits the same content. Row-level file
+        // rewrites (beyond snapshot+delta) remain the Delta/Iceberg seam
+        // at 100 TB (SURVEY.md §7.3).
+        graft.etl.Snapshot.commitDelta(latest, destPath, pk)
         ()
       }
   }

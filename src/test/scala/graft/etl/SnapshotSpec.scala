@@ -109,6 +109,125 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Snapshot.read(spark, root).count() == 3)
   }
 
+  test("commitDelta stacks deltas; read folds latest-wins per pk") {
+    import spark.implicits._
+    val root = freshRoot()
+    Snapshot.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "payload"), root)
+    Snapshot.commitDelta(
+      Seq((2L, "b2"), (3L, "c")).toDF("id", "payload"), root, "id")
+    Snapshot.commitDelta(Seq((3L, "c2")).toDF("id", "payload"), root, "id")
+    assert(Snapshot.currentVersion(spark, root).contains(1L))
+    assert(Snapshot.currentDeltaCount(spark, root) == 2L)
+    val out = Snapshot.read(spark, root).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((1L, "a"), (2L, "b2"), (3L, "c2")))
+  }
+
+  test("delta commit is O(batch): the base version's files are untouched") {
+    import spark.implicits._
+    val root = freshRoot()
+    Snapshot.commit(df(100), root)
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val before = fs.listStatus(new Path(root, "_v1"))
+      .map(s => (s.getPath.getName, s.getModificationTime, s.getLen)).toSet
+    Snapshot.commitDelta(Seq((1L, "upd")).toDF("id", "payload"), root, "id")
+    val after = fs.listStatus(new Path(root, "_v1"))
+      .map(s => (s.getPath.getName, s.getModificationTime, s.getLen)).toSet
+    assert(before == after) // no O(table) rewrite on the delta path
+    assert(Snapshot.read(spark, root).count() == 100)
+  }
+
+  test("the delta stack compacts into a new base at the threshold") {
+    import spark.implicits._
+    val root = freshRoot()
+    Snapshot.commit(Seq((0L, "base")).toDF("id", "payload"), root)
+    (1 to Snapshot.CompactThreshold.toInt).foreach { i =>
+      Snapshot.commitDelta(
+        Seq((i.toLong, s"d$i")).toDF("id", "payload"), root, "id")
+    }
+    // the threshold-th delta triggered compaction: new base, empty stack
+    assert(Snapshot.currentVersion(spark, root).contains(2L))
+    assert(Snapshot.currentDeltaCount(spark, root) == 0L)
+    assert(Snapshot.read(spark, root).count() == 1 + Snapshot.CompactThreshold)
+    // the old stack dies with its base at the next base commit
+    Snapshot.commit(df(2), root)
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(root, "_v1")))
+    assert(!fs.exists(new Path(root, "_v1_d1")))
+  }
+
+  test("kill between delta write and pointer swap: torn delta invisible, " +
+       "retry recovers by overwrite") {
+    import spark.implicits._
+    val root = freshRoot()
+    Snapshot.commit(df(3), root)
+    // crash state: _v1_d1 written (torn) but the pointer still names 0
+    // deltas — readers must not see it
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val torn = new Path(root, "_v1_d1/part-00000.parquet")
+    val o = fs.create(torn, true)
+    o.write("torn bytes, not parquet".getBytes(UTF_8)); o.close()
+    assert(Snapshot.currentDeltaCount(spark, root) == 0L)
+    assert(Snapshot.read(spark, root).count() == 3)
+    // the retried delta commit lands on the SAME index, replacing the
+    // torn directory whole — read folds only committed data
+    Snapshot.commitDelta(Seq((99L, "x")).toDF("id", "payload"), root, "id")
+    assert(Snapshot.currentDeltaCount(spark, root) == 1L)
+    assert(Snapshot.read(spark, root).count() == 4)
+  }
+
+  test("commitDelta on a legacy plain-parquet root upgrades without " +
+       "dropping the legacy rows") {
+    import spark.implicits._
+    val root = freshRoot()
+    df(4).write.parquet(root) // pre-protocol layout, no pointer
+    Snapshot.commitDelta(Seq((99L, "x")).toDF("id", "payload"), root, "id")
+    assert(Snapshot.read(spark, root).count() == 5)
+    assert(Snapshot.currentVersion(spark, root).contains(1L))
+  }
+
+  test("a delta with a different pk than the stack's fails loudly") {
+    import spark.implicits._
+    val root = freshRoot()
+    Snapshot.commit(df(2), root)
+    Snapshot.commitDelta(Seq((9L, "x")).toDF("id", "payload"), root, "id")
+    intercept[IllegalArgumentException] {
+      Snapshot.commitDelta(
+        Seq((9L, "x")).toDF("id", "payload"), root, "payload")
+    }
+  }
+
+  test("concurrent base commits: one winner, the loser fails loudly and " +
+       "the winner's data survives") {
+    val root = freshRoot()
+    Snapshot.commit(df(5), root)
+    // writer A passes its data-write phase, then writer B commits fully,
+    // then A reaches its pointer swap — A must detect B and fail, not
+    // blind-overwrite B's committed pointer
+    intercept[Snapshot.ConcurrentCommitException] {
+      Snapshot.commitHooked(df(7), root, Nil,
+        beforeSwap = () => { Snapshot.commit(df(9), root); () })
+    }
+    assert(Snapshot.read(spark, root).count() == 9) // B's commit intact
+    // the loser's orphan version dir is GC'd by the next commit
+    Snapshot.commit(df(2), root)
+    assert(Snapshot.read(spark, root).count() == 2)
+  }
+
+  test("delta schema drift across the stack null-fills at read") {
+    import spark.implicits._
+    val root = freshRoot()
+    Snapshot.commit(Seq((1L, "a")).toDF("id", "payload"), root)
+    Snapshot.commitDelta(
+      Seq((2L, "b", 42L)).toDF("id", "payload", "extra"), root, "id")
+    val out = Snapshot.read(spark, root).orderBy("id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(out.toSeq == Seq((1L, None), (2L, Some(42L))))
+  }
+
   test("a missing committed version fails loudly, not with wrong data") {
     val root = freshRoot()
     Snapshot.commit(df(2), root)

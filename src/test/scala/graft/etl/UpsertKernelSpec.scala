@@ -61,6 +61,41 @@ class UpsertKernelSpec extends AnyFunSuite {
     assert(out.count() == 2)
   }
 
+  test("schema drift: a column ADDED by the delta null-fills old rows") {
+    val old   = frame((1L, "2024-01-01 00:00:00", "a"))
+    val delta = frame((2L, "2024-01-09 00:00:00", "b"))
+      .withColumn("extra", lit(42L))
+    val out = UpsertKernel.merge(old, delta, "id").orderBy("id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(out.toSeq == Seq((1L, None), (2L, Some(42L))))
+  }
+
+  test("schema drift: a column DROPPED by the delta null-fills delta rows") {
+    val old   = frame((1L, "2024-01-01 00:00:00", "a"))
+    val delta = frame((2L, "2024-01-09 00:00:00", "b")).drop("v")
+    val out = UpsertKernel.merge(old, delta, "id").orderBy("id")
+      .collect().map(r => (r.getLong(0), Option(r.getString(2))))
+    assert(out.toSeq == Seq((1L, Some("a")), (2L, None)))
+  }
+
+  test("schema drift: a RE-TYPED column fails loudly, naming the column") {
+    val old   = frame((1L, "2024-01-01 00:00:00", "a"))
+    val delta = frame((2L, "2024-01-09 00:00:00", "7"))
+      .withColumn("v", col("v").cast("long"))
+    val e = intercept[UpsertKernel.SchemaDriftException] {
+      UpsertKernel.merge(old, delta, "id")
+    }
+    assert(e.getMessage.contains("v: string -> bigint"))
+  }
+
+  test("a delta missing the pk column fails loudly") {
+    val old   = frame((1L, "2024-01-01 00:00:00", "a"))
+    val delta = frame((2L, "2024-01-09 00:00:00", "b")).drop("id")
+    intercept[IllegalArgumentException] {
+      UpsertKernel.merge(old, delta, "id")
+    }
+  }
+
   test("deletedIds is dest-minus-src (the documented intent, not the " +
        "reference's swapped-connection bug)") {
     val dest = frame((1L, "2024-01-01 00:00:00", "a"), (2L, "2024-01-01 00:00:00", "b"))
