@@ -47,12 +47,19 @@ object CsvIngest {
     * calls [[QuarantinedCsv.release]].
     */
   def readCsvQuarantined(spark: SparkSession, schemaDdl: String,
-                         paths: String*): QuarantinedCsv = {
+                         paths: String*): QuarantinedCsv =
+    readCsvQuarantined(spark, schemaDdl, header = true, paths: _*)
+
+  /** `header = false` for headerless part-file layouts (a distributed
+    * writer emits many files; a header row per file would be swallowed
+    * from each). */
+  def readCsvQuarantined(spark: SparkSession, schemaDdl: String,
+                         header: Boolean, paths: String*): QuarantinedCsv = {
     import org.apache.spark.sql.functions.col
     val schema = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
       .add("_corrupt_record", org.apache.spark.sql.types.StringType)
     val all = spark.read
-      .option("header", "true")
+      .option("header", header.toString)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .schema(schema)

@@ -84,6 +84,32 @@ object EtlQueries extends QueryModule {
         .orderBy("event_id")
     },
 
+    // W10 quarantined dirty-CSV ingest as a declared artifact: a CSV
+    // fixture is derived DETERMINISTICALLY from `orders` (rows with
+    // o_orderkey % 97 == 0 get an unparseable key field), written
+    // headerless, and re-read through the quarantine reader — so the
+    // oracle can restate the expected clean/quarantine counts straight
+    // from `orders` with the same modulus rule. This puts a CORRECTNESS
+    // row behind the dirty-row split that was previously ScalaTest-only.
+    "q86_quarantine_ingest" -> { (s, dir) =>
+      val fixture =
+        "/tmp/graft_qcsv_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      Tables.t(s, dir, "orders").select(
+        concat(
+          when(col("o_orderkey") % 97 === 0, concat(lit("x"),
+              col("o_orderkey").cast("string")))
+            .otherwise(col("o_orderkey").cast("string")),
+          lit(","), col("o_totalprice").cast("string")).as("value"))
+        .write.mode("overwrite").text(fixture)
+      val q = CsvIngest.readCsvQuarantined(s,
+        "o_orderkey BIGINT, o_totalprice DOUBLE", header = false, fixture)
+      q.clean.agg(count(lit(1)).as("n_rows"))
+        .select(lit("clean").as("side"), col("n_rows"))
+        .unionByName(q.quarantined.agg(count(lit(1)).as("n_rows"))
+          .select(lit("quarantined").as("side"), col("n_rows")))
+        .orderBy("side")
+    },
+
     // The upsert's JSON stats report (operations.py:601-609:
     // rows_added/rows_deleted returned as JSON) on the q04 scenario.
     // No trailing ORDER BY: the crossJoin of two 1-row aggregates yields
@@ -159,6 +185,18 @@ object EtlQueries extends QueryModule {
         |  AND event_id NOT IN (
         |    SELECT event_id FROM events WHERE event_id % 2 = 0)
         |ORDER BY event_id""".stripMargin,
+
+    // the oracle never sees the CSV: the quarantine rule is restated over
+    // the source table the fixture derives from
+    "q86_quarantine_ingest" ->
+      """SELECT 'clean' AS side,
+        |  COUNT(*) FILTER (WHERE o_orderkey % 97 <> 0) AS n_rows
+        |FROM orders
+        |UNION ALL
+        |SELECT 'quarantined' AS side,
+        |  COUNT(*) FILTER (WHERE o_orderkey % 97 = 0) AS n_rows
+        |FROM orders
+        |ORDER BY side""".stripMargin,
 
     "q58_upsert_stats" ->
       """WITH old AS (

@@ -61,21 +61,27 @@ object Snapshot {
 
   /** Committed pointer state: base version, number of stacked deltas, the
     * upsert key the deltas merge on (empty until the first commitDelta),
-    * and the committing writer's unique token. */
+    * the base's hive-partition columns (comma-separated; compaction must
+    * re-lay the folded base out identically or a partitioned destination
+    * silently loses its pruning), and the committing writer's unique
+    * token. */
   private[etl] final case class Pointer(base: Long, nDeltas: Long,
-                                        pk: String, token: String) {
-    def line: String = s"$base:$nDeltas:$pk:$token"
+                                        pk: String, partCols: Seq[String],
+                                        token: String) {
+    def line: String =
+      s"$base:$nDeltas:$pk:${partCols.mkString(",")}:$token"
   }
 
   private[etl] def parsePointer(s: String): Pointer = {
     val t = s.trim
     t.toLongOption match {
-      case Some(v) => Pointer(v, 0L, "", "") // legacy plain-version pointer
+      case Some(v) => Pointer(v, 0L, "", Nil, "") // legacy plain-version
       case None =>
-        // limit=-1 keeps trailing empties: "3:2:id:" splits to 4 fields
+        // limit=-1 keeps trailing empties: "3:2:id::" splits to 5 fields
         val parts = t.split(":", -1)
-        require(parts.length == 4, s"unparseable snapshot pointer: $t")
-        Pointer(parts(0).toLong, parts(1).toLong, parts(2), parts(3))
+        require(parts.length == 5, s"unparseable snapshot pointer: $t")
+        Pointer(parts(0).toLong, parts(1).toLong, parts(2),
+          parts(3).split(",").toSeq.filter(_.nonEmpty), parts(4))
     }
   }
 
@@ -185,10 +191,12 @@ object Snapshot {
 
   /** [[commit]] with a phase hook fired between the data write and the
     * pointer swap — the deterministic seam the concurrent-commit test
-    * interleaves through (production callers never pass it). */
+    * interleaves through (production callers never pass it) — and the
+    * pk carried forward by compaction (a fresh full commit resets it). */
   private[etl] def commitHooked(df: DataFrame, root: String,
                                 partitionCols: Seq[String],
-                                beforeSwap: () => Unit): DataFrame = {
+                                beforeSwap: () => Unit,
+                                pk: String = ""): DataFrame = {
     val spark = df.sparkSession
     val prevLine = readPointerLine(spark, root)
     val prev  = prevLine.map(parsePointer)
@@ -202,7 +210,8 @@ object Snapshot {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(versionDir(root, next).toString)
     beforeSwap()
-    swapPointer(spark, root, Pointer(next, 0L, "", newToken()), prevLine)
+    swapPointer(spark, root,
+      Pointer(next, 0L, pk, partitionCols, newToken()), prevLine)
 
     val fs = new Path(root).getFileSystem(conf(spark))
     // GC dead bases and their delta stacks; the predecessor base keeps
@@ -276,9 +285,13 @@ object Snapshot {
         val nextD = p.nDeltas + 1
         delta.write.mode("overwrite")
           .parquet(deltaDir(root, p.base, nextD).toString)
-        swapPointer(spark, root, Pointer(p.base, nextD, pk, newToken()),
-          prevLine)
-        if (nextD >= CompactThreshold) commit(read(spark, root), root)
+        swapPointer(spark, root,
+          Pointer(p.base, nextD, pk, p.partCols, newToken()), prevLine)
+        // compaction preserves the base's hive-partition layout (recorded
+        // in the pointer) — folding deltas must not flatten a partitioned
+        // destination's directory pruning
+        if (nextD >= CompactThreshold)
+          commitHooked(read(spark, root), root, p.partCols, () => (), pk)
         else read(spark, root)
     }
   }

@@ -41,14 +41,26 @@ class PlanGuardSpec extends AnyFunSuite {
 
   private lazy val plans: Map[String, String] =
     SparkEntry.queries.map { case (name, fn) =>
-      name -> fn(spark, TestSpark.Sf).queryExecution.executedPlan.toString
+      val df = fn(spark, TestSpark.Sf)
+      // drive AQE to its FINAL plan: the ceilings meter what actually
+      // executes, and exchange reuse (e.g. the q34 postings self-join
+      // sharing one exchange) is only visible after materialization —
+      // the static initial plan double-counts every reused subtree
+      df.collect()
+      name -> df.queryExecution.executedPlan.toString
     }
 
   /** Shuffles only — BroadcastExchange is deliberately not counted (a
-    * broadcast is the cheap alternative the ceilings exist to protect). */
+    * broadcast is the cheap alternative the ceilings exist to protect).
+    * A finalized AdaptiveSparkPlan prints the final plan first and the
+    * initial plan below it — only the final section is metered. A
+    * `ReusedExchange` line re-reads another stage's map output (zero new
+    * shuffle work: e.g. the q34 postings self-join shares one exchange),
+    * so only non-reused Exchange lines count. */
   private def countShuffles(plan: String): Int =
-    """Exchange (hashpartitioning|rangepartitioning|SinglePartition)""".r
-      .findAllIn(plan).length
+    plan.split("== Initial Plan ==")(0).linesIterator.count(l =>
+      """Exchange (hashpartitioning|rangepartitioning|SinglePartition)""".r
+        .findFirstIn(l).isDefined && !l.contains("ReusedExchange"))
 
   test("no CartesianProduct in any declared query plan") {
     val hits = plans.filter(_._2.contains("CartesianProduct")).keys.toSeq

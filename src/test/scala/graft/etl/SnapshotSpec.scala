@@ -158,6 +158,35 @@ class SnapshotSpec extends AnyFunSuite {
     assert(!fs.exists(new Path(root, "_v1_d1")))
   }
 
+  test("compaction preserves the base's hive-partition layout and pk") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot()
+    val base = (1 to 10).map(i =>
+      (i.toLong, if (i % 2 == 0) "a" else "b", s"v$i"))
+      .toDF("id", "grp", "payload")
+    Snapshot.commit(base, root, partitionCols = Seq("grp"))
+    (1 to Snapshot.CompactThreshold).foreach { i =>
+      Snapshot.commitDelta(
+        Seq((i.toLong, "a", s"upd$i")).toDF("id", "grp", "payload"),
+        root, "id")
+    }
+    // folded into a new base, still hive-partitioned on grp
+    assert(Snapshot.currentVersion(spark, root).contains(2L))
+    assert(Snapshot.currentDeltaCount(spark, root) == 0L)
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new Path(root, "_v2/grp=a")))
+    // deltas won: every id <= threshold reads back as its update
+    val upd = Snapshot.read(spark, root).filter(col("id") === 2L).collect()
+    assert(upd.map(_.getAs[String]("payload")).toSeq == Seq("upd2"))
+    // the pk survived compaction: a drifting pk still fails loudly
+    intercept[IllegalArgumentException] {
+      Snapshot.commitDelta(
+        Seq((1L, "a", "x")).toDF("id", "grp", "payload"), root, "grp")
+    }
+  }
+
   test("kill between delta write and pointer swap: torn delta invisible, " +
        "retry recovers by overwrite") {
     import spark.implicits._
