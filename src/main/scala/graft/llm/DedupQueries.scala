@@ -60,9 +60,16 @@ object DedupQueries extends QueryModule {
     * and the only shuffles are the bucket groupBy and the final distinct.
     * Blowup is bounded by bucket size (genuinely-hot buckets are quadratic
     * by the problem's definition).
+    *
+    * Band hashes come from the fused [[graft.functions.MinHashBands]]
+    * expression (one scan-local pass; bit-identical to
+    * [[signatures]]+[[bands]], property-tested), exploded by the
+    * generator so the expression evaluates exactly once per document.
     */
   def candidatePairs(docs: DataFrame): DataFrame = {
-    val bb = bands(signatures(docs))
+    val bb = docs.select(col("doc_id"), col("source"),
+      posexplode(graft.functions.MinHashBands.minhashBands(
+        col("text"), NumHashes, Bands)).as(Seq("band", "band_hash")))
     bb.groupBy(col("source"), col("band"), col("band_hash"))
       .agg(collect_set(col("doc_id")).as("ids"))
       .filter(size(col("ids")) > 1)

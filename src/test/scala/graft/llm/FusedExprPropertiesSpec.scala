@@ -53,6 +53,24 @@ class FusedExprPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("MinHashBands equals the signatures+bands formulation on random text") {
+    import spark.implicits._
+    for (seed <- Seq(5, 23, 101)) {
+      val docs = randomCorpus(seed, 120).toDF("doc_id", "text")
+        .withColumn("source", lit("s"))
+      val ref = DedupQueries.bands(DedupQueries.signatures(docs))
+        .select(col("doc_id"), col("band"), col("band_hash").as("ref_hash"))
+      val got = docs.select(col("doc_id"),
+        posexplode(graft.functions.MinHashBands.minhashBands(
+          col("text"), DedupQueries.NumHashes, DedupQueries.Bands))
+          .as(Seq("band", "band_hash")))
+      assert(got.count() == ref.count(), s"seed=$seed row sets differ")
+      assert(got.join(ref, Seq("doc_id", "band"))
+        .filter(col("band_hash") =!= col("ref_hash")).count() == 0,
+        s"seed=$seed")
+    }
+  }
+
   test("WinnowFingerprints equals the generator formulation on random text") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
