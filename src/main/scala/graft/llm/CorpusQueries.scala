@@ -157,6 +157,65 @@ object CorpusQueries extends QueryModule {
         .select(col("doc_id"), redacted.as("redacted"),
           (length(withPii) - length(redacted)).cast("long").as("delta_chars"))
         .orderBy("doc_id")
+    },
+
+    // Benchmark decontamination — the train/eval overlap sweep every
+    // serious training-data pipeline runs before a model sees the data:
+    // any training doc sharing a 5-token shingle with the held-out set
+    // (source 'src0' plays the benchmark) is reported with its overlap
+    // count. Shingles join as 64-bit hashes (fixed-width shuffle keys;
+    // the oracle states the same join over shingle STRINGS — counts are
+    // hash-invariant). Scale shape: distinct (doc, shingle) postings,
+    // one equi-join against the (small, broadcastable) eval shingle set,
+    // one count aggregation — never an all-pairs term; the eval side of
+    // a real pipeline is benchmarks, i.e. tiny by construction.
+    "q87_decontaminate" -> { (s, dir) =>
+      val tok = split(col("text"), " ")
+      val sh = array_distinct(transform(
+        sequence(lit(1), size(tok) - 4),
+        (i: Column) => xxhash64(array_join(slice(tok, i, lit(5)), " "))))
+      val docs = Tables.t(s, dir, "documents").filter(size(tok) >= 5)
+      val evalSh = docs.filter(col("source") === "src0")
+        .select(explode(sh).as("h")).distinct()
+      docs.filter(col("source") =!= "src0")
+        .select(col("doc_id"), explode(sh).as("h"))
+        .join(evalSh, "h")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared_shingles"))
+        .orderBy("doc_id")
+    },
+
+    // Gopher-style quality gate (Rae et al. 2021 §A1.1 heuristics,
+    // re-expressed over the fixture): word count bounds, mean word
+    // length, alphabetic-word fraction, stopword fraction, and the
+    // repetition signal (most-frequent-token share). All scan-local HOF
+    // arithmetic over exact integer counts — the ratios are single
+    // IEEE divisions of exactly-representable ints, so they hash-match
+    // the oracle bit-for-bit. One map over a 100 TB scan; the pass flag
+    // is the conjunction a corpus filter would apply.
+    "q88_quality_rules" -> { (s, dir) =>
+      val tok = split(col("text"), " ")
+      val n = size(tok).cast("double")
+      val sumLen = aggregate(tok, lit(0L),
+        (acc: Column, t: Column) => acc + length(t).cast("long"))
+      val meanLen = sumLen.cast("double") / n
+      val alphaFrac = size(filter(tok,
+        (t: Column) => t.rlike("[a-z]"))).cast("double") / n
+      val stopFrac = size(filter(tok, (t: Column) =>
+        t.isInCollection(Seq("the", "a", "of", "and", "to"))))
+        .cast("double") / n
+      val topTokFrac = array_max(transform(array_distinct(tok),
+        (d: Column) => size(filter(tok, (t: Column) => t === d))))
+        .cast("double") / n
+      val pass = size(tok).between(50, 100000) &&
+        meanLen.between(3.0, 10.0) && alphaFrac >= lit(0.8) &&
+        topTokFrac <= lit(0.2)
+      Tables.t(s, dir, "documents").select(
+        col("doc_id"), size(tok).cast("long").as("n_words"),
+        meanLen.as("mean_word_len"), alphaFrac.as("alpha_frac"),
+        stopFrac.as("stop_frac"), topTokFrac.as("top_tok_frac"),
+        pass.as("pass_gopher"))
+        .orderBy("doc_id")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -250,5 +309,49 @@ object CorpusQueries extends QueryModule {
         |  FROM p)
         |SELECT doc_id, redacted,
         |  CAST(LENGTH(with_pii) - LENGTH(redacted) AS BIGINT) AS delta_chars
-        |FROM r ORDER BY doc_id""".stripMargin)
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    // the oracle joins on shingle STRINGS where the engine joins on their
+    // xxhash64 values — overlap counts are hash-invariant
+    "q87_decontaminate" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, STRING_SPLIT(text, ' ') AS tok
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source,
+        |    LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(tok) - 3),
+        |      i -> ARRAY_TO_STRING(tok[i:i+4], ' '))) AS sh
+        |  FROM d WHERE LEN(tok) >= 5),
+        |ev AS (SELECT DISTINCT UNNEST(sh) AS s FROM sh
+        |       WHERE source = 'src0'),
+        |tr AS (SELECT doc_id, UNNEST(sh) AS s FROM sh
+        |       WHERE source <> 'src0')
+        |SELECT tr.doc_id, COUNT(*) AS n_shared_shingles
+        |FROM tr JOIN ev USING (s)
+        |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q88_quality_rules" ->
+      """WITH d AS (
+        |  SELECT doc_id, STRING_SPLIT(text, ' ') AS tok FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(LEN(tok) AS BIGINT) AS n_words,
+        |    CAST(LIST_SUM(LIST_TRANSFORM(tok, t -> LENGTH(t))) AS DOUBLE)
+        |      / LEN(tok) AS mean_word_len,
+        |    CAST(LEN(LIST_FILTER(tok,
+        |      t -> REGEXP_MATCHES(t, '[a-z]'))) AS DOUBLE)
+        |      / LEN(tok) AS alpha_frac,
+        |    CAST(LEN(LIST_FILTER(tok,
+        |      t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+        |      / LEN(tok) AS stop_frac,
+        |    CAST(LIST_MAX(LIST_TRANSFORM(LIST_DISTINCT(tok),
+        |      u -> LEN(LIST_FILTER(tok, t -> t = u)))) AS DOUBLE)
+        |      / LEN(tok) AS top_tok_frac
+        |  FROM d)
+        |SELECT doc_id, n_words, mean_word_len, alpha_frac, stop_frac,
+        |  top_tok_frac,
+        |  (n_words BETWEEN 50 AND 100000)
+        |    AND (mean_word_len BETWEEN 3.0 AND 10.0)
+        |    AND alpha_frac >= 0.8 AND top_tok_frac <= 0.2 AS pass_gopher
+        |FROM m ORDER BY doc_id""".stripMargin)
 }
