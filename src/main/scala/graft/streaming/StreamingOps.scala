@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState,
   GroupStateTimeout, OutputMode, Trigger}
@@ -132,6 +132,49 @@ object StreamingOps {
           state.update(updated)
           Iterator.single(updated)
       }
+  }
+
+  /** The corpus-prep pipeline (q85's batch composition) as a continuous
+    * stream: clean → quality gate → near-arrival dedup → context-length
+    * chunking, over a stream of `(doc_id, ts, text)` — the shape of a
+    * crawler feeding training shards continuously instead of in daily
+    * batches. Cleaning, the quality gate, and the chunk generator are
+    * scan-local (they stream unchanged); dedup becomes
+    * `dropDuplicatesWithinWatermark` on the content hash — state bounded
+    * by the watermark, keeping the FIRST-ARRIVED copy (the batch twin
+    * keeps min doc_id; a streaming engine cannot know a smaller id is
+    * coming — the canonical-choice difference is inherent and
+    * documented). Output is append-mode safe: every operator here is
+    * stateless or watermark-evicted.
+    */
+  def corpusPrepStream(docs: DataFrame, chunkSize: Int = 50,
+                       stride: Int = 40): DataFrame = {
+    val stripped  = regexp_replace(col("text"), "<[^>]*>", " ")
+    val collapsed = trim(regexp_replace(stripped, "[ \\t\\n\\f\\r]+", " "))
+    val cleaned = docs.select(col("doc_id"), col("ts"),
+      lower(collapsed).as("clean_text"))
+    val tok   = split(col("clean_text"), " ")
+    val nTok  = size(tok).cast("double")
+    val nStop = size(filter(tok, (t: Column) =>
+      t.isInCollection(Seq("the", "a", "of", "and", "to")))).cast("double")
+    val nDist = size(array_distinct(tok)).cast("double")
+    val quality = nDist / nTok * lit(0.5) +
+      (lit(1.0) - nStop / nTok) * lit(0.5)
+    val ctok = split(col("clean_text"), " ")
+    cleaned
+      .filter(size(tok) >= 10 && quality >= 0.6)
+      .withColumn("h", md5(col("clean_text").cast("binary")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("h")
+      .select(col("doc_id"), ctok.as("tok"),
+        posexplode(sequence(lit(1),
+          greatest(size(ctok) - (chunkSize - stride), lit(1)),
+          lit(stride))).as(Seq("chunk_id", "start")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        size(slice(col("tok"), col("start"), lit(chunkSize)))
+          .cast("long").as("n_tokens"),
+        array_join(slice(col("tok"), col("start"), lit(chunkSize)), " ")
+          .as("chunk_text"))
   }
 
   /** Streaming upsert sink: every micro-batch runs the batch upsert kernel

@@ -12,6 +12,8 @@ import org.scalatest.funsuite.AnyFunSuite
 case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
               event_type: String, value: Double)
 
+case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
+
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -209,6 +211,35 @@ class StreamingSpec extends AnyFunSuite {
       .collect()(0).getLong(2)
     // 3 pre-restart clicks recovered from state + 1 post-restart
     assert(hour10 == 4L)
+  }
+
+  test("streaming corpus prep cleans, gates, dedups, and chunks") {
+    val ms = MemoryStream[Doc](spark)
+    val good =
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    ms.addData(
+      // same content as doc 2 once tags strip and case folds — one copy
+      // must survive (which doc_id wins within a batch is unspecified)
+      Doc(1, ts("2024-01-01 10:00:00"),
+        "<b>Alpha</b> beta gamma delta epsilon zeta eta theta iota " +
+          "kappa lambda mu"),
+      Doc(2, ts("2024-01-01 10:05:00"), good),
+      // stopword-only: quality 0.5 * distinct/12 + 0.5 * (1 - 1) < 0.6
+      Doc(3, ts("2024-01-01 10:06:00"),
+        "the the the the the the the the the the the the"),
+      Doc(4, ts("2024-01-01 10:07:00"),
+        "one two three four five six seven eight nine ten eleven twelve"))
+    val q = StreamingOps.corpusPrepStream(ms.toDF()).writeStream
+      .format("memory").queryName("corpus_prep").outputMode("append")
+      .start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("corpus_prep").orderBy("doc_id", "chunk_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.length == 2) // dup collapsed, low-quality gated
+    assert(got.count(r => (r._1 == 1L || r._1 == 2L) && r._4 == good) == 1)
+    assert(got.count(_._1 == 4L) == 1)
+    assert(got.forall(r => r._2 == 0L && r._3 == 12L)) // one 12-token chunk
   }
 
   test("foreachBatch upsert sink applies the batch kernel per micro-batch") {
