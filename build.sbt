@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g on the 128 GiB harness box: the 8g default left ~4.6 GiB of
+  // Spark unified memory for 32 concurrent tasks — headroom for the
+  // shuffle-heavy queries and cached quarantine scans (bench totals
+  // still swing ±25% run-to-run with either setting; that variance is
+  // ambient to the box, so compare medians, not single runs)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

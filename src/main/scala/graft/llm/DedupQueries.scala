@@ -166,7 +166,10 @@ object DedupQueries extends QueryModule {
       .repartition(col("dst"))
       .localCheckpoint()
     // seed with min(id, min neighbor): the first propagation round as a
-    // plain aggregation, saving one full join round
+    // plain aggregation, saving one full join round. Checkpointed because
+    // round 1 references the labels TWICE (join probe + fold side) and
+    // Spark plans have no subtree sharing — unmaterialized, the seed
+    // would compute once per reference.
     var labels = edges.groupBy(col("src"))
       .agg(min(col("dst")).as("m"))
       .select(col("src").as("id"),
@@ -175,24 +178,23 @@ object DedupQueries extends QueryModule {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // Two propagation steps per materialized round: each checkpoint is
-      // a full job (schedule + materialize), so halving the action count
-      // halves the fixed per-round cost while the lineage stays two
-      // joins deep — diameter-d components need ceil(d/2) actions, not d.
+      // ONE propagation step per materialized round. (A two-steps-per-
+      // checkpoint variant was tried and reverted: propagateRound
+      // references its labels input twice, and with no materialization
+      // between steps Spark re-evaluates the inner step once per
+      // reference — tripling per-action compute to save one action.)
       // Convergence is an `observe` metric on the checkpoint write
-      // itself: the changed-row count of the SECOND step rides the same
-      // job that materializes the round (a separate filter+isEmpty pass
-      // would re-run the joins), and step2 changing nothing proves the
-      // fixpoint regardless of what step1 did.
+      // itself: the changed-row count rides the same job that
+      // materializes the round, so each round is exactly one action (a
+      // separate filter+isEmpty pass would re-run the round's join).
       val obs = new org.apache.spark.sql.Observation(s"cc_round_$iter")
-      labels = propagateRound(edges,
-          propagateRound(edges, labels).drop("chg"))
+      labels = propagateRound(edges, labels)
         .observe(obs, coalesce(sum(when(col("chg"), 1L).otherwise(0L)),
           lit(0L)).as("changed"))
         .drop("chg")
         .localCheckpoint()
       converged = obs.get("changed").asInstanceOf[Long] == 0L
-      iter += 2
+      iter += 1
     }
     // fail loudly: returning mid-propagation labels would silently split
     // components (a >maxIter-diameter chain is pathological, not silent)
