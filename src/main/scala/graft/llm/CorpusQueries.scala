@@ -170,11 +170,13 @@ object CorpusQueries extends QueryModule {
     // one count aggregation — never an all-pairs term; the eval side of
     // a real pipeline is benchmarks, i.e. tiny by construction.
     "q87_decontaminate" -> { (s, dir) =>
-      val tok = split(col("text"), " ")
-      val sh = array_distinct(transform(
-        sequence(lit(1), size(tok) - 4),
-        (i: Column) => xxhash64(array_join(slice(tok, i, lit(5)), " "))))
-      val docs = Tables.t(s, dir, "documents").filter(size(tok) >= 5)
+      // shingle sets via the fused ShingleHashes expression: one
+      // scan-local pass per document (bit-equal to the HOF
+      // slice/join/hash spelling, FusedExprPropertiesSpec); docs with
+      // < 5 tokens yield an empty set and so no postings — no filter
+      // needed
+      val sh = graft.functions.ShingleHashes.shingleHashes(col("text"), 5)
+      val docs = Tables.t(s, dir, "documents")
       val evalSh = docs.filter(col("source") === "src0")
         .select(explode(sh).as("h")).distinct()
       docs.filter(col("source") =!= "src0")
@@ -188,11 +190,15 @@ object CorpusQueries extends QueryModule {
     // Gopher-style quality gate (Rae et al. 2021 §A1.1 heuristics,
     // re-expressed over the fixture): word count bounds, mean word
     // length, alphabetic-word fraction, stopword fraction, and the
-    // repetition signal (most-frequent-token share). All scan-local HOF
+    // repetition signal (most-frequent-token share). All scan-local
     // arithmetic over exact integer counts — the ratios are single
     // IEEE divisions of exactly-representable ints, so they hash-match
     // the oracle bit-for-bit. One map over a 100 TB scan; the pass flag
-    // is the conjunction a corpus filter would apply.
+    // is the conjunction a corpus filter would apply. The repetition
+    // numerator comes from the fused TopTokenCount expression — one
+    // linear hash-count pass per document where the HOF spelling
+    // (filter-per-distinct-token) is O(L·D), quadratic on exactly the
+    // long documents a 100 TB sweep is full of.
     "q88_quality_rules" -> { (s, dir) =>
       val tok = split(col("text"), " ")
       val n = size(tok).cast("double")
@@ -204,9 +210,8 @@ object CorpusQueries extends QueryModule {
       val stopFrac = size(filter(tok, (t: Column) =>
         t.isInCollection(Seq("the", "a", "of", "and", "to"))))
         .cast("double") / n
-      val topTokFrac = array_max(transform(array_distinct(tok),
-        (d: Column) => size(filter(tok, (t: Column) => t === d))))
-        .cast("double") / n
+      val topTokFrac = graft.functions.TopTokenCount
+        .topTokenCount(col("text")).cast("double") / n
       val pass = size(tok).between(50, 100000) &&
         meanLen.between(3.0, 10.0) && alphaFrac >= lit(0.8) &&
         topTokFrac <= lit(0.2)

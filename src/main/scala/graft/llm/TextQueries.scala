@@ -341,18 +341,18 @@ object TextQueries extends QueryModule {
     // variant of q34: token-set-identical docs in different order score low
     // here. Same prefix-filtered shape over distinct shingle hashes
     // ([[prefixJaccardPairs]]); shingles are long and high-cardinality, so
-    // fixed-width 64-bit keys also shrink the shuffle payload. (An
-    // element_at-based construction that avoided the string entirely
-    // profiled 2x SLOWER — the lambda re-evaluates inside the explode
-    // stage.)
+    // fixed-width 64-bit keys also shrink the shuffle payload. The
+    // shingle set itself is built by the fused ShingleHashes expression —
+    // one scan-local pass per document (bit-equal to the HOF
+    // slice/join/hash spelling, asserted in FusedExprPropertiesSpec)
+    // instead of interpreted lambdas that re-slice the token array per
+    // shingle.
     "q50_shingle_jaccard" -> { (s, dir) =>
-      val tok = split(col("text"), " ")
       val d = Tables.t(s, dir, "documents")
-        .filter(size(tok) >= 3)
         .select(col("doc_id"), col("source"),
-          array_sort(array_distinct(transform(sequence(lit(1), size(tok) - 2),
-            (i: Column) => xxhash64(array_join(slice(tok, i, lit(3)), " ")))))
+          graft.functions.ShingleHashes.shingleHashes(col("text"), 3)
             .as("tok"))
+        .filter(size(col("tok")) >= 1) // docs with < 3 tokens have no shingles
       // hash-ordered prefix: shingle df ≈ 1, so the df aggregation would
       // only add plan branches that re-evaluate the shingle arrays
       prefixJaccardPairs(d, 0.4, dfOrdered = false)

@@ -71,6 +71,48 @@ class FusedExprPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("ShingleHashes equals the HOF formulation on random text") {
+    import spark.implicits._
+    for (seed <- Seq(7, 41, 63); k <- Seq(3, 5)) {
+      val docs = randomCorpus(seed, 120).toDF("doc_id", "text")
+      val tok = split(col("text"), " ")
+      // HOF reference only valid when at least one shingle exists
+      // (sequence(1, n) with n < 1 counts DOWN); guard like the queries do
+      val withRef = docs.filter(size(tok) >= k)
+        .select(col("doc_id"),
+          graft.functions.ShingleHashes.shingleHashes(col("text"), k)
+            .as("got"),
+          array_sort(array_distinct(transform(
+            sequence(lit(1), size(tok) - (k - 1)),
+            (i: Column) => xxhash64(array_join(slice(tok, i, lit(k)), " ")))))
+            .as("ref"))
+      assert(withRef.filter(col("got") =!= col("ref")).count() == 0,
+        s"seed=$seed k=$k")
+      // short documents: empty array, never null, never an error
+      val short = docs.filter(size(tok) < k)
+        .select(graft.functions.ShingleHashes.shingleHashes(col("text"), k)
+          .as("got"))
+      assert(short.filter(col("got").isNull || size(col("got")) =!= 0)
+        .count() == 0, s"seed=$seed k=$k short docs")
+    }
+  }
+
+  test("TopTokenCount equals the HOF formulation on random text") {
+    import spark.implicits._
+    for (seed <- Seq(9, 33, 87)) {
+      val docs = randomCorpus(seed, 150).toDF("doc_id", "text")
+      val tok = split(col("text"), " ")
+      val ref = array_max(transform(array_distinct(tok),
+        (d: Column) => size(filter(tok, (t: Column) => t === d))))
+        .cast("long")
+      val bad = docs.select(
+          graft.functions.TopTokenCount.topTokenCount(col("text")).as("got"),
+          ref.as("ref"))
+        .filter(col("got") =!= col("ref") || col("got").isNull)
+      assert(bad.count() == 0, s"seed=$seed")
+    }
+  }
+
   test("WinnowFingerprints equals the generator formulation on random text") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
