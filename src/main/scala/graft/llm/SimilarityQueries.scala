@@ -183,7 +183,47 @@ object SimilarityQueries extends QueryModule {
         round(col("cos"), 4).as("cosine"))
       .orderBy("vec_id", "probe_rank")
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, one-pass
+    * variant): block vectors by their IVF cell (nearest centroid — the
+    * paper's k-means cluster), then inside each cell drop every vector
+    * whose cosine to some LOWER-id cell-mate reaches the threshold; the
+    * lowest id of each similar group survives as the representative.
+    *
+    * Scale shape: the quadratic term is confined to one cell — exactly
+    * the confinement the paper uses to run on billions of embeddings —
+    * and cell count grows with the corpus (here the label-trained
+    * centroids of [[labelCentroids]]; a real deployment trains k ∝ √N).
+    * Everything else is the broadcast centroid probe of [[ivfAssign]]
+    * plus one aggregation, no all-pairs term across cells.
+    */
+  def semDedup(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val cells = ivfScored(embeddings)
+      .filter(col("rnk") === 1)
+      .select(col("vec_id"), col("c_label").as("cell"), col("v"))
+    val a = cells.select(col("cell"), col("vec_id").as("a_id"),
+      col("v").as("av"))
+    val b = cells.select(col("cell"), col("vec_id").as("b_id"),
+      col("v").as("bv"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("a_id") < col("b_id") &&
+        cosine(col("av"), col("bv")) >= threshold)
+      .select(col("b_id").as("vec_id"))
+      .distinct()
+      .withColumn("kept", lit(false))
+    cells.select(col("vec_id"), col("cell"))
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("kept"), lit(true)).as("kept"))
+      .orderBy("vec_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Semantic dedup over the embedding corpus: IVF-cell blocking, keep
+    // the lowest-id representative of every within-cell similar group.
+    "q89_semantic_dedup" -> { (s, dir) =>
+      semDedup(Tables.t(s, dir, "embeddings"), 0.3)
+    },
+
     // Exact brute-force cosine top-10 for query vectors vec_id < 5.
     "q38_cosine_topk" -> { (s, dir) =>
       val e = Tables.t(s, dir, "embeddings")
@@ -258,6 +298,42 @@ object SimilarityQueries extends QueryModule {
     })
 
   override def oracles: Map[String, String] = Map(
+    // same centroid/assignment CTEs as q70; the drop rule is restated as
+    // an EXISTS over lower-id cell-mates
+    "q89_semantic_dedup" ->
+      s"""WITH d AS (
+         |  SELECT label,
+         |    UNNEST(CAST(embedding AS DOUBLE[])) AS x,
+         |    GENERATE_SUBSCRIPTS(embedding, 1) AS dim
+         |  FROM embeddings),
+         |cent AS (
+         |  SELECT label AS c_label, dim, ${graft.Fns.davgSql("x")} AS c
+         |  FROM d GROUP BY label, dim),
+         |carr AS (
+         |  SELECT c_label, LIST(c ORDER BY dim) AS cv
+         |  FROM cent GROUP BY c_label),
+         |v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |s AS (
+         |  SELECT vec_id, c_label,
+         |    LIST_COSINE_SIMILARITY(v, cv) AS cos, v
+         |  FROM v CROSS JOIN carr),
+         |cells AS (
+         |  SELECT vec_id, c_label AS cell, v FROM (
+         |    SELECT vec_id, c_label, v,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                         ORDER BY cos DESC, c_label ASC) AS rnk
+         |    FROM s) WHERE rnk = 1),
+         |dropped AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM cells a JOIN cells b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE LIST_COSINE_SIMILARITY(a.v, b.v) >= 0.3)
+         |SELECT c.vec_id, c.cell, dr.vec_id IS NULL AS kept
+         |FROM cells c LEFT JOIN dropped dr ON c.vec_id = dr.vec_id
+         |ORDER BY c.vec_id""".stripMargin,
+
     "q83_quantize_embed" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
