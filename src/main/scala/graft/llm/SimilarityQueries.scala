@@ -217,11 +217,65 @@ object SimilarityQueries extends QueryModule {
       .orderBy("vec_id")
   }
 
+  /** Distributed spherical k-means (Lloyd's algorithm) — the actual
+    * unsupervised trainer behind an IVF index, where [[labelCentroids]]
+    * stands in with supervised cells. Deterministic by construction:
+    * centroids initialize from the k lowest vec_ids, assignment is
+    * nearest-by-cosine with a cid tie-break, and the centroid update is
+    * the exact-decimal per-dimension mean (order-independent, so any
+    * partitioning of a 100 TB input trains the identical model).
+    *
+    * Scale shape per iteration: one broadcast probe of the centroid
+    * table (k rows — independent of corpus size) + one (cid, dim)
+    * scalar-pair aggregation — never a whole-vector shuffle. Each
+    * iteration's centroid table is localCheckpointed (k·d doubles, the
+    * cheapest checkpoint there is) so plan depth stays bounded at ANY
+    * iteration count — without it the lineage re-nests the full
+    * assignment chain per round (the q71 lesson).
+    */
+  def kmeans(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
+    val v = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    def assign(cents: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("cid").asc)
+      v.crossJoin(broadcast(cents))
+        .withColumn("cos", cosine(col("v"), col("cv")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .select(col("vec_id"), col("v"), col("cid"), col("cos"))
+    }
+    def recenter(assigned: DataFrame): DataFrame =
+      assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cid"), col("dim"))
+        .agg(graft.Fns.davg(col("x").cast("double")).as("c"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("dc"))
+        .select(col("cid"), expr("transform(dc, s -> s.c)").as("cv"))
+    var cents = v.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    var it = 0
+    while (it < iters) {
+      cents = recenter(assign(cents)).localCheckpoint()
+      it += 1
+    }
+    assign(cents)
+      .select(col("vec_id"), col("cid").as("cluster"),
+        round(col("cos"), 4).as("cosine"))
+      .orderBy("vec_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Semantic dedup over the embedding corpus: IVF-cell blocking, keep
     // the lowest-id representative of every within-cell similar group.
     "q89_semantic_dedup" -> { (s, dir) =>
       semDedup(Tables.t(s, dir, "embeddings"), 0.3)
+    },
+
+    // k-means IVF training: 2 Lloyd iterations from the 4 lowest-id
+    // seeds, reporting the final cluster assignment.
+    "q90_kmeans_train" -> { (s, dir) =>
+      kmeans(Tables.t(s, dir, "embeddings"), 4, 2)
     },
 
     // Exact brute-force cosine top-10 for query vectors vec_id < 5.
@@ -298,6 +352,63 @@ object SimilarityQueries extends QueryModule {
     })
 
   override def oracles: Map[String, String] = Map(
+    // the 2 Lloyd iterations unrolled as CTE pairs (assign_i, centroids_i)
+    // — the same nearest-by-cosine / exact-decimal-mean steps the engine
+    // iterates
+    "q90_kmeans_train" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c0 AS (
+         |  SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < 4),
+         |s1 AS (
+         |  SELECT v.vec_id, v.v, c0.cid,
+         |    LIST_COSINE_SIMILARITY(v.v, c0.cv) AS cos
+         |  FROM v CROSS JOIN c0),
+         |a1 AS (
+         |  SELECT vec_id, v, cid FROM (
+         |    SELECT vec_id, v, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                         ORDER BY cos DESC, cid ASC) AS rnk
+         |    FROM s1) WHERE rnk = 1),
+         |d1 AS (
+         |  SELECT cid, GENERATE_SUBSCRIPTS(v, 1) AS dim, UNNEST(v) AS x
+         |  FROM a1),
+         |m1 AS (
+         |  SELECT cid, dim, ${graft.Fns.davgSql("x")} AS c
+         |  FROM d1 GROUP BY cid, dim),
+         |c1 AS (
+         |  SELECT cid, LIST(c ORDER BY dim) AS cv FROM m1 GROUP BY cid),
+         |s2 AS (
+         |  SELECT v.vec_id, v.v, c1.cid,
+         |    LIST_COSINE_SIMILARITY(v.v, c1.cv) AS cos
+         |  FROM v CROSS JOIN c1),
+         |a2 AS (
+         |  SELECT vec_id, v, cid FROM (
+         |    SELECT vec_id, v, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                         ORDER BY cos DESC, cid ASC) AS rnk
+         |    FROM s2) WHERE rnk = 1),
+         |d2 AS (
+         |  SELECT cid, GENERATE_SUBSCRIPTS(v, 1) AS dim, UNNEST(v) AS x
+         |  FROM a2),
+         |m2 AS (
+         |  SELECT cid, dim, ${graft.Fns.davgSql("x")} AS c
+         |  FROM d2 GROUP BY cid, dim),
+         |c2 AS (
+         |  SELECT cid, LIST(c ORDER BY dim) AS cv FROM m2 GROUP BY cid),
+         |s3 AS (
+         |  SELECT v.vec_id, c2.cid,
+         |    LIST_COSINE_SIMILARITY(v.v, c2.cv) AS cos
+         |  FROM v CROSS JOIN c2),
+         |a3 AS (
+         |  SELECT vec_id, cid, cos FROM (
+         |    SELECT vec_id, cid, cos,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                         ORDER BY cos DESC, cid ASC) AS rnk
+         |    FROM s3) WHERE rnk = 1)
+         |SELECT vec_id, cid AS cluster, ROUND(cos, 4) AS cosine
+         |FROM a3 ORDER BY vec_id""".stripMargin,
+
     // same centroid/assignment CTEs as q70; the drop rule is restated as
     // an EXISTS over lower-id cell-mates
     "q89_semantic_dedup" ->

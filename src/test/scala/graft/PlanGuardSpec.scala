@@ -21,6 +21,7 @@ class PlanGuardSpec extends AnyFunSuite {
     Set("q38_cosine_topk", "q51_tfidf", "q58_upsert_stats",
       "q70_ivf_assign", "q84_ivf_multiprobe", // broadcast centroid table
       "q89_semantic_dedup", // ditto — cell assignment probes the centroids
+      "q90_kmeans_train", // ditto — k-row centroid table, broadcast probe
       "q79_gap_fill") // calendar spine × dimension values: both sides tiny
 
   /** Shuffle ceilings for the most expensive plans (round-2 plan audit
