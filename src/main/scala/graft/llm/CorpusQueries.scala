@@ -2,13 +2,16 @@ package graft.llm
 
 import graft.{QueryModule, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-preparation operators (north-star extension set, SURVEY.md §2.3):
   * the steps between raw scraped text and training shards — deterministic
-  * sampling, context-length chunking, cleaning, and PII redaction. All
-  * scan-local except chunking's generator; no UDFs, no shuffles beyond the
-  * final presentation ORDER BY — each one is a map over a 100 TB scan.
+  * sampling, context-length chunking, cleaning, PII redaction,
+  * decontamination, quality gating, and sequence packing. The per-document
+  * passes are scan-local maps (no UDFs, no shuffle before the presentation
+  * ORDER BY); the corpus-level ones (q87's eval join, q91's prefix sum)
+  * shuffle only on bounded keys — never an all-pairs or single-task term.
   */
 object CorpusQueries extends QueryModule {
 
@@ -57,6 +60,46 @@ object CorpusQueries extends QueryModule {
           array_join(slice(col("tok"), col("start"), lit(chunkSize)), " ")
             .as("chunk_text"))
         .orderBy("doc_id", "chunk_id")
+    },
+
+    // Sequence packing (concat-and-chunk): a pretraining pipeline
+    // concatenates documents in a canonical order (one EOS separator
+    // each) and slices the token stream into fixed-length training
+    // sequences; this reports each document's place in that stream
+    // (start offset, first/last sequence index). The offsets are a
+    // GLOBAL prefix sum — the naive spelling (one unpartitioned window)
+    // serializes the corpus through a single task, so it runs as the
+    // textbook two-phase distributed scan: (1) cumsum inside
+    // order-respecting buckets, (2) prefix-sum the bucket TOTALS (rows =
+    // bucket count, independent of corpus size — the only place a
+    // single-partition window ever sees), (3) broadcast the bucket
+    // offsets back. Output is identical to the single-window spelling —
+    // the oracle states exactly that spelling. Buckets here range
+    // doc_id directly; at 100 TB the boundaries come from a sampled
+    // range partitioner (Spark's own orderBy machinery) — same plan.
+    "q91_sequence_pack" -> { (s, dir) =>
+      val seqLen = 512L
+      val bucketWidth = 500L
+      val d = Tables.t(s, dir, "documents")
+        .select(col("doc_id"),
+          (size(split(col("text"), " ")) + 1).cast("long").as("n")) // +1 EOS
+        .withColumn("bucket", expr(s"doc_id div $bucketWidth"))
+      val wLocal = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      val local = d.withColumn("local_cume", sum(col("n")).over(wLocal))
+      val wBuckets = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = d.groupBy(col("bucket"))
+        .agg(sum(col("n")).as("bucket_total"))
+        .withColumn("bucket_offset",
+          coalesce(sum(col("bucket_total")).over(wBuckets), lit(0L)))
+        .select(col("bucket"), col("bucket_offset"))
+      local.join(broadcast(offsets), "bucket")
+        .withColumn("cume", col("bucket_offset") + col("local_cume"))
+        .select(col("doc_id"), col("n").as("n_tokens"),
+          (col("cume") - col("n")).as("start_offset"),
+          expr(s"(cume - n) div $seqLen").as("first_seq"),
+          expr(s"(cume - 1) div $seqLen").as("last_seq"))
+        .orderBy("doc_id")
     },
 
     // Cleaning: strip markup-ish tags, collapse whitespace, trim, lowercase
@@ -315,6 +358,23 @@ object CorpusQueries extends QueryModule {
         |SELECT doc_id, redacted,
         |  CAST(LENGTH(with_pii) - LENGTH(redacted) AS BIGINT) AS delta_chars
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // the oracle states the single-window global prefix sum the two-phase
+    // scan must equal exactly
+    "q91_sequence_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(LEN(STRING_SPLIT(text, ' ')) + 1 AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n,
+        |    CAST(SUM(n) OVER (ORDER BY doc_id) AS BIGINT) AS cume
+        |  FROM d)
+        |SELECT doc_id, n AS n_tokens,
+        |  cume - n AS start_offset,
+        |  (cume - n) // 512 AS first_seq,
+        |  (cume - 1) // 512 AS last_seq
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // the oracle joins on shingle STRINGS where the engine joins on their
     // xxhash64 values — overlap counts are hash-invariant
