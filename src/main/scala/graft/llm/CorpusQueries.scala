@@ -102,6 +102,33 @@ object CorpusQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // Gopher repetition signals at n-gram granularity — the companions
+    // of q88's top-token share (Rae et al. 2021 §A1.1 measures
+    // top-n-gram share and duplicate-n-gram fraction for n up to 10;
+    // bigrams here): all four underlying counts come from the fused
+    // NGramStats expression in one scan-local hash pass per document.
+    // Subexpression elimination evaluates the struct once for all five
+    // output references (the q72 precedent). Fractions are single IEEE
+    // divisions of exactly-representable ints — bit-stable cross-engine.
+    "q92_repetition_ngrams" -> { (s, dir) =>
+      val st = graft.functions.NGramStats.ngramStats(col("text"), 2)
+      val total = st.getField("total")
+      val top = st.getField("top")
+      val singles = st.getField("singletons")
+      Tables.t(s, dir, "documents")
+        .filter(total > 0) // docs with < 2 tokens have no bigrams
+        .select(
+          col("doc_id"),
+          total.as("n_bigrams"),
+          st.getField("distinct").as("n_distinct"),
+          top.as("top_bigram_count"),
+          (top.cast("double") / total.cast("double"))
+            .as("top_bigram_frac"),
+          ((total - singles).cast("double") / total.cast("double"))
+            .as("dup_bigram_frac"))
+        .orderBy("doc_id")
+    },
+
     // Cleaning: strip markup-ish tags, collapse whitespace, trim, lowercase
     // — the canonical normalize pass before dedup/tokenization. Pure
     // codegen'd string expressions; the patterns stay in the common
@@ -358,6 +385,31 @@ object CorpusQueries extends QueryModule {
         |SELECT doc_id, redacted,
         |  CAST(LENGTH(with_pii) - LENGTH(redacted) AS BIGINT) AS delta_chars
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // the oracle rebuilds the bigram counts relationally (unnest ->
+    // group -> aggregate) where the engine fuses them into one pass
+    "q92_repetition_ngrams" ->
+      """WITH d AS (
+        |  SELECT doc_id, STRING_SPLIT(text, ' ') AS tok FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    UNNEST(LIST_TRANSFORM(RANGE(1, LEN(tok)), i ->
+        |      ARRAY_TO_STRING(tok[i:i+1], ' '))) AS gram
+        |  FROM d WHERE LEN(tok) >= 2),
+        |c AS (
+        |  SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram),
+        |a AS (
+        |  SELECT doc_id, SUM(c) AS total, COUNT(*) AS n_distinct,
+        |    MAX(c) AS top, COUNT(*) FILTER (WHERE c = 1) AS singletons
+        |  FROM c GROUP BY doc_id)
+        |SELECT doc_id,
+        |  CAST(total AS BIGINT) AS n_bigrams,
+        |  CAST(n_distinct AS BIGINT) AS n_distinct,
+        |  CAST(top AS BIGINT) AS top_bigram_count,
+        |  CAST(top AS DOUBLE) / CAST(total AS DOUBLE) AS top_bigram_frac,
+        |  CAST(total - singletons AS DOUBLE) / CAST(total AS DOUBLE)
+        |    AS dup_bigram_frac
+        |FROM a ORDER BY doc_id""".stripMargin,
 
     // the oracle states the single-window global prefix sum the two-phase
     // scan must equal exactly

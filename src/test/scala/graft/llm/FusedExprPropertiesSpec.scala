@@ -113,6 +113,34 @@ class FusedExprPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("NGramStats equals the explode formulation on random text") {
+    import spark.implicits._
+    for (seed <- Seq(17, 29, 53); n <- Seq(1, 2, 3)) {
+      val docs = randomCorpus(seed, 150).toDF("doc_id", "text")
+      val tok = split(col("text"), " ")
+      val grams = transform(sequence(lit(1), size(tok) - (n - 1)),
+        (i: Column) => array_join(slice(tok, i, lit(n)), " "))
+      val ref = docs.filter(size(tok) >= n)
+        .select(col("doc_id"), explode(grams).as("gram"))
+        .groupBy(col("doc_id"), col("gram")).count()
+        .groupBy(col("doc_id"))
+        .agg(sum(col("count")).as("r_total"),
+          count(lit(1)).as("r_distinct"),
+          max(col("count")).as("r_top"),
+          count_if(col("count") === 1).as("r_singletons"))
+      val st = graft.functions.NGramStats.ngramStats(col("text"), n)
+      val got = docs.filter(st.getField("total") > 0)
+        .select(col("doc_id"), st.as("st"))
+      assert(got.count() == ref.count(), s"seed=$seed n=$n row sets differ")
+      val bad = got.join(ref, "doc_id").filter(
+        col("st.total") =!= col("r_total") ||
+        col("st.distinct") =!= col("r_distinct") ||
+        col("st.top") =!= col("r_top") ||
+        col("st.singletons") =!= col("r_singletons"))
+      assert(bad.count() == 0, s"seed=$seed n=$n")
+    }
+  }
+
   test("WinnowFingerprints equals the generator formulation on random text") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
