@@ -40,6 +40,41 @@ object CorpusQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // Temperature-scaled domain mixture (the Pile / DoReMi-style source
+    // reweighting): raise each source's share to alpha = 0.5 (sqrt
+    // flattening — common sources downweighted, rare ones boosted),
+    // normalize, convert the target mixture into a per-source keep rate
+    // for a 1000-doc sample, and apply it with the same key-tied hash
+    // sampler as q64 (partitioning-stable; rerunning or resharding a
+    // 100 TB corpus cannot change the sample). Everything after the one
+    // per-source count aggregation operates on a #sources-row table —
+    // broadcast throughout. Cross-engine determinism: n^alpha / sum
+    // normalization works on round(sqrt(n), 6) values (sqrt of an int
+    // never sits on the round-half boundary: perfect squares are exact,
+    // the rest are irrational) summed with the exact-decimal dsum, so
+    // both engines derive bit-identical rates and the same kept set.
+    "q93_domain_mixture" -> { (s, dir) =>
+      val d = Tables.t(s, dir, "documents")
+      val counts = d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("w", round(sqrt(col("n_docs").cast("double")), 6))
+      val denom = counts.agg(graft.Fns.dsum(col("w")).as("w_sum"))
+      val rates = counts.crossJoin(broadcast(denom))
+        .withColumn("mix_w", col("w") / col("w_sum"))
+        .withColumn("keep_rate",
+          least(lit(1000.0) * col("mix_w") / col("n_docs").cast("double"),
+            lit(1.0)))
+      val kept = d
+        .join(broadcast(rates.select(col("source"), col("keep_rate"))),
+          "source")
+        .filter(hashSample(col("doc_id"), col("keep_rate") * lit(65536.0)))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+      rates.join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("mix_w"),
+          col("keep_rate"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy("source")
+    },
+
     // Context-length chunking: overlapping token windows (size 50, stride
     // 40) — the sequence-packing precursor. The token array materializes
     // once per document in the same projection as the generator; each
@@ -385,6 +420,33 @@ object CorpusQueries extends QueryModule {
         |SELECT doc_id, redacted,
         |  CAST(LENGTH(with_pii) - LENGTH(redacted) AS BIGINT) AS delta_chars
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // bit-identical rate derivation (round(sqrt, 6) + exact-decimal sum)
+    // and the q64 hash sampler restated over the same md5 prefix
+    "q93_domain_mixture" ->
+      s"""WITH c AS (
+         |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+         |w AS (
+         |  SELECT source, n_docs,
+         |    ROUND(SQRT(CAST(n_docs AS DOUBLE)), 6) AS w
+         |  FROM c),
+         |t AS (SELECT ${graft.Fns.dsumSql("w")} AS w_sum FROM w),
+         |r AS (
+         |  SELECT source, n_docs, w / w_sum AS mix_w,
+         |    LEAST(1000.0 * (w / w_sum) / CAST(n_docs AS DOUBLE), 1.0)
+         |      AS keep_rate
+         |  FROM w CROSS JOIN t),
+         |k AS (
+         |  SELECT d.source, COUNT(*) AS n_kept
+         |  FROM documents d JOIN r USING (source)
+         |  WHERE CAST(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 4))
+         |          AS BIGINT)
+         |    < keep_rate * 65536.0
+         |  GROUP BY d.source)
+         |SELECT r.source, CAST(r.n_docs AS BIGINT) AS n_docs, r.mix_w,
+         |  r.keep_rate, COALESCE(CAST(k.n_kept AS BIGINT), 0) AS n_kept
+         |FROM r LEFT JOIN k ON r.source = k.source
+         |ORDER BY r.source""".stripMargin,
 
     // the oracle rebuilds the bigram counts relationally (unnest ->
     // group -> aggregate) where the engine fuses them into one pass

@@ -22,6 +22,7 @@ class PlanGuardSpec extends AnyFunSuite {
       "q70_ivf_assign", "q84_ivf_multiprobe", // broadcast centroid table
       "q89_semantic_dedup", // ditto — cell assignment probes the centroids
       "q90_kmeans_train", // ditto — k-row centroid table, broadcast probe
+      "q93_domain_mixture", // 1-row normalizer × #sources-row rate table
       "q79_gap_fill") // calendar spine × dimension values: both sides tiny
 
   /** Shuffle ceilings for the most expensive plans (round-2 plan audit
