@@ -110,6 +110,25 @@ object EtlQueries extends QueryModule {
         .orderBy("side")
     },
 
+    // Z-order curve values over (customer, order-day) — the clustering
+    // key of [[ZOrder.seedZOrdered]], the lakehouse OPTIMIZE-ZORDER
+    // analog in the Seed layout family (sorted / bucketed / partitioned /
+    // z-ordered). The interleave is pure built-in bit arithmetic, so the
+    // oracle restates the identical operator tree and the curve itself is
+    // hash-checked; the layout property it buys (per-file 2-D boxes ->
+    // min/max pruning on BOTH dimensions) is asserted in SeedSpec.
+    "q94_zorder_curve" -> { (s, dir) =>
+      Tables.t(s, dir, "orders").select(
+          col("o_orderkey"),
+          col("o_custkey").bitwiseAND(lit(65535L)).as("cust16"),
+          datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
+            .cast("long").bitwiseAND(lit(65535L)).as("day16"),
+          ZOrder.zValue2(col("o_custkey"),
+            datediff(to_date(col("o_orderdate")), lit("1992-01-01")))
+            .as("z_value"))
+        .orderBy("o_orderkey")
+    },
+
     // The upsert's JSON stats report (operations.py:601-609:
     // rows_added/rows_deleted returned as JSON) on the q04 scenario.
     // No trailing ORDER BY: the crossJoin of two 1-row aggregates yields
@@ -131,6 +150,31 @@ object EtlQueries extends QueryModule {
     })
 
   override def oracles: Map[String, String] = Map(
+    // the engine's bit-spread steps unrolled as CTEs — identical integer
+    // operator tree, so the z-values hash-match exactly
+    "q94_zorder_curve" ->
+      """WITH base AS (
+        |  SELECT o_orderkey,
+        |    o_custkey & 65535 AS a,
+        |    CAST(DATEDIFF('day', DATE '1992-01-01',
+        |                  CAST(o_orderdate AS DATE)) AS BIGINT) & 65535 AS b
+        |  FROM orders),
+        |s1 AS (SELECT o_orderkey, a, b,
+        |  (a | (a << 8)) & 16711935 AS sa,
+        |  (b | (b << 8)) & 16711935 AS sb FROM base),
+        |s2 AS (SELECT o_orderkey, a, b,
+        |  (sa | (sa << 4)) & 252645135 AS sa,
+        |  (sb | (sb << 4)) & 252645135 AS sb FROM s1),
+        |s3 AS (SELECT o_orderkey, a, b,
+        |  (sa | (sa << 2)) & 858993459 AS sa,
+        |  (sb | (sb << 2)) & 858993459 AS sb FROM s2),
+        |s4 AS (SELECT o_orderkey, a, b,
+        |  (sa | (sa << 1)) & 1431655765 AS sa,
+        |  (sb | (sb << 1)) & 1431655765 AS sb FROM s3)
+        |SELECT o_orderkey, a AS cust16, b AS day16,
+        |  sa | (sb << 1) AS z_value
+        |FROM s4 ORDER BY o_orderkey""".stripMargin,
+
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${dsumSql("l_quantity")} AS sum_qty,
