@@ -213,4 +213,33 @@ object StreamingOps {
         ()
       }
   }
+
+  /** Streaming cross-run dedup sink: every micro-batch drops documents
+    * whose content the store has EVER seen (any earlier batch, any
+    * earlier run — state that outlives the stream, unlike
+    * dropDuplicatesWithinWatermark's watermark-bounded store), appends
+    * the novel rows to the corpus destination and their fingerprints to
+    * the seen-store — both through crash-atomic O(batch) delta commits.
+    * `foreachBatch` reuses the tested batch kernel
+    * ([[graft.llm.DedupStore]]), so streaming and batch cannot diverge.
+    */
+  def dedupSink(docs: DataFrame, destPath: String, storePath: String,
+                textCol: String = "text", keyCol: String = "doc_id")
+      : DataStreamWriter[Row] = {
+    docs.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val novel = graft.llm.DedupStore
+          .novelAgainstStore(batch, storePath, textCol, keyCol)
+        // corpus BEFORE fingerprints: a crash between the commits makes
+        // the replayed batch re-commit the same rows (absorbed by the
+        // pk-folded read) — the reverse order would record the content
+        // as seen and lose it on replay (DedupStore.recordFingerprints)
+        graft.etl.Snapshot.commitDelta(
+          novel.drop("content_hash"), destPath, keyCol)
+        graft.llm.DedupStore.recordFingerprints(novel, storePath, keyCol)
+        ()
+      }
+  }
 }

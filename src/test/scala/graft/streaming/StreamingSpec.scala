@@ -242,6 +242,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.forall(r => r._2 == 0L && r._3 == 12L)) // one 12-token chunk
   }
 
+  test("foreachBatch dedup sink drops content seen by ANY earlier run") {
+    val base = s"/tmp/graft-test-dedupsink-${System.nanoTime()}"
+    val dest = s"$base/corpus"
+    val store = s"$base/seen"
+    // run 1: two distinct texts (one repeated in-batch)
+    val ms1 = MemoryStream[Doc](spark)
+    ms1.addData(Doc(1, ts("2024-01-01 10:00:00"), "alpha"),
+                Doc(2, ts("2024-01-01 10:01:00"), "beta"),
+                Doc(3, ts("2024-01-01 10:02:00"), "alpha"))
+    val q1 = StreamingOps.dedupSink(ms1.toDF(), dest, store).start()
+    q1.awaitTermination(60000)
+    // run 2 (fresh stream = restart): one repeat, one new — the seen
+    // state survives the stream because it lives in the store snapshot
+    val ms2 = MemoryStream[Doc](spark)
+    ms2.addData(Doc(10, ts("2024-01-02 10:00:00"), "beta"),
+                Doc(11, ts("2024-01-02 10:01:00"), "gamma"))
+    val q2 = StreamingOps.dedupSink(ms2.toDF(), dest, store).start()
+    q2.awaitTermination(60000)
+    val ids = graft.etl.Snapshot.read(spark, dest)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 11L))
+    assert(graft.etl.Snapshot.read(spark, store).count() == 3)
+  }
+
   test("foreachBatch upsert sink applies the batch kernel per micro-batch") {
     val dest = s"/tmp/graft-test-upsert-${System.nanoTime()}"
     Seq(Ev(100, ts("2024-01-01 09:00:00"), 9, "seed", 0.0))
