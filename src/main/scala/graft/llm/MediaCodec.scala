@@ -28,7 +28,69 @@ object MediaCodec {
     if (isPng(b)) sniffPng(b)
     else if (isJpeg(b)) sniffJpeg(b)
     else if (isGif(b)) sniffGif(b)
+    else if (isY4m(b)) demuxY4m(b)
+      .map(v => Sniffed("y4m", v.width, v.height)).getOrElse(Bin)
     else Bin
+
+  /** A demuxed uncompressed Y4M (YUV4MPEG2) video: raw planar frames at
+    * `frameOffsets` (payload offsets of the first plane byte), each
+    * `frameSize` bytes. */
+  final case class Y4m(width: Int, height: Int, frameSize: Int,
+                       frameOffsets: Array[Int])
+
+  private def isY4m(b: Array[Byte]): Boolean = {
+    val magic = "YUV4MPEG2 ".getBytes("US-ASCII")
+    b.length > magic.length && magic.indices.forall(i => b(i) == magic(i))
+  }
+
+  /** Pure-JVM demux of the one video container that needs NO codec:
+    * Y4M is an ASCII parameter line (`YUV4MPEG2 W.. H.. F.. C..`)
+    * followed by raw planar frames, each introduced by an ASCII
+    * `FRAME...` line — so real frame extraction is header parsing plus
+    * offset arithmetic. Compressed containers (MP4/H.264 …) still need
+    * external codecs and stay behind the documented seam; a pipeline
+    * transcodes to Y4M upstream ONCE and every downstream frame-sample
+    * pass is then pure byte slicing. Truncated or malformed payloads
+    * yield the frames that fully fit, never an exception.
+    */
+  def demuxY4m(b: Array[Byte]): Option[Y4m] = {
+    if (!isY4m(b)) return None
+    val nl = b.indexOf('\n'.toByte)
+    if (nl < 0 || nl > 512) return None
+    val params = new String(b, 0, nl, "US-ASCII").split(" ").drop(1)
+    def num(tag: Char): Option[Int] = params
+      .collectFirst { case p if p.nonEmpty && p.head == tag &&
+        p.tail.forall(_.isDigit) && p.tail.nonEmpty => p.tail.toInt }
+    (num('W'), num('H')) match {
+      case (Some(w), Some(h)) if w > 0 && h > 0 =>
+        val chroma = params.collectFirst {
+          case p if p.nonEmpty && p.head == 'C' => p.tail }.getOrElse("420")
+        val frameSize: Long =
+          if (chroma.startsWith("mono")) w.toLong * h
+          else if (chroma.startsWith("444")) w.toLong * h * 3
+          else if (chroma.startsWith("422")) w.toLong * h * 2
+          else w.toLong * h * 3 / 2 // 420 family (jpeg/paldv/mpeg2)
+        if (frameSize <= 0 || frameSize > Int.MaxValue) return None
+        val marker = "FRAME".getBytes("US-ASCII")
+        val offsets = Array.newBuilder[Int]
+        var i = nl + 1
+        var ok = true
+        while (ok && i < b.length) {
+          if (i + marker.length <= b.length &&
+              marker.indices.forall(k => b(i + k) == marker(k))) {
+            var j = i + marker.length // optional frame params up to '\n'
+            while (j < b.length && b(j) != '\n'.toByte) j += 1
+            val dataStart = j + 1
+            if (j < b.length && dataStart + frameSize <= b.length) {
+              offsets += dataStart
+              i = dataStart + frameSize.toInt
+            } else ok = false // truncated tail: keep the full frames
+          } else ok = false // malformed stream: stop, never throw
+        }
+        Some(Y4m(w, h, frameSize.toInt, offsets.result()))
+      case _ => None
+    }
+  }
 
   private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
   private def be16(b: Array[Byte], i: Int): Long = (u8(b, i) << 8 | u8(b, i + 1)).toLong

@@ -137,6 +137,44 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames(0)._2.head == 0.toByte && frames(3)._2.last == 99.toByte)
   }
 
+  test("sampleFrames demuxes real Y4M frames with true frame numbers") {
+    import spark.implicits._
+    // 4x2 C420 -> 12 bytes per frame; 5 frames, each filled with its index
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C420\n".getBytes("US-ASCII"))
+    for (f <- 0 until 5) {
+      out.write("FRAME\n".getBytes("US-ASCII"))
+      out.write(Array.fill[Byte](12)(f.toByte))
+    }
+    val media = Seq(Multimodal.MediaIn(9L, out.toByteArray)).toDS().toDF()
+    val frames = Multimodal.sampleFrames(media, 2).orderBy("frame_idx")
+      .collect().map(r => (r.getInt(1), r.getAs[Array[Byte]](2)))
+    assert(frames.map(_._1).toSeq == Seq(0, 2)) // evenly spaced REAL indices
+    assert(frames.forall(_._2.length == 12))
+    assert(frames(0)._2.forall(_ == 0.toByte))
+    assert(frames(1)._2.forall(_ == 2.toByte))
+    // asking for more frames than exist returns them all, once each
+    val all = Multimodal.sampleFrames(media, 99).collect()
+    assert(all.map(_.getInt(1)).sorted.toSeq == (0 until 5).toSeq)
+  }
+
+  test("Y4M demux keeps whole frames from a truncated stream") {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("YUV4MPEG2 W4 H2 C420\n".getBytes("US-ASCII"))
+    out.write("FRAME\n".getBytes("US-ASCII"))
+    out.write(Array.fill[Byte](12)(1.toByte))
+    out.write("FRAME\n".getBytes("US-ASCII"))
+    out.write(Array.fill[Byte](5)(2.toByte)) // second frame cut short
+    val v = MediaCodec.demuxY4m(out.toByteArray)
+    assert(v.exists(_.frameOffsets.length == 1))
+    // header variants: mono/422/444 frame sizes, missing dims rejected
+    assert(MediaCodec.demuxY4m(
+      "YUV4MPEG2 W4 H2 Cmono\nFRAME\n12345678".getBytes("US-ASCII"))
+      .exists(_.frameSize == 8))
+    assert(MediaCodec.demuxY4m(
+      "YUV4MPEG2 H2 C420\nFRAME\n".getBytes("US-ASCII")).isEmpty)
+  }
+
   test("sniffer and resize never throw on fuzzed bytes") {
     val rnd = new scala.util.Random(5)
     for (_ <- 1 to 500) {
@@ -145,6 +183,12 @@ class MultimodalSpec extends AnyFunSuite {
       if (b.length >= 2 && rnd.nextBoolean()) { b(0) = 0xff.toByte; b(1) = 0xd8.toByte }
       MediaCodec.sniff(b)
       Multimodal.imageResizePixels(b, 8, 8)
+    }
+    // and the Y4M demuxer on fuzzed header tails after the real magic
+    for (_ <- 1 to 500) {
+      val tail = Array.fill[Byte](rnd.nextInt(64))(rnd.nextInt().toByte)
+      val b = "YUV4MPEG2 ".getBytes("US-ASCII") ++ tail
+      MediaCodec.demuxY4m(b) // must never throw
     }
   }
 
