@@ -37,6 +37,9 @@ class PlanGuardSpec extends AnyFunSuite {
     "q72_langid_ngram"   -> 1, // the final ORDER BY only — scoring is scan-local
     "q57_winnow_fingerprint" -> 1, // ditto — fingerprints are scan-local
     "q83_quantize_embed" -> 1, // ditto — per-vector quantization
+    "q92_repetition_ngrams" -> 1, // ditto — fused NGramStats is scan-local
+    "q94_zorder_curve"   -> 1, // ditto — bit arithmetic is scan-local
+    "q91_sequence_pack"  -> 4, // bucket window + totals + prefix + sort
     "q78_edit_distance"  -> 3) // block-key join (2) + presentation sort
 
   /** Every declared query stays under this many shuffles regardless. */
