@@ -141,6 +141,31 @@ class FusedExprPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("fused expressions are reachable from SQL with literal params") {
+    val r = spark.sql(
+      """SELECT shingle_hashes('a b c d', 3) AS sh,
+        |       top_token_count('x y x') AS tt,
+        |       ngram_stats('x y x y', 2) AS ng,
+        |       size(minhash_bands('a b c', 32, 8)) AS mb,
+        |       size(winnow_fingerprints('a b c d e f g', 4)) AS wf,
+        |       dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp,
+        |       sorted_intersect_count(array(1L, 2L, 3L),
+        |                              array(2L, 3L, 4L)) AS ic
+        |""".stripMargin).head()
+    assert(r.getSeq[Long](0).length == 2)
+    assert(r.getAs[Long]("tt") == 2L)
+    assert(r.getAs[org.apache.spark.sql.Row]("ng").getAs[Long]("top") == 2L)
+    assert(r.getAs[Int]("mb") == 8)
+    assert(r.getAs[Int]("wf") >= 1)
+    assert(r.getAs[Double]("dp") == 11.0)
+    assert(r.getAs[Long]("ic") == 2L)
+    // structural params reject non-literals loudly, not with a wrong plan
+    val e = intercept[Exception](
+      spark.sql("SELECT shingle_hashes('a b c', cast(rand() * 3 AS INT))")
+        .collect())
+    assert(e.getMessage.contains("integer literal"))
+  }
+
   test("WinnowFingerprints equals the generator formulation on random text") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
