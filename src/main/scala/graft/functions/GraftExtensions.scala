@@ -47,8 +47,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       a => SortedIntersectCount(a(0), a(1)))
     register(ext, "shingle_hashes", classOf[ShingleHashes], 2)(a =>
       ShingleHashes(a(0), intLit(a(1), "shingle_hashes", "shingle width")))
-    register(ext, "top_token_count", classOf[TopTokenCount], 1)(a =>
-      TopTokenCount(a(0)))
     register(ext, "ngram_stats", classOf[NGramStats], 2)(a =>
       NGramStats(a(0), intLit(a(1), "ngram_stats", "n-gram width")))
     register(ext, "minhash_bands", classOf[MinHashBands], 3)(a =>

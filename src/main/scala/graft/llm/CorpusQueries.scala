@@ -300,10 +300,10 @@ object CorpusQueries extends QueryModule {
     // IEEE divisions of exactly-representable ints, so they hash-match
     // the oracle bit-for-bit. One map over a 100 TB scan; the pass flag
     // is the conjunction a corpus filter would apply. The repetition
-    // numerator comes from the fused TopTokenCount expression — one
-    // linear hash-count pass per document where the HOF spelling
-    // (filter-per-distinct-token) is O(L·D), quadratic on exactly the
-    // long documents a 100 TB sweep is full of.
+    // numerator is the `top` field of the fused NGramStats expression at
+    // n = 1 — one linear hash-count pass per document where the HOF
+    // spelling (filter-per-distinct-token) is O(L·D), quadratic on
+    // exactly the long documents a 100 TB sweep is full of.
     "q88_quality_rules" -> { (s, dir) =>
       val tok = split(col("text"), " ")
       val n = size(tok).cast("double")
@@ -315,8 +315,8 @@ object CorpusQueries extends QueryModule {
       val stopFrac = size(filter(tok, (t: Column) =>
         t.isInCollection(Seq("the", "a", "of", "and", "to"))))
         .cast("double") / n
-      val topTokFrac = graft.functions.TopTokenCount
-        .topTokenCount(col("text")).cast("double") / n
+      val topTokFrac = graft.functions.NGramStats.ngramStats(col("text"), 1)
+        .getField("top").cast("double") / n
       val pass = size(tok).between(50, 100000) &&
         meanLen.between(3.0, 10.0) && alphaFrac >= lit(0.8) &&
         topTokFrac <= lit(0.2)

@@ -97,7 +97,7 @@ class FusedExprPropertiesSpec extends AnyFunSuite {
     }
   }
 
-  test("TopTokenCount equals the HOF formulation on random text") {
+  test("NGramStats.top at n=1 equals the HOF top-token formulation") {
     import spark.implicits._
     for (seed <- Seq(9, 33, 87)) {
       val docs = randomCorpus(seed, 150).toDF("doc_id", "text")
@@ -106,7 +106,8 @@ class FusedExprPropertiesSpec extends AnyFunSuite {
         (d: Column) => size(filter(tok, (t: Column) => t === d))))
         .cast("long")
       val bad = docs.select(
-          graft.functions.TopTokenCount.topTokenCount(col("text")).as("got"),
+          graft.functions.NGramStats.ngramStats(col("text"), 1)
+            .getField("top").as("got"),
           ref.as("ref"))
         .filter(col("got") =!= col("ref") || col("got").isNull)
       assert(bad.count() == 0, s"seed=$seed")
@@ -144,7 +145,7 @@ class FusedExprPropertiesSpec extends AnyFunSuite {
   test("fused expressions are reachable from SQL with literal params") {
     val r = spark.sql(
       """SELECT shingle_hashes('a b c d', 3) AS sh,
-        |       top_token_count('x y x') AS tt,
+        |       ngram_stats('x y x', 1).top AS tt,
         |       ngram_stats('x y x y', 2) AS ng,
         |       size(minhash_bands('a b c', 32, 8)) AS mb,
         |       size(winnow_fingerprints('a b c d e f g', 4)) AS wf,
