@@ -137,6 +137,29 @@ object CorpusQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // The BPE merge statistic (Sennrich et al. 2016): corpus-weighted
+    // adjacent character-pair counts — the quantity whose argmax IS the
+    // next merge decision of BPE vocabulary training (q68 covers the
+    // pre-tokenizer in the same family). Scale shape: pair generation
+    // runs over the DISTINCT vocabulary only (pair count = Σ over
+    // distinct words of word_freq × in-word occurrences), so the
+    // per-character work scales with vocabulary size, not corpus size —
+    // the corpus is touched exactly once, by the word-frequency count.
+    "q95_bpe_merge_stats" -> { (s, dir) =>
+      val freqs = Tables.t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) >= 2)
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      val pair = freqs
+        .select(col("freq"), explode(transform(
+          sequence(lit(1), length(col("word")) - 1),
+          (i: Column) => col("word").substr(i, lit(2)))).as("pair"))
+      pair.groupBy(col("pair"))
+        .agg(sum(col("freq")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("pair").asc)
+        .limit(20)
+    },
+
     // Gopher repetition signals at n-gram granularity — the companions
     // of q88's top-token share (Rae et al. 2021 §A1.1 measures
     // top-n-gram share and duplicate-n-gram fraction for n up to 10;
@@ -420,6 +443,20 @@ object CorpusQueries extends QueryModule {
         |SELECT doc_id, redacted,
         |  CAST(LENGTH(with_pii) - LENGTH(redacted) AS BIGINT) AS delta_chars
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q95_bpe_merge_stats" ->
+      """WITH w AS (
+        |  SELECT UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents),
+        |f AS (
+        |  SELECT word, COUNT(*) AS freq FROM w
+        |  WHERE LENGTH(word) >= 2 GROUP BY word),
+        |p AS (
+        |  SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LENGTH(word)), i ->
+        |    SUBSTRING(word, i, 2))) AS pair, freq
+        |  FROM f)
+        |SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count
+        |FROM p GROUP BY pair
+        |ORDER BY pair_count DESC, pair ASC LIMIT 20""".stripMargin,
 
     // bit-identical rate derivation (round(sqrt, 6) + exact-decimal sum)
     // and the q64 hash sampler restated over the same md5 prefix
