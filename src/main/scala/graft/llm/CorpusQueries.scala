@@ -226,6 +226,36 @@ object CorpusQueries extends QueryModule {
         .orderBy("source", "token")
     },
 
+    // Inverted-index build — the retrieval-side artifact of a corpus run
+    // (BM25 search, RAG stores, contamination lookups all start here):
+    // per index term its document frequency, total term frequency, and
+    // the head of its postings list (the 10 lowest doc_ids). Terms below
+    // df = 5 are pruned (the min-df threshold every indexer applies).
+    // Scale shape: per-(token, doc) term frequencies first (one shuffle),
+    // then a token-partitioned window takes the postings HEAD with
+    // bounded state — never a collect_list of a stopword's full postings
+    // (billions of rows in one aggregation buffer at 100 TB); the final
+    // per-token aggregation rides the window's partitioning without a
+    // new exchange. Postings serialize as CSV (the driver's hash compare
+    // takes no raw arrays).
+    "q98_postings_index" -> { (s, dir) =>
+      val tfd = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"))
+      val w = Window.partitionBy(col("token")).orderBy(col("doc_id").asc)
+      tfd
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("df"),
+          sum(col("tf")).as("tf_total"),
+          array_join(expr("transform(array_sort(" +
+            "collect_list(CASE WHEN rn <= 10 THEN struct(doc_id) END))," +
+            " x -> CAST(x.doc_id AS STRING))"), ",").as("postings_head"))
+        .filter(col("df") >= 5)
+        .orderBy("token")
+    },
+
     // The end-to-end corpus-prep pipeline in ONE query: clean → quality
     // gate → exact-dedup (keep the canonical doc per cleaned-content hash)
     // → context-length chunking. This is the composition a real
@@ -287,6 +317,41 @@ object CorpusQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // Corpus-level span dedup (the paragraph/line dedup of C4 and CCNet,
+    // re-expressed over the fixture's single-line documents as
+    // non-overlapping 20-token spans): every span occurring more than
+    // once across the WHOLE corpus keeps only its first occurrence
+    // (lowest doc_id, then offset) and later copies are dropped; each
+    // document is rebuilt from its surviving spans. This is the dedup
+    // granularity BETWEEN exact-doc (q31) and shingle near-dup (q50) —
+    // boilerplate removal. Scale shape: spans shuffle as xxhash64 keys
+    // (fixed width; first-occurrence ranking is hash-invariant, the
+    // oracle partitions by the span STRING), one window + one per-doc
+    // aggregation — no all-pairs term, and per-span state is one row.
+    "q96_span_dedup" -> { (s, dir) =>
+      val span = 20
+      val tok = split(col("text"), " ")
+      val units = Tables.t(s, dir, "documents")
+        // materialize tok with the generator, slice in the NEXT projection
+        // (slicing inside a lambda re-evaluates the split per span)
+        .select(col("doc_id"), tok.as("tok"),
+          explode(sequence(lit(1), size(tok), lit(span))).as("st"))
+        .select(col("doc_id"), col("st"),
+          array_join(slice(col("tok"), col("st"), lit(span)), " ").as("unit"))
+      val w = Window.partitionBy(col("h"))
+        .orderBy(col("doc_id").asc, col("st").asc)
+      units
+        .withColumn("h", xxhash64(col("unit")))
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          count_if(col("rn") > 1).as("n_dropped"),
+          array_join(expr("transform(array_sort(" +
+            "collect_list(CASE WHEN rn = 1 THEN struct(st, unit) END))," +
+            " x -> x.unit)"), " ").as("clean_text"))
+        .orderBy("doc_id")
+    },
+
     // Benchmark decontamination — the train/eval overlap sweep every
     // serious training-data pipeline runs before a model sees the data:
     // any training doc sharing a 5-token shingle with the held-out set
@@ -312,6 +377,51 @@ object CorpusQueries extends QueryModule {
         .join(evalSh, "h")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_shared_shingles"))
+        .orderBy("doc_id")
+    },
+
+    // Decontamination at the 100 TB shape: q87 reports overlap counts by
+    // shuffling EVERY training posting into the eval join; here the join
+    // is pre-filtered by a Bloom filter over the eval shingle set, so the
+    // shuffle carries only candidate postings (true overlaps + the
+    // filter's ~1% false positives) and the clean bulk of the corpus is
+    // dropped scan-locally — the same plumbing Spark's own runtime
+    // bloom-join filter injects, spelled explicitly. The exact semi-join
+    // VERIFY after the filter removes false positives, so the output (the
+    // decontaminated corpus) is byte-identical to the no-bloom spelling —
+    // which is exactly what the oracle states. The filter itself is built
+    // distributed (`bloom_filter_agg`, one pass over eval postings) and
+    // ships to executors as a 64 KB literal — the classic build-small/
+    // probe-big asymmetry: benchmarks are tiny by construction.
+    "q97_bloom_decontaminate" -> { (s, dir) =>
+      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      import org.apache.spark.sql.graftbridge.ExprBridge
+      import org.apache.spark.sql.types.BinaryType
+      val sh = graft.functions.ShingleHashes.shingleHashes(col("text"), 5)
+      val docs = Tables.t(s, dir, "documents")
+      val evalSh = docs.filter(col("source") === "src0")
+        .select(explode(sh).as("h")).distinct()
+      // one distributed aggregation pass (the Catalyst aggregate behind
+      // Spark's own runtime bloom joins — not SQL-registered, so built
+      // directly); the resulting sketch is a 64 KB binary — the
+      // single-row head() is the same driver hop a broadcast build side
+      // takes
+      val bloomAgg = new BloomFilterAggregate(ExprBridge.expression(col("h")),
+        Literal(65536L), Literal(524288L)).toAggregateExpression()
+      val bf = evalSh
+        .agg(ExprBridge.column(bloomAgg).as("bf"))
+        .head().getAs[Array[Byte]](0)
+      val mightContain = ExprBridge.column(BloomFilterMightContain(
+        Literal(bf, BinaryType), ExprBridge.expression(col("h"))))
+      val candidates = docs.filter(col("source") =!= "src0")
+        .select(col("doc_id"), explode(sh).as("h"))
+        .filter(mightContain)                       // scan-local ~99% drop
+      val contaminated = candidates.join(evalSh, "h") // exact verify
+        .select(col("doc_id")).distinct()
+      docs.filter(col("source") =!= "src0")
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source"))
         .orderBy("doc_id")
     },
 
@@ -526,6 +636,73 @@ object CorpusQueries extends QueryModule {
         |  (cume - n) // 512 AS first_seq,
         |  (cume - 1) // 512 AS last_seq
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q98_postings_index" ->
+      """WITH p AS (
+        |  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token
+        |  FROM documents),
+        |tfd AS (
+        |  SELECT token, doc_id, COUNT(*) AS tf
+        |  FROM p GROUP BY token, doc_id),
+        |r AS (
+        |  SELECT token, doc_id, tf,
+        |    ROW_NUMBER() OVER (PARTITION BY token
+        |                       ORDER BY doc_id ASC) AS rn
+        |  FROM tfd)
+        |SELECT token, COUNT(*) AS df,
+        |  CAST(SUM(tf) AS BIGINT) AS tf_total,
+        |  ARRAY_TO_STRING(LIST(CAST(doc_id AS VARCHAR) ORDER BY doc_id)
+        |                    FILTER (WHERE rn <= 10), ',') AS postings_head
+        |FROM r GROUP BY token HAVING COUNT(*) >= 5
+        |ORDER BY token""".stripMargin,
+
+    // the oracle ranks first occurrences over the span STRING where the
+    // engine partitions by xxhash64(span) — the ranking is hash-invariant
+    "q96_span_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, STRING_SPLIT(text, ' ') AS tok FROM documents),
+        |c AS (
+        |  SELECT doc_id, tok,
+        |    UNNEST(RANGE(1, LEN(tok) + 1, 20)) AS st
+        |  FROM d),
+        |u AS (
+        |  SELECT doc_id, st,
+        |    ARRAY_TO_STRING(tok[st:st+19], ' ') AS unit
+        |  FROM c),
+        |r AS (
+        |  SELECT doc_id, st, unit,
+        |    ROW_NUMBER() OVER (PARTITION BY unit
+        |                       ORDER BY doc_id ASC, st ASC) AS rn
+        |  FROM u)
+        |SELECT doc_id, COUNT(*) AS n_spans,
+        |  CAST(COUNT(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped,
+        |  COALESCE(STRING_AGG(unit, ' ' ORDER BY st)
+        |             FILTER (WHERE rn = 1), '') AS clean_text
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the oracle states the EXACT decontamination (no bloom term): the
+    // bloom pass only pre-filters candidates and the verify join removes
+    // its false positives, so both spellings yield the identical corpus
+    "q97_bloom_decontaminate" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, STRING_SPLIT(text, ' ') AS tok
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source,
+        |    LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(tok) - 3),
+        |      i -> ARRAY_TO_STRING(tok[i:i+4], ' '))) AS sh
+        |  FROM d WHERE LEN(tok) >= 5),
+        |ev AS (SELECT DISTINCT UNNEST(sh) AS s FROM sh
+        |       WHERE source = 'src0'),
+        |bad AS (
+        |  SELECT DISTINCT doc_id
+        |  FROM (SELECT doc_id, UNNEST(sh) AS s FROM sh
+        |        WHERE source <> 'src0') tr
+        |  JOIN ev USING (s))
+        |SELECT doc_id, source FROM documents
+        |WHERE source <> 'src0'
+        |  AND doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY doc_id""".stripMargin,
 
     // the oracle joins on shingle STRINGS where the engine joins on their
     // xxhash64 values — overlap counts are hash-invariant

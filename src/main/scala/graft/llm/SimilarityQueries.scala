@@ -265,7 +265,64 @@ object SimilarityQueries extends QueryModule {
       .orderBy("vec_id")
   }
 
+  /** Product quantization (Jégou et al. 2011) — the memory lever PAST
+    * int8 (q83): each vector splits into `m` contiguous `subDim`-wide
+    * subspaces, each subspace trains an independent `k`-code codebook
+    * (one Lloyd iteration of L2 k-means seeded from the k lowest
+    * vec_ids' sub-vectors — deterministic by construction, the q90
+    * recipe), and every vector encodes as its nearest code per subspace:
+    * 64 floats → 4 bytes here, 64× — the compression regime billion-
+    * vector IVF-PQ indexes run at, where int8's fixed 4× stops helping.
+    *
+    * Scale shape per stage: the codebook is m·k rows (independent of
+    * corpus size) and BROADCASTS to both the training assign and the
+    * encode probe; the recenter shuffles (sub, cid, dim) scalar triples,
+    * never whole vectors — identical posture to [[kmeans]]. Encoding is
+    * one broadcast join + per-row window over m·k candidate rows.
+    */
+  def pqEncode(embeddings: DataFrame, m: Int, subDim: Int, k: Int): DataFrame = {
+    val v = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    // materialize v with the generator; slice in the NEXT projection
+    // (slicing inside a lambda re-evaluates the cast per subspace)
+    val sub = v
+      .select(col("vec_id"), col("v"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"))
+      .select(col("vec_id"), col("sub"),
+        slice(col("v"), col("sub") * subDim + 1, lit(subDim)).as("sv"))
+    def l2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x: Column, y: Column) => (x - y) * (x - y)),
+        lit(0.0), (acc: Column, z: Column) => acc + z)
+    def assign(cents: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"), col("sub"))
+        .orderBy(col("d").asc, col("cid").asc)
+      sub.join(broadcast(cents), Seq("sub"))
+        .withColumn("d", l2(col("sv"), col("cv")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+    }
+    val seeds = sub.filter(col("vec_id") < k)
+      .select(col("sub"), col("vec_id").as("cid"), col("sv").as("cv"))
+    val trained = assign(seeds)
+      .select(col("sub"), col("cid"),
+        posexplode(col("sv")).as(Seq("dim", "x")))
+      .groupBy(col("sub"), col("cid"), col("dim"))
+      .agg(graft.Fns.davg(col("x")).as("c"))
+      .groupBy(col("sub"), col("cid"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("dc"))
+      .select(col("sub"), col("cid"), expr("transform(dc, s -> s.c)").as("cv"))
+    assign(trained)
+      .select(col("vec_id"), col("sub").cast("long").as("sub"),
+        col("cid").cast("long").as("code"))
+      .orderBy("vec_id", "sub")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Product-quantization codebook train + encode: 4 subspaces × 16
+    // codes — every vector becomes 4 small ints.
+    "q99_pq_encode" -> { (s, dir) =>
+      pqEncode(Tables.t(s, dir, "embeddings"), 4, 16, 16)
+    },
+
     // Semantic dedup over the embedding corpus: IVF-cell blocking, keep
     // the lowest-id representative of every within-cell similar group.
     "q89_semantic_dedup" -> { (s, dir) =>
@@ -352,6 +409,51 @@ object SimilarityQueries extends QueryModule {
     })
 
   override def oracles: Map[String, String] = Map(
+    // the q90 recipe at subspace granularity: the single Lloyd iteration
+    // unrolled as CTE pairs, uniformly over the `sub` grouping column (L2
+    // distances restated as LIST_SUM over the same squared differences)
+    "q99_pq_encode" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |sub AS (
+         |  SELECT vec_id, s.sub,
+         |    LIST_SLICE(v, s.sub * 16 + 1, s.sub * 16 + 16) AS sv
+         |  FROM v CROSS JOIN (SELECT UNNEST(RANGE(0, 4)) AS sub) s),
+         |c0 AS (
+         |  SELECT sub, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < 16),
+         |s1 AS (
+         |  SELECT a.vec_id, a.sub, a.sv, c.cid,
+         |    LIST_SUM(LIST_TRANSFORM(RANGE(1, 17),
+         |      i -> (a.sv[i] - c.cv[i]) * (a.sv[i] - c.cv[i]))) AS d
+         |  FROM sub a JOIN c0 c ON a.sub = c.sub),
+         |a1 AS (
+         |  SELECT vec_id, sub, sv, cid FROM (
+         |    SELECT vec_id, sub, sv, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+         |                         ORDER BY d ASC, cid ASC) AS rn
+         |    FROM s1) WHERE rn = 1),
+         |d1 AS (
+         |  SELECT sub, cid, GENERATE_SUBSCRIPTS(sv, 1) AS dim, UNNEST(sv) AS x
+         |  FROM a1),
+         |m1 AS (
+         |  SELECT sub, cid, dim, ${graft.Fns.davgSql("x")} AS c
+         |  FROM d1 GROUP BY sub, cid, dim),
+         |c1 AS (
+         |  SELECT sub, cid, LIST(c ORDER BY dim) AS cv
+         |  FROM m1 GROUP BY sub, cid),
+         |s2 AS (
+         |  SELECT a.vec_id, a.sub, c.cid,
+         |    LIST_SUM(LIST_TRANSFORM(RANGE(1, 17),
+         |      i -> (a.sv[i] - c.cv[i]) * (a.sv[i] - c.cv[i]))) AS d
+         |  FROM sub a JOIN c1 c ON a.sub = c.sub)
+         |SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(cid AS BIGINT) AS code
+         |FROM (
+         |  SELECT vec_id, sub, cid,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+         |                       ORDER BY d ASC, cid ASC) AS rn
+         |  FROM s2) WHERE rn = 1
+         |ORDER BY vec_id, sub""".stripMargin,
+
     // the 2 Lloyd iterations unrolled as CTE pairs (assign_i, centroids_i)
     // — the same nearest-by-cosine / exact-decimal-mean steps the engine
     // iterates
