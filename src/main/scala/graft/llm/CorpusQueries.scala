@@ -459,9 +459,104 @@ object CorpusQueries extends QueryModule {
         stopFrac.as("stop_frac"), topTokFrac.as("top_tok_frac"),
         pass.as("pass_gopher"))
         .orderBy("doc_id")
+    },
+
+    // BM25 ranked retrieval (Robertson/Spärck Jones; k1=1.2, b=0.75) —
+    // the query-side consumer of the q98 inverted index: score every
+    // document against a fixed 3-term query and return the top 20. The
+    // token stream is filtered to the query terms BEFORE any shuffle, so
+    // the aggregations move only matching postings (at 100 TB the postings
+    // come straight from the prebuilt index; corpus stats n_docs/avgdl are
+    // index metadata — here both derive from one extra aggregate-only scan
+    // and ship as a broadcast 1-row table). Cross-engine determinism: the
+    // per-(doc,term) score is pure scalar double math (constants spelled as
+    // exact literals — 2.2, 0.25 — so neither engine constant-folds
+    // differently), summed per doc with the exact-decimal dsum; ties on the
+    // rounded score break by doc_id.
+    "q100_bm25_rank" -> { (s, dir) =>
+      val toks = split(col("text"), " ")
+      val tok = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), size(toks).cast("long").as("dl"),
+          explode(toks).as("token"))
+        .filter(col("token").isInCollection(Seq("join", "filter", "vector")))
+      val tf = tok.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val stats = Tables.t(s, dir, "documents")
+        .select(size(split(col("text"), " ")).cast("long").as("dl0"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl0")).as("tok_total"))
+      val avgdl = col("tok_total").cast("double") / col("n_docs").cast("double")
+      val idf = log((col("n_docs").cast("double") - col("df").cast("double")
+        + lit(0.5)) / (col("df").cast("double") + lit(0.5)) + lit(1.0))
+      val score = idf * (col("tf").cast("double") * lit(2.2)) /
+        (col("tf").cast("double") +
+          lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / avgdl))
+      tf.join(broadcast(df), "token")
+        .crossJoin(broadcast(stats))
+        .withColumn("score", score)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_terms"), graft.Fns.dsum(col("score")).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id").asc)
+        .limit(20)
+    },
+
+    // Deterministic train/val/test split (80/10/10): the md5 bucket is
+    // tied to the doc KEY (same rationale as q64's sampler — resharding,
+    // rerunning, or growing the corpus never moves a document between
+    // splits, which is what keeps eval sets stable across pipeline runs).
+    // Entirely scan-local; the only shuffle is the presentation sort.
+    "q103_train_split" -> { (s, dir) =>
+      val bucket = conv(substring(
+        md5(col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10)
+        .cast("long") % 10
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          when(bucket < 8, lit("train"))
+            .when(bucket === 8, lit("val"))
+            .otherwise(lit("test")).as("split"))
+        .orderBy("doc_id")
     })
 
   override def oracles: Map[String, String] = Map(
+    "q100_bm25_rank" ->
+      """WITH tok AS (
+        |  SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS dl,
+        |    UNNEST(STRING_SPLIT(text, ' ')) AS token
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, token, COUNT(*) AS tf, MAX(dl) AS dl FROM tok
+        |  WHERE token IN ('join', 'filter', 'vector') GROUP BY 1, 2),
+        |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        |stats AS (
+        |  SELECT COUNT(*) AS n_docs,
+        |    SUM(LEN(STRING_SPLIT(text, ' '))) AS tok_total
+        |  FROM documents),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |    LN((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |         / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf AS DOUBLE) * 2.2)
+        |      / (CAST(tf AS DOUBLE)
+        |          + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+        |              / (CAST(tok_total AS DOUBLE)
+        |                  / CAST(n_docs AS DOUBLE)))) AS score
+        |  FROM tf JOIN df USING (token) CROSS JOIN stats)
+        |SELECT doc_id, COUNT(*) AS n_terms,
+        |  CAST(SUM(CAST(score AS DECIMAL(27,6))) AS DOUBLE) AS bm25
+        |FROM sc GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q103_train_split" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (
+        |  SELECT doc_id, source,
+        |    CAST(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |        AS BIGINT) % 10 AS b
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
     "q64_hash_sample" ->
       """SELECT doc_id, source, lang FROM documents
         |WHERE CAST(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 4))

@@ -406,9 +406,55 @@ object SimilarityQueries extends QueryModule {
         .select(col("label"), col("a_id"), col("b_id"),
           round(col("cos"), 4).as("cosine"))
         .orderBy("label", "a_id", "b_id")
+    },
+
+    // Contrastive hard-negative mining: for each query vector, the 3 most
+    // similar vectors carrying a DIFFERENT label — the near-boundary
+    // negatives a contrastive trainer (SimCLR/InfoNCE, triplet loss) puts
+    // in the batch because they carry the gradient; random negatives are
+    // too easy. Exact baseline over the broadcast query set (q38's shape
+    // plus the label-mismatch predicate); at scale the candidate side
+    // comes from the IVF probe (q84) instead of the full corpus, with the
+    // identical scoring/ranking tail.
+    "q101_hard_negatives" -> { (s, dir) =>
+      val e = Tables.t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+          col("v").as("qv"))
+      val scored = e.join(broadcast(q), col("label") =!= col("q_label"))
+        .withColumn("cos", cosine(col("v"), col("qv")))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("query_id"), col("q_label"), col("vec_id").as("neg_id"),
+          col("label").as("neg_label"), round(col("cos"), 4).as("cosine"),
+          col("rnk"))
+        .orderBy("query_id", "rnk")
     })
 
   override def oracles: Map[String, String] = Map(
+    "q101_hard_negatives" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id AS query_id, label AS q_label, v AS qv
+        |  FROM e WHERE vec_id < 20),
+        |s AS (
+        |  SELECT query_id, q_label, vec_id, label,
+        |    LIST_COSINE_SIMILARITY(v, qv) AS cos
+        |  FROM e, q WHERE label <> q_label),
+        |r AS (
+        |  SELECT query_id, q_label, vec_id, label, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |                       ORDER BY cos DESC, vec_id ASC) AS rnk
+        |  FROM s)
+        |SELECT query_id, q_label, vec_id AS neg_id, label AS neg_label,
+        |  ROUND(cos, 4) AS cosine, rnk
+        |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+
     // the q90 recipe at subspace granularity: the single Lloyd iteration
     // unrolled as CTE pairs, uniformly over the `sub` grouping column (L2
     // distances restated as LIST_SUM over the same squared differences)

@@ -412,9 +412,73 @@ object TextQueries extends QueryModule {
           .when(sEs >= top, "es").when(sFr >= top, "fr")
           .otherwise("zh").as("pred_lang"))
         .orderBy("doc_id")
+    },
+
+    // Collocation mining via pointwise mutual information (the word2vec-
+    // phrases / NLTK collocation statistic): adjacent-bigram counts
+    // against unigram marginals, PMI = ln(p(x,y) / (p(x)p(y))). Bigrams
+    // expand scan-locally from the materialized token array (one struct
+    // per adjacent pair — no self-join, no window over the token stream);
+    // both aggregations shuffle VOCABULARY-sized keys, never corpus-sized
+    // rows, and the corpus totals ride in as broadcast 1-row tables. The
+    // count ratio is built from exact int64 counts cast to double in one
+    // fixed operation order, so the rounded PMI is cross-engine
+    // deterministic (q51's LN + ROUND precedent). min-count 5 mirrors the
+    // standard collocation support floor.
+    "q102_bigram_pmi" -> { (s, dir) =>
+      val pairs = Tables.t(s, dir, "documents")
+        .select(split(col("text"), " ").as("tok"))
+        .filter(size(col("tok")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(tok) - 1), " +
+            "i -> named_struct('x', element_at(tok, i), " +
+            "'y', element_at(tok, i + 1)))")).as("bg"))
+        .select(col("bg.x").as("x"), col("bg.y").as("y"))
+      val cxy = pairs.groupBy(col("x"), col("y")).agg(count(lit(1)).as("c_xy"))
+      val uni = Tables.t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      val n1 = uni.agg(sum(col("c")).as("n1"))
+      val n2 = cxy.agg(sum(col("c_xy")).as("n2"))
+      cxy.filter(col("c_xy") >= 5)
+        .join(uni.select(col("t").as("x"), col("c").as("c_x")), "x")
+        .join(uni.select(col("t").as("y"), col("c").as("c_y")), "y")
+        .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+        .select(col("x"), col("y"), col("c_xy"),
+          round(log(
+            (col("c_xy").cast("double") * col("n1").cast("double")
+              * col("n1").cast("double")) /
+            (col("n2").cast("double") * col("c_x").cast("double")
+              * col("c_y").cast("double"))), 4).as("pmi"))
+        .orderBy("x", "y")
     })
 
   override def oracles: Map[String, String] = Map(
+    "q102_bigram_pmi" ->
+      """WITH d AS (
+        |  SELECT STRING_SPLIT(text, ' ') AS tok FROM documents
+        |  WHERE LEN(STRING_SPLIT(text, ' ')) >= 2),
+        |bg AS (
+        |  SELECT tok[i] AS x, tok[i + 1] AS y
+        |  FROM d, UNNEST(GENERATE_SERIES(1, LEN(tok) - 1)) AS g(i)),
+        |cxy AS (SELECT x, y, COUNT(*) AS c_xy FROM bg GROUP BY 1, 2),
+        |uni AS (
+        |  SELECT UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents),
+        |cu AS (SELECT t, COUNT(*) AS c FROM uni GROUP BY 1),
+        |n1 AS (SELECT SUM(c) AS n1 FROM cu),
+        |n2 AS (SELECT SUM(c_xy) AS n2 FROM cxy)
+        |SELECT cxy.x, cxy.y, c_xy,
+        |  ROUND(LN((CAST(c_xy AS DOUBLE) * CAST(n1 AS DOUBLE)
+        |      * CAST(n1 AS DOUBLE))
+        |    / (CAST(n2 AS DOUBLE) * CAST(cx.c AS DOUBLE)
+        |      * CAST(cy.c AS DOUBLE))), 4) AS pmi
+        |FROM cxy
+        |JOIN cu cx ON cx.t = cxy.x
+        |JOIN cu cy ON cy.t = cxy.y
+        |CROSS JOIN n1 CROSS JOIN n2
+        |WHERE c_xy >= 5
+        |ORDER BY x, y""".stripMargin,
+
     // no length prefilter needed: it is lossless at the same threshold,
     // so the oracle states the plain blocked comparison
     "q78_edit_distance" ->

@@ -23,7 +23,10 @@ class PlanGuardSpec extends AnyFunSuite {
       "q89_semantic_dedup", // ditto — cell assignment probes the centroids
       "q90_kmeans_train", // ditto — k-row centroid table, broadcast probe
       "q93_domain_mixture", // 1-row normalizer × #sources-row rate table
-      "q79_gap_fill") // calendar spine × dimension values: both sides tiny
+      "q79_gap_fill", // calendar spine × dimension values: both sides tiny
+      "q100_bm25_rank", // 1-row corpus-stats table crossed into postings
+      "q101_hard_negatives", // q38's shape: broadcast query set × corpus
+      "q102_bigram_pmi") // 1-row corpus totals crossed into vocab rows
 
   /** Shuffle ceilings for the most expensive plans (round-2 plan audit
     * values + 0 slack): these are the queries where one extra Exchange is
