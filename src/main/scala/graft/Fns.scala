@@ -28,6 +28,20 @@ object Fns {
   def dsumSql(expr: String): String =
     s"CAST(SUM(CAST($expr AS DECIMAL(27,6))) AS DOUBLE)"
 
+  /** [[dsum]] at scale 18, for summands far below 1 (probability masses,
+    * per-edge rank contributions ~1e-6..1e-9) where a 6-decimal cast would
+    * destroy the signal. Same determinism argument: a dyadic double never
+    * sits exactly on a 10^-18 half boundary (the boundary carries a factor
+    * 5^-18), so both engines round each row identically and the decimal
+    * sum is order-independent.
+    */
+  def dsum18(c: Column): Column =
+    sum(c.cast(DecimalType(38, 18))).cast(DoubleType)
+
+  /** Oracle SQL fragment mirroring [[dsum18]]. */
+  def dsum18Sql(expr: String): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(38,18))) AS DOUBLE)"
+
   /** Bit-exact cross-engine average: exact decimal sum → double → one IEEE
     * division by the group count. Both engines produce the identical double,
     * so no rounding is needed (a `round(avg(x), n)` can land exactly on a

@@ -12,6 +12,7 @@ object SparkEntry {
     ops.RelationalQueries,
     ops.ScalarQueries,
     ops.EventQueries,
+    ops.GraphQueries,
     llm.TextQueries,
     llm.CorpusQueries,
     llm.DedupQueries,

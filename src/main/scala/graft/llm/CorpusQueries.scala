@@ -515,9 +515,60 @@ object CorpusQueries extends QueryModule {
             .when(bucket === 8, lit("val"))
             .otherwise(lit("test")).as("split"))
         .orderBy("doc_id")
+    },
+
+    // Per-source distribution drift: KL(P_source ‖ P_corpus) over unigram
+    // distributions — the corpus-analytics score that flags a domain
+    // whose token mix diverges from the pool (contamination, scraper
+    // drift, template spam). All counts are exact int64; the per-token
+    // summand p_s·ln(p_s/p_c) is one fixed tree of IEEE ops; the
+    // per-source sum uses the scale-18 exact-decimal dsum18 (summands sit
+    // at 1e-5..1e-9 — the 6-decimal dsum would erase them). Shuffles are
+    // vocabulary-keyed: (source, token) counts, then token marginals —
+    // never corpus-row-sized; the marginals join is vocab × sources.
+    "q106_source_divergence" -> { (s, dir) =>
+      val cs = Tables.t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("t"))
+        .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c_st"))
+      // token marginal as a window over the (source, token) counts — one
+      // repartition instead of an aggregate + equi-join; the per-source
+      // totals are #sources rows, and the corpus total is an unpartitioned
+      // window over THAT tiny table (20 rows through one partition — never
+      // a second pass over the counts), so the whole stats side is one
+      // broadcast equi-join
+      val wT = Window.partitionBy(col("t"))
+      val wc = cs.withColumn("c_t", sum(col("c_st")).over(wT))
+      val ns = cs.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+        .withColumn("n", sum(col("n_s")).over(Window.partitionBy()))
+      val pS = col("c_st").cast("double") / col("n_s").cast("double")
+      val pC = col("c_t").cast("double") / col("n").cast("double")
+      wc.join(broadcast(ns), "source")
+        .select(col("source"), (pS * log(pS / pC)).as("summand"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_terms"),
+          graft.Fns.dsum18(col("summand")).as("kl_div"))
+        .orderBy("source")
     })
 
   override def oracles: Map[String, String] = Map(
+    "q106_source_divergence" ->
+      """WITH tok AS (
+        |  SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS t
+        |  FROM documents),
+        |cs AS (SELECT source, t, COUNT(*) AS c_st FROM tok GROUP BY 1, 2),
+        |ct AS (SELECT t, SUM(c_st) AS c_t FROM cs GROUP BY 1),
+        |ns AS (SELECT source, SUM(c_st) AS n_s FROM cs GROUP BY 1),
+        |n AS (SELECT SUM(c_t) AS n FROM ct),
+        |sm AS (
+        |  SELECT cs.source,
+        |    (CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+        |      * LN((CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+        |        / (CAST(c_t AS DOUBLE) / CAST(n AS DOUBLE))) AS summand
+        |  FROM cs JOIN ct USING (t) JOIN ns USING (source) CROSS JOIN n)
+        |SELECT source, COUNT(*) AS n_terms,
+        |  CAST(SUM(CAST(summand AS DECIMAL(38,18))) AS DOUBLE) AS kl_div
+        |FROM sm GROUP BY source ORDER BY source""".stripMargin,
+
     "q100_bm25_rank" ->
       """WITH tok AS (
         |  SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS dl,

@@ -131,9 +131,52 @@ object EventQueries extends QueryModule {
         .select(col("user_id"), col("event_type"), col("event_id"),
           col("ts"), col("value"))
         .orderBy("user_id", "event_type")
+    },
+
+    // Per-group z-score anomaly flagging — the monitoring pass a pipeline
+    // runs over a metric stream before training on it: per event_type,
+    // mean and stddev from the exact-decimal moments (q77's recipe, so
+    // both engines derive bit-identical thresholds), then every row more
+    // than 3 sigma out is reported. The moments table is a handful of
+    // rows — broadcast back onto the scan; the only shuffles are the
+    // moment aggregation and the presentation sort.
+    "q105_value_anomalies" -> { (s, dir) =>
+      val ev = Tables.t(s, dir, "events")
+      val m = ev.groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          dsum(col("value")).as("sx"),
+          dsum(col("value") * col("value")).as("sx2"))
+        .select(col("event_type"),
+          (col("sx") / col("n")).as("mean"),
+          sqrt((col("sx2") - col("sx") * col("sx") / col("n")) /
+            (col("n") - 1)).as("sd"))
+      val z = (col("value") - col("mean")) / col("sd")
+      ev.join(broadcast(m), "event_type")
+        .filter(abs(z) > 3.0)
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(z, 4).as("zscore"))
+        .orderBy("event_id")
     })
 
   override def oracles: Map[String, String] = Map(
+    "q105_value_anomalies" ->
+      s"""WITH m AS (
+         |  SELECT event_type,
+         |    CAST(COUNT(*) AS DOUBLE) AS n,
+         |    ${dsumSql("value")} AS sx,
+         |    ${dsumSql("value * value")} AS sx2
+         |  FROM events GROUP BY event_type),
+         |t AS (
+         |  SELECT event_type, (sx / n) AS mean,
+         |    SQRT((sx2 - sx * sx / n) / (n - 1)) AS sd
+         |  FROM m)
+         |SELECT event_id, event_type, value,
+         |  ROUND((value - mean) / sd, 4) AS zscore
+         |FROM events JOIN t USING (event_type)
+         |WHERE ABS((value - mean) / sd) > 3.0
+         |ORDER BY event_id""".stripMargin,
+
     "q79_gap_fill" ->
       s"""WITH ev AS (
          |  SELECT CAST(ts AS DATE) AS d, event_type, value FROM events),

@@ -1,0 +1,111 @@
+package graft.ops
+
+import graft.{Fns, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over relationally-derived edge lists — the
+  * second graph operator family beside q71's connected components
+  * (llm/DedupQueries.scala). The reference has no graph surface; this is
+  * north-star extension territory (SURVEY.md §2.3): a training-data
+  * pipeline ranks documents/hosts by link centrality (PageRank over the
+  * web graph is literally how quality weights for pretraining corpora are
+  * derived — Brin & Page 1998).
+  *
+  * Scale shape (the q71/q90 lessons applied): the edge list is computed
+  * once, repartitioned on its join key, and localCheckpointed so every
+  * iteration's join is co-partitioned and plan depth stays bounded at any
+  * iteration count; each iteration is exactly one join + one aggregation
+  * (rank state is (node, rank) pairs — nodes-sized, never edges-sized).
+  * Per-edge rank contributions sum through the scale-18 exact-decimal
+  * [[Fns.dsum18]] (contributions sit at 1e-6..1e-9), so the rank vector
+  * is bit-identical in both engines and the oracle can state the
+  * iterations as unrolled CTEs.
+  */
+object GraphQueries extends QueryModule {
+
+  /** Damping 0.85, fixed-iteration PageRank on an undirected edge list.
+    * `edges` must already carry both directions; nodes are the edge
+    * endpoints (a node with no transactions has no rank — documented).
+    */
+  def pagerank(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.repartition(col("src")).localCheckpoint()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val nN = deg.agg(count(lit(1)).as("n_nodes"))
+    val r0 = deg.select(col("src").as("node")).crossJoin(broadcast(nN))
+      .select(col("node"),
+        (lit(1.0) / col("n_nodes").cast("double")).as("pr"),
+        col("n_nodes"))
+    def step(r: DataFrame): DataFrame =
+      e.join(r.withColumnRenamed("node", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst").as("node"), col("n_nodes"),
+          (col("pr") / col("outdeg").cast("double")).as("contrib"))
+        .groupBy(col("node"), col("n_nodes"))
+        .agg(Fns.dsum18(col("contrib")).as("inflow"))
+        .select(col("node"),
+          (lit(0.15) / col("n_nodes").cast("double") +
+            lit(0.85) * col("inflow")).as("pr"),
+          col("n_nodes"))
+    var r = r0
+    var it = 0
+    while (it < iters) {
+      r = step(r).localCheckpoint()
+      it += 1
+    }
+    r.select(col("node"), col("pr"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Two PageRank iterations over the undirected customer–supplier
+    // co-transaction graph (suppliers offset by 1e6 into a shared id
+    // space). The fixture stands in for the host/link graph of a crawl;
+    // the plan is identical at web scale because rank state is
+    // nodes-sized and each iteration is one co-partitioned join.
+    "q107_pagerank" -> { (s, dir) =>
+      val off = lit(1000000L)
+      val e0 = Tables.t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + off).as("dst"))
+        .distinct()
+      val edges = e0.union(
+        e0.select(col("dst").as("src"), col("src").as("dst")))
+      pagerank(edges, 2).orderBy("node")
+    })
+
+  override def oracles: Map[String, String] = Map(
+    // the iterations unrolled as CTEs (the q90 recipe): each rank update
+    // is the same fixed expression tree over the same exact-decimal sums
+    "q107_pagerank" ->
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |e AS (SELECT src, dst FROM e0
+         |      UNION ALL SELECT dst AS src, src AS dst FROM e0),
+         |deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n_nodes FROM deg),
+         |r0 AS (
+         |  SELECT src AS node, 1.0 / CAST(n_nodes AS DOUBLE) AS pr
+         |  FROM deg CROSS JOIN n),
+         |r1 AS (
+         |  SELECT e.dst AS node,
+         |    0.15 / CAST(MAX(n.n_nodes) AS DOUBLE) + 0.85 *
+         |      ${Fns.dsum18Sql("r0.pr / CAST(deg.outdeg AS DOUBLE)")}
+         |      AS pr
+         |  FROM e JOIN r0 ON r0.node = e.src
+         |    JOIN deg ON deg.src = e.src CROSS JOIN n
+         |  GROUP BY e.dst),
+         |r2 AS (
+         |  SELECT e.dst AS node,
+         |    0.15 / CAST(MAX(n.n_nodes) AS DOUBLE) + 0.85 *
+         |      ${Fns.dsum18Sql("r1.pr / CAST(deg.outdeg AS DOUBLE)")}
+         |      AS pr
+         |  FROM e JOIN r1 ON r1.node = e.src
+         |    JOIN deg ON deg.src = e.src CROSS JOIN n
+         |  GROUP BY e.dst)
+         |SELECT node, pr FROM r2 ORDER BY node""".stripMargin)
+}

@@ -468,9 +468,53 @@ object RelationalQueries extends QueryModule {
         .intersect(anyBuy)
         .except(settled)
         .orderBy("custkey")
+    },
+
+    // Winsorization — the standard numeric-cleaning step before a model
+    // sees a heavy-tailed column: clip values outside the per-group
+    // [p05, p95] band to the band edges and report the clip census. The
+    // thresholds are q56's exact interpolated percentiles rounded to the
+    // 4-decimal grid (so the clip COMPARISONS run against identical
+    // constants in both engines); the clipped sum uses the exact-decimal
+    // dsum. Two aggregations over the same grouping key — the second
+    // rides the broadcast-joined thresholds, so the only shuffles are the
+    // two group-bys.
+    "q104_winsorize" -> { (s, dir) =>
+      val li = Tables.t(s, dir, "lineitem")
+      val bounds = li.groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.05)"), 4).as("lo"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("hi"))
+      val clipped = least(greatest(col("l_extendedprice"), col("lo")),
+        col("hi"))
+      li.join(broadcast(bounds), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          max(col("lo")).as("p05"), max(col("hi")).as("p95"),
+          count(when(col("l_extendedprice") < col("lo"), 1)).as("n_low"),
+          count(when(col("l_extendedprice") > col("hi"), 1)).as("n_high"),
+          count(lit(1)).as("n"),
+          Fns.dsum(clipped).as("sum_winsorized"))
+        .orderBy("l_returnflag")
     })
 
   override def oracles: Map[String, String] = Map(
+    "q104_winsorize" ->
+      s"""WITH b AS (
+         |  SELECT l_returnflag,
+         |    ROUND(QUANTILE_CONT(l_extendedprice, 0.05), 4) AS lo,
+         |    ROUND(QUANTILE_CONT(l_extendedprice, 0.95), 4) AS hi
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag,
+         |  MAX(lo) AS p05, MAX(hi) AS p95,
+         |  COUNT(CASE WHEN l_extendedprice < lo THEN 1 END) AS n_low,
+         |  COUNT(CASE WHEN l_extendedprice > hi THEN 1 END) AS n_high,
+         |  COUNT(*) AS n,
+         |  ${dsumSql("LEAST(GREATEST(l_extendedprice, lo), hi)")}
+         |    AS sum_winsorized
+         |FROM lineitem JOIN b USING (l_returnflag)
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q76_grouping_sets" ->
       s"""SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
          |  COALESCE(l_linestatus, '(all)') AS linestatus,
