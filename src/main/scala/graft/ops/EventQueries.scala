@@ -157,9 +157,93 @@ object EventQueries extends QueryModule {
         .select(col("event_id"), col("event_type"), col("value"),
           round(z, 4).as("zscore"))
         .orderBy("event_id")
+    },
+
+    // Ordered conversion funnel (view → click within 24 h → purchase
+    // within 24 h of the click): how many users reach each stage IN ORDER
+    // and in time — min(view ts), the first click inside the attribution
+    // window after it, the first purchase inside the window after that.
+    // Three per-user conditional aggregations; every join is user-keyed
+    // and the stage tables only shrink, so the follow-up joins ride the
+    // first shuffle's partitioning. Stage timestamps compare exactly
+    // (microsecond longs), so the funnel is deterministic.
+    "q108_funnel" -> { (s, dir) =>
+      val ev = Tables.t(s, dir, "events")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id")
+        .filter(col("ts") >= col("t_view") &&
+          col("ts") <= col("t_view") + expr("INTERVAL 24 HOURS"))
+        .groupBy(col("user_id"), col("t_view"))
+        .agg(min(col("ts")).as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c.select(col("user_id"), col("t_click")), "user_id")
+        .filter(col("ts") >= col("t_click") &&
+          col("ts") <= col("t_click") + expr("INTERVAL 24 HOURS"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+      // stage tables chain user-keyed left joins (no new exchange after
+      // the first user_id partitioning) into ONE counting aggregate —
+      // count(col) skips nulls, so each count is that stage's user count.
+      // Single-row result: no trailing ORDER BY (q58's documented
+      // exemption).
+      v.join(c.select(col("user_id"), col("t_click")), Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .agg(count(col("t_view")).as("n_view"),
+          count(col("t_click")).as("n_view_click"),
+          count(col("t_purchase")).as("n_view_click_purchase"))
+    },
+
+    // Retention cohorts: users grouped by the week of their first
+    // qualifying action (here: a high-value purchase), counted in every
+    // later week they return — the engagement matrix behind any "week N
+    // retention" dashboard. One aggregation derives the cohort table
+    // (users-sized), joined back on user_id; distinct (user, week) pairs
+    // collapse before the final count so a chatty user weighs once. Weeks
+    // are DATEs in both engines (DuckDB's week-trunc yields DATE).
+    "q109_retention_cohorts" -> { (s, dir) =>
+      val ev = Tables.t(s, dir, "events")
+        .filter(col("event_type") === "purchase" && col("value") > 0.9)
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("wk"))
+        .distinct()
+      val cohort = ev.groupBy(col("user_id"))
+        .agg(min(col("wk")).as("cohort_wk"))
+      ev.join(cohort, "user_id")
+        .groupBy(col("cohort_wk"), col("wk"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_wk", "wk")
     })
 
   override def oracles: Map[String, String] = Map(
+    "q108_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, MIN(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t_click
+        |  FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts >= v.t_view
+        |    AND e.ts <= v.t_view + INTERVAL 24 HOUR GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t_purchase
+        |  FROM events e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+        |    AND e.ts <= c.t_click + INTERVAL 24 HOUR GROUP BY 1)
+        |SELECT (SELECT COUNT(*) FROM v) AS n_view,
+        |       (SELECT COUNT(*) FROM c) AS n_view_click,
+        |       (SELECT COUNT(*) FROM p) AS n_view_click_purchase""".stripMargin,
+
+    "q109_retention_cohorts" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT user_id, DATE_TRUNC('week', ts) AS wk
+        |  FROM events WHERE event_type = 'purchase' AND value > 0.9),
+        |cohort AS (
+        |  SELECT user_id, MIN(wk) AS cohort_wk FROM ev GROUP BY 1)
+        |SELECT cohort_wk, wk, COUNT(*) AS n_users
+        |FROM ev JOIN cohort USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q105_value_anomalies" ->
       s"""WITH m AS (
          |  SELECT event_type,
