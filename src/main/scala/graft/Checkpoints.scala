@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Deterministic cleanup for iterative algorithms' localCheckpoints.
+  *
+  * `Dataset.localCheckpoint` caches its materialized rows in an internal
+  * RDD that `Dataset.unpersist` does NOT release (the data bypasses the
+  * CacheManager), so per-round checkpoints of an iterative kernel
+  * (connected components, PageRank, k-means) accumulate in executor
+  * storage until the JVM happens to garbage-collect the Dataset and the
+  * async ContextCleaner notices — under heap pressure that shows up as
+  * multi-second GC stalls landing on whatever query runs NEXT. Iterative
+  * kernels instead free each superseded round as soon as its successor is
+  * materialized, keeping live checkpoint storage bounded by one round
+  * (plus the edge list) at any moment, on a laptop or on a 1000-executor
+  * cluster.
+  */
+object Checkpoints {
+  /** Release the cached blocks behind a localCheckpointed frame. The
+    * frame must not be read again (its lineage is truncated — there is
+    * nothing left to recompute from). Non-blocking: removal proceeds in
+    * the background while the next round runs.
+    *
+    * ROOT-ONLY on purpose: a frame qualifies only when its analyzed plan
+    * IS the checkpoint's `LogicalRDD` (what `localCheckpoint()` returns).
+    * A derived frame (e.g. an un-checkpointed seed built FROM a
+    * checkpointed edge list) silently no-ops — walking the tree instead
+    * would tear the edge blocks out from under every later iteration.
+    */
+  def free(df: Dataset[_]): Unit =
+    df.queryExecution.analyzed match {
+      case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
+  /** `localCheckpoint` then free the superseded previous round — the
+    * one-liner iterative kernels use in their loops. */
+  def roll(next: DataFrame, prev: DataFrame): DataFrame = {
+    val n = next.localCheckpoint()
+    free(prev)
+    n
+  }
+}

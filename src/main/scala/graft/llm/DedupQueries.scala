@@ -188,14 +188,19 @@ object DedupQueries extends QueryModule {
       // materializes the round, so each round is exactly one action (a
       // separate filter+isEmpty pass would re-run the round's join).
       val obs = new org.apache.spark.sql.Observation(s"cc_round_$iter")
-      labels = propagateRound(edges, labels)
-        .observe(obs, coalesce(sum(when(col("chg"), 1L).otherwise(0L)),
-          lit(0L)).as("changed"))
-        .drop("chg")
-        .localCheckpoint()
+      labels = graft.Checkpoints.roll(
+        propagateRound(edges, labels)
+          .observe(obs, coalesce(sum(when(col("chg"), 1L).otherwise(0L)),
+            lit(0L)).as("changed"))
+          .drop("chg"),
+        labels)
       converged = obs.get("changed").asInstanceOf[Long] == 0L
       iter += 1
     }
+    // superseded rounds are already freed (Checkpoints.roll); the edge
+    // list is dead once the loop exits — the returned labels frame is a
+    // checkpoint with no lineage into it
+    graft.Checkpoints.free(edges)
     // fail loudly: returning mid-propagation labels would silently split
     // components (a >maxIter-diameter chain is pathological, not silent)
     require(converged,

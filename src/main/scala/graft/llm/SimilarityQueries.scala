@@ -256,7 +256,9 @@ object SimilarityQueries extends QueryModule {
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     var it = 0
     while (it < iters) {
-      cents = recenter(assign(cents)).localCheckpoint()
+      // roll: checkpoint the new centroid table, free the superseded one
+      // (the final table stays live — the returned assignment reads it)
+      cents = graft.Checkpoints.roll(recenter(assign(cents)), cents)
       it += 1
     }
     assign(cents)

@@ -29,7 +29,11 @@ object GraphQueries extends QueryModule {
     * endpoints (a node with no transactions has no rank — documented).
     */
   def pagerank(edges: DataFrame, iters: Int): DataFrame = {
-    val e = edges.repartition(col("src")).localCheckpoint()
+    // DISK_ONLY: the edge list is the one corpus-scale checkpoint here —
+    // it must not sit in executor heap for the whole run (the rank frames
+    // are nodes-sized and roll over each round via Checkpoints)
+    val e = edges.repartition(col("src"))
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val nN = deg.agg(count(lit(1)).as("n_nodes"))
     val r0 = deg.select(col("src").as("node")).crossJoin(broadcast(nN))
@@ -47,12 +51,17 @@ object GraphQueries extends QueryModule {
           (lit(0.15) / col("n_nodes").cast("double") +
             lit(0.85) * col("inflow")).as("pr"),
           col("n_nodes"))
+    // >= 1 iteration: the final rank frame must be a checkpoint that no
+    // longer references the edge list, or freeing it below would tear
+    // blocks out from under the returned (lazy) plan
+    require(iters >= 1, s"pagerank needs at least one iteration, got $iters")
     var r = r0
     var it = 0
     while (it < iters) {
-      r = step(r).localCheckpoint()
+      r = graft.Checkpoints.roll(step(r), r)
       it += 1
     }
+    graft.Checkpoints.free(e)
     r.select(col("node"), col("pr"))
   }
 
