@@ -29,24 +29,33 @@ object GraphQueries extends QueryModule {
     * endpoints (a node with no transactions has no rank — documented).
     */
   def pagerank(edges: DataFrame, iters: Int): DataFrame = {
-    // DISK_ONLY: the edge list is the one corpus-scale checkpoint here —
-    // it must not sit in executor heap for the whole run (the rank frames
-    // are nodes-sized and roll over each round via Checkpoints)
-    val e = edges.repartition(col("src"))
-      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val nN = deg.agg(count(lit(1)).as("n_nodes"))
-    val r0 = deg.select(col("src").as("node")).crossJoin(broadcast(nN))
+    // The checkpointed edge list carries each source's out-degree folded
+    // in ONCE (the degree aggregation rides the same src partitioning —
+    // no extra exchange), so a propagation round never recomputes it.
+    // Rounds then cost exactly one shuffle each: the e-side of the join
+    // reads the checkpoint's src partitioning, the rank side arrives
+    // already partitioned on the node key from the previous round's
+    // aggregation, and only the groupBy(dst) moves data. Superseded rank
+    // frames and finally the edge list free via Checkpoints (bounded
+    // storage at any iteration count).
+    val e0 = edges.repartition(col("src"))
+    val deg = e0.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val e = e0.join(deg, "src")
+      .select(col("src"), col("dst"), col("outdeg"))
+      .localCheckpoint()
+    val nodes = e.select(col("src")).distinct()
+    val nN = nodes.agg(count(lit(1)).as("n_nodes"))
+    val r0 = nodes.select(col("src").as("node")).crossJoin(broadcast(nN))
       .select(col("node"),
         (lit(1.0) / col("n_nodes").cast("double")).as("pr"),
         col("n_nodes"))
     def step(r: DataFrame): DataFrame =
       e.join(r.withColumnRenamed("node", "src"), "src")
-        .join(deg, "src")
         .select(col("dst").as("node"), col("n_nodes"),
           (col("pr") / col("outdeg").cast("double")).as("contrib"))
-        .groupBy(col("node"), col("n_nodes"))
-        .agg(Fns.dsum18(col("contrib")).as("inflow"))
+        .groupBy(col("node"))
+        .agg(Fns.dsum18(col("contrib")).as("inflow"),
+          max(col("n_nodes")).as("n_nodes"))
         .select(col("node"),
           (lit(0.15) / col("n_nodes").cast("double") +
             lit(0.85) * col("inflow")).as("pr"),
