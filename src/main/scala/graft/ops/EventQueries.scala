@@ -213,9 +213,75 @@ object EventQueries extends QueryModule {
         .groupBy(col("cohort_wk"), col("wk"))
         .agg(count(lit(1)).as("n_users"))
         .orderBy("cohort_wk", "wk")
+    },
+
+    // Session path mining: q29's gap sessionization, then each session's
+    // ordered event-type sequence as a '>' -joined string, then the top
+    // 20 most-common paths — the behavioral clickstream summary. The
+    // per-session collect is bounded by session length (the 30-minute gap
+    // rule caps it), never a user's full history; path counting shuffles
+    // path strings (bounded by alphabet^length in practice).
+    "q110_session_paths" -> { (s, dir) =>
+      val wOrd = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = Tables.t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(wOrd))
+        .withColumn("is_new",
+          when(col("prev_ts").isNull ||
+               col("ts") - col("prev_ts") > expr("INTERVAL 30 MINUTES"), 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("is_new")).over(wRun))
+      sess.groupBy(col("user_id"), col("session_id"))
+        .agg(array_join(expr("transform(array_sort(" +
+          "collect_list(struct(ts, event_id, event_type))), " +
+          "x -> x.event_type)"), ">").as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path"))
+        .limit(20)
+    },
+
+    // Fixed-width value histogram per event type — the distribution
+    // profile a monitoring pass draws before alerting on drift. Bin ids
+    // come from floor(value / width) on exact doubles (identical binning
+    // in both engines, no percentile pass); entirely one aggregation.
+    "q111_value_histogram" -> { (s, dir) =>
+      Tables.t(s, dir, "events")
+        .groupBy(col("event_type"),
+          floor(col("value") / lit(0.25)).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("value")).as("sum_value"))
+        .orderBy("event_type", "bin")
     })
 
   override def oracles: Map[String, String] = Map(
+    "q110_session_paths" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM marked),
+        |paths AS (
+        |  SELECT user_id, session_id,
+        |    STRING_AGG(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM sessions GROUP BY 1, 2)
+        |SELECT path, COUNT(*) AS n_sessions FROM paths
+        |GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+
+    "q111_value_histogram" ->
+      s"""SELECT event_type,
+         |  CAST(FLOOR(value / 0.25) AS BIGINT) AS bin,
+         |  COUNT(*) AS n,
+         |  ${dsumSql("value")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin,
+
     "q108_funnel" ->
       """WITH v AS (
         |  SELECT user_id, MIN(ts) AS t_view FROM events
