@@ -548,9 +548,64 @@ object CorpusQueries extends QueryModule {
         .agg(count(lit(1)).as("n_terms"),
           graft.Fns.dsum18(col("summand")).as("kl_div"))
         .orderBy("source")
+    },
+
+    // Per-source distinctive terms by smoothed log-odds vs the rest of
+    // the corpus (Monroe et al.'s "Fightin' Words" statistic, the
+    // keyword-extraction dual of q106's drift score): which tokens make
+    // this domain THIS domain. All counts exact int64 (marginals via the
+    // q106 window trick), the score one fixed tree of IEEE ops; ranking
+    // uses the UNROUNDED score so both engines order identically, ties
+    // break by term. Top 5 per source through a source-partitioned window
+    // — bounded state, vocabulary-sized shuffles only.
+    "q112_distinctive_terms" -> { (s, dir) =>
+      val cs = Tables.t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("t"))
+        .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c_st"))
+      val wT = Window.partitionBy(col("t"))
+      val wc = cs.withColumn("c_t", sum(col("c_st")).over(wT))
+      val ns = cs.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+        .withColumn("n", sum(col("n_s")).over(Window.partitionBy()))
+      val inRate = (col("c_st") + 1).cast("double") /
+        (col("n_s") - col("c_st") + 1).cast("double")
+      val outRate = (col("c_t") - col("c_st") + 1).cast("double") /
+        (col("n") - col("n_s") - col("c_t") + col("c_st") + 1).cast("double")
+      val score = log(inRate) - log(outRate)
+      val wRank = Window.partitionBy(col("source"))
+        .orderBy(col("score").desc, col("t").asc)
+      wc.join(broadcast(ns), "source")
+        .withColumn("score", score)
+        .withColumn("rnk", row_number().over(wRank))
+        .filter(col("rnk") <= 5)
+        .select(col("source"), col("t").as("term"), col("c_st"),
+          round(col("score"), 4).as("log_odds"), col("rnk"))
+        .orderBy("source", "rnk")
     })
 
   override def oracles: Map[String, String] = Map(
+    "q112_distinctive_terms" ->
+      """WITH tok AS (
+        |  SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS t
+        |  FROM documents),
+        |cs AS (SELECT source, t, COUNT(*) AS c_st FROM tok GROUP BY 1, 2),
+        |ct AS (SELECT t, SUM(c_st) AS c_t FROM cs GROUP BY 1),
+        |ns AS (SELECT source, SUM(c_st) AS n_s FROM cs GROUP BY 1),
+        |n AS (SELECT SUM(c_t) AS n FROM ct),
+        |sc AS (
+        |  SELECT cs.source, cs.t, c_st,
+        |    LN(CAST(c_st + 1 AS DOUBLE)
+        |        / CAST(n_s - c_st + 1 AS DOUBLE))
+        |    - LN(CAST(c_t - c_st + 1 AS DOUBLE)
+        |        / CAST(n - n_s - c_t + c_st + 1 AS DOUBLE)) AS score
+        |  FROM cs JOIN ct USING (t) JOIN ns USING (source) CROSS JOIN n),
+        |r AS (
+        |  SELECT source, t, c_st, score,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |                       ORDER BY score DESC, t ASC) AS rnk
+        |  FROM sc)
+        |SELECT source, t AS term, c_st, ROUND(score, 4) AS log_odds, rnk
+        |FROM r WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
+
     "q106_source_divergence" ->
       """WITH tok AS (
         |  SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS t

@@ -252,9 +252,47 @@ object EventQueries extends QueryModule {
         .agg(count(lit(1)).as("n"),
           dsum(col("value")).as("sum_value"))
         .orderBy("event_type", "bin")
+    },
+
+    // First-order Markov transition matrix over each user's event
+    // sequence (lead window per user, then count and row-normalize) —
+    // the behavioral model q110's raw paths feed. The probability is one
+    // exact int64 ratio through a single division, so every cell is
+    // bit-identical across engines; the from-state totals attach via a
+    // window over the (from, to) count table (states² rows — tiny at any
+    // corpus scale).
+    "q114_markov_transitions" -> { (s, dir) =>
+      val wOrd = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = Tables.t(s, dir, "events")
+        .withColumn("to_type", lead(col("event_type"), 1).over(wOrd))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      pairs
+        .withColumn("n_from",
+          sum(col("n")).over(Window.partitionBy(col("from_type"))))
+        .select(col("from_type"), col("to_type"), col("n"),
+          (col("n").cast("double") / col("n_from").cast("double")).as("p"))
+        .orderBy("from_type", "to_type")
     })
 
   override def oracles: Map[String, String] = Map(
+    "q114_markov_transitions" ->
+      """WITH p AS (
+        |  SELECT event_type AS from_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, to_type, COUNT(*) AS n FROM p
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (
+        |  SELECT *, SUM(n) OVER (PARTITION BY from_type) AS n_from FROM c)
+        |SELECT from_type, to_type, n,
+        |  CAST(n AS DOUBLE) / CAST(n_from AS DOUBLE) AS p
+        |FROM t ORDER BY from_type, to_type""".stripMargin,
+
     "q110_session_paths" ->
       """WITH marked AS (
         |  SELECT user_id, event_id, ts, event_type,

@@ -496,9 +496,57 @@ object RelationalQueries extends QueryModule {
           count(lit(1)).as("n"),
           Fns.dsum(clipped).as("sum_winsorized"))
         .orderBy("l_returnflag")
+    },
+
+    // Gini coefficient of per-customer spend within each nation — the
+    // inequality statistic (skew-awareness made quantitative: a nation
+    // with gini near 1 is exactly the partition a salted aggregation
+    // exists for). Spend per customer via the exact-decimal sum; the
+    // rank-weighted formulation G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n
+    // needs one window over (nation, spend, cust) and one aggregation —
+    // rank products sum through the scale-18 decimal so the statistic is
+    // bit-stable under any partitioning. Ranking uses the exact spend
+    // doubles (identical in both engines), ties broken by customer key.
+    "q113_spend_gini" -> { (s, dir) =>
+      val spend = Tables.t(s, dir, "orders")
+        .join(Tables.t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"), col("c_custkey"))
+        .agg(Fns.dsum(col("o_totalprice")).as("x"))
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("x").asc, col("c_custkey").asc)
+      spend.withColumn("i", row_number().over(w).cast("long"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).cast("long").as("n_customers"),
+          Fns.dsum(col("x")).as("sx"),
+          Fns.dsum18(col("i").cast("double") * col("x")).as("six"))
+        .select(col("c_nationkey"),
+          col("n_customers"),
+          (lit(2.0) * col("six") /
+            (col("n_customers").cast("double") * col("sx")) -
+            (col("n_customers") + 1).cast("double") /
+              col("n_customers").cast("double")).as("gini"))
+        .orderBy("c_nationkey")
     })
 
   override def oracles: Map[String, String] = Map(
+    "q113_spend_gini" ->
+      s"""WITH spend AS (
+         |  SELECT c_nationkey, c_custkey, ${dsumSql("o_totalprice")} AS x
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  GROUP BY 1, 2),
+         |r AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY c_nationkey
+         |    ORDER BY x ASC, c_custkey ASC) AS i
+         |  FROM spend)
+         |SELECT c_nationkey, COUNT(*) AS n_customers,
+         |  2.0 * CAST(SUM(CAST(CAST(i AS DOUBLE) * x AS DECIMAL(38,18)))
+         |        AS DOUBLE)
+         |    / (CAST(COUNT(*) AS DOUBLE) * ${dsumSql("x")})
+         |  - CAST(COUNT(*) + 1 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |    AS gini
+         |FROM r GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
     "q104_winsorize" ->
       s"""WITH b AS (
          |  SELECT l_returnflag,
