@@ -43,7 +43,11 @@ class PlanGuardSpec extends AnyFunSuite {
     "q92_repetition_ngrams" -> 1, // ditto — fused NGramStats is scan-local
     "q94_zorder_curve"   -> 1, // ditto — bit arithmetic is scan-local
     "q91_sequence_pack"  -> 4, // bucket window + totals + prefix + sort
-    "q78_edit_distance"  -> 3) // block-key join (2) + presentation sort
+    "q78_edit_distance"  -> 3, // block-key join (2) + presentation sort
+    "q103_train_split"   -> 1, // hash-bucket split is scan-local + sort
+    "q111_value_histogram" -> 2, // one aggregation + presentation sort
+    "q110_session_paths" -> 3, // user window (+riding session agg) + path count (TakeOrdered, no range exchange)
+    "q114_markov_transitions" -> 4) // user window + pair agg + from-window + sort
 
   /** Every declared query stays under this many shuffles regardless. */
   private val GlobalShuffleCeiling = 6
