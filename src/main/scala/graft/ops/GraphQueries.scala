@@ -40,9 +40,13 @@ object GraphQueries extends QueryModule {
     // storage at any iteration count).
     val e0 = edges.repartition(col("src"))
     val deg = e0.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // serialized storage: the edge list is the one corpus-scale cache —
+    // one byte array per block instead of millions of row objects keeps
+    // it invisible to GC tracing while it lives across rounds
     val e = e0.join(deg, "src")
       .select(col("src"), col("dst"), col("outdeg"))
-      .localCheckpoint()
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val nodes = e.select(col("src")).distinct()
     val nN = nodes.agg(count(lit(1)).as("n_nodes"))
     val r0 = nodes.select(col("src").as("node")).crossJoin(broadcast(nN))
