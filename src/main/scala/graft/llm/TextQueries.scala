@@ -423,8 +423,13 @@ object TextQueries extends QueryModule {
     // rows, and the corpus totals ride in as broadcast 1-row tables. The
     // count ratio is built from exact int64 counts cast to double in one
     // fixed operation order, so the rounded PMI is cross-engine
-    // deterministic (q51's LN + ROUND precedent). min-count 5 mirrors the
-    // standard collocation support floor.
+    // deterministic (q51's LN + ROUND precedent) — EXCEPT the sign of
+    // zero: for a bigram whose PMI rounds to zero from below, DuckDB's
+    // ROUND (std::round(x*1e4)/1e4) yields IEEE -0.0 while Spark's
+    // BigDecimal-based round yields +0.0, one bit apart at the hash
+    // layer. `+ 0.0` on both sides is the IEEE identity that folds
+    // -0.0 to +0.0 and leaves every other value untouched. min-count 5
+    // mirrors the standard collocation support floor.
     "q102_bigram_pmi" -> { (s, dir) =>
       val pairs = Tables.t(s, dir, "documents")
         .select(split(col("text"), " ").as("tok"))
@@ -445,11 +450,11 @@ object TextQueries extends QueryModule {
         .join(uni.select(col("t").as("y"), col("c").as("c_y")), "y")
         .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
         .select(col("x"), col("y"), col("c_xy"),
-          round(log(
+          (round(log(
             (col("c_xy").cast("double") * col("n1").cast("double")
               * col("n1").cast("double")) /
             (col("n2").cast("double") * col("c_x").cast("double")
-              * col("c_y").cast("double"))), 4).as("pmi"))
+              * col("c_y").cast("double"))), 4) + lit(0.0)).as("pmi"))
         .orderBy("x", "y")
     })
 
@@ -471,7 +476,7 @@ object TextQueries extends QueryModule {
         |  ROUND(LN((CAST(c_xy AS DOUBLE) * CAST(n1 AS DOUBLE)
         |      * CAST(n1 AS DOUBLE))
         |    / (CAST(n2 AS DOUBLE) * CAST(cx.c AS DOUBLE)
-        |      * CAST(cy.c AS DOUBLE))), 4) AS pmi
+        |      * CAST(cy.c AS DOUBLE))), 4) + 0.0 AS pmi
         |FROM cxy
         |JOIN cu cx ON cx.t = cxy.x
         |JOIN cu cy ON cy.t = cxy.y
