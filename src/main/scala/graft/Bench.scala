@@ -24,8 +24,10 @@ object Bench {
     // once at the smallest fixture so the timed pass measures steady-state
     // execution, not first-call compilation.
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, "/root/testdata/sf0.001")
-        .write.format("noop").mode("overwrite").save()
+      try Checkpoints.freeingAfter(spark) {
+        fn(spark, "/root/testdata/sf0.001")
+          .write.format("noop").mode("overwrite").save()
+      }
       catch { case e: Throwable =>
         // visible but non-fatal: the timed pass reports the real failure
         System.err.println(s"[bench] warm-up $name failed: ${e.getMessage}")
@@ -37,12 +39,18 @@ object Bench {
     // plus the spread that says how much signal a delta carries.
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt max 1
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // freeingAfter releases each pass's stranded final checkpoints
+      // (q71/q90/q99/q107) OUTSIDE the timed region — 440 executions in
+      // one JVM otherwise accumulate block sets until storage pressure
+      // lands multi-second GC stalls on whichever query runs next.
       val times = (1 to nRuns).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-              Some((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); None
+        Checkpoints.freeingAfter(spark) {
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+                Some((System.nanoTime() - t0) / 1e9) }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); None
+          }
         }
       }
       (name, times)

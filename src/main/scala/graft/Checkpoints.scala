@@ -42,4 +42,21 @@ object Checkpoints {
     free(prev)
     n
   }
+
+  /** Run `body`, then release every RDD it left persisted (the delta of
+    * `sc.getPersistentRDDs`). Iterative kernels free each superseded
+    * round themselves, but their RETURNED frame is a localCheckpoint the
+    * caller owns — in a harness that executes many independent queries in
+    * one JVM (Bench, Verify) those final frames would otherwise strand a
+    * block set per execution until storage squeezes execution. Wrap each
+    * query: once its result is consumed, the delta is dead weight.
+    * Non-blocking, so the removal overlaps the next query. */
+  def freeingAfter[T](spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    try body
+    finally sc.getPersistentRDDs
+      .filterNot { case (id, _) => before(id) }
+      .values.foreach(_.unpersist(blocking = false))
+  }
 }

@@ -47,8 +47,8 @@ object Pipelines {
 
   /** CrunchbaseFlatfilePipeline.execute (pipelines.py:118-127 →
     * ingest_crunchbase_flatfiles, operations.py:634-686): multi-CSV bulk
-    * load. The reference's download+untar step is environment plumbing, not
-    * engine; given extracted files, each target lands as its own table.
+    * load given already-extracted files — each target lands as its own
+    * table. The tarball front door is [[flatfilePipelineFromTar]].
     */
   def flatfilePipeline(spark: SparkSession,
                        targets: Map[String, Seq[String]],
@@ -58,6 +58,43 @@ object Pipelines {
         TypeNormalizer.normalize(CsvSource(csvPaths).read(spark)),
         s"$destRoot/$table")
     }
+
+  /** The full W13 shape (operations.py:648-683): a `.tar.gz` bulk export
+    * of CSVs → one table per targeted member. The reference's
+    * `tf.getnames()` + extractall + per-file pandas load becomes: parse
+    * the archive in-engine ([[graft.sources.TarGz]]), list member names
+    * (metadata-sized collect ≙ `getnames()`), and commit each target
+    * through the same normalize+snapshot path as every other ingest.
+    * Member naming mirrors the reference: `organizations.csv` →
+    * `cb_organizations` (operations.py:670). The archive is parsed ONCE —
+    * members cache serialized across the per-target reads, released when
+    * done (the reference's `del df; gc.collect()` loop, made structural).
+    * Download-the-export (requests.get + secret user_key) stays outside:
+    * hand this the lake path the export landed on.
+    */
+  def flatfilePipelineFromTar(spark: SparkSession, tarGzPath: String,
+                              targetTables: Seq[String], destRoot: String,
+                              tablePrefix: String = "cb_")
+      : Map[String, DataFrame] = {
+    import spark.implicits._
+    val entries = graft.sources.TarGz.entries(spark, tarGzPath)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    try {
+      val names = entries.select("entry_name").as[String].collect()
+      names.iterator.map { name =>
+        val table =
+          tablePrefix + name.split('/').last.split('.').head
+        name -> table
+      }.filter { case (_, t) => targetTables.contains(t) }
+        .map { case (name, table) =>
+          val df = spark.read.option("header", "true")
+            .option("inferSchema", "true")
+            .csv(graft.sources.TarGz.csvLines(spark, entries, name))
+          table -> Snapshot.commit(TypeNormalizer.normalize(df),
+            s"$destRoot/$table")
+        }.toMap
+    } finally entries.unpersist(blocking = false)
+  }
 
   /** Convenience: seed straight from a lake path (the harness's common
     * case). */

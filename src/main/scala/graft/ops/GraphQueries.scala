@@ -39,7 +39,16 @@ object GraphQueries extends QueryModule {
     // frames and finally the edge list free via Checkpoints (bounded
     // storage at any iteration count).
     val e0 = edges.repartition(col("src"))
+    // deg is checkpointed FIRST: it is nodes-sized (one row per src, and
+    // the undirected edge list guarantees every node appears as a src),
+    // so materializing it is cheap, and it then serves three consumers —
+    // the outdeg fold into the edge checkpoint, n_nodes, and the r0 seed
+    // — without any of them re-running the edge build or running a
+    // separate distinct()/count job over the edges-sized checkpoint.
+    // Its groupBy(src) partitioning survives the checkpoint, so the
+    // fold-in join below stays exchange-free on both sides.
     val deg = e0.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
     // serialized storage: the edge list is the one corpus-scale cache —
     // one byte array per block instead of millions of row objects keeps
     // it invisible to GC tracing while it lives across rounds
@@ -47,9 +56,8 @@ object GraphQueries extends QueryModule {
       .select(col("src"), col("dst"), col("outdeg"))
       .localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    val nodes = e.select(col("src")).distinct()
-    val nN = nodes.agg(count(lit(1)).as("n_nodes"))
-    val r0 = nodes.select(col("src").as("node")).crossJoin(broadcast(nN))
+    val nN = deg.agg(count(lit(1)).as("n_nodes"))
+    val r0 = deg.select(col("src").as("node")).crossJoin(broadcast(nN))
       .select(col("node"),
         (lit(1.0) / col("n_nodes").cast("double")).as("pr"),
         col("n_nodes"))
@@ -75,6 +83,7 @@ object GraphQueries extends QueryModule {
       it += 1
     }
     graft.Checkpoints.free(e)
+    graft.Checkpoints.free(deg) // last read: round 1's r0 seed
     r.select(col("node"), col("pr"))
   }
 

@@ -505,8 +505,13 @@ object RelationalQueries extends QueryModule {
     // rank-weighted formulation G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n
     // needs one window over (nation, spend, cust) and one aggregation —
     // rank products sum through the scale-18 decimal so the statistic is
-    // bit-stable under any partitioning. Ranking uses the exact spend
-    // doubles (identical in both engines), ties broken by customer key.
+    // bit-stable under any partitioning. Magnitude bound: DECIMAL(38,18)
+    // leaves 20 integer digits, so sum(i*x) must stay under 1e20 per
+    // group — with spend ~1e5, that is ~1e7 customers per nation
+    // (i*x ~1e12 summed 1e7 times ~1e19); beyond that, widen to
+    // dsum6-style scale or pre-scale x before ranking. Ranking uses the
+    // exact spend doubles (identical in both engines), ties broken by
+    // customer key.
     "q113_spend_gini" -> { (s, dir) =>
       val spend = Tables.t(s, dir, "orders")
         .join(Tables.t(s, dir, "customer"),

@@ -34,6 +34,19 @@ final case class CsvSource(paths: Seq[String], header: Boolean = true)
       .option("inferSchema", "true").csv(paths: _*)
 }
 
+/** CSV member of a tar(.gz) archive as a [[Source]] — the in-engine
+  * equivalent of extract-then-[[CsvSource]] (W13's untar step,
+  * operations.py:654-660, parsed by [[TarGz]] instead of a driver-side
+  * extractall). `entryName` selects one member; schema is inferred like
+  * [[CsvSource]] (W10 parity). */
+final case class TarCsvSource(tarPath: String, entryName: String,
+                              header: Boolean = true) extends Source {
+  def read(spark: SparkSession): DataFrame =
+    spark.read.option("header", header.toString)
+      .option("inferSchema", "true")
+      .csv(TarGz.csvLines(spark, TarGz.entries(spark, tarPath), entryName))
+}
+
 /** JSON-lines source (events.props-style payloads as whole files). */
 final case class JsonSource(path: String) extends Source {
   def read(spark: SparkSession): DataFrame = spark.read.json(path)

@@ -48,4 +48,27 @@ class CheckpointsSpec extends AnyFunSuite {
     }
     assert(r.as[Long].head() == 4L)
   }
+
+  test("freeingAfter releases exactly the RDDs the body persisted") {
+    val sc = spark.sparkContext
+    val outside = Seq(1L, 2L).toDF("x").localCheckpoint() // pre-existing
+    val outsideId = outside.queryExecution.analyzed
+      .asInstanceOf[org.apache.spark.sql.execution.LogicalRDD].rdd.id
+    var insideId = -1
+    val n = Checkpoints.freeingAfter(spark) {
+      val ck = Seq(3L, 4L, 5L).toDF("x").localCheckpoint()
+      insideId = ck.queryExecution.analyzed
+        .asInstanceOf[org.apache.spark.sql.execution.LogicalRDD].rdd.id
+      ck.count()
+    }
+    assert(n == 3)
+    val deadline = System.currentTimeMillis() + 10000
+    def live(id: Int) = sc.getPersistentRDDs.contains(id)
+    while (live(insideId) && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    assert(!live(insideId), "body's checkpoint was not released")
+    assert(live(outsideId), "pre-existing checkpoint must survive")
+    assert(outside.count() == 2)
+    Checkpoints.free(outside)
+  }
 }
