@@ -37,24 +37,34 @@ object Bench {
     // ±25% run-to-run (round-3 saw 2x "regressions" on provably unchanged
     // code), so per-query regression tracking needs a location estimate
     // plus the spread that says how much signal a delta carries.
+    //
+    // Passes are INTERLEAVED (sweep every query once, then repeat), not
+    // back-to-back: this box takes external stalls lasting tens of
+    // seconds (r4 saw 40x outliers on unchanged code; r5's first clean
+    // run still caught adjacent queries 20x off in the same ~90 s burst).
+    // Back-to-back passes put all 3 samples of one query inside one
+    // burst — the median is corrupted and the artifact lies. With ~3 min
+    // sweeps, a burst lands in at most one pass per query and the
+    // median rejects it.
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt max 1
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    for (_ <- 1 to nRuns; (name, fn) <- ordered) {
       // freeingAfter releases each pass's stranded final checkpoints
       // (q71/q90/q99/q107) OUTSIDE the timed region — 440 executions in
       // one JVM otherwise accumulate block sets until storage pressure
       // lands multi-second GC stalls on whichever query runs next.
-      val times = (1 to nRuns).flatMap { _ =>
-        Checkpoints.freeingAfter(spark) {
-          val t0 = System.nanoTime()
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-                Some((System.nanoTime() - t0) / 1e9) }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); None
-          }
+      Checkpoints.freeingAfter(spark) {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+              samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         }
       }
-      (name, times)
     }
+    val results = ordered.map { case (name, _) => (name, samples(name)) }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2

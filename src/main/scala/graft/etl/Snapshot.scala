@@ -115,6 +115,62 @@ object Snapshot {
   def currentVersion(spark: SparkSession, root: String): Option[Long] =
     readPointer(spark, root).map(_.base)
 
+  private def commitsDir(root: String) = new Path(root, "_commits")
+
+  /** Time-travel surface: the base versions currently readable via
+    * [[readVersion]] — committed versions whose data directories the GC
+    * still retains (the current base and its predecessor; see
+    * [[commitHooked]]'s grace-window rule), oldest first. */
+  def versions(spark: SparkSession, root: String): Seq[Long] = {
+    val cd = commitsDir(root)
+    val fs = cd.getFileSystem(conf(spark))
+    val committed =
+      Option(fs.globStatus(new Path(cd, "v*_d*"))).toSeq.flatten
+        .flatMap(_.getPath.getName.stripPrefix("v")
+          .takeWhile(_ != '_').toLongOption).toSet
+    listVersions(spark, root).filter(committed).sorted
+  }
+
+  /** Read the table AS OF a retained base version — the committed state
+    * after that base's LAST pointer swap (deltas stacked on it included),
+    * exactly what [[read]] returned while that version was current. Every
+    * pointer swap also writes a tiny marker file under `_commits/` naming
+    * the swapped pointer line; resolving a past version replays the
+    * newest marker for that base, which skips torn delta directories the
+    * pointer never named (same crash-safety rule as the live path).
+    * Retention is the GC's: current + predecessor (older versions fail
+    * loudly here). The unbounded-history variant is the table-format
+    * (Delta/Iceberg log) seam — this is the two-version undo/audit window
+    * a plain-parquet destination can afford for free.
+    */
+  def readVersion(spark: SparkSession, root: String, version: Long)
+      : DataFrame = {
+    val cur = readPointer(spark, root)
+    if (cur.exists(_.base == version)) read(spark, root)
+    else {
+      val dir = versionDir(root, version)
+      val fs  = dir.getFileSystem(conf(spark))
+      require(fs.exists(dir),
+        s"version $version is not retained at $root " +
+          s"(readable: ${versions(spark, root).mkString(", ")})")
+      val cd = commitsDir(root)
+      val marker =
+        Option(fs.globStatus(new Path(cd, s"v${version}_d*"))).toSeq.flatten
+        .sortBy(_.getPath.getName.split("_d").last.toLong)
+        .lastOption
+        .getOrElse(throw new IllegalArgumentException(
+          s"version $version has a data directory but no commit marker " +
+            s"at $root — it predates the time-travel protocol"))
+      val in = fs.open(marker.getPath)
+      val p = try parsePointer(new String(in.readAllBytes(), UTF_8))
+        finally in.close()
+      val base = spark.read.parquet(dir.toString)
+      if (p.nDeltas == 0L) base
+      else mergedView(base, (1L to p.nDeltas).map(d =>
+        spark.read.parquet(deltaDir(root, version, d).toString)), p.pk)
+    }
+  }
+
   /** The number of delta snapshots stacked on the committed base. */
   def currentDeltaCount(spark: SparkSession, root: String): Long =
     readPointer(spark, root).map(_.nDeltas).getOrElse(0L)
@@ -222,6 +278,12 @@ object Snapshot {
         fs.delete(versionDir(root, v), true)
         listDeltas(spark, root, v)
           .foreach(d => fs.delete(deltaDir(root, v, d), true))
+        // markers die with their version (readVersion lists data dirs
+        // first, but a live marker for dead data would make the error
+        // message lie about what is readable); globStatus is null when
+        // _commits does not exist yet (legacy roots)
+        Option(fs.globStatus(new Path(commitsDir(root), s"v${v}_d*")))
+          .toSeq.flatten.foreach(st => fs.delete(st.getPath, false))
       }
     // first commit over a legacy plain-parquet root: drop the pre-protocol
     // top-level files, otherwise a reader still on the old contract
@@ -334,5 +396,14 @@ object Snapshot {
         s"lost commit race at $root: wrote pointer '${p.line}' but found " +
           s"'${found.getOrElse("<none>")}' — another writer committed " +
           "concurrently; retry from a fresh read")
+    // time-travel marker (one tiny PUT, after the commit point): the
+    // newest v<base>_d<n> marker is how readVersion replays a PAST base's
+    // final pointer state. A crash here loses only the marker — the live
+    // pointer is already committed, and readVersion of the CURRENT base
+    // routes through read() anyway.
+    val mf = new Path(commitsDir(root), s"v${p.base}_d${p.nDeltas}")
+    val mout = fs.create(mf, true)
+    try { mout.write(p.line.getBytes(UTF_8)); mout.hflush() }
+    finally mout.close()
   }
 }

@@ -580,6 +580,66 @@ object CorpusQueries extends QueryModule {
         .select(col("source"), col("t").as("term"), col("c_st"),
           round(col("score"), 4).as("log_odds"), col("rnk"))
         .orderBy("source", "rnk")
+    },
+
+    // Quality-weighted importance sampling (the FineWeb/DCLM move: keep
+    // probability rises with document quality instead of q64's flat
+    // per-source rates). Keep P = quality² — squaring is temperature-2
+    // sharpening: a 0.9-quality doc keeps at 81%, a 0.5 doc at 25%. The
+    // accept test ties the same md5 bucket as q64 to the KEY, so the
+    // sample is identical under any partitioning, engine, or rerun —
+    // sample() / rand() would re-roll per split. Fully scan-local (the
+    // quality tree and the hash test are per-row); the only shuffle is
+    // the presentation sort. quality² * 65536 is one fixed IEEE tree
+    // over exact-int-derived doubles, so both engines admit the same set.
+    "q115_importance_sample" -> { (s, dir) =>
+      val tok  = split(col("text"), " ")
+      val nTok = size(tok).cast("double")
+      val nStop = size(filter(tok, (t: Column) =>
+        t.isInCollection(Seq("the", "a", "of", "and", "to")))).cast("double")
+      val nDist = size(array_distinct(tok)).cast("double")
+      val quality = nDist / nTok * lit(0.5) +
+        (lit(1.0) - nStop / nTok) * lit(0.5)
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          round(quality, 4).as("quality"),
+          hashSample(col("doc_id"),
+            quality * quality * lit(65536.0)).as("keep"))
+        .filter(col("keep"))
+        .drop("keep")
+        .orderBy("doc_id")
+    },
+
+    // Per-document contamination SCORE against the eval set — q87 reports
+    // the shared-shingle count for overlapping docs only; training-set
+    // curation needs the FRACTION for every candidate doc (zero included)
+    // so a threshold can gate borderline paraphrases, not just verbatim
+    // hits. Same fused ShingleHashes postings as q87: the eval side is
+    // benchmark-sized (broadcast at any corpus scale), the candidate side
+    // explodes scan-locally, and the fraction is an exact int ratio —
+    // identical IEEE division in both engines, 4-decimal round safe.
+    "q116_eval_overlap" -> { (s, dir) =>
+      val sh = graft.functions.ShingleHashes.shingleHashes(col("text"), 5)
+      val docs = Tables.t(s, dir, "documents")
+      val evalSh = docs.filter(col("source") === "src0")
+        .select(explode(sh).as("h")).distinct()
+        .withColumn("hit", lit(1))
+      // one candidate scan: n_shingles rides the exploded postings (every
+      // size>0 doc keeps >= 1 row through the LEFT broadcast probe, so
+      // zero-overlap docs survive to the aggregation with null hits)
+      docs.filter(col("source") =!= "src0")
+        .select(col("doc_id"), sh.as("sh"))
+        .filter(size(col("sh")) > 0)
+        .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
+          explode(col("sh")).as("h"))
+        .join(broadcast(evalSh), Seq("h"), "left")
+        .groupBy(col("doc_id"))
+        .agg(max(col("n_shingles")).as("n_shingles"),
+          count(col("hit")).as("n_overlap"))
+        .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+          round(col("n_overlap").cast("double") /
+            col("n_shingles").cast("double"), 4).as("contamination"))
+        .orderBy("doc_id")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -605,6 +665,50 @@ object CorpusQueries extends QueryModule {
         |  FROM sc)
         |SELECT source, t AS term, c_st, ROUND(score, 4) AS log_odds, rnk
         |FROM r WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
+
+    // quality spelled exactly as q33's oracle; the accept test reuses
+    // q64's md5-bucket spelling against quality² * 65536
+    "q115_importance_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, STRING_SPLIT(text, ' ') AS tok
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, source,
+        |    CAST(LEN(LIST_DISTINCT(tok)) AS DOUBLE) / LEN(tok) * 0.5
+        |      + (1.0 - CAST(LEN(LIST_FILTER(tok,
+        |          t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+        |            / LEN(tok)) * 0.5 AS quality
+        |  FROM d)
+        |SELECT doc_id, source, ROUND(quality, 4) AS quality
+        |FROM m
+        |WHERE CAST(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |        AS BIGINT)
+        |  < quality * quality * 65536.0
+        |ORDER BY doc_id""".stripMargin,
+
+    "q116_eval_overlap" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, STRING_SPLIT(text, ' ') AS tok
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source,
+        |    LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(tok) - 3),
+        |      i -> ARRAY_TO_STRING(tok[i:i+4], ' '))) AS sh
+        |  FROM d WHERE LEN(tok) >= 5),
+        |ev AS (SELECT DISTINCT UNNEST(sh) AS s FROM sh
+        |       WHERE source = 'src0'),
+        |cand AS (SELECT doc_id, sh FROM sh
+        |         WHERE source <> 'src0' AND LEN(sh) > 0),
+        |tr AS (SELECT doc_id, UNNEST(sh) AS s FROM cand),
+        |hits AS (
+        |  SELECT doc_id, COUNT(*) AS n_hit
+        |  FROM tr JOIN ev USING (s) GROUP BY 1)
+        |SELECT c.doc_id, CAST(LEN(c.sh) AS BIGINT) AS n_shingles,
+        |  CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_overlap,
+        |  ROUND(CAST(COALESCE(n_hit, 0) AS DOUBLE)
+        |    / CAST(LEN(c.sh) AS DOUBLE), 4) AS contamination
+        |FROM cand c LEFT JOIN hits USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q106_source_divergence" ->
       """WITH tok AS (

@@ -456,6 +456,45 @@ object TextQueries extends QueryModule {
             (col("n2").cast("double") * col("c_x").cast("double")
               * col("c_y").cast("double"))), 4) + lit(0.0)).as("pmi"))
         .orderBy("x", "y")
+    },
+
+    // Context-window co-occurrence PMI — q102's statistic over the
+    // word2vec-style ±3 window instead of adjacent bigrams (Church &
+    // Hanks' association ratio; the input to PPMI embedding matrices).
+    // The (center, context) pairs expand scan-locally as a nested
+    // transform over the materialized token array — window size bounds
+    // the expansion at 3× tokens, no self-join, no window function over
+    // the token stream — and everything downstream shuffles
+    // VOCABULARY-sized keys exactly like q102 (same broadcast totals,
+    // same exact-int ratio into one LN, same 4-decimal round, same -0.0
+    // fold).
+    "q117_window_pmi" -> { (s, dir) =>
+      val pairs = Tables.t(s, dir, "documents")
+        .select(split(col("text"), " ").as("tok"))
+        .filter(size(col("tok")) >= 2)
+        .select(explode(expr(
+          "flatten(transform(sequence(1, size(tok) - 1), " +
+            "i -> transform(sequence(i + 1, least(i + 3, size(tok))), " +
+            "j -> named_struct('x', element_at(tok, i), " +
+            "'y', element_at(tok, j)))))")).as("pr"))
+        .select(col("pr.x").as("x"), col("pr.y").as("y"))
+      val cxy = pairs.groupBy(col("x"), col("y")).agg(count(lit(1)).as("c_xy"))
+      val uni = Tables.t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      val n1 = uni.agg(sum(col("c")).as("n1"))
+      val n2 = cxy.agg(sum(col("c_xy")).as("n2"))
+      cxy.filter(col("c_xy") >= 5)
+        .join(uni.select(col("t").as("x"), col("c").as("c_x")), "x")
+        .join(uni.select(col("t").as("y"), col("c").as("c_y")), "y")
+        .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+        .select(col("x"), col("y"), col("c_xy"),
+          (round(log(
+            (col("c_xy").cast("double") * col("n1").cast("double")
+              * col("n1").cast("double")) /
+            (col("n2").cast("double") * col("c_x").cast("double")
+              * col("c_y").cast("double"))), 4) + lit(0.0)).as("pmi"))
+        .orderBy("x", "y")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -467,6 +506,33 @@ object TextQueries extends QueryModule {
         |  SELECT tok[i] AS x, tok[i + 1] AS y
         |  FROM d, UNNEST(GENERATE_SERIES(1, LEN(tok) - 1)) AS g(i)),
         |cxy AS (SELECT x, y, COUNT(*) AS c_xy FROM bg GROUP BY 1, 2),
+        |uni AS (
+        |  SELECT UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents),
+        |cu AS (SELECT t, COUNT(*) AS c FROM uni GROUP BY 1),
+        |n1 AS (SELECT SUM(c) AS n1 FROM cu),
+        |n2 AS (SELECT SUM(c_xy) AS n2 FROM cxy)
+        |SELECT cxy.x, cxy.y, c_xy,
+        |  ROUND(LN((CAST(c_xy AS DOUBLE) * CAST(n1 AS DOUBLE)
+        |      * CAST(n1 AS DOUBLE))
+        |    / (CAST(n2 AS DOUBLE) * CAST(cx.c AS DOUBLE)
+        |      * CAST(cy.c AS DOUBLE))), 4) + 0.0 AS pmi
+        |FROM cxy
+        |JOIN cu cx ON cx.t = cxy.x
+        |JOIN cu cy ON cy.t = cxy.y
+        |CROSS JOIN n1 CROSS JOIN n2
+        |WHERE c_xy >= 5
+        |ORDER BY x, y""".stripMargin,
+
+    "q117_window_pmi" ->
+      """WITH d AS (
+        |  SELECT STRING_SPLIT(text, ' ') AS tok FROM documents
+        |  WHERE LEN(STRING_SPLIT(text, ' ')) >= 2),
+        |pr AS (
+        |  SELECT tok[i] AS x, tok[j] AS y
+        |  FROM d,
+        |    UNNEST(GENERATE_SERIES(1, LEN(tok) - 1)) AS g(i),
+        |    UNNEST(GENERATE_SERIES(i + 1, LEAST(i + 3, LEN(tok)))) AS h(j)),
+        |cxy AS (SELECT x, y, COUNT(*) AS c_xy FROM pr GROUP BY 1, 2),
         |uni AS (
         |  SELECT UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents),
         |cu AS (SELECT t, COUNT(*) AS c FROM uni GROUP BY 1),

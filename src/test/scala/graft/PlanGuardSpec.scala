@@ -26,7 +26,8 @@ class PlanGuardSpec extends AnyFunSuite {
       "q79_gap_fill", // calendar spine × dimension values: both sides tiny
       "q100_bm25_rank", // 1-row corpus-stats table crossed into postings
       "q101_hard_negatives", // q38's shape: broadcast query set × corpus
-      "q102_bigram_pmi") // 1-row corpus totals crossed into vocab rows
+      "q102_bigram_pmi", // 1-row corpus totals crossed into vocab rows
+      "q117_window_pmi") // same shape as q102, ±3-window pair generator
 
   /** Shuffle ceilings for the most expensive plans (round-2 plan audit
     * values + 0 slack): these are the queries where one extra Exchange is

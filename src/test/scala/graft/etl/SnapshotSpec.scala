@@ -82,6 +82,43 @@ class SnapshotSpec extends AnyFunSuite {
     assert(fs.exists(new Path(root, "_v3")))
   }
 
+  test("readVersion time-travels across the retained window") {
+    val root = freshRoot()
+    Snapshot.commit(df(5), root)
+    Snapshot.commit(df(7), root)
+    // both retained versions readable, each as of ITS final state
+    assert(Snapshot.versions(spark, root) == Seq(1L, 2L))
+    assert(Snapshot.readVersion(spark, root, 1L).count() == 5)
+    assert(Snapshot.readVersion(spark, root, 2L).count() == 7)
+    // next commit rolls the window: v1 is GC'd and fails loudly, naming
+    // what IS readable
+    Snapshot.commit(df(9), root)
+    assert(Snapshot.versions(spark, root) == Seq(2L, 3L))
+    val e = intercept[IllegalArgumentException] {
+      Snapshot.readVersion(spark, root, 1L)
+    }
+    assert(e.getMessage.contains("not retained"))
+    assert(Snapshot.readVersion(spark, root, 2L).count() == 7)
+  }
+
+  test("readVersion of a past base folds the deltas that base carried") {
+    import spark.implicits._
+    val root = freshRoot()
+    Snapshot.commit(df(3), root) // v1 = rows 1..3
+    // two deltas on v1: update row 1, add row 10
+    Snapshot.commitDelta(Seq((1L, "patched")).toDF("id", "payload"),
+      root, "id")
+    Snapshot.commitDelta(Seq((10L, "new")).toDF("id", "payload"),
+      root, "id")
+    Snapshot.commit(df(2), root) // v2 supersedes everything
+    // as-of v1 = base ⊎ its deltas (4 rows, patch applied), not raw v1
+    val v1 = Snapshot.readVersion(spark, root, 1L)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(v1.toSeq == Seq((1L, "patched"), (2L, "row2"), (3L, "row3"),
+      (10L, "new")))
+    assert(Snapshot.read(spark, root).count() == 2)
+  }
+
   test("legacy plain-parquet roots read through and upgrade on commit") {
     val root = freshRoot()
     df(4).write.parquet(root) // pre-protocol destination layout
