@@ -53,6 +53,14 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
     oracle = json.loads(Path(f"{OUT}/oracle_sql.json").read_text())
+    # honor graft.Verify's SPARK_GRAFT_ONLY filter: compare only the queries
+    # that were actually dumped, so a targeted run reports N/N instead of
+    # drowning in SPARK-READ-FAIL noise for the skipped rest
+    import os
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    if only:
+        keep = {q.strip() for q in only.split(",")}
+        oracle = {k: v for k, v in oracle.items() if k in keep}
     results = {}
     for name, sql in sorted(oracle.items()):
         try:
