@@ -39,25 +39,28 @@ object GraphQueries extends QueryModule {
     // frames and finally the edge list free via Checkpoints (bounded
     // storage at any iteration count).
     val e0 = edges.repartition(col("src"))
-    // deg is checkpointed FIRST: it is nodes-sized (one row per src, and
-    // the undirected edge list guarantees every node appears as a src),
-    // so materializing it is cheap, and it then serves three consumers —
-    // the outdeg fold into the edge checkpoint, n_nodes, and the r0 seed
-    // — without any of them re-running the edge build or running a
-    // separate distinct()/count job over the edges-sized checkpoint.
-    // Its groupBy(src) partitioning survives the checkpoint, so the
-    // fold-in join below stays exchange-free on both sides.
-    val deg = e0.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint()
-    // serialized storage: the edge list is the one corpus-scale cache —
-    // one byte array per block instead of millions of row objects keeps
-    // it invisible to GC tracing while it lives across rounds
-    val e = e0.join(deg, "src")
-      .select(col("src"), col("dst"), col("outdeg"))
+    // The out-degree folds in via a count window OVER THE SAME src
+    // partitioning the repartition just established — no aggregation
+    // branch, no join, no second pass: the edge build (often a join +
+    // distinct upstream) runs exactly ONCE, inside this one checkpoint
+    // materialization. (The previous shape checkpointed a separate
+    // degree frame and joined it back — each checkpoint re-ran the
+    // whole edge build, doubling the dominant cost.) Serialized
+    // storage: the edge list is the one corpus-scale cache — one byte
+    // array per block instead of millions of row objects keeps it
+    // invisible to GC tracing while it lives across rounds.
+    val wSrc = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+    val e = e0
+      .select(col("src"), col("dst"), count(lit(1)).over(wSrc).as("outdeg"))
       .localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    val nN = deg.agg(count(lit(1)).as("n_nodes"))
-    val r0 = deg.select(col("src").as("node")).crossJoin(broadcast(nN))
+    // node set + count read the checkpoint, not the edge build; the
+    // hash(src) partitioning survives the checkpoint, so the distinct
+    // needs no exchange (one row per src survives in place, and the
+    // undirected edge list guarantees every node appears as a src)
+    val nodes = e.select(col("src")).distinct()
+    val nN = nodes.agg(count(lit(1)).as("n_nodes"))
+    val r0 = nodes.select(col("src").as("node")).crossJoin(broadcast(nN))
       .select(col("node"),
         (lit(1.0) / col("n_nodes").cast("double")).as("pr"),
         col("n_nodes"))
@@ -83,7 +86,6 @@ object GraphQueries extends QueryModule {
       it += 1
     }
     graft.Checkpoints.free(e)
-    graft.Checkpoints.free(deg) // last read: round 1's r0 seed
     r.select(col("node"), col("pr"))
   }
 
