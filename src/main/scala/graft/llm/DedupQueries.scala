@@ -160,9 +160,17 @@ object DedupQueries extends QueryModule {
     // preserves outputPartitioning, so every round's edges-to-labels join
     // is co-partitioned and the only shuffle per round is the groupBy(src)
     // aggregation (whose output is again partitioned on the label key,
-    // feeding the next join shuffle-free)
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+    // feeding the next join shuffle-free). Symmetrization is an explode
+    // of both directions — ONE pass over the pair plan: a union of the
+    // pair frame with its own reversal evaluates the (expensive —
+    // prefix-filtered inverted-index join in the q71 caller) pair plan
+    // once per branch, and only the exchanges, not the final stages, get
+    // reused between branches.
+    val edges = pairs
+      .select(explode(array(
+        struct(col("a_id").as("src"), col("b_id").as("dst")),
+        struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .repartition(col("dst"))
       .localCheckpoint()
     // seed with min(id, min neighbor): the first propagation round as a
