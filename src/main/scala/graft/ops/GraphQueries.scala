@@ -105,8 +105,14 @@ object GraphQueries extends QueryModule {
         .select(col("o_custkey").as("src"),
           (col("l_suppkey") + off).as("dst"))
         .distinct()
-      val edges = e0.union(
-        e0.select(col("dst").as("src"), col("src").as("dst")))
+      // both directions via one explode — the self-union spelling
+      // re-runs the distinct's final aggregation per branch (only the
+      // exchange is reused); bipartite ids (suppliers offset) mean no
+      // self-loops, so the exploded list stays duplicate-free
+      val edges = e0.select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
       pagerank(edges, 2).orderBy("node")
     })
 
