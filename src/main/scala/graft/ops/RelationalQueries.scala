@@ -512,6 +512,25 @@ object RelationalQueries extends QueryModule {
     // dsum6-style scale or pre-scale x before ranking. Ranking uses the
     // exact spend doubles (identical in both engines), ties broken by
     // customer key.
+    // Correlated scalar subquery through the raw SQL surface (R2/W3):
+    // each order compared against ITS customer's average order value.
+    // The naive reading is a per-row re-aggregation — Catalyst
+    // decorrelates it into one aggregate + one equi-join (PlanGuard's
+    // no-cartesian sweep holds the rewrite honest), so the plan scales
+    // like any grouped join. The inner average divides an exact
+    // DECIMAL(38,6) sum by the count (the dsum recipe inlined in SQL),
+    // so both engines filter on identical doubles.
+    "q118_correlated_sub" -> { (s, dir) =>
+      Tables.t(s, dir, "orders").createOrReplaceTempView("orders_q118")
+      s.sql("""SELECT o_orderkey, o_custkey, o_totalprice
+              |FROM orders_q118 o
+              |WHERE o_totalprice > 1.5 * (
+              |  SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(38,6)))
+              |           AS DOUBLE) / COUNT(*)
+              |  FROM orders_q118 i WHERE i.o_custkey = o.o_custkey)
+              |ORDER BY o_orderkey""".stripMargin)
+    },
+
     "q113_spend_gini" -> { (s, dir) =>
       val spend = Tables.t(s, dir, "orders")
         .join(Tables.t(s, dir, "customer"),
@@ -535,6 +554,15 @@ object RelationalQueries extends QueryModule {
     })
 
   override def oracles: Map[String, String] = Map(
+    "q118_correlated_sub" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice > 1.5 * (
+        |  SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(38,6)))
+        |           AS DOUBLE) / COUNT(*)
+        |  FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
     "q113_spend_gini" ->
       s"""WITH spend AS (
          |  SELECT c_nationkey, c_custkey, ${dsumSql("o_totalprice")} AS x
