@@ -48,7 +48,10 @@ class PlanGuardSpec extends AnyFunSuite {
     "q103_train_split"   -> 1, // hash-bucket split is scan-local + sort
     "q111_value_histogram" -> 2, // one aggregation + presentation sort
     "q110_session_paths" -> 3, // user window (+riding session agg) + path count (TakeOrdered, no range exchange)
-    "q114_markov_transitions" -> 4) // user window + pair agg + from-window + sort
+    "q114_markov_transitions" -> 4, // user window + pair agg + from-window + sort
+    "q115_importance_sample" -> 1, // quality + hash accept are scan-local + sort
+    "q116_eval_overlap" -> 3, // eval-set distinct (broadcast build) + doc agg + sort
+    "q118_correlated_sub" -> 4) // decorrelated agg + join + sort
 
   /** Every declared query stays under this many shuffles regardless. */
   private val GlobalShuffleCeiling = 6
