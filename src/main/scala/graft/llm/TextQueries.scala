@@ -495,6 +495,49 @@ object TextQueries extends QueryModule {
             (col("n2").cast("double") * col("c_x").cast("double")
               * col("c_y").cast("double"))), 4) + lit(0.0)).as("pmi"))
         .orderBy("x", "y")
+    },
+
+    // Bigram language-model document scoring — the CCNet/perplexity
+    // filtering move: train an add-1-smoothed bigram LM on the corpus
+    // itself, score every document by its mean bigram log-probability
+    // (low score = improbable token sequences = gibberish/boilerplate).
+    // The MODEL is vocabulary-sized: unigram and bigram counts enrich
+    // into one (x, y, logp) table before any corpus-sized row touches a
+    // join — at fixture scale that table broadcasts; at 100 TB it
+    // becomes a vocab-keyed shuffle join, never an all-pairs term.
+    // Determinism is the q106 recipe: each term's logp is one LN of an
+    // exact-int ratio (identical bits both engines), summed through the
+    // scale-18 decimal so partitioning can't reorder doubles, divided by
+    // the exact bigram count, rounded at 4. Scores are strictly negative
+    // (every smoothed probability < 1), so no -0.0 guard is needed.
+    "q119_bigram_lm" -> { (s, dir) =>
+      val bg = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tok"))
+        .filter(size(col("tok")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(tok) - 1), " +
+            "i -> named_struct('x', element_at(tok, i), " +
+            "'y', element_at(tok, i + 1)))")).as("bg"))
+        .select(col("doc_id"), col("bg.x").as("x"), col("bg.y").as("y"))
+      val uni = Tables.t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      val v = uni.agg(count(lit(1)).as("v"))
+      val model = bg.groupBy(col("x"), col("y"))
+        .agg(count(lit(1)).as("c_xy"))
+        .join(uni.select(col("t").as("x"), col("c").as("c_x")), "x")
+        .crossJoin(broadcast(v))
+        .select(col("x"), col("y"),
+          log((col("c_xy") + 1).cast("double") /
+            (col("c_x") + col("v")).cast("double")).as("logp"))
+      bg.join(model, Seq("x", "y"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          graft.Fns.dsum18(col("logp")).as("sum_logp"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("sum_logp") / col("n_bigrams").cast("double"), 4)
+            .as("mean_logp"))
+        .orderBy("doc_id")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -522,6 +565,30 @@ object TextQueries extends QueryModule {
         |CROSS JOIN n1 CROSS JOIN n2
         |WHERE c_xy >= 5
         |ORDER BY x, y""".stripMargin,
+
+    "q119_bigram_lm" ->
+      """WITH d AS (
+        |  SELECT doc_id, STRING_SPLIT(text, ' ') AS tok FROM documents
+        |  WHERE LEN(STRING_SPLIT(text, ' ')) >= 2),
+        |bg AS (
+        |  SELECT doc_id, tok[i] AS x, tok[i + 1] AS y
+        |  FROM d, UNNEST(GENERATE_SERIES(1, LEN(tok) - 1)) AS g(i)),
+        |cu AS (
+        |  SELECT t, COUNT(*) AS c FROM (
+        |    SELECT UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents)
+        |  GROUP BY 1),
+        |v AS (SELECT COUNT(*) AS v FROM cu),
+        |model AS (
+        |  SELECT x, y,
+        |    LN(CAST(c_xy + 1 AS DOUBLE) / CAST(c_x + v AS DOUBLE)) AS logp
+        |  FROM (SELECT x, y, COUNT(*) AS c_xy FROM bg GROUP BY 1, 2)
+        |  JOIN (SELECT t AS x, c AS c_x FROM cu) USING (x)
+        |  CROSS JOIN v)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  ROUND(CAST(SUM(CAST(logp AS DECIMAL(38,18))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 4) AS mean_logp
+        |FROM bg JOIN model USING (x, y)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q117_window_pmi" ->
       """WITH d AS (
