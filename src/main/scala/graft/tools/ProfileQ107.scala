@@ -19,6 +19,7 @@ object ProfileQ107 {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // mirrors q107's current edge construction (explode symmetrization)
     def edges() = {
       val off = lit(1000000L)
       val e0 = Tables.t(spark, sfDir, "orders")
@@ -29,7 +30,10 @@ object ProfileQ107 {
         .select(col("o_custkey").as("src"),
           (col("l_suppkey") + off).as("dst"))
         .distinct()
-      e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      e0.select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
     }
 
     def time(name: String)(body: => Unit): Unit = {
