@@ -69,8 +69,8 @@ object Pipelines {
     * `cb_organizations` (operations.py:670). The archive is parsed ONCE —
     * members cache serialized across the per-target reads, released when
     * done (the reference's `del df; gc.collect()` loop, made structural).
-    * Download-the-export (requests.get + secret user_key) stays outside:
-    * hand this the lake path the export landed on.
+    * The download step is [[Fetch.downloadAuthed]]; [[crunchbasePipeline]]
+    * composes the two into the reference's full behavior.
     */
   def flatfilePipelineFromTar(spark: SparkSession, tarGzPath: String,
                               targetTables: Seq[String], destRoot: String,
@@ -94,6 +94,23 @@ object Pipelines {
             s"$destRoot/$table")
         }.toMap
     } finally entries.unpersist(blocking = false)
+  }
+
+  /** The complete `ingest_crunchbase_flatfiles` behavior
+    * (operations.py:648-683): fetch the export archive with the secret
+    * API key, then parse + load the targeted members in-engine. `https`
+    * against the real endpoint; `file://` in the offline harness. */
+  def crunchbasePipeline(spark: SparkSession, exportUrl: String,
+                         secrets: graft.sources.SecretProvider,
+                         secretName: String, workDir: String,
+                         destRoot: String,
+                         targetTables: Seq[String] = Seq(
+                           "cb_organizations", "cb_ipos",
+                           "cb_acquisitions", "cb_funding_rounds"))
+      : Map[String, DataFrame] = {
+    val local = Fetch.downloadAuthed(exportUrl,
+      s"$workDir/bulk_export.tar.gz", secrets, secretName)
+    flatfilePipelineFromTar(spark, local.toString, targetTables, destRoot)
   }
 
   /** Convenience: seed straight from a lake path (the harness's common

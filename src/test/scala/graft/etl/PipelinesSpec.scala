@@ -97,6 +97,32 @@ class PipelinesSpec extends AnyFunSuite {
       .collect()(0).get(0).toString.toDouble == 2.25)
   }
 
+  test("crunchbase pipeline end-to-end: fetch (file://) -> untar -> tables") {
+    val root = s"/tmp/graft-test-pipe-cb-${System.nanoTime()}"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    val export = s"$root/served/bulk_export.tar.gz"
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$root/served"))
+    writeTarGz(export, Seq(
+      "organizations.csv" -> "org_id,name\n1,acme\n2,globex\n",
+      "funding_rounds.csv" -> "round_id,org_id,usd\n5,1,9.75\n"))
+    // file:// exercises the whole path except the TLS socket; the auth
+    // param resolves through the SecretProvider seam exactly as https
+    // would (file URLs ignore the query string, which is the point —
+    // the secret must never be needed to make the offline path work)
+    val out = Pipelines.crunchbasePipeline(spark,
+      s"file://$export",
+      MapSecretProvider(Map("crunchbase-api-key" -> "k")),
+      "crunchbase-api-key", s"$root/work", root,
+      Seq("cb_organizations", "cb_funding_rounds"))
+    assert(out.keySet == Set("cb_organizations", "cb_funding_rounds"))
+    assert(out("cb_organizations").count() == 2)
+    assert(out("cb_funding_rounds").count() == 1)
+    // query-param assembly is deterministic and encoded
+    assert(Fetch.withQuery("https://x/y", Map("b" -> "2 3", "a" -> "1")) ==
+      "https://x/y?a=1&b=2+3")
+  }
+
   test("tar parser streams members lazily and handles >1-block payloads") {
     val root = s"/tmp/graft-test-tar-parse-${System.nanoTime()}"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
