@@ -27,15 +27,38 @@ object Fetch {
         .map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString("&")
     }
 
+  /** `url` with its query string replaced by a marker — failures must
+    * never echo auth params into logs or stack traces. */
+  private[etl] def redacted(url: String): String = {
+    val cut = url.indexOf('?')
+    if (cut < 0) url else url.substring(0, cut) + "?<redacted>"
+  }
+
   /** Stream `url` to `dest` (parents created), overwriting. Returns the
-    * destination path. ≙ `requests.get(..., stream=True)` + file write. */
+    * destination path. ≙ `requests.get(..., stream=True)` + file write.
+    * Connect/read timeouts bound a stalled endpoint (the reference's
+    * `requests` default would hang forever too — here it's explicit), and
+    * any failure is rethrown with the query string redacted so a 404's
+    * `FileNotFoundException(full-url)` cannot leak the `user_key`. */
   def download(url: String, dest: String,
-               params: Map[String, String] = Map.empty): Path = {
+               params: Map[String, String] = Map.empty,
+               connectTimeoutMs: Int = 30000,
+               readTimeoutMs: Int = 120000): Path = {
     val target = Paths.get(dest)
     Option(target.getParent).foreach(Files.createDirectories(_))
-    val in = java.net.URI.create(withQuery(url, params)).toURL.openStream()
-    try Files.copy(in, target, StandardCopyOption.REPLACE_EXISTING)
-    finally in.close()
+    val full = withQuery(url, params)
+    try {
+      val conn = java.net.URI.create(full).toURL.openConnection()
+      conn.setConnectTimeout(connectTimeoutMs)
+      conn.setReadTimeout(readTimeoutMs)
+      val in = conn.getInputStream
+      try Files.copy(in, target, StandardCopyOption.REPLACE_EXISTING)
+      finally in.close()
+    } catch {
+      case e: java.io.IOException =>
+        throw new java.io.IOException(
+          s"download failed: ${redacted(full)} (${e.getClass.getSimpleName})")
+    }
     target
   }
 

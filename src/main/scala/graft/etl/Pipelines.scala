@@ -87,9 +87,7 @@ object Pipelines {
         name -> table
       }.filter { case (_, t) => targetTables.contains(t) }
         .map { case (name, table) =>
-          val df = spark.read.option("header", "true")
-            .option("inferSchema", "true")
-            .csv(graft.sources.TarGz.csvLines(spark, entries, name))
+          val df = graft.sources.TarGz.csvTable(spark, entries, name)
           table -> Snapshot.commit(TypeNormalizer.normalize(df),
             s"$destRoot/$table")
         }.toMap

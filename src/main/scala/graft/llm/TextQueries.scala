@@ -509,7 +509,10 @@ object TextQueries extends QueryModule {
     // exact-int ratio (identical bits both engines), summed through the
     // scale-18 decimal so partitioning can't reorder doubles, divided by
     // the exact bigram count, rounded at 4. Scores are strictly negative
-    // (every smoothed probability < 1), so no -0.0 guard is needed.
+    // in practice (every smoothed probability < 1), but a mean in
+    // (-0.00005, 0) would round to -0.0 vs +0.0 across engines — the same
+    // one-bit hash divergence q102/q117 guard against — so the free
+    // `+ 0.0` fold is applied on both sides anyway.
     "q119_bigram_lm" -> { (s, dir) =>
       val bg = Tables.t(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("tok"))
@@ -535,8 +538,8 @@ object TextQueries extends QueryModule {
         .agg(count(lit(1)).as("n_bigrams"),
           graft.Fns.dsum18(col("logp")).as("sum_logp"))
         .select(col("doc_id"), col("n_bigrams"),
-          round(col("sum_logp") / col("n_bigrams").cast("double"), 4)
-            .as("mean_logp"))
+          (round(col("sum_logp") / col("n_bigrams").cast("double"), 4)
+            + lit(0.0)).as("mean_logp"))
         .orderBy("doc_id")
     })
 
@@ -586,7 +589,7 @@ object TextQueries extends QueryModule {
         |  CROSS JOIN v)
         |SELECT doc_id, COUNT(*) AS n_bigrams,
         |  ROUND(CAST(SUM(CAST(logp AS DECIMAL(38,18))) AS DOUBLE)
-        |    / CAST(COUNT(*) AS DOUBLE), 4) AS mean_logp
+        |    / CAST(COUNT(*) AS DOUBLE), 4) + 0.0 AS mean_logp
         |FROM bg JOIN model USING (x, y)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 

@@ -478,13 +478,18 @@ object RelationalQueries extends QueryModule {
     // constants in both engines); the clipped sum uses the exact-decimal
     // dsum. Two aggregations over the same grouping key — the second
     // rides the broadcast-joined thresholds, so the only shuffles are the
-    // two group-bys.
+    // two group-bys. Both thresholds come out of ONE `percentile(_, array)`
+    // aggregate — one value buffer and one sort per group, not two (the
+    // full-group sort is the dominant cost of this query; paying it twice
+    // was the r5 miss).
     "q104_winsorize" -> { (s, dir) =>
       val li = Tables.t(s, dir, "lineitem")
       val bounds = li.groupBy(col("l_returnflag"))
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.05)"), 4).as("lo"),
-          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("hi"))
+        .agg(expr("percentile(l_extendedprice, array(0.05D, 0.95D))")
+          .as("pp"))
+        .select(col("l_returnflag"),
+          round(element_at(col("pp"), 1), 4).as("lo"),
+          round(element_at(col("pp"), 2), 4).as("hi"))
       val clipped = least(greatest(col("l_extendedprice"), col("lo")),
         col("hi"))
       li.join(broadcast(bounds), "l_returnflag")

@@ -42,9 +42,7 @@ final case class CsvSource(paths: Seq[String], header: Boolean = true)
 final case class TarCsvSource(tarPath: String, entryName: String,
                               header: Boolean = true) extends Source {
   def read(spark: SparkSession): DataFrame =
-    spark.read.option("header", header.toString)
-      .option("inferSchema", "true")
-      .csv(TarGz.csvLines(spark, TarGz.entries(spark, tarPath), entryName))
+    TarGz.csvTable(spark, TarGz.entries(spark, tarPath), entryName, header)
 }
 
 /** JSON-lines source (events.props-style payloads as whole files). */

@@ -26,15 +26,26 @@ object TarGz {
 
   /** Parse one tar stream into (name, bytes) pairs, lazily — the iterator
     * owns the stream and reads exactly one member ahead. Handles plain
-    * ustar + the GNU 'L' long-name extension; skips directories and
-    * non-file members (the reference only reads regular-file CSVs).
+    * ustar, the GNU 'L' long-name extension, and POSIX pax extended
+    * headers ('x' per-file / 'g' global — Python `tarfile` writes pax by
+    * default since 3.8, so >100-char and non-ASCII member names arrive as
+    * `path=` records, not ustar name fields); skips directories and
+    * non-file members (the reference only reads regular-file CSVs). The
+    * stream is closed as soon as the walk hits end-of-archive or EOF — a
+    * many-archive glob must not hold descriptors until task teardown.
     */
   private[sources] def tarEntries(raw: InputStream)
       : Iterator[(String, Array[Byte])] = new Iterator[(String, Array[Byte])] {
     private val in = new DataInputStream(raw)
     private val header = new Array[Byte](512)
     private var pendingLongName: Option[String] = None
+    private var pendingPax: Map[String, String] = Map.empty  // 'x': next entry only
+    private var globalPax: Map[String, String] = Map.empty   // 'g': rest of archive
+    private var closed = false
     private var nextEntry: Option[(String, Array[Byte])] = null // null = not probed
+
+    private def closeQuietly(): Unit =
+      if (!closed) { closed = true; try in.close() catch { case _: Exception => () } }
 
     private def readBlock(): Boolean =
       try { in.readFully(header); true } catch { case _: EOFException => false }
@@ -59,10 +70,29 @@ object TarGz {
       data
     }
 
+    /** Pax extended-header body: "%d %s=%s\n" records where the decimal
+      * length counts the WHOLE record including itself and the newline. */
+    private def parsePax(data: Array[Byte]): Map[String, String] = {
+      val out = Map.newBuilder[String, String]
+      var off = 0
+      while (off < data.length) {
+        var sp = off
+        while (sp < data.length && data(sp) != ' ') sp += 1
+        val len = new String(data, off, sp - off, "UTF-8").trim.toInt
+        require(len > sp - off + 1 && off + len <= data.length,
+          s"malformed pax record length $len at offset $off")
+        val rec = new String(data, sp + 1, off + len - sp - 2, "UTF-8")
+        val eq = rec.indexOf('=')
+        if (eq > 0) out += rec.substring(0, eq) -> rec.substring(eq + 1)
+        off += len
+      }
+      out.result()
+    }
+
     @annotation.tailrec
     private def probe(): Option[(String, Array[Byte])] = {
-      if (!readBlock()) None
-      else if (header.forall(_ == 0)) None // end-of-archive zero block
+      if (!readBlock()) { closeQuietly(); None }
+      else if (header.forall(_ == 0)) { closeQuietly(); None } // end-of-archive
       else {
         val size = octal(124, 12)
         val typeflag = header(156)
@@ -76,13 +106,21 @@ object TarGz {
             pendingLongName =
               Some(new String(readData(size), "UTF-8").takeWhile(_ != 0))
             probe()
+          case 'x' => // pax per-file header: applies to the NEXT entry
+            pendingPax = parsePax(readData(size))
+            probe()
+          case 'g' => // pax global header: defaults for the rest of the archive
+            globalPax = globalPax ++ parsePax(readData(size))
+            probe()
           case 0 | '0' => // regular file
-            val name = pendingLongName.getOrElse(rawName)
-            pendingLongName = None
-            Some((name, readData(size)))
-          case _ => // dir/link/pax header: skip data, keep walking
+            val pax = globalPax ++ pendingPax
+            val name = pax.get("path").orElse(pendingLongName).getOrElse(rawName)
+            val dataSize = pax.get("size").map(_.toLong).getOrElse(size)
+            pendingLongName = None; pendingPax = Map.empty
+            Some((name, readData(dataSize)))
+          case _ => // dir/link/other: skip data, keep walking
             readData(size)
-            pendingLongName = None
+            pendingLongName = None; pendingPax = Map.empty
             probe()
         }
       }
@@ -110,19 +148,144 @@ object TarGz {
           if (archive.endsWith(".gz") || archive.endsWith(".tgz"))
             new GZIPInputStream(base)
           else base
+        // the iterator closes `in` at end-of-archive; the task listener
+        // covers early termination (e.g. a limit() that never exhausts it)
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+          try in.close() catch { case _: Exception => () }
+        }
         tarEntries(in).map { case (name, bytes) => (archive, name, bytes) }
       }
       .toDF("archive", "entry_name", "content")
   }
 
-  /** One member's bytes as CSV lines, parser-ready. Distributed end to
-    * end: the bytes→lines split runs in the task that holds the row. */
+  /** RFC-4180-aware record split: newlines inside a double-quoted field are
+    * field CONTENT, not record separators (Crunchbase organization
+    * descriptions contain them — `operations.py:676`'s pd.read_csv parses
+    * them natively). Quote state toggles on every '"'; an escaped `""`
+    * toggles twice and so stays inside the field, which is exactly the
+    * split-relevant behavior. Emits records without their terminators.
+    */
+  private[graft] def splitCsvRecords(text: String): Iterator[String] =
+    new Iterator[String] {
+      private var pos = 0
+      def hasNext: Boolean = pos < text.length
+      def next(): String = {
+        if (!hasNext) throw new NoSuchElementException
+        val start = pos
+        var inQuotes = false
+        var end = -1
+        while (end < 0 && pos < text.length) {
+          text.charAt(pos) match {
+            case '"' => inQuotes = !inQuotes; pos += 1
+            case '\n' if !inQuotes => end = pos; pos += 1
+            case '\r' if !inQuotes =>
+              end = pos
+              pos += (if (pos + 1 < text.length && text.charAt(pos + 1) == '\n') 2
+                      else 1)
+            case _ => pos += 1
+          }
+        }
+        if (end < 0) end = text.length // final record without a terminator
+        text.substring(start, end)
+      }
+    }
+
+  /** One member's bytes as CSV records, parser-ready. Distributed end to
+    * end: the bytes→records split runs in the task that holds the row, and
+    * is quote-aware so embedded newlines survive to the CSV parser. */
   def csvLines(spark: SparkSession, entries: DataFrame, entryName: String)
       : Dataset[String] = {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
     entries.filter(col("entry_name") === entryName)
       .select(col("content")).as[Array[Byte]]
-      .flatMap(bytes => new String(bytes, "UTF-8").linesIterator)
+      .flatMap(bytes => splitCsvRecords(new String(bytes, "UTF-8")))
+  }
+
+  /** Full RFC-4180 parse of one member's text via the univocity parser —
+    * the same engine Spark's own CSV source uses — so quoted fields with
+    * embedded newlines/quotes parse exactly like the reference's
+    * pd.read_csv (`operations.py:676`). Runs inside the task that holds
+    * the member bytes; `parseAll` bounds memory at the member size, which
+    * is already the [[entries]] contract. */
+  private[graft] def parseCsv(text: String): Iterator[Array[String]] = {
+    val settings = new com.univocity.parsers.csv.CsvParserSettings
+    settings.setMaxCharsPerColumn(-1)
+    settings.setMaxColumns(16384)
+    settings.setLineSeparatorDetectionEnabled(true)
+    val parser = new com.univocity.parsers.csv.CsvParser(settings)
+    import scala.jdk.CollectionConverters._
+    parser.parseAll(new java.io.StringReader(text)).asScala.iterator
+  }
+
+  /** Header-row byte bound for [[csvTable]]'s driver-side header probe. */
+  private val HeaderSlice = 1 << 20
+
+  /** One member as a typed DataFrame: univocity record parse (quoted
+    * newlines intact — `spark.read.csv(Dataset[String])` tears them, it
+    * parses per element line-wise) + a one-aggregate-pass type inference
+    * mirroring `inferSchema=true` (long → double → date → timestamp →
+    * boolean → string). The header is probed from the first [[HeaderSlice]]
+    * bytes of the member — metadata-sized, never the member body. */
+  def csvTable(spark: SparkSession, entries: DataFrame, entryName: String,
+               header: Boolean = true): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val member = entries.filter(col("entry_name") === entryName)
+    val headBytes = member
+      .select(substring(col("content"), 1, HeaderSlice)).as[Array[Byte]]
+      .head()
+    val firstRec = parseCsv(new String(headBytes, "UTF-8"))
+      .nextOption()
+      .getOrElse(throw new IllegalArgumentException(
+        s"tar member $entryName has no CSV records"))
+    val names =
+      if (header) firstRec.toIndexedSeq.map(f => Option(f).getOrElse(""))
+      else firstRec.indices.map(i => s"_c$i")
+    val n = names.length
+    val rows = member.select(col("content")).as[Array[Byte]]
+      .flatMap { bytes =>
+        val recs = parseCsv(new String(bytes, "UTF-8"))
+        val data = if (header) recs.drop(1) else recs
+        data.map { arr =>
+          val s = arr.toSeq
+          (s ++ Seq.fill(math.max(0, n - s.length))(null: String)).take(n)
+        }
+      }
+    val strDf = rows.select(
+      names.zipWithIndex.map { case (nm, i) => col("value")(i).as(nm) }: _*)
+    inferTypes(strDf)
+  }
+
+  /** `inferSchema=true` restated as ONE aggregate over the string table:
+    * per column, count values that fail `try_cast` to each candidate type,
+    * then cast to the narrowest type with zero failures. Empty strings
+    * count as null (the CSV reader's convention). Two jobs total
+    * regardless of column count — no per-column scans. */
+  private[graft] def inferTypes(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val names = df.columns.toIndexedSeq
+    val tmp = df.toDF(names.indices.map(i => s"c$i"): _*)
+    val candidates = Seq("bigint", "double", "date", "timestamp", "boolean")
+    val checks = names.indices.flatMap { i =>
+      val v = col(s"c$i")
+      val nonNull = v.isNotNull && v =!= ""
+      sum(when(nonNull, 1).otherwise(0)).as(s"n$i") +:
+        candidates.zipWithIndex.map { case (t, j) =>
+          sum(when(nonNull && expr(s"try_cast(c$i as $t)").isNull, 1)
+            .otherwise(0)).as(s"f${i}_$j")
+        }
+    }
+    val stats = tmp.agg(checks.head, checks.tail: _*).collect()(0)
+    val out = names.indices.map { i =>
+      val v = when(col(s"c$i") === "", lit(null)).otherwise(col(s"c$i"))
+      val seen = stats.getAs[Long](s"n$i")
+      val picked = candidates.zipWithIndex.collectFirst {
+        case (t, j) if seen > 0 && stats.getAs[Long](s"f${i}_$j") == 0L => t
+      }
+      picked.fold(v.as(names(i)))(t => v.cast(t).as(names(i)))
+    }
+    tmp.select(out: _*)
   }
 }

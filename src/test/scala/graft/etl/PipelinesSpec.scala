@@ -224,6 +224,83 @@ class PipelinesSpec extends AnyFunSuite {
     assert(names == Set(longName, "plain.csv"))
   }
 
+  test("tar CSV split is quote-aware: embedded newlines survive to the parser") {
+    // RFC-4180 quoted fields with embedded newlines (Crunchbase description
+    // columns) must arrive as one record, not torn rows
+    val csv = "org_id,name,description\n" +
+      "1,acme,\"line one\nline two\"\n" +
+      "2,globex,\"has \"\"quotes\"\" and\na break\"\n" +
+      "3,initech,plain\n"
+    val recs = TarGz.splitCsvRecords(csv).toList
+    assert(recs == List(
+      "org_id,name,description",
+      "1,acme,\"line one\nline two\"",
+      "2,globex,\"has \"\"quotes\"\" and\na break\"",
+      "3,initech,plain"))
+    // and end-to-end through the tar pipeline: 3 data rows, newline intact
+    val root = s"/tmp/graft-test-tar-quote-${System.nanoTime()}"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    writeTarGz(s"$root/q.tar.gz", Seq("organizations.csv" -> csv))
+    val out = Pipelines.flatfilePipelineFromTar(spark, s"$root/q.tar.gz",
+      Seq("cb_organizations"), root)
+    assert(out("cb_organizations").count() == 3)
+    val desc = out("cb_organizations")
+      .filter(col("org_id") === 1).select("description")
+      .collect()(0).getString(0)
+    assert(desc == "line one\nline two")
+    // CRLF terminators split identically
+    assert(TarGz.splitCsvRecords("a,b\r\n1,\"x\r\ny\"\r\n").toList ==
+      List("a,b", "1,\"x\r\ny\""))
+  }
+
+  test("tar parser honors pax 'x' extended headers (path= long names)") {
+    // Python tarfile writes PAX by default (3.8+): a >100-char name arrives
+    // as an 'x' pseudo-entry whose data holds "len path=<name>\n", and the
+    // following regular entry carries only the truncated raw name
+    val root = s"/tmp/graft-test-tar-pax-${System.nanoTime()}"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    val longName = ("pax-dir/" * 16) + "organizations.csv" // 145 chars
+    def paxRecord(key: String, value: String): Array[Byte] = {
+      // length field counts the whole record including itself + newline
+      val body = s" $key=$value\n"
+      var len = body.length + 1
+      while ((len.toString.length + body.length) != len)
+        len = len.toString.length + body.length
+      s"$len$body".getBytes("UTF-8")
+    }
+    def header(name: String, size: Int, typ: Byte): Array[Byte] = {
+      val h = new Array[Byte](512)
+      def put(off: Int, s: String): Unit =
+        System.arraycopy(s.getBytes("UTF-8"), 0, h, off, s.length)
+      put(0, name.take(100)); put(100, "0000644 "); put(108, "0000000 ")
+      put(116, "0000000 "); put(124, f"$size%011o "); put(136, "00000000000 ")
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+      h(156) = typ; put(257, "ustar "); put(263, "00")
+      put(148, f"${h.map(b => b & 0xff).sum}%06o  ")
+      h
+    }
+    def block(b: Array[Byte]) =
+      java.util.Arrays.copyOf(b, ((b.length + 511) / 512) * 512)
+    val data = "org_id,name\n7,paxco\n".getBytes("UTF-8")
+    val pax = paxRecord("path", longName) ++ paxRecord("size",
+      data.length.toString)
+    val out = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(s"$root/pax.tar.gz"))
+    out.write(header("PaxHeaders.0/organizations.csv", pax.length, 'x'))
+    out.write(block(pax))
+    out.write(header(longName.take(100), data.length, '0'.toByte))
+    out.write(block(data))
+    out.write(new Array[Byte](1024)); out.close()
+
+    val entries = TarGz.entries(spark, s"$root/pax.tar.gz")
+    val names = entries.select("entry_name").collect().map(_.getString(0))
+    assert(names.sameElements(Array(longName)), "pax path= must win")
+    // and the full pipeline matches on the pax-restored basename
+    val tables = Pipelines.flatfilePipelineFromTar(spark,
+      s"$root/pax.tar.gz", Seq("cb_organizations"), root)
+    assert(tables("cb_organizations").count() == 1)
+  }
+
   test("tar parser: plain .tar passes through; truncation fails loudly") {
     val root = s"/tmp/graft-test-tar-edge-${System.nanoTime()}"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
@@ -341,6 +418,18 @@ class PipelinesSpec extends AnyFunSuite {
     // offline; save() would need a live endpoint
     val df = Tables.t(spark, TestSpark.Sf, "region")
     sink.configure(df)
+  }
+
+  test("fetch failures redact the query string (no credential in message)") {
+    val missing = s"file:///tmp/graft-no-such-${System.nanoTime()}.tar.gz"
+    val e = intercept[java.io.IOException] {
+      Fetch.downloadAuthed(missing, s"/tmp/graft-dl-${System.nanoTime()}",
+        graft.sources.MapSecretProvider(Map("k" -> "sekret-value")), "k")
+    }
+    assert(!e.getMessage.contains("sekret-value"))
+    assert(e.getMessage.contains("<redacted>"))
+    assert(Fetch.redacted("https://x/y?user_key=abc") == "https://x/y?<redacted>")
+    assert(Fetch.redacted("https://x/y") == "https://x/y")
   }
 
   test("secret providers resolve and fail loudly") {
