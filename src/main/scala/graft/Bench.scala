@@ -45,8 +45,10 @@ object Bench {
     // Back-to-back passes put all 3 samples of one query inside one
     // burst — the median is corrupted and the artifact lies. With ~3 min
     // sweeps, a burst lands in at most one pass per query and the
-    // median rejects it.
-    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt max 1
+    // median rejects it. Default is 5 passes (r5 still had 27/115
+    // queries with >3x pass spread at 3): two burst-hit passes out of 5
+    // leave the median on an uncontended sample, where 2-of-3 corrupt it.
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt max 1
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
@@ -77,11 +79,20 @@ object Bench {
     val spread = results.filter(_._2.size == nRuns).map { case (k, ts) =>
       "\"" + k + "\":[" + ts.min + "," + ts.max + "]"
     }.mkString("{", ",", "}")
+    // floors = min-of-passes: on a box with external multi-second bursts
+    // the floor is the uncontended truth — the regression signal to track
+    // round-over-round. `queries` stays the median (the driver's headline
+    // location estimate); a floor that moves while the median doesn't is
+    // noise, a floor that moves WITH the median is a real change.
+    val floors = results.filter(_._2.size == nRuns).map { case (k, ts) =>
+      "\"" + k + "\":" + ts.min
+    }.mkString("{", ",", "}")
     val errs = results.filter(_._2.size != nRuns).map("\"" + _._1 + "\"")
       .mkString("[", ",", "]")
     val total = results.filter(_._2.size == nRuns).map(r => median(r._2)).sum
+    val totalFloor = results.filter(_._2.size == nRuns).map(_._2.min).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$nRuns,"queries":$qs,"spread":$spread,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_floor":$totalFloor,"runs_per_query":$nRuns,"queries":$qs,"floors":$floors,"spread":$spread,"errors":$errs,"sf":"$sfDir"}"""
     println(json)
     // stdout passes through sbt's [info] logger prefix, which breaks the
     // driver's JSON parse — also land the line in a file it can read raw.

@@ -59,6 +59,13 @@ object Snapshot {
     * many stacked deltas (merge-on-read cost is linear in the stack). */
   val CompactThreshold = 8
 
+  /** Default retention depth: the new base plus its predecessor (the
+    * reader grace window). [[commit]]'s `retain` parameter widens this —
+    * keep N bases and their markers and the time-travel window becomes a
+    * policy knob (audit depth) instead of an implementation accident;
+    * each retained base holds one full table copy of storage. */
+  val DefaultRetain = 2
+
   /** Committed pointer state: base version, number of stacked deltas, the
     * upsert key the deltas merge on (empty until the first commitDelta),
     * the base's hive-partition columns (comma-separated; compaction must
@@ -119,8 +126,8 @@ object Snapshot {
 
   /** Time-travel surface: the base versions currently readable via
     * [[readVersion]] — committed versions whose data directories the GC
-    * still retains (the current base and its predecessor; see
-    * [[commitHooked]]'s grace-window rule), oldest first. */
+    * still retains (the newest `retain` bases; see [[commitHooked]]'s
+    * grace-window rule), oldest first. */
   def versions(spark: SparkSession, root: String): Seq[Long] = {
     val cd = commitsDir(root)
     val fs = cd.getFileSystem(conf(spark))
@@ -138,10 +145,11 @@ object Snapshot {
     * the swapped pointer line; resolving a past version replays the
     * newest marker for that base, which skips torn delta directories the
     * pointer never named (same crash-safety rule as the live path).
-    * Retention is the GC's: current + predecessor (older versions fail
-    * loudly here). The unbounded-history variant is the table-format
-    * (Delta/Iceberg log) seam — this is the two-version undo/audit window
-    * a plain-parquet destination can afford for free.
+    * Retention is the GC's: the newest `retain` committed bases
+    * ([[commit]]'s knob, default current + predecessor — older versions
+    * fail loudly here). The unbounded-history variant is the table-format
+    * (Delta/Iceberg log) seam — this is the N-version undo/audit window
+    * a plain-parquet destination can afford at N table-copies of storage.
     */
   def readVersion(spark: SparkSession, root: String, version: Long)
       : DataFrame = {
@@ -242,8 +250,9 @@ object Snapshot {
     * stack: a base commit is the whole table.
     */
   def commit(df: DataFrame, root: String,
-             partitionCols: Seq[String] = Nil): DataFrame =
-    commitHooked(df, root, partitionCols, () => ())
+             partitionCols: Seq[String] = Nil,
+             retain: Int = DefaultRetain): DataFrame =
+    commitHooked(df, root, partitionCols, () => (), retain = retain)
 
   /** [[commit]] with a phase hook fired between the data write and the
     * pointer swap — the deterministic seam the concurrent-commit test
@@ -252,7 +261,9 @@ object Snapshot {
   private[etl] def commitHooked(df: DataFrame, root: String,
                                 partitionCols: Seq[String],
                                 beforeSwap: () => Unit,
-                                pk: String = ""): DataFrame = {
+                                pk: String = "",
+                                retain: Int = DefaultRetain): DataFrame = {
+    require(retain >= 1, s"retain must be >= 1, got $retain")
     val spark = df.sparkSession
     val prevLine = readPointerLine(spark, root)
     val prev  = prevLine.map(parsePointer)
@@ -270,10 +281,19 @@ object Snapshot {
       Pointer(next, 0L, pk, partitionCols, newToken()), prevLine)
 
     val fs = new Path(root).getFileSystem(conf(spark))
-    // GC dead bases and their delta stacks; the predecessor base keeps
-    // both (reader grace window — an in-flight reader may hold a pointer
-    // resolved just before the swap, deltas included)
-    seen.filter(v => v != next && !prev.map(_.base).contains(v))
+    // GC dead bases and their delta stacks, keeping the newest `retain`
+    // COMMITTED bases (marker-backed — a crashed writer's orphan dir has
+    // no marker and always dies). retain=2 is the minimum grace window:
+    // an in-flight reader may hold a pointer resolved just before the
+    // swap, deltas included; larger values are the time-travel policy.
+    val committed =
+      (Option(fs.globStatus(new Path(commitsDir(root), "v*_d*"))).toSeq
+        .flatten
+        .flatMap(_.getPath.getName.stripPrefix("v")
+          .takeWhile(_ != '_').toLongOption)
+        .toSet ++ prev.map(_.base)) - next
+    val keep = committed.toSeq.sorted.takeRight(retain - 1).toSet + next
+    seen.filterNot(keep)
       .foreach { v =>
         fs.delete(versionDir(root, v), true)
         listDeltas(spark, root, v)

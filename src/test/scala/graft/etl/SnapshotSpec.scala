@@ -82,6 +82,27 @@ class SnapshotSpec extends AnyFunSuite {
     assert(fs.exists(new Path(root, "_v3")))
   }
 
+  test("retain=N widens the time-travel window to N bases (policy knob)") {
+    val root = freshRoot()
+    Snapshot.commit(df(1), root, retain = 3)
+    Snapshot.commit(df(2), root, retain = 3)
+    Snapshot.commit(df(3), root, retain = 3)
+    Snapshot.commit(df(4), root, retain = 3)
+    // newest 3 committed bases readable, each as of its final state
+    assert(Snapshot.versions(spark, root) == Seq(2L, 3L, 4L))
+    assert(Snapshot.readVersion(spark, root, 2L).count() == 2)
+    assert(Snapshot.readVersion(spark, root, 3L).count() == 3)
+    assert(Snapshot.readVersion(spark, root, 4L).count() == 4)
+    // v1 is outside the window: data dir GC'd, marker gone, loud failure
+    val e = intercept[IllegalArgumentException] {
+      Snapshot.readVersion(spark, root, 1L)
+    }
+    assert(e.getMessage.contains("not retained"))
+    // narrowing the policy back to the default shrinks the window again
+    Snapshot.commit(df(5), root)
+    assert(Snapshot.versions(spark, root) == Seq(4L, 5L))
+  }
+
   test("readVersion time-travels across the retained window") {
     val root = freshRoot()
     Snapshot.commit(df(5), root)
