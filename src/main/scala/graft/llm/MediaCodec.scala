@@ -30,6 +30,8 @@ object MediaCodec {
     else if (isGif(b)) sniffGif(b)
     else if (isY4m(b)) demuxY4m(b)
       .map(v => Sniffed("y4m", v.width, v.height)).getOrElse(Bin)
+    else if (isAvi(b)) demuxAvi(b)
+      .map(v => Sniffed("avi", v.width, v.height)).getOrElse(Bin)
     else Bin
 
   /** A demuxed uncompressed Y4M (YUV4MPEG2) video: raw planar frames at
@@ -90,6 +92,68 @@ object MediaCodec {
         Some(Y4m(w, h, frameSize.toInt, offsets.result()))
       case _ => None
     }
+  }
+
+  /** A demuxed AVI (RIFF) video: per-frame chunk payload offsets/sizes of
+    * the first video stream. For an MJPEG AVI every frame payload is a
+    * complete JPEG — decodable by the JDK codec already in the pixel path,
+    * so frame sampling covers a COMPRESSED container with no external
+    * dependency. `codec` is the stream's FourCC (e.g. "MJPG"). */
+  final case class Avi(width: Long, height: Long, codec: String,
+                       frameOffsets: Array[Int], frameSizes: Array[Int])
+
+  private def fourcc(b: Array[Byte], i: Int): String =
+    if (i + 4 > b.length) ""
+    else new String(b, i, 4, "US-ASCII")
+
+  private def le32(b: Array[Byte], i: Int): Long =
+    (u8(b, i + 3).toLong << 24) | (u8(b, i + 2) << 16) |
+      (u8(b, i + 1) << 8) | u8(b, i)
+
+  private def isAvi(b: Array[Byte]): Boolean =
+    b.length >= 12 && fourcc(b, 0) == "RIFF" && fourcc(b, 8) == "AVI "
+
+  /** Pure-JVM RIFF walk: `LIST` nodes recurse, `avih` carries the frame
+    * dimensions (dwWidth/dwHeight at data offsets 32/36), `strf`'s
+    * BITMAPINFOHEADER carries the codec FourCC (biCompression at data
+    * offset 16), and the `movi` payload chunks `##dc`/`##db` of stream 00
+    * are the frames. Chunks are word-aligned (odd sizes pad one byte).
+    * Truncated or malformed structure yields the frames that fully fit —
+    * never an exception: malformed media must not kill a 100 TB scan.
+    */
+  def demuxAvi(b: Array[Byte]): Option[Avi] = {
+    if (!isAvi(b)) return None
+    var width = 0L; var height = 0L; var codec = ""
+    val offs  = Array.newBuilder[Int]
+    val sizes = Array.newBuilder[Int]
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      if (depth > 8) return // malformed self-nesting guard
+      var i = start
+      var ok = true
+      while (ok && i + 8 <= end) {
+        val id = fourcc(b, i)
+        val sz = le32(b, i + 4)
+        if (sz < 0 || sz > Int.MaxValue - 16 || i + 8 + sz > end) ok = false
+        else {
+          val dataStart = i + 8
+          id match {
+            case "LIST" if sz >= 4 =>
+              walk(dataStart + 4, dataStart + sz.toInt, depth + 1)
+            case "avih" if sz >= 40 =>
+              width = le32(b, dataStart + 32)
+              height = le32(b, dataStart + 36)
+            case "strf" if sz >= 20 && codec.isEmpty =>
+              codec = fourcc(b, dataStart + 16).trim
+            case "00dc" | "00db" =>
+              offs += dataStart; sizes += sz.toInt
+            case _ => () // other streams / index / junk: skip
+          }
+          i = dataStart + sz.toInt + (sz.toInt & 1)
+        }
+      }
+    }
+    walk(12, math.min(b.length, 8 + le32(b, 4)).toInt max 12, 0)
+    Some(Avi(width, height, codec, offs.result(), sizes.result()))
   }
 
   private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff

@@ -144,42 +144,58 @@ object Multimodal extends QueryModule {
       }
     } catch { case scala.util.control.NonFatal(_) => Array.emptyByteArray }
 
-  /** Video frame sampling. Y4M (YUV4MPEG2) payloads demux for REAL —
-    * the one video container that needs no codec (ASCII header + raw
-    * planar frames, [[MediaCodec.demuxY4m]]): up to `n` evenly spaced
-    * actual frames come back with their true frame numbers, the way a
-    * training pipeline samples stills from footage transcoded upstream.
-    * Compressed containers (MP4/H.264 …) still need external codecs —
-    * for those opaque payloads the deterministic byte-range fallback
-    * (slice into `n` equal chunks) stands in, clearly distinguishable by
-    * its contiguous 0..n-1 frame indices. Either way the shape is the
-    * one-to-many typed flatMap — one input row fanning out to a row per
-    * frame, one decoder scope per partition.
+  /** Video frame sampling. Two containers demux for REAL:
+    *  - Y4M (YUV4MPEG2) — ASCII header + raw planar frames
+    *    ([[MediaCodec.demuxY4m]]): no codec needed at all;
+    *  - AVI (RIFF) — [[MediaCodec.demuxAvi]] walks the chunk tree and
+    *    yields per-frame payloads; for MJPEG AVIs each sampled frame is a
+    *    complete JPEG, decodable by the same JDK codec [[resize]] uses —
+    *    a COMPRESSED container covered end to end, pure JVM.
+    * Up to `n` evenly spaced actual frames come back with their true
+    * frame numbers, the way a training pipeline samples stills.
+    * Inter-frame-coded containers (MP4/H.264 …) still need external
+    * codecs — for those opaque payloads the deterministic byte-range
+    * fallback (slice into `n` equal chunks) stands in, clearly
+    * distinguishable by its contiguous 0..n-1 frame indices. Either way
+    * the shape is the one-to-many typed flatMap — one input row fanning
+    * out to a row per frame, one decoder scope per partition.
     */
   def sampleFrames(media: DataFrame, n: Int): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
+    def sampled(count: Int)(frameAt: Int => Array[Byte])(docId: Long)
+        : Iterator[Frame] = {
+      val take = math.min(n, count)
+      (0 until take).iterator.map { i =>
+        val fi = (count.toLong * i / take).toInt // real frame number
+        Frame(docId, fi, frameAt(fi))
+      }
+    }
     media.as[MediaIn].mapPartitions { it =>
       it.flatMap { m =>
         MediaCodec.demuxY4m(m.payload) match {
           case Some(v) if v.frameOffsets.nonEmpty =>
-            val count = v.frameOffsets.length
-            val take = math.min(n, count)
-            (0 until take).iterator.map { i =>
-              val fi = (count.toLong * i / take).toInt // real frame number
+            sampled(v.frameOffsets.length) { fi =>
               val off = v.frameOffsets(fi)
-              Frame(m.doc_id, fi,
-                java.util.Arrays.copyOfRange(m.payload, off, off + v.frameSize))
-            }
-          case _ =>
-            val len = m.payload.length
-            if (len == 0) Iterator.empty
-            else (0 until n).iterator.map { i =>
-              val from = (len.toLong * i / n).toInt
-              val to   = (len.toLong * (i + 1) / n).toInt
-              Frame(m.doc_id, i,
-                java.util.Arrays.copyOfRange(m.payload, from, to.max(from)))
-            }
+              java.util.Arrays.copyOfRange(m.payload, off, off + v.frameSize)
+            }(m.doc_id)
+          case _ => MediaCodec.demuxAvi(m.payload) match {
+            case Some(v) if v.frameOffsets.nonEmpty =>
+              sampled(v.frameOffsets.length) { fi =>
+                val off = v.frameOffsets(fi)
+                java.util.Arrays.copyOfRange(m.payload, off,
+                  off + v.frameSizes(fi))
+              }(m.doc_id)
+            case _ =>
+              val len = m.payload.length
+              if (len == 0) Iterator.empty
+              else (0 until n).iterator.map { i =>
+                val from = (len.toLong * i / n).toInt
+                val to   = (len.toLong * (i + 1) / n).toInt
+                Frame(m.doc_id, i,
+                  java.util.Arrays.copyOfRange(m.payload, from, to.max(from)))
+              }
+          }
         }
       }
     }.toDF()

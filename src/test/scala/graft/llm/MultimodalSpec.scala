@@ -175,6 +175,67 @@ class MultimodalSpec extends AnyFunSuite {
       "YUV4MPEG2 H2 C420\nFRAME\n".getBytes("US-ASCII")).isEmpty)
   }
 
+  /** A real MJPEG AVI assembled the way the RIFF spec lays it out: hdrl
+    * list with an avih main header, movi list with one `00dc` chunk per
+    * JDK-encoded JPEG frame (word-aligned). */
+  private def mjpegAvi(w: Int, h: Int, frames: Seq[Array[Byte]])
+      : Array[Byte] = {
+    def le32(v: Int) = Array(v & 0xff, (v >> 8) & 0xff,
+      (v >> 16) & 0xff, (v >> 24) & 0xff).map(_.toByte)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val pad = if (data.length % 2 == 1) Array(0.toByte) else Array[Byte]()
+      id.getBytes("US-ASCII") ++ le32(data.length) ++ data ++ pad
+    }
+    def list(kind: String, children: Array[Byte]): Array[Byte] =
+      chunk("LIST", kind.getBytes("US-ASCII") ++ children)
+    val avih = new Array[Byte](56) // dwWidth/dwHeight at 32/36
+    le32(w).copyToArray(avih, 32); le32(h).copyToArray(avih, 36)
+    le32(frames.length).copyToArray(avih, 16) // dwTotalFrames
+    val strf = new Array[Byte](40) // BITMAPINFOHEADER: biCompression at 16
+    "MJPG".getBytes("US-ASCII").copyToArray(strf, 16)
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++ list("strl", chunk("strf", strf)))
+    val movi = list("movi",
+      frames.map(f => chunk("00dc", f)).foldLeft(Array[Byte]())(_ ++ _))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+  }
+
+  test("AVI demux walks the RIFF tree: dims, codec, per-frame payloads") {
+    val f = Seq(realImage(32, 24, "jpg"), realImage(32, 24, "jpg"),
+      realImage(32, 24, "jpg"))
+    val avi = mjpegAvi(32, 24, f)
+    assert(MediaCodec.sniff(avi) == MediaCodec.Sniffed("avi", 32, 24))
+    val v = MediaCodec.demuxAvi(avi).get
+    assert(v.codec == "MJPG")
+    assert(v.frameOffsets.length == 3)
+    // each demuxed frame is byte-for-byte the original JPEG
+    v.frameOffsets.zip(v.frameSizes).zip(f).foreach { case ((off, sz), orig) =>
+      assert(java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(avi, off, off + sz), orig))
+    }
+    // truncated mid-frame: the whole frames survive, no exception
+    val torn = java.util.Arrays.copyOf(avi, avi.length - f.last.length / 2)
+    assert(MediaCodec.demuxAvi(torn).get.frameOffsets.length <= 2)
+  }
+
+  test("sampleFrames demuxes MJPEG AVI frames that decode as JPEGs") {
+    import spark.implicits._
+    val frames = (0 until 5).map(_ => realImage(48, 32, "jpg"))
+    val media = Seq(Multimodal.MediaIn(11L, mjpegAvi(48, 32, frames)))
+      .toDS().toDF()
+    val out = Multimodal.sampleFrames(media, 2).orderBy("frame_idx")
+      .collect().map(r => (r.getInt(1), r.getAs[Array[Byte]](2)))
+    assert(out.map(_._1).toSeq == Seq(0, 2)) // evenly spaced REAL indices
+    // the sampled frame payloads decode with the JDK codec already in the
+    // pixel path — compressed-container frame sampling, end to end
+    out.foreach { case (_, bytes) =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(img != null && img.getWidth == 48 && img.getHeight == 32)
+    }
+  }
+
   test("sniffer and resize never throw on fuzzed bytes") {
     val rnd = new scala.util.Random(5)
     for (_ <- 1 to 500) {
@@ -189,6 +250,13 @@ class MultimodalSpec extends AnyFunSuite {
       val tail = Array.fill[Byte](rnd.nextInt(64))(rnd.nextInt().toByte)
       val b = "YUV4MPEG2 ".getBytes("US-ASCII") ++ tail
       MediaCodec.demuxY4m(b) // must never throw
+    }
+    // and the AVI walker on fuzzed RIFF bodies
+    for (_ <- 1 to 500) {
+      val tail = Array.fill[Byte](rnd.nextInt(128))(rnd.nextInt().toByte)
+      val b = "RIFF".getBytes("US-ASCII") ++ tail
+      if (b.length >= 12) "AVI ".getBytes("US-ASCII").copyToArray(b, 8)
+      MediaCodec.demuxAvi(b) // must never throw
     }
   }
 
