@@ -640,6 +640,81 @@ object CorpusQueries extends QueryModule {
           round(col("n_overlap").cast("double") /
             col("n_shingles").cast("double"), 4).as("contamination"))
         .orderBy("doc_id")
+    },
+
+    // Exact-quota stratified sample — eval-set construction: take EXACTLY
+    // min(quota, n_s) docs per stratum, not a rate-based expected count
+    // (q64/q93 sample proportionally; a held-out set needs hard quotas).
+    // Determinism is the q64 key-tied recipe lifted to an ORDERING:
+    // rank docs per source by md5 of a salted key — partitioning-stable,
+    // rerun-stable, engine-identical (both engines order the same
+    // lowercase hex strings). Scale shape: one rank window per stratum;
+    // strata counts are corpus metadata (thousands at most), and the
+    // 100 TB variant prefilters with the hash-threshold trick (keep
+    // h < ~3x quota/n_s before ranking) so the window input is
+    // quota-sized, not stratum-sized — the window itself is unchanged.
+    "q120_stratified_sample" -> { (s, dir) =>
+      val quota = 10
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5(concat(lit("q120:"), col("doc_id").cast("string"))
+          .cast("binary")).asc, col("doc_id").asc)
+      Tables.t(s, dir, "documents")
+        .withColumn("sample_rank", row_number().over(w).cast("long"))
+        .filter(col("sample_rank") <= quota)
+        .select(col("source"), col("doc_id"), col("sample_rank"))
+        .orderBy("source", "doc_id")
+    },
+
+    // Per-document n-gram novelty — the inverse of contamination: what
+    // fraction of a doc's trigram shingles appears in NO other document.
+    // Low novelty = boilerplate/template text (the signal C4-style rules
+    // approximate with line frequency); high = genuinely novel content.
+    // Scale shape: one distinct-postings explode, one count aggregation
+    // on the 64-bit shingle key, one join back — q87's decontamination
+    // plumbing pointed at the corpus itself. Counts are hash-invariant
+    // (the oracle states the same join over shingle STRINGS); the
+    // novelty fraction is an exact int ratio.
+    "q121_ngram_novelty" -> { (s, dir) =>
+      val sh = array_distinct(
+        graft.functions.ShingleHashes.shingleHashes(col("text"), 3))
+      val post = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), sh.as("sh"))
+        .filter(size(col("sh")) > 0)
+        .select(col("doc_id"), explode(col("sh")).as("h"))
+      val shared = post.groupBy(col("h"))
+        .agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") > 1)
+      post.join(shared, Seq("h"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          count(col("n_docs")).as("n_shared"))
+        .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+          round(lit(1.0) - col("n_shared").cast("double") /
+            col("n_shingles").cast("double"), 4).as("novelty"))
+        .orderBy("doc_id")
+    },
+
+    // Cross-source duplication matrix — the corpus-level diagnostic run
+    // before mixing sources into a training set: for every source pair,
+    // how many distinct 5-token shingles they share (a source that
+    // heavily overlaps another adds tokens, not information, and its
+    // mixture weight should account for it). Scale shape: one distinct
+    // (source, shingle-hash) postings build, one self-equi-join on the
+    // hash whose fan-out is bounded by #sources per shingle (<= #sources,
+    // a constant), one pair-count aggregation — never a doc-level or
+    // all-pairs term.
+    "q123_source_overlap" -> { (s, dir) =>
+      val sh = array_distinct(
+        graft.functions.ShingleHashes.shingleHashes(col("text"), 5))
+      val post = Tables.t(s, dir, "documents")
+        .select(col("source"), explode(sh).as("h"))
+        .distinct()
+      post.select(col("source").as("source_a"), col("h"))
+        .join(post.select(col("source").as("source_b"), col("h")), "h")
+        .filter(col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_shared_shingles"))
+        .orderBy("source_a", "source_b")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -1051,5 +1126,51 @@ object CorpusQueries extends QueryModule {
         |  (n_words BETWEEN 50 AND 100000)
         |    AND (mean_word_len BETWEEN 3.0 AND 10.0)
         |    AND alpha_frac >= 0.8 AND top_tok_frac <= 0.2 AS pass_gopher
-        |FROM m ORDER BY doc_id""".stripMargin)
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q120_stratified_sample" ->
+      """SELECT source, doc_id, sample_rank FROM (
+        |  SELECT source, doc_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY MD5('q120:' || CAST(doc_id AS VARCHAR)) ASC,
+        |               doc_id ASC) AS BIGINT) AS sample_rank
+        |  FROM documents)
+        |WHERE sample_rank <= 10
+        |ORDER BY source, doc_id""".stripMargin,
+
+    // shingles as STRINGS where the engine joins 64-bit hashes — the
+    // doc counts per shingle are hash-invariant (q87's argument)
+    "q121_ngram_novelty" ->
+      """WITH d AS (
+        |  SELECT doc_id, STRING_SPLIT(text, ' ') AS tok FROM documents
+        |  WHERE LEN(STRING_SPLIT(text, ' ')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    UNNEST(LIST_TRANSFORM(RANGE(1, LEN(tok) - 1),
+        |      i -> ARRAY_TO_STRING(tok[i:i+2], ' '))) AS s
+        |  FROM d),
+        |cnt AS (SELECT s, COUNT(*) AS n_docs FROM sh GROUP BY 1)
+        |SELECT sh.doc_id,
+        |  COUNT(*) AS n_shingles,
+        |  CAST(COALESCE(SUM(CASE WHEN cnt.n_docs > 1 THEN 1 END), 0)
+        |    AS BIGINT) AS n_shared,
+        |  ROUND(1.0 - CAST(COALESCE(SUM(CASE WHEN cnt.n_docs > 1 THEN 1 END),
+        |                            0) AS DOUBLE)
+        |    / COUNT(*), 4) AS novelty
+        |FROM sh JOIN cnt USING (s)
+        |GROUP BY sh.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q123_source_overlap" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, STRING_SPLIT(text, ' ') AS tok
+        |  FROM documents WHERE LEN(STRING_SPLIT(text, ' ')) >= 5),
+        |post AS (
+        |  SELECT DISTINCT source,
+        |    UNNEST(LIST_TRANSFORM(RANGE(1, LEN(tok) - 3),
+        |      i -> ARRAY_TO_STRING(tok[i:i+4], ' '))) AS s
+        |  FROM d)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  COUNT(*) AS n_shared_shingles
+        |FROM post a JOIN post b ON a.s = b.s AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin)
 }

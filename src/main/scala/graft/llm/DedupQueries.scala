@@ -296,6 +296,36 @@ object DedupQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // Dedup survivor pick — the endgame AFTER clustering: q71 labels every
+    // clustered doc, this decides which doc each cluster KEEPS. The
+    // production rule is quality-based, not min-id (RefinedWeb/FineWeb
+    // keep the longest/highest-quality member): survivor = argmax by
+    // (n_chars, then min doc_id) within each component. Scale shape:
+    // q71's propagation plus ONE broadcast-joinable metadata join and one
+    // per-cluster rank window — cluster count is far below doc count, and
+    // per-cluster state is one row.
+    "q122_dedup_survivors" -> { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+      val d = docs.select(
+        col("doc_id"), col("source"),
+        array_sort(array_distinct(transform(split(col("text"), " "),
+          (t: Column) => xxhash64(t)))).as("tok"))
+      val pairs =
+        TextQueries.prefixJaccardPairs(d, 0.6, presentationSort = false)
+      val cc = connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster_id"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      cc.join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+        .withColumn("rk", row_number().over(w))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          min(when(col("rk") === 1, col("doc_id"))).as("survivor_id"),
+          min(when(col("rk") === 1, col("n_chars"))).as("survivor_chars"))
+        .orderBy("cluster_id")
+    },
+
     // Winnowing rolling-window fingerprints (no oracle — hash-valued;
     // invariants ScalaTest-checked). The declared output serializes the
     // fingerprint set to a sorted CSV string: the harness row-hashes results
@@ -325,5 +355,30 @@ object DedupQueries extends QueryModule {
          |  SELECT e.dst AS id, reach.r FROM reach JOIN e ON e.src = reach.id)
          |SELECT id AS doc_id, MIN(r) AS cluster_id,
          |  id = MIN(r) AS is_canonical
-         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // the q71 fixpoint extended with the survivor argmax: longest member
+    // wins, ties broken by doc_id
+    "q122_dedup_survivors" ->
+      s"""WITH RECURSIVE pairs AS (
+         |${TextQueries.oracles("q34_jaccard_pairs")}),
+         |e AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION ALL SELECT b_id, a_id FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM e),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT e.dst AS id, reach.r FROM reach JOIN e ON e.src = reach.id),
+         |cc AS (SELECT id AS doc_id, MIN(r) AS cluster_id
+         |       FROM reach GROUP BY id),
+         |m AS (
+         |  SELECT cc.cluster_id, cc.doc_id, d.n_chars,
+         |    ROW_NUMBER() OVER (PARTITION BY cc.cluster_id
+         |      ORDER BY d.n_chars DESC, cc.doc_id ASC) AS rk
+         |  FROM cc JOIN documents d ON d.doc_id = cc.doc_id)
+         |SELECT cluster_id, COUNT(*) AS n_members,
+         |  MIN(CASE WHEN rk = 1 THEN doc_id END) AS survivor_id,
+         |  MIN(CASE WHEN rk = 1 THEN n_chars END) AS survivor_chars
+         |FROM m GROUP BY cluster_id ORDER BY cluster_id""".stripMargin)
 }

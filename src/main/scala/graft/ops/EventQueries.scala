@@ -159,6 +159,32 @@ object EventQueries extends QueryModule {
         .orderBy("event_id")
     },
 
+    // Robust (MAD-based) outlier census — q105's z-score flags break down
+    // exactly where outlier detection matters (heavy tails inflate the
+    // SD and hide the outliers); the median absolute deviation does not.
+    // Per event_type: med = p50(value), mad = p50(|value − med|), outlier
+    // iff |value − med| > 3·1.4826·mad (the Gaussian-consistent scale).
+    // Two grouped aggregations with the thresholds broadcast back —
+    // q104's winsorize shape, ONE percentile sort per aggregation. Both
+    // percentiles round at 4 BEFORE the comparisons (q56's grid argument)
+    // so the census counts identical values in both engines; the
+    // deviation |v − med| is one IEEE subtraction of identical doubles.
+    "q124_mad_outliers" -> { (s, dir) =>
+      val ev = Tables.t(s, dir, "events")
+      val med = ev.groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.5)"), 4).as("med"))
+      val mad = ev.join(broadcast(med), "event_type")
+        .groupBy(col("event_type"), col("med"))
+        .agg(round(expr("percentile(abs(value - med), 0.5)"), 4).as("mad"))
+      ev.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          max(col("med")).as("med"), max(col("mad")).as("mad"),
+          count_if(abs(col("value") - col("med")) >
+            lit(3.0) * lit(1.4826) * col("mad")).as("n_outliers"))
+        .orderBy("event_type")
+    },
+
     // Ordered conversion funnel (view → click within 24 h → purchase
     // within 24 h of the click): how many users reach each stage IN ORDER
     // and in time — min(view ts), the first click inside the attribution
@@ -364,6 +390,23 @@ object EventQueries extends QueryModule {
          |FROM events JOIN t USING (event_type)
          |WHERE ABS((value - mean) / sd) > 3.0
          |ORDER BY event_id""".stripMargin,
+
+    "q124_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, ROUND(QUANTILE_CONT(value, 0.5), 4) AS med
+        |  FROM events GROUP BY event_type),
+        |mad AS (
+        |  SELECT e.event_type, m.med,
+        |    ROUND(QUANTILE_CONT(ABS(e.value - m.med), 0.5), 4) AS mad
+        |  FROM events e JOIN med m USING (event_type)
+        |  GROUP BY e.event_type, m.med)
+        |SELECT e.event_type, COUNT(*) AS n,
+        |  MAX(t.med) AS med, MAX(t.mad) AS mad,
+        |  CAST(COALESCE(SUM(CASE WHEN ABS(e.value - t.med)
+        |                         > 3.0 * 1.4826 * t.mad THEN 1 END), 0)
+        |    AS BIGINT) AS n_outliers
+        |FROM events e JOIN mad t USING (event_type)
+        |GROUP BY e.event_type ORDER BY event_type""".stripMargin,
 
     "q79_gap_fill" ->
       s"""WITH ev AS (
