@@ -266,6 +266,64 @@ object DedupQueries extends QueryModule {
         size(col("fingerprints")).cast("long").as("n_fingerprints"))
   }
 
+  /** Probe-vs-index exact-Jaccard pairs: every (probe doc, index doc) pair
+    * with token-set Jaccard >= threshold. [[TextQueries.prefixJaccardPairs]]
+    * re-oriented for TWO relations — there the self-join keeps every bound
+    * as a predicate on ONE postings branch so the exchange is computed
+    * once; here the sides are genuinely different tables, so each builds
+    * its own hash-ordered prefix postings and the join is probe x index.
+    * Both sides' `tok` arrays must be ascending-sorted hashes (the shared
+    * TOTAL order the positional and asymmetric-prefix bounds hinge on: a
+    * true pair always survives via its globally-smallest shared token,
+    * which sits inside both t-prefixes and inside the (length, id)-lex
+    * smaller side's shorter index prefix — the same three exact prunes as
+    * q34, none relation-specific). Scale shape: the probe side is
+    * dump-sized (far below corpus size) and only prefix tokens of either
+    * side become postings; every candidate that reaches the verify join
+    * already passed all three bounds.
+    */
+  def probeIndexJaccardPairs(probe: DataFrame, index: DataFrame,
+                             threshold: Double): DataFrame = {
+    def prefixLen(n: Column) =
+      n - ceil(lit(threshold) * n - lit(1e-9)).cast("long") + lit(1L)
+    val tIdx = 2 * threshold / (1 + threshold)
+    def idxPrefixLen(n: Column) =
+      n - ceil(lit(tIdx) * n - lit(1e-9)).cast("long") + lit(1L)
+    def post(d: DataFrame, side: String) =
+      d.select(col("doc_id"), size(col("tok")).cast("long").as("ntok"),
+          posexplode(slice(col("tok"), lit(1),
+            prefixLen(size(col("tok")).cast("long")).cast("int")))
+            .as(Seq("p0", "h")))
+        .select(col("h"), col("doc_id").as(s"${side}_id"),
+          col("ntok").as(s"${side}_n"),
+          (col("p0") + 1).cast("long").as(s"${side}_p"))
+    val cand = post(probe, "a").join(post(index, "b"), Seq("h"))
+      .filter(
+        least(col("a_n"), col("b_n")).cast("double") >=
+          lit(threshold) * greatest(col("a_n"), col("b_n")) - lit(1e-9) &&
+        lit(1) + least(col("a_n") - col("a_p"), col("b_n") - col("b_p")) >=
+          ceil(lit(threshold) * (col("a_n") + col("b_n"))
+            / lit(1 + threshold) - lit(1e-9)) &&
+        when(col("a_n") < col("b_n") ||
+            (col("a_n") === col("b_n") && col("a_id") < col("b_id")),
+          col("a_p") <= idxPrefixLen(col("a_n")))
+          .otherwise(col("b_p") <= idxPrefixLen(col("b_n"))))
+      .select(col("a_id"), col("b_id")).distinct()
+    cand
+      .join(probe.select(col("doc_id").as("a_id"), col("tok").as("a_tok")),
+        "a_id")
+      .join(index.select(col("doc_id").as("b_id"), col("tok").as("b_tok")),
+        "b_id")
+      .withColumn("n_common",
+        graft.functions.SortedIntersectCount.sortedIntersectCount(
+          col("a_tok"), col("b_tok")))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (size(col("a_tok")) + size(col("b_tok")) - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // MinHash-LSH near-dup pairs (no oracle — hash-dependent candidates;
     // ScalaTest asserts recall vs q34's exact pairs).
@@ -337,6 +395,59 @@ object DedupQueries extends QueryModule {
           array_join(array_sort(col("fingerprints")), ",").as("fingerprints"),
           col("n_fingerprints"))
         .orderBy("doc_id")
+    },
+
+    // Token-prefix dedup — the cheap standing approximation of substring
+    // dedup (suffix-array dedup a la Lee et al. 2022 finds any shared
+    // span; crawl near-dups overwhelmingly share their OPENING span —
+    // templates, mirrored pages, partial re-crawls — so an identical
+    // first-20-token prefix is the high-precision slice of that signal).
+    // Docs sharing a prefix collapse to one survivor: longest member,
+    // ties by smallest doc_id (q122's keep rule). Scale shape: the prefix
+    // key is exact-dedup plumbing — one hash groupBy on a short string
+    // key; no pair joins, no corpus-wide window. The rank window
+    // partitions by prefix group, whose size is the duplication
+    // multiplicity (bounded); singleton groups pass through unranked in
+    // the same pass.
+    "q125_prefix_dedup" -> { (s, dir) =>
+      val pfx = concat_ws(" ", slice(split(col("text"), " "), 1, 20))
+      val byPfx = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("pfx"))
+      val w = byPfx.orderBy(col("n_chars").desc, col("doc_id").asc)
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), pfx.as("pfx"))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n_group", count(lit(1)).over(byPfx))
+        .select(col("doc_id"), col("n_group"), (col("rk") === 1).as("kept"))
+        .orderBy("doc_id")
+    },
+
+    // New-source admission check — the gate a corpus runs BEFORE mixing a
+    // new crawl/source in (the per-dump dedup pass of RefinedWeb/FineWeb):
+    // how much of the candidate source near-duplicates each EXISTING
+    // source? Probe = src0, index = every other source, exact token-set
+    // Jaccard >= 0.6 via the probe-vs-index PPJoin; the report aggregates
+    // per existing source: probe docs hit, pair count, mean overlap.
+    // Scale shape: [[probeIndexJaccardPairs]] — the probe side is one
+    // dump, all three PPJoin bounds prune before verify, and the report
+    // is #sources rows. mean_jaccard is davg over 4-rounded values: the
+    // decimal cast is exact-order-independent and a dyadic double never
+    // sits on a 1e-6 half boundary, so both engines agree bit-for-bit.
+    "q130_source_admission" -> { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+      val d = docs.select(col("doc_id"), col("source"),
+        array_sort(array_distinct(transform(split(col("text"), " "),
+          (t: Column) => xxhash64(t)))).as("tok"))
+      val pairs = probeIndexJaccardPairs(
+        d.filter(col("source") === "src0").drop("source"),
+        d.filter(col("source") =!= "src0").drop("source"), 0.6)
+      pairs
+        .join(docs.select(col("doc_id").as("b_id"), col("source")), "b_id")
+        .groupBy(col("source"))
+        .agg(countDistinct(col("a_id")).as("n_probe_docs"),
+          count(lit(1)).as("n_pairs"),
+          graft.Fns.davg(round(col("jaccard"), 4)).as("mean_jaccard"))
+        .orderBy("source")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -380,5 +491,47 @@ object DedupQueries extends QueryModule {
          |SELECT cluster_id, COUNT(*) AS n_members,
          |  MIN(CASE WHEN rk = 1 THEN doc_id END) AS survivor_id,
          |  MIN(CASE WHEN rk = 1 THEN n_chars END) AS survivor_chars
-         |FROM m GROUP BY cluster_id ORDER BY cluster_id""".stripMargin)
+         |FROM m GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+
+    "q125_prefix_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |    ARRAY_TO_STRING(LIST_SLICE(STRING_SPLIT(text, ' '), 1, 20), ' ')
+        |      AS pfx
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY pfx
+        |                       ORDER BY n_chars DESC, doc_id ASC) AS rk,
+        |    COUNT(*) OVER (PARTITION BY pfx) AS n_group
+        |  FROM d)
+        |SELECT doc_id, CAST(n_group AS BIGINT) AS n_group, rk = 1 AS kept
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    // the naive probe x index posting join states the same semantics the
+    // PPJoin bounds only accelerate
+    "q130_source_admission" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |    LIST_DISTINCT(STRING_SPLIT(text, ' ')) AS tok
+         |  FROM documents),
+         |t AS (
+         |  SELECT source, doc_id, CAST(LEN(tok) AS BIGINT) AS ntok,
+         |    UNNEST(tok) AS token
+         |  FROM d),
+         |c AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, b.source AS src_b,
+         |    a.ntok AS a_n, b.ntok AS b_n, COUNT(*) AS n_common
+         |  FROM t a JOIN t b ON a.token = b.token
+         |   AND a.source = 'src0' AND b.source <> 'src0'
+         |  GROUP BY 1, 2, 3, 4, 5),
+         |p AS (
+         |  SELECT src_b AS source, a_id,
+         |    CAST(n_common AS DOUBLE) / (a_n + b_n - n_common) AS jacc
+         |  FROM c
+         |  WHERE CAST(n_common AS DOUBLE) / (a_n + b_n - n_common) >= 0.6)
+         |SELECT source, COUNT(DISTINCT a_id) AS n_probe_docs,
+         |  COUNT(*) AS n_pairs,
+         |  ${graft.Fns.davgSql("ROUND(jacc, 4)")} AS mean_jaccard
+         |FROM p GROUP BY source ORDER BY source""".stripMargin)
 }

@@ -98,4 +98,44 @@ class DedupSpec extends AnyFunSuite {
         "doc_id")
     assert(both.filter(col("n_fingerprints") > col("n_shingles")).count() == 0)
   }
+
+  test("prefix dedup keeps exactly the longest member per 20-token prefix") {
+    val got = DedupQueries.queries("q125_prefix_dedup")(spark, TestSpark.Sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    val naive = docs.select("doc_id", "text", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").take(20).mkString(" "),
+        r.getLong(2)))
+      .groupBy(_._2)
+    assert(got.keySet == naive.values.flatten.map(_._1).toSet,
+      "every document appears exactly once")
+    naive.values.foreach { g =>
+      val survivor = g.minBy(d => (-d._3, d._1))._1
+      g.foreach { case (id, _, _) =>
+        assert(got(id)._1 == g.length, s"group size wrong for doc $id")
+        assert(got(id)._2 == (id == survivor), s"kept flag wrong for doc $id")
+      }
+    }
+  }
+
+  test("probe-index PPJoin equals the naive probe x index jaccard join") {
+    val d = docs.select(col("doc_id"), col("source"),
+      array_sort(array_distinct(transform(split(col("text"), " "),
+        t => xxhash64(t)))).as("tok"))
+    val probe = d.filter(col("source") === "src0").drop("source")
+    val index = d.filter(col("source") =!= "src0").drop("source")
+    val got = DedupQueries.probeIndexJaccardPairs(probe, index, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def sets(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val (ps, is) = (sets(probe), sets(index))
+    val naive = (for {
+      (a, at) <- ps.toSeq; (b, bt) <- is.toSeq
+      inter = (at & bt).size
+      if inter.toDouble / (at.size + bt.size - inter) >= 0.6
+    } yield (a, b)).toSet
+    assert(naive.nonEmpty, "fixture should contain cross-source near-dups")
+    assert(got == naive, s"missing=${(naive -- got).take(5)} " +
+      s"extra=${(got -- naive).take(5)}")
+  }
 }
