@@ -715,6 +715,42 @@ object CorpusQueries extends QueryModule {
         .groupBy(col("source_a"), col("source_b"))
         .agg(count(lit(1)).as("n_shared_shingles"))
         .orderBy("source_a", "source_b")
+    },
+
+    // Curriculum schedule — orders the corpus easy-to-hard for curriculum
+    // training: decile buckets over the q115 quality score, a
+    // deterministic md5 shuffle key WITHIN each bucket (so one bucket
+    // streams in random-but-reproducible order), and the realized
+    // schedule is the sort on (bucket, sched_key). Bucket assignment is
+    // quantile-THRESHOLD based, not NTILE: the nine 4-rounded decile cuts
+    // come from ONE exact-percentile aggregation (the q104 recipe — Spark
+    // percentile(q, array(...)) is one sort; QUANTILE_CONT the twin) and
+    // broadcast back, so assignment is scan-local and the corpus is never
+    // pulled through a single-partition global window — the scale
+    // difference between NTILE and this is exactly the q91 prefix-sum
+    // lesson. Both engines compare identical IEEE quality doubles against
+    // identical rounded cuts, so buckets agree bit-for-bit.
+    "q127_curriculum" -> { (s, dir) =>
+      val tok  = split(col("text"), " ")
+      val nTok = size(tok).cast("double")
+      val nStop = size(filter(tok, (t: Column) =>
+        t.isInCollection(Seq("the", "a", "of", "and", "to")))).cast("double")
+      val nDist = size(array_distinct(tok)).cast("double")
+      val quality = nDist / nTok * lit(0.5) +
+        (lit(1.0) - nStop / nTok) * lit(0.5)
+      val docs = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), quality.as("q"))
+      val cuts = docs.agg(expr(
+        "percentile(q, array(0.1D, 0.2D, 0.3D, 0.4D, 0.5D, " +
+          "0.6D, 0.7D, 0.8D, 0.9D))").as("pp"))
+        .select(transform(col("pp"), (p: Column) => round(p, 4)).as("cuts"))
+      docs.crossJoin(broadcast(cuts))
+        .select(col("doc_id"), round(col("q"), 4).as("quality"),
+          (lit(1) + size(filter(col("cuts"), (t: Column) => col("q") > t)))
+            .cast("long").as("bucket"),
+          md5(concat(lit("q127:"), col("doc_id").cast("string"))
+            .cast("binary")).as("sched_key"))
+        .orderBy("doc_id")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -1172,5 +1208,34 @@ object CorpusQueries extends QueryModule {
         |SELECT a.source AS source_a, b.source AS source_b,
         |  COUNT(*) AS n_shared_shingles
         |FROM post a JOIN post b ON a.s = b.s AND a.source < b.source
-        |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
+
+    // quality spelled exactly as q115's oracle; QUANTILE_CONT is Spark
+    // percentile's interpolation twin (the q104 precedent), rounded to 4
+    // before the threshold compare on both sides
+    "q127_curriculum" ->
+      """WITH d AS (
+        |  SELECT doc_id, STRING_SPLIT(text, ' ') AS tok FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(LEN(LIST_DISTINCT(tok)) AS DOUBLE) / LEN(tok) * 0.5
+        |      + (1.0 - CAST(LEN(LIST_FILTER(tok,
+        |          t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+        |            / LEN(tok)) * 0.5 AS q
+        |  FROM d),
+        |cuts AS (
+        |  SELECT [ROUND(QUANTILE_CONT(q, 0.1), 4),
+        |          ROUND(QUANTILE_CONT(q, 0.2), 4),
+        |          ROUND(QUANTILE_CONT(q, 0.3), 4),
+        |          ROUND(QUANTILE_CONT(q, 0.4), 4),
+        |          ROUND(QUANTILE_CONT(q, 0.5), 4),
+        |          ROUND(QUANTILE_CONT(q, 0.6), 4),
+        |          ROUND(QUANTILE_CONT(q, 0.7), 4),
+        |          ROUND(QUANTILE_CONT(q, 0.8), 4),
+        |          ROUND(QUANTILE_CONT(q, 0.9), 4)] AS cuts
+        |  FROM m)
+        |SELECT doc_id, ROUND(q, 4) AS quality,
+        |  CAST(1 + LEN(LIST_FILTER(cuts, t -> q > t)) AS BIGINT) AS bucket,
+        |  MD5('q127:' || CAST(doc_id AS VARCHAR)) AS sched_key
+        |FROM m CROSS JOIN cuts ORDER BY doc_id""".stripMargin)
 }

@@ -434,6 +434,40 @@ object SimilarityQueries extends QueryModule {
           col("label").as("neg_label"), round(col("cos"), 4).as("cosine"),
           col("rnk"))
         .orderBy("query_id", "rnk")
+    },
+
+    // Mutual-kNN graph — the edge set graph-based corpus curation starts
+    // from (mutual-neighbor clustering, kNN-graph community detection,
+    // SemDeDup's neighborhood variant): an edge (a, b) exists iff b is in
+    // a's top-5 cosine neighbors AND a is in b's — mutuality kills the
+    // hub-vector edges a one-sided kNN graph drowns in. Blocked by the
+    // IVF cell key (label — q70's coarse cells at 100 TB): the quadratic
+    // scoring term is confined to one cell (q49/q89's argument), the kNN
+    // rank is a per-vector window over cell-local rows, and the mutuality
+    // check is a self-join of the n*k edge LIST — corpus-linear, never
+    // pair-quadratic. Ranking compares unrounded cosines: the fused
+    // CosineSimilarity expression accumulates in LIST_COSINE_SIMILARITY's
+    // order, so both engines rank identically (the q38 precedent).
+    "q129_mutual_knn" -> { (s, dir) =>
+      val k = 5
+      val e = Tables.t(s, dir, "embeddings")
+        .select(col("label"), col("vec_id"), asDouble(col("embedding")).as("v"))
+      val a = e.select(col("label"), col("vec_id").as("a_id"), col("v").as("av"))
+      val b = e.select(col("label"), col("vec_id").as("b_id"), col("v").as("bv"))
+      val w = Window.partitionBy(col("label"), col("a_id"))
+        .orderBy(col("cos").desc, col("b_id").asc)
+      val knn = a.join(b, Seq("label")).filter(col("a_id") =!= col("b_id"))
+        .withColumn("cos", cosine(col("av"), col("bv")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+        .select(col("label"), col("a_id"), col("b_id"), col("cos"))
+      val rev = knn.select(col("label"), col("a_id").as("b_id"),
+        col("b_id").as("a_id"))
+      knn.join(rev, Seq("label", "a_id", "b_id"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("label"), col("a_id"), col("b_id"),
+          round(col("cos"), 4).as("cosine"))
+        .orderBy("label", "a_id", "b_id")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -716,5 +750,26 @@ object SimilarityQueries extends QueryModule {
         |                       ORDER BY cos DESC, a_id ASC, b_id ASC) AS rnk
         |  FROM p)
         |SELECT label, a_id, b_id, ROUND(cos, 4) AS cosine
-        |FROM r WHERE rnk = 1 ORDER BY label""".stripMargin)
+        |FROM r WHERE rnk = 1 ORDER BY label""".stripMargin,
+
+    "q129_mutual_knn" ->
+      """WITH e AS (
+        |  SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
+        |    LIST_COSINE_SIMILARITY(a.v, b.v) AS cos
+        |  FROM e a JOIN e b
+        |    ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |r AS (
+        |  SELECT label, a_id, b_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY a_id
+        |                       ORDER BY cos DESC, b_id ASC) AS rnk
+        |  FROM s),
+        |knn AS (SELECT label, a_id, b_id, cos FROM r WHERE rnk <= 5)
+        |SELECT k.label, k.a_id, k.b_id, ROUND(k.cos, 4) AS cosine
+        |FROM knn k JOIN knn m
+        |  ON k.label = m.label AND k.a_id = m.b_id AND k.b_id = m.a_id
+        |WHERE k.a_id < k.b_id
+        |ORDER BY k.label, k.a_id, k.b_id""".stripMargin)
 }

@@ -541,6 +541,61 @@ object TextQueries extends QueryModule {
           (round(col("sum_logp") / col("n_bigrams").cast("double"), 4)
             + lit(0.0)).as("mean_logp"))
         .orderBy("doc_id")
+    },
+
+    // Tokenizer fertility — the budgeting constant every training run
+    // needs per language/source: subword pieces per whitespace word
+    // (fertility) and chars per piece, under the q68 BPE pre-tokenizer
+    // split. A corpus whose fertility drifts between sources tokenizes to
+    // very different sequence lengths for the same text volume — this is
+    // the per-slice conversion table from raw bytes to token budget.
+    // Scale shape: every count is scan-local (two regex/split sizes per
+    // row); one #slices-sized aggregation, ratios as single IEEE
+    // divisions of exact longs — deterministic in both engines.
+    "q126_token_fertility" -> { (s, dir) =>
+      val pat = " ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\f\\r\\p{L}\\p{N}]+" +
+        "|[ \\t\\n\\f\\r]+"
+      val pieces = size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+        .cast("long")
+      val words = size(split(col("text"), " ")).cast("long")
+      Tables.t(s, dir, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(words).as("n_words"),
+          sum(pieces).as("n_pieces"),
+          sum(col("n_chars")).as("total_chars"))
+        .select(col("lang"), col("source"), col("n_docs"), col("n_words"),
+          col("n_pieces"),
+          (col("n_pieces").cast("double") / col("n_words").cast("double"))
+            .as("fertility"),
+          (col("total_chars").cast("double") / col("n_pieces").cast("double"))
+            .as("chars_per_piece"))
+        .orderBy("lang", "source")
+    },
+
+    // Vocabulary growth census — the Heaps/Zipf diagnostic per source:
+    // type count (distinct tokens), token count, type-token ratio, and
+    // hapax share (tokens seen exactly once — the long-tail mass a
+    // tokenizer's vocab-size choice trades against). Template/boilerplate
+    // sources show depressed TTR and hapax share; genuinely novel text is
+    // hapax-heavy. Scale shape: one (source, token) count aggregation —
+    // vocabulary-sized shuffle, never corpus-sized — then a #sources-row
+    // rollup; ratios are exact-long IEEE divisions.
+    "q128_vocab_growth" -> { (s, dir) =>
+      Tables.t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("t"))
+        .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_types"),
+          sum(col("c")).as("n_tokens"),
+          count(when(col("c") === 1, 1)).as("n_hapax"))
+        .select(col("source"), col("n_types"), col("n_tokens"),
+          col("n_hapax"),
+          (col("n_types").cast("double") / col("n_tokens").cast("double"))
+            .as("type_token_ratio"),
+          (col("n_hapax").cast("double") / col("n_types").cast("double"))
+            .as("hapax_share"))
+        .orderBy("source")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -794,5 +849,39 @@ object TextQueries extends QueryModule {
         |       WHEN s_es >= GREATEST(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
         |       WHEN s_fr >= GREATEST(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
         |       ELSE 'zh' END AS pred_lang
-        |FROM s ORDER BY doc_id""".stripMargin)
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // same Java-regex/RE2-shared pattern as q68 — whitespace stays the
+    // explicit [ \t\n\f\r] class
+    "q126_token_fertility" ->
+      """WITH d AS (
+        |  SELECT lang, source, n_chars,
+        |    CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS words,
+        |    CAST(LEN(REGEXP_EXTRACT_ALL(text,
+        |      ' ?\p{L}+| ?\p{N}+| ?[^ \t\n\f\r\p{L}\p{N}]+|[ \t\n\f\r]+'))
+        |      AS BIGINT) AS pieces
+        |  FROM documents)
+        |SELECT lang, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(words) AS BIGINT) AS n_words,
+        |  CAST(SUM(pieces) AS BIGINT) AS n_pieces,
+        |  CAST(SUM(pieces) AS DOUBLE) / CAST(SUM(words) AS DOUBLE)
+        |    AS fertility,
+        |  CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(pieces) AS DOUBLE)
+        |    AS chars_per_piece
+        |FROM d GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "q128_vocab_growth" ->
+      """WITH c AS (
+        |  SELECT source, t, COUNT(*) AS c
+        |  FROM (SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS t
+        |        FROM documents)
+        |  GROUP BY source, t)
+        |SELECT source, COUNT(*) AS n_types,
+        |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  COUNT(CASE WHEN c = 1 THEN 1 END) AS n_hapax,
+        |  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+        |    AS type_token_ratio,
+        |  CAST(COUNT(CASE WHEN c = 1 THEN 1 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS hapax_share
+        |FROM c GROUP BY source ORDER BY source""".stripMargin)
 }

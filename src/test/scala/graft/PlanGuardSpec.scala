@@ -28,7 +28,8 @@ class PlanGuardSpec extends AnyFunSuite {
       "q101_hard_negatives", // q38's shape: broadcast query set × corpus
       "q102_bigram_pmi", // 1-row corpus totals crossed into vocab rows
       "q117_window_pmi", // same shape as q102, ±3-window pair generator
-      "q119_bigram_lm") // 1-row vocab-size total crossed into the LM table
+      "q119_bigram_lm", // 1-row vocab-size total crossed into the LM table
+      "q127_curriculum") // 1-row decile-cuts array crossed into the scan
 
   /** Shuffle ceilings for the most expensive plans (round-2 plan audit
     * values + 0 slack): these are the queries where one extra Exchange is

@@ -130,4 +130,37 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(own < shifted,
       s"PQ reconstruction ($own) must beat a wrong-code assignment ($shifted)")
   }
+
+  test("q127 curriculum: buckets are monotone in quality and cover all docs") {
+    val rows = q("q127_curriculum")
+      .select("doc_id", "quality", "bucket").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(rows.length ==
+      Tables.t(spark, TestSpark.Sf, "documents").count())
+    assert(rows.map(_._3).toSet.subsetOf((1L to 10L).toSet))
+    // a higher-quality doc never lands in a lower bucket (monotone in the
+    // UNROUNDED score; 4-decimal output ties can straddle a cut, so
+    // compare only where the rounded values differ beyond the round-off)
+    val sorted = rows.sortBy(_._2)
+    sorted.sliding(2).foreach {
+      case Array((_, q1, b1), (_, q2, b2)) =>
+        if (q2 - q1 > 1e-4) assert(b1 <= b2,
+          s"bucket fell from $b1 to $b2 while quality rose $q1 -> $q2")
+      case _ =>
+    }
+  }
+
+  test("q126 fertility and q128 vocab ratios stay in their sane ranges") {
+    q("q126_token_fertility").collect().foreach { r =>
+      val f = r.getAs[Double]("fertility")
+      assert(f >= 1.0, s"fertility $f < 1: a word is at least one piece")
+      assert(r.getAs[Double]("chars_per_piece") > 0)
+    }
+    q("q128_vocab_growth").collect().foreach { r =>
+      val ttr = r.getAs[Double]("type_token_ratio")
+      val hs = r.getAs[Double]("hapax_share")
+      assert(ttr > 0 && ttr <= 1.0, s"type-token ratio $ttr out of range")
+      assert(hs >= 0 && hs <= 1.0, s"hapax share $hs out of range")
+    }
+  }
 }

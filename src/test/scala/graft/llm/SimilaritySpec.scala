@@ -1,6 +1,6 @@
 package graft.llm
 
-import graft.{Tables, TestSpark}
+import graft.{SparkEntry, Tables, TestSpark}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -81,5 +81,31 @@ class SimilaritySpec extends AnyFunSuite {
     val perQuery = ann.groupBy("query_id").count().collect()
     assert(perQuery.nonEmpty)
     perQuery.foreach(r => assert(r.getLong(1) >= 1))
+  }
+
+  test("q129 mutual-kNN edges are exactly the bidirectional top-5 pairs") {
+    val got = SparkEntry.queries("q129_mutual_knn")(spark, TestSpark.Sf)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // naive per-cell top-5 in Scala
+    val vecs = emb.select("label", "vec_id", "embedding").collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val knn = vecs.toSeq.groupBy(_._1).values.flatMap { cell =>
+      cell.flatMap { case (_, id, v) =>
+        cell.filter(_._2 != id)
+          .map { case (_, oid, ov) => (id, oid, cos(v, ov)) }
+          .sortBy { case (_, oid, c) => (-c, oid) }
+          .take(5).map { case (a, b, _) => (a, b) }
+      }
+    }.toSet
+    val mutual = knn.filter { case (a, b) => a < b && knn((b, a)) }
+    assert(mutual.nonEmpty, "fixture cells should produce mutual edges")
+    assert(got == mutual,
+      s"missing=${(mutual -- got).take(5)} extra=${(got -- mutual).take(5)}")
   }
 }
