@@ -751,6 +751,34 @@ object CorpusQueries extends QueryModule {
           md5(concat(lit("q127:"), col("doc_id").cast("string"))
             .cast("binary")).as("sched_key"))
         .orderBy("doc_id")
+    },
+
+    // Length-bucket token-mass histogram — the packing/batching planner's
+    // input: docs and token mass per 64-token length bucket plus the
+    // cumulative token share (which buckets carry the corpus, where
+    // truncation at a context length starts costing real mass). Scale
+    // shape: bucket assignment is scan-local; the aggregation lands on
+    // #buckets rows (metadata-scale: context lengths, not corpus size),
+    // so the cumulative window over those rows is bounded regardless of
+    // corpus size. Counts are exact longs; the share is one IEEE division
+    // per bucket row.
+    "q133_length_histogram" -> { (s, dir) =>
+      val ntok = size(split(col("text"), " ")).cast("long")
+      val byBucket = Tables.t(s, dir, "documents")
+        .select((floor(ntok.cast("double") / lit(64.0)).cast("long")
+          * 64).as("bucket"), ntok.as("n"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+      val cum = Window.partitionBy().orderBy(col("bucket").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy()
+      byBucket
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(cum))
+        .withColumn("total", sum(col("n_tokens")).over(tot))
+        .select(col("bucket"), col("n_docs"), col("n_tokens"),
+          round(col("cum_tokens").cast("double") /
+            col("total").cast("double"), 4).as("cum_token_share"))
+        .orderBy("bucket")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -1237,5 +1265,21 @@ object CorpusQueries extends QueryModule {
         |SELECT doc_id, ROUND(q, 4) AS quality,
         |  CAST(1 + LEN(LIST_FILTER(cuts, t -> q > t)) AS BIGINT) AS bucket,
         |  MD5('q127:' || CAST(doc_id AS VARCHAR)) AS sched_key
-        |FROM m CROSS JOIN cuts ORDER BY doc_id""".stripMargin)
+        |FROM m CROSS JOIN cuts ORDER BY doc_id""".stripMargin,
+
+    "q133_length_histogram" ->
+      """WITH d AS (
+        |  SELECT CAST(FLOOR(CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE)
+        |        / 64.0) AS BIGINT) * 64 AS bucket,
+        |    CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |b AS (
+        |  SELECT bucket, COUNT(*) AS n_docs,
+        |    CAST(SUM(n) AS BIGINT) AS n_tokens
+        |  FROM d GROUP BY bucket)
+        |SELECT bucket, n_docs, n_tokens,
+        |  ROUND(CAST(SUM(n_tokens) OVER (ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / CAST(SUM(n_tokens) OVER () AS DOUBLE), 4) AS cum_token_share
+        |FROM b ORDER BY bucket""".stripMargin)
 }

@@ -596,7 +596,137 @@ object TextQueries extends QueryModule {
           (col("n_hapax").cast("double") / col("n_types").cast("double"))
             .as("hapax_share"))
         .orderBy("source")
+    },
+
+    // IDF-weighted Jaccard — near-dup scoring where RARE shared tokens
+    // count for more: two docs sharing distinctive vocabulary are closer
+    // than two sharing stopwords at the same unweighted overlap (the
+    // weighted-MinHash motivation, Ioffe 2010, computed exactly on q34's
+    // pair set). wj = sum(idf over shared) / sum(idf over union), with
+    // idf = ln((N+1)/(df+1)). Scale shape: the pair set comes from the
+    // PPJoin (never all-pairs), each doc's weighted token set rides as ONE
+    // sorted array column, and shared/total idf masses are computed
+    // scan-locally per pair row by the fused
+    // [[graft.functions.SortedWeightedIntersectSum]] merge (a postings
+    // re-join spelling paid two pair x token shuffles and ran 5x slower;
+    // an array_intersect + decimal-fold HOF spelling ran interpreted and
+    // re-executed under the sort's range sampling). Exactness: each
+    // token's DECIMAL(27,18) idf is split into (int, frac-in-1e-18) longs
+    // by exact-decimal casts below — every step keeps scale 18 (or 9) with
+    // precision headroom, so nothing rounds — and the kernel's carry
+    // arithmetic reproduces the oracle's order-independent DECIMAL(38,18)
+    // sum bit-for-bit.
+    "q131_weighted_jaccard" -> { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val giga = lit(1000000000L).cast("decimal(10,0)")
+      val idf = docs.select(explode(array_distinct(transform(
+          split(col("text"), " "), (t: Column) => xxhash64(t)))).as("h"))
+        .groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(n))
+        .select(col("h"),
+          log((col("n_docs") + 1).cast("double") /
+            (col("df") + 1).cast("double")).cast("decimal(27,18)").as("d"))
+        // exact (ip, fr) split: ip truncates toward zero (idf >= 0, so it
+        // is the floor); the 18 fractional digits leave as two exact
+        // 9-digit limbs
+        .withColumn("ip", col("d").cast("bigint"))
+        .withColumn("fd",
+          (col("d") - col("ip").cast("decimal(27,18)"))
+            .cast("decimal(19,18)"))
+        .withColumn("f9hi", col("fd") * giga)
+        .withColumn("hi9", col("f9hi").cast("bigint"))
+        .withColumn("rem9",
+          (col("f9hi") - col("hi9").cast("decimal(30,18)"))
+            .cast("decimal(10,9)"))
+        .withColumn("low9", (col("rem9") * giga).cast("bigint"))
+        .select(col("h"), col("ip"),
+          (col("hi9") * lit(1000000000L) + col("low9")).as("fr"))
+      val wtok = docs.select(col("doc_id"),
+          explode(array_distinct(transform(split(col("text"), " "),
+            (t: Column) => xxhash64(t)))).as("h"))
+        .join(idf, "h")
+        .groupBy(col("doc_id"))
+        .agg(array_sort(collect_list(struct(col("h"), col("ip"), col("fr"))))
+          .as("wt"))
+        .withColumn("w", graft.functions.SortedWeightedIntersectSum
+          .weightedIntersectSum(col("wt"), col("wt")))
+      val d = docs.select(col("doc_id"), col("source"),
+        array_sort(array_distinct(transform(split(col("text"), " "),
+          (t: Column) => xxhash64(t)))).as("tok"))
+      prefixJaccardPairs(d, 0.6, presentationSort = false)
+        .select(col("source"), col("a_id"), col("b_id"))
+        .join(wtok.select(col("doc_id").as("a_id"), col("wt").as("a_wt"),
+          col("w").as("a_w")), "a_id")
+        .join(wtok.select(col("doc_id").as("b_id"), col("wt").as("b_wt"),
+          col("w").as("b_w")), "b_id")
+        .withColumn("inter_w", graft.functions.SortedWeightedIntersectSum
+          .weightedIntersectSum(col("a_wt"), col("b_wt")))
+        .select(col("source"), col("a_id"), col("b_id"),
+          round(col("inter_w") / (col("a_w") + col("b_w") - col("inter_w")),
+            4).as("weighted_jaccard"))
+        .orderBy("source", "a_id", "b_id")
+    },
+
+    // Zipf slope — the one-number lexical-diversity fingerprint per
+    // source: OLS slope of ln(freq) on ln(rank) over the source's
+    // vocabulary (natural text sits near -1; templated/boilerplate
+    // sources flatten, spam steepens). Scale shape: token counts are a
+    // vocabulary-sized shuffle, the rank window partitions by source over
+    // vocabulary rows (never corpus rows), and the regression reduces to
+    // five exact dsum18 moments — the slope is then pure IEEE arithmetic
+    // on identical doubles in both engines.
+    "q132_zipf_slope" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("c").desc, col("t").asc)
+      val ranked = Tables.t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("t"))
+        .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
+        .withColumn("r", row_number().over(w))
+        .select(col("source"),
+          log(col("r").cast("double")).as("x"),
+          log(col("c").cast("double")).as("y"))
+      ranked.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_types"),
+          graft.Fns.dsum18(col("x")).as("sx"),
+          graft.Fns.dsum18(col("y")).as("sy"),
+          graft.Fns.dsum18(col("x") * col("y")).as("sxy"),
+          graft.Fns.dsum18(col("x") * col("x")).as("sxx"))
+        .select(col("source"), col("n_types"),
+          round((col("n_types").cast("double") * col("sxy")
+              - col("sx") * col("sy")) /
+            (col("n_types").cast("double") * col("sxx")
+              - col("sx") * col("sx")), 4).as("zipf_slope"))
+        .orderBy("source")
     })
+
+  /** The q34 exact-Jaccard oracle, hoisted so composite oracles (q71,
+    * q122, q131) can ride it in as a CTE without recursing into
+    * [[oracles]] during its own construction.
+    */
+  val Q34OracleSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    LIST_DISTINCT(STRING_SPLIT(text, ' ')) AS tok
+      |  FROM documents),
+      |t AS (
+      |  SELECT source, doc_id, CAST(LEN(tok) AS BIGINT) AS ntok,
+      |    UNNEST(tok) AS token
+      |  FROM d),
+      |c AS (
+      |  SELECT a.source, a.doc_id AS a_id, a.ntok AS a_n,
+      |    b.doc_id AS b_id, b.ntok AS b_n, COUNT(*) AS n_common
+      |  FROM t a JOIN t b
+      |    ON a.source = b.source AND a.token = b.token
+      |   AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4, 5)
+      |SELECT source, a_id, b_id,
+      |  ROUND(CAST(n_common AS DOUBLE) / (a_n + b_n - n_common), 4)
+      |    AS jaccard
+      |FROM c
+      |WHERE CAST(n_common AS DOUBLE) / (a_n + b_n - n_common) >= 0.6
+      |ORDER BY source, a_id, b_id""".stripMargin
 
   override def oracles: Map[String, String] = Map(
     "q102_bigram_pmi" ->
@@ -736,28 +866,7 @@ object TextQueries extends QueryModule {
         |  SUBSTRING(MD5(normd), 1, 8) AS fp_bucket
         |FROM n ORDER BY doc_id""".stripMargin,
 
-    "q34_jaccard_pairs" ->
-      """WITH d AS (
-        |  SELECT doc_id, source,
-        |    LIST_DISTINCT(STRING_SPLIT(text, ' ')) AS tok
-        |  FROM documents),
-        |t AS (
-        |  SELECT source, doc_id, CAST(LEN(tok) AS BIGINT) AS ntok,
-        |    UNNEST(tok) AS token
-        |  FROM d),
-        |c AS (
-        |  SELECT a.source, a.doc_id AS a_id, a.ntok AS a_n,
-        |    b.doc_id AS b_id, b.ntok AS b_n, COUNT(*) AS n_common
-        |  FROM t a JOIN t b
-        |    ON a.source = b.source AND a.token = b.token
-        |   AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2, 3, 4, 5)
-        |SELECT source, a_id, b_id,
-        |  ROUND(CAST(n_common AS DOUBLE) / (a_n + b_n - n_common), 4)
-        |    AS jaccard
-        |FROM c
-        |WHERE CAST(n_common AS DOUBLE) / (a_n + b_n - n_common) >= 0.6
-        |ORDER BY source, a_id, b_id""".stripMargin,
+    "q34_jaccard_pairs" -> Q34OracleSql,
 
     "q53_token_freq" ->
       """SELECT source, token, COUNT(*) AS n
@@ -883,5 +992,62 @@ object TextQueries extends QueryModule {
         |    AS type_token_ratio,
         |  CAST(COUNT(CASE WHEN c = 1 THEN 1 END) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE) AS hapax_share
-        |FROM c GROUP BY source ORDER BY source""".stripMargin)
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    // the q34 oracle rides in as the pair CTE (its ORDER BY is legal and
+    // inert inside a CTE); idf spelled with the identical cast tree
+    "q131_weighted_jaccard" ->
+      s"""WITH pairs AS (
+         |$Q34OracleSql),
+         |post AS (
+         |  SELECT doc_id, UNNEST(LIST_DISTINCT(STRING_SPLIT(text, ' ')))
+         |    AS t
+         |  FROM documents),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |idf AS (
+         |  SELECT t, LN(CAST(n_docs + 1 AS DOUBLE)
+         |    / CAST(COUNT(*) + 1 AS DOUBLE)) AS idf
+         |  FROM post CROSS JOIN n GROUP BY t, n_docs),
+         |docw AS (
+         |  SELECT doc_id, ${graft.Fns.dsum18Sql("idf")} AS w
+         |  FROM post JOIN idf USING (t) GROUP BY doc_id),
+         |inter AS (
+         |  SELECT p.source, p.a_id, p.b_id,
+         |    ${graft.Fns.dsum18Sql("idf.idf")} AS inter_w
+         |  FROM pairs p
+         |  JOIN post pa ON pa.doc_id = p.a_id
+         |  JOIN post pb ON pb.doc_id = p.b_id AND pb.t = pa.t
+         |  JOIN idf ON idf.t = pa.t
+         |  GROUP BY 1, 2, 3)
+         |SELECT i.source, i.a_id, i.b_id,
+         |  ROUND(i.inter_w / (wa.w + wb.w - i.inter_w), 4)
+         |    AS weighted_jaccard
+         |FROM inter i
+         |JOIN docw wa ON wa.doc_id = i.a_id
+         |JOIN docw wb ON wb.doc_id = i.b_id
+         |ORDER BY i.source, i.a_id, i.b_id""".stripMargin,
+
+    "q132_zipf_slope" ->
+      s"""WITH c AS (
+         |  SELECT source, t, COUNT(*) AS c
+         |  FROM (SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS t
+         |        FROM documents)
+         |  GROUP BY source, t),
+         |r AS (
+         |  SELECT source,
+         |    LN(CAST(ROW_NUMBER() OVER (PARTITION BY source
+         |          ORDER BY c DESC, t ASC) AS DOUBLE)) AS x,
+         |    LN(CAST(c AS DOUBLE)) AS y
+         |  FROM c),
+         |a AS (
+         |  SELECT source, COUNT(*) AS n_types,
+         |    ${graft.Fns.dsum18Sql("x")} AS sx,
+         |    ${graft.Fns.dsum18Sql("y")} AS sy,
+         |    ${graft.Fns.dsum18Sql("x * y")} AS sxy,
+         |    ${graft.Fns.dsum18Sql("x * x")} AS sxx
+         |  FROM r GROUP BY source)
+         |SELECT source, CAST(n_types AS BIGINT) AS n_types,
+         |  ROUND((CAST(n_types AS DOUBLE) * sxy - sx * sy)
+         |    / (CAST(n_types AS DOUBLE) * sxx - sx * sx), 4) AS zipf_slope
+         |FROM a ORDER BY source""".stripMargin)
 }

@@ -150,6 +150,19 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q132 zipf slope is negative; q133 cumulative share is monotone to 1") {
+    q("q132_zipf_slope").collect().foreach { r =>
+      assert(r.getAs[Double]("zipf_slope") < 0,
+        s"rank-frequency slope must be negative for ${r.getAs[String]("source")}")
+    }
+    val hist = q("q133_length_histogram").collect()
+      .map(r => (r.getLong(0), r.getAs[Double]("cum_token_share")))
+    assert(hist.nonEmpty)
+    assert(hist.map(_._2).toSeq == hist.map(_._2).sorted.toSeq,
+      "cumulative token share must be nondecreasing in bucket")
+    assert(math.abs(hist.last._2 - 1.0) < 1e-9, "share must end at 1.0")
+  }
+
   test("q126 fertility and q128 vocab ratios stay in their sane ranges") {
     q("q126_token_fertility").collect().foreach { r =>
       val f = r.getAs[Double]("fertility")

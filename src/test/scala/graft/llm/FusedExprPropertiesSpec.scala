@@ -192,4 +192,41 @@ class FusedExprPropertiesSpec extends AnyFunSuite {
         .filter(col("got_fp") =!= col("ref_fp")).count() == 0, s"seed=$seed")
     }
   }
+
+  test("SortedWeightedIntersectSum equals an exact BigDecimal reference") {
+    import graft.functions.SortedWeightedIntersectSum.weightedIntersectSum
+    import spark.implicits._
+    val rnd = new Random(41)
+    // random weighted sets: hashes sorted-distinct, weights split as
+    // (intpart, frac in 1e-18 units) exactly like q131's decimal split
+    def mkSet(): Seq[(Long, Long, Long)] = {
+      val n = rnd.nextInt(12)
+      (0 until n).map(_ => rnd.nextInt(40).toLong).distinct.sorted
+        .map(h => (h, rnd.nextInt(9).toLong,
+          math.abs(rnd.nextLong()) % 1000000000000000000L))
+    }
+    val rows = (1 to 300).map(i => (i.toLong, mkSet(), mkSet()))
+    val df = rows.toDF("id", "a", "b")
+      .select(col("id"),
+        col("a").cast("array<struct<h: bigint, ip: bigint, fr: bigint>>")
+          .as("a"),
+        col("b").cast("array<struct<h: bigint, ip: bigint, fr: bigint>>")
+          .as("b"))
+    val got = df.select(col("id"),
+        weightedIntersectSum(col("a"), col("b")).as("w"),
+        weightedIntersectSum(col("a"), col("a")).as("aw"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    def refSum(els: Seq[(Long, Long, Long)]): Double =
+      els.map { case (_, ip, fr) =>
+        java.math.BigDecimal.valueOf(ip)
+          .add(java.math.BigDecimal.valueOf(fr, 18))
+      }.foldLeft(java.math.BigDecimal.ZERO)(_.add(_)).doubleValue()
+    rows.foreach { case (id, a, b) =>
+      val bh = b.map(_._1).toSet
+      val inter = refSum(a.filter(e => bh(e._1)))
+      assert(got(id)._1 == inter, s"id=$id intersect sum differs")
+      assert(got(id)._2 == refSum(a), s"id=$id self (total) sum differs")
+    }
+  }
 }
