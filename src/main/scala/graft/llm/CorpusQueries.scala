@@ -779,6 +779,34 @@ object CorpusQueries extends QueryModule {
           round(col("cum_tokens").cast("double") /
             col("total").cast("double"), 4).as("cum_token_share"))
         .orderBy("bucket")
+    },
+
+    // Token-budget mixture planner — the planning table BEFORE q93's
+    // application: given a token budget (half the corpus here — the knob
+    // is corpus-relative so the operator is scale-free) and a uniform
+    // target mixture, derive each source's allocation, the keep rate
+    // min(1, alloc/tokens_s) the sampler should apply, the expected token
+    // yield, and the shortfall where a source cannot fill its allocation
+    // (the mass a second water-filling round would redistribute). Scale
+    // shape: one per-source token aggregation; the planning arithmetic
+    // runs on #sources rows — metadata scale — so the unpartitioned
+    // windows are bounded regardless of corpus size.
+    "q134_mixture_planner" -> { (s, dir) =>
+      val tot = Window.partitionBy()
+      val alloc = (col("total").cast("double") / lit(2.0)) /
+        col("n_sources").cast("double")
+      val toksD = col("tokens_s").cast("double")
+      Tables.t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(sum(size(split(col("text"), " ")).cast("long")).as("tokens_s"))
+        .withColumn("total", sum(col("tokens_s")).over(tot))
+        .withColumn("n_sources", count(lit(1)).over(tot))
+        .select(col("source"), col("tokens_s"),
+          round(alloc, 4).as("alloc_tokens"),
+          round(least(lit(1.0), alloc / toksD), 4).as("keep_rate"),
+          round(least(alloc, toksD), 4).as("expected_tokens"),
+          round(greatest(lit(0.0), alloc - toksD), 4).as("shortfall"))
+        .orderBy("source")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -1281,5 +1309,25 @@ object CorpusQueries extends QueryModule {
         |  ROUND(CAST(SUM(n_tokens) OVER (ORDER BY bucket
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
         |    / CAST(SUM(n_tokens) OVER () AS DOUBLE), 4) AS cum_token_share
-        |FROM b ORDER BY bucket""".stripMargin)
+        |FROM b ORDER BY bucket""".stripMargin,
+
+    "q134_mixture_planner" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS tokens_s
+        |  FROM documents GROUP BY source),
+        |w AS (
+        |  SELECT source, tokens_s,
+        |    CAST(SUM(tokens_s) OVER () AS DOUBLE) / 2.0
+        |      / CAST(COUNT(*) OVER () AS DOUBLE) AS alloc
+        |  FROM t)
+        |SELECT source, tokens_s,
+        |  ROUND(alloc, 4) AS alloc_tokens,
+        |  ROUND(LEAST(1.0, alloc / CAST(tokens_s AS DOUBLE)), 4)
+        |    AS keep_rate,
+        |  ROUND(LEAST(alloc, CAST(tokens_s AS DOUBLE)), 4)
+        |    AS expected_tokens,
+        |  ROUND(GREATEST(0.0, alloc - CAST(tokens_s AS DOUBLE)), 4)
+        |    AS shortfall
+        |FROM w ORDER BY source""".stripMargin)
 }
