@@ -807,6 +807,51 @@ object CorpusQueries extends QueryModule {
           round(least(alloc, toksD), 4).as("expected_tokens"),
           round(greatest(lit(0.0), alloc - toksD), 4).as("shortfall"))
         .orderBy("source")
+    },
+
+    // Per-source token entropy — the lexical-diversity fingerprint next to
+    // q132's Zipf slope: H = -sum p ln p over the source's unigram
+    // distribution (low H = template/boilerplate source, high H = diverse
+    // prose). Same stats spine as q106 minus the corpus marginal: one
+    // (source, token) count aggregation, the per-source total as a window
+    // over those vocabulary-sized rows (never a second corpus pass), and
+    // the entropy summands reduced with the exact-decimal sum so the
+    // result is order-independent and oracle-bit-identical.
+    "q135_token_entropy" -> { (s, dir) =>
+      val cs = Tables.t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("t"))
+        .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c_st"))
+      val wS = Window.partitionBy(col("source"))
+      val p = col("c_st").cast("double") / col("n_s").cast("double")
+      cs.withColumn("n_s", sum(col("c_st")).over(wS))
+        .select(col("source"), col("n_s"), (-p * log(p)).as("summand"))
+        .groupBy(col("source"), col("n_s").as("n_tokens"))
+        .agg(count(lit(1)).as("vocab"),
+          graft.Fns.dsum18(col("summand")).as("entropy"))
+        .select(col("source"), col("n_tokens"), col("vocab"), col("entropy"))
+        .orderBy("source")
+    },
+
+    // Deterministic epoch shuffle — the training-order generator: each
+    // epoch permutes the corpus by a key-tied hash (md5 of doc_id:epoch),
+    // so the order is (a) uniform per epoch, (b) different across epochs,
+    // and (c) reproducible from the key alone — re-running, resharding, or
+    // growing the corpus never silently changes an already-emitted epoch's
+    // order. Scale shape: the permutation rank is a total sort per epoch —
+    // range-partitioned at 100 TB (Spark's global orderBy), writing
+    // rank-bucketed files; no single-partition window, no driver state.
+    "q137_epoch_shuffle" -> { (s, dir) =>
+      val key = md5(concat(col("doc_id").cast("string"), lit(":"),
+        col("epoch").cast("string")))
+      val w = Window.partitionBy(col("epoch"))
+        .orderBy(col("shuffle_key"), col("doc_id"))
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array(lit(0), lit(1), lit(2))).as("epoch"))
+        .withColumn("shuffle_key", key)
+        .select(col("epoch"), col("doc_id"),
+          row_number().over(w).cast("long").as("position"))
+        .orderBy("epoch", "position")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -1329,5 +1374,32 @@ object CorpusQueries extends QueryModule {
         |    AS expected_tokens,
         |  ROUND(GREATEST(0.0, alloc - CAST(tokens_s AS DOUBLE)), 4)
         |    AS shortfall
-        |FROM w ORDER BY source""".stripMargin)
+        |FROM w ORDER BY source""".stripMargin,
+
+    "q135_token_entropy" ->
+      s"""WITH tok AS (
+         |  SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS t
+         |  FROM documents),
+         |cs AS (SELECT source, t, COUNT(*) AS c_st FROM tok GROUP BY 1, 2),
+         |w AS (
+         |  SELECT source, c_st,
+         |    CAST(SUM(c_st) OVER (PARTITION BY source) AS BIGINT) AS n_s
+         |  FROM cs),
+         |sm AS (
+         |  SELECT source, n_s,
+         |    -(CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+         |      * LN(CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE)) AS summand
+         |  FROM w)
+         |SELECT source, n_s AS n_tokens, COUNT(*) AS vocab,
+         |  ${graft.Fns.dsum18Sql("summand")} AS entropy
+         |FROM sm GROUP BY source, n_s ORDER BY source""".stripMargin,
+
+    "q137_epoch_shuffle" ->
+      """WITH e AS (
+        |  SELECT doc_id, UNNEST([0, 1, 2]) AS epoch FROM documents)
+        |SELECT epoch, doc_id,
+        |  ROW_NUMBER() OVER (PARTITION BY epoch
+        |    ORDER BY MD5(CAST(doc_id AS VARCHAR) || ':'
+        |                 || CAST(epoch AS VARCHAR)), doc_id) AS position
+        |FROM e ORDER BY epoch, position""".stripMargin)
 }

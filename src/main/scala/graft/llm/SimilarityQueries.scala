@@ -468,6 +468,86 @@ object SimilarityQueries extends QueryModule {
         .select(col("label"), col("a_id"), col("b_id"),
           round(col("cos"), 4).as("cosine"))
         .orderBy("label", "a_id", "b_id")
+    },
+
+    // Exact covariance + correlation matrix of the embedding dimensions —
+    // the whitening / PCA-preprocessing statistic (a d x d summary a
+    // driver-side eigensolver turns into projection axes; d = 64 here so
+    // the matrix is metadata-sized however big the corpus is). Scale
+    // shape: pair generation is scan-local — posexplode the vector, then
+    // posexplode the slice from each position — so N*d(d+1)/2 product
+    // rows flow straight into a partial aggregation on d(d+1)/2 keys;
+    // no self-join, no shuffle wider than the 2,080-key agg. The moment
+    // sums use the exact-decimal reduction (order-independent), and the
+    // covariance arithmetic runs on identical doubles in both engines;
+    // the +0.0 folds normalize -0.0 from near-zero negative covariances.
+    "q136_embed_covariance" -> { (s, dir) =>
+      // repartition before the double-explode: the fixture parquet is one
+      // split, and pair generation multiplies rows by d(d+1)/2 — the
+      // blow-up must happen AFTER the rows are spread across cores (at
+      // 100 TB the scan's own splits provide this; locally it's a shuffle
+      // of N skinny rows, far cheaper than single-threading N*2080)
+      val e = Tables.t(s, dir, "embeddings")
+        .select(asDouble(col("embedding")).as("v"))
+        .repartition(32)
+      // first moments don't depend on the pair: sum(x_i) per (i,j) group
+      // equals the per-dim sum (the decimal reduction is exact, hence
+      // order-independent — same value either way), so only the product
+      // moment rides the N*d(d+1)/2 stream; Σx and n come from the
+      // d-row aggregation and broadcast back onto the 2,080-row result
+      val fst = e.select(posexplode(col("v")).as(Seq("i", "xi")), col("v"))
+      val dims = fst.groupBy(col("i"))
+        .agg(count(lit(1)).as("n"), graft.Fns.dsum18(col("xi")).as("sx"))
+      val pairs = fst.select(col("i"), col("xi"),
+        posexplode(slice(col("v"), col("i") + 1, lit(Dim)))
+          .as(Seq("p", "xj")))
+      val nD = col("n").cast("double")
+      val cov = col("sxy") / nD - (col("sx") / nD) * (col("sy") / nD)
+      val cv = pairs
+        .groupBy(col("i"), (col("i") + col("p")).as("j"))
+        .agg(graft.Fns.dsum18(col("xi") * col("xj")).as("sxy"))
+        .join(broadcast(dims), "i")
+        .join(broadcast(dims.select(col("i").as("j"), col("sx").as("sy"))),
+          "j")
+        .select(col("i").cast("long").as("i"),
+          col("j").cast("long").as("j"), cov.as("cov"))
+      val di = cv.filter(col("i") === col("j"))
+        .select(col("i"), col("cov").as("var_i"))
+      val dj = di.select(col("i").as("j"), col("var_i").as("var_j"))
+      cv.join(broadcast(di), "i").join(broadcast(dj), "j")
+        .select(col("i"), col("j"),
+          (round(col("cov"), 6) + lit(0.0)).as("cov"),
+          (round(col("cov") / sqrt(col("var_i") * col("var_j")), 6)
+            + lit(0.0)).as("corr"))
+        .orderBy("i", "j")
+    },
+
+    // Class-separation audit — per-label cohesion of the embedding space
+    // (the dataset-QA readout before training a classifier on it): each
+    // vector's cosine to its OWN label centroid, aggregated to the mean
+    // and the worst member per label. A label whose mean is low is
+    // mislabeled or heterogeneous; a clean label with one low min is an
+    // outlier member (q124's MAD idea in embedding space). Scale shape:
+    // q70's exactly — centroids are one (label, dim) aggregation collected
+    // to #labels tiny arrays, broadcast; scoring is scan-local; the final
+    // agg lands on #labels rows. Cosines are rounded to the 1e-4 grid
+    // BEFORE averaging (the q38/q70 cross-engine contract), so the
+    // decimal-sum mean is bit-identical too.
+    "q138_class_separation" -> { (s, dir) =>
+      val e = Tables.t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      val cArr = labelCentroids(Tables.t(s, dir, "embeddings"))
+        .groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("centroid"))))
+          .as("dc"))
+        .select(col("label"), expr("transform(dc, s -> s.centroid)").as("cv"))
+      e.join(broadcast(cArr), "label")
+        .withColumn("rc", round(cosine(col("v"), col("cv")), 4))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          graft.Fns.davg(col("rc")).as("mean_cos"),
+          min(col("rc")).as("min_cos"))
+        .orderBy("label")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -771,5 +851,54 @@ object SimilarityQueries extends QueryModule {
         |FROM knn k JOIN knn m
         |  ON k.label = m.label AND k.a_id = m.b_id AND k.b_id = m.a_id
         |WHERE k.a_id < k.b_id
-        |ORDER BY k.label, k.a_id, k.b_id""".stripMargin)
+        |ORDER BY k.label, k.a_id, k.b_id""".stripMargin,
+
+    "q136_embed_covariance" ->
+      s"""WITH e AS (
+         |  SELECT vec_id,
+         |    CAST(UNNEST(embedding) AS DOUBLE) AS x,
+         |    GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS i
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT a.i AS i, b.i AS j, a.x AS xi, b.x AS xj
+         |  FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i),
+         |c AS (
+         |  SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+         |    COUNT(*) AS n,
+         |    ${graft.Fns.dsum18Sql("xi")} AS sx,
+         |    ${graft.Fns.dsum18Sql("xj")} AS sy,
+         |    ${graft.Fns.dsum18Sql("xi * xj")} AS sxy
+         |  FROM p GROUP BY 1, 2),
+         |cv AS (
+         |  SELECT i, j,
+         |    sxy / CAST(n AS DOUBLE)
+         |      - (sx / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)) AS cov
+         |  FROM c),
+         |d AS (SELECT i AS k, cov AS var FROM cv WHERE i = j)
+         |SELECT cv.i, cv.j, ROUND(cv.cov, 6) + 0.0 AS cov,
+         |  ROUND(cv.cov / SQRT(di.var * dj.var), 6) + 0.0 AS corr
+         |FROM cv JOIN d di ON cv.i = di.k JOIN d dj ON cv.j = dj.k
+         |ORDER BY i, j""".stripMargin,
+
+    "q138_class_separation" ->
+      s"""WITH d AS (
+         |  SELECT label,
+         |    UNNEST(CAST(embedding AS DOUBLE[])) AS x,
+         |    GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS dim
+         |  FROM embeddings),
+         |cent AS (
+         |  SELECT label, dim, ${graft.Fns.davgSql("x")} AS m
+         |  FROM d GROUP BY 1, 2),
+         |carr AS (SELECT label, LIST(m ORDER BY dim) AS cv
+         |         FROM cent GROUP BY 1),
+         |e AS (
+         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |s AS (
+         |  SELECT e.label,
+         |    ROUND(LIST_COSINE_SIMILARITY(e.v, carr.cv), 4) AS rc
+         |  FROM e JOIN carr USING (label))
+         |SELECT label, COUNT(*) AS n, ${graft.Fns.davgSql("rc")} AS mean_cos,
+         |  MIN(rc) AS min_cos
+         |FROM s GROUP BY label ORDER BY label""".stripMargin)
 }
