@@ -852,6 +852,39 @@ object CorpusQueries extends QueryModule {
         .select(col("epoch"), col("doc_id"),
           row_number().over(w).cast("long").as("position"))
         .orderBy("epoch", "position")
+    },
+
+    // Packing-efficiency planner — the max_len sweep that decides the
+    // sequence length q91's packer runs at: for each candidate length,
+    // the number of sequences under naive one-chunk-per-sequence padding
+    // (ceil(tokens/L) per doc), the padding fraction that wastes, the
+    // perfect-packing floor ceil(total/L), and the gain packing buys.
+    // All integer arithmetic until two final divisions of exact longs —
+    // cross-engine deterministic with no rounding. Scale shape: the
+    // candidate lengths explode scan-locally (3x rows), partial
+    // aggregation lands on #lengths keys — one corpus pass, metadata-
+    // sized result.
+    "q139_packing_efficiency" -> { (s, dir) =>
+      Tables.t(s, dir, "documents")
+        .select(size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .select(col("n_tok"),
+          explode(array(lit(128L), lit(256L), lit(512L))).as("max_len"))
+        .withColumn("chunks", expr("(n_tok + max_len - 1) div max_len"))
+        .groupBy(col("max_len"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("total_tokens"),
+          sum(col("chunks")).as("seqs_padded"))
+        .withColumn("seqs_packed",
+          expr("(total_tokens + max_len - 1) div max_len"))
+        .select(col("max_len"), col("n_docs"), col("total_tokens"),
+          col("seqs_padded"),
+          (lit(1.0) - col("total_tokens").cast("double") /
+            (col("seqs_padded") * col("max_len")).cast("double"))
+            .as("pad_frac"),
+          col("seqs_packed"),
+          (col("seqs_padded").cast("double") /
+            col("seqs_packed").cast("double")).as("packing_gain"))
+        .orderBy("max_len")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -1401,5 +1434,27 @@ object CorpusQueries extends QueryModule {
         |  ROW_NUMBER() OVER (PARTITION BY epoch
         |    ORDER BY MD5(CAST(doc_id AS VARCHAR) || ':'
         |                 || CAST(epoch AS VARCHAR)), doc_id) AS position
-        |FROM e ORDER BY epoch, position""".stripMargin)
+        |FROM e ORDER BY epoch, position""".stripMargin,
+
+    "q139_packing_efficiency" ->
+      """WITH d AS (
+        |  SELECT CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |e AS (
+        |  SELECT n_tok, UNNEST(CAST([128, 256, 512] AS BIGINT[])) AS max_len
+        |  FROM d),
+        |g AS (
+        |  SELECT max_len, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+        |    CAST(SUM((n_tok + max_len - 1) // max_len) AS BIGINT)
+        |      AS seqs_padded
+        |  FROM e GROUP BY 1)
+        |SELECT max_len, n_docs, total_tokens, seqs_padded,
+        |  1.0 - CAST(total_tokens AS DOUBLE)
+        |    / CAST(seqs_padded * max_len AS DOUBLE) AS pad_frac,
+        |  (total_tokens + max_len - 1) // max_len AS seqs_packed,
+        |  CAST(seqs_padded AS DOUBLE)
+        |    / CAST((total_tokens + max_len - 1) // max_len AS DOUBLE)
+        |    AS packing_gain
+        |FROM g ORDER BY max_len""".stripMargin)
 }

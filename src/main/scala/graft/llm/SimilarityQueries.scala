@@ -137,6 +137,82 @@ object SimilarityQueries extends QueryModule {
       .select(col("label"), col("dim").cast("long").as("dim"),
         col("centroid"), col("n"))
 
+  /** Upper-triangle exact covariance of the embedding dimensions:
+    * (i, j, cov) for j >= i, unrounded. Pair generation is scan-local —
+    * posexplode the vector, then posexplode the slice from each position —
+    * so no self-join exists and the N*d(d+1)/2 product rows flow straight
+    * into a partial aggregation on d(d+1)/2 keys. First moments don't
+    * depend on the pair: sum(x_i) per (i,j) group equals the per-dim sum
+    * (the decimal reduction is exact, hence order-independent), so only
+    * the product moment rides the pair stream; Σx and n come from the
+    * d-row aggregation and broadcast back onto the d(d+1)/2-row result.
+    * The repartition before the double-explode matters locally: the
+    * fixture parquet is one split, and the blow-up must happen AFTER the
+    * rows are spread across cores (at 100 TB the scan's own splits
+    * provide this; the shuffle moves N skinny rows, far cheaper than
+    * single-threading N*2080).
+    */
+  def covUpper(embeddings: DataFrame): DataFrame = {
+    val e = embeddings.select(asDouble(col("embedding")).as("v"))
+      .repartition(32)
+    val fst = e.select(posexplode(col("v")).as(Seq("i", "xi")), col("v"))
+    val dims = fst.groupBy(col("i"))
+      .agg(count(lit(1)).as("n"), graft.Fns.dsum18(col("xi")).as("sx"))
+    val pairs = fst.select(col("i"), col("xi"),
+      posexplode(slice(col("v"), col("i") + 1, lit(Dim)))
+        .as(Seq("p", "xj")))
+    val nD = col("n").cast("double")
+    val cov = col("sxy") / nD - (col("sx") / nD) * (col("sy") / nD)
+    pairs
+      .groupBy(col("i"), (col("i") + col("p")).as("j"))
+      .agg(graft.Fns.dsum18(col("xi") * col("xj")).as("sxy"))
+      .join(broadcast(dims), "i")
+      .join(broadcast(dims.select(col("i").as("j"), col("sx").as("sy"))),
+        "j")
+      .select(col("i").cast("long").as("i"),
+        col("j").cast("long").as("j"), cov.as("cov"))
+  }
+
+  /** PC1 of the embedding covariance: (axis, lambda, mean). The
+    * corpus-sized work is [[covUpper]]'s distributed moment pass; what's
+    * collected is d(d+1)/2 = 2,080 metadata rows plus the d-row mean —
+    * dimension-bounded, corpus-independent — and the eigen-iteration is
+    * driver arithmetic on that metadata (the same altitude as q90's
+    * driver-held centroid array). Deterministic: fixed uniform start,
+    * fixed 2000 iterations (the spectral gap can be small - the PcaSpec residual bound certifies convergence), sign fixed by pointing the largest-magnitude
+    * component positive.
+    */
+  def pc1Axis(embeddings: DataFrame): (Array[Double], Double, Array[Double]) = {
+    val d = Dim
+    val cov = Array.ofDim[Double](d, d)
+    covUpper(embeddings).collect().foreach { r =>
+      val i = r.getLong(0).toInt
+      val j = r.getLong(1).toInt
+      cov(i)(j) = r.getDouble(2)
+      cov(j)(i) = r.getDouble(2)
+    }
+    val mean = new Array[Double](d)
+    embeddings.select(asDouble(col("embedding")).as("v"))
+      .select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(graft.Fns.davg(col("x")).as("m"))
+      .collect().foreach(r => mean(r.getInt(0)) = r.getDouble(1))
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var lambda = 0.0
+    for (_ <- 1 to 2000) {
+      val w = Array.tabulate(d) { i =>
+        var acc = 0.0
+        var j = 0
+        while (j < d) { acc += cov(i)(j) * v(j); j += 1 }
+        acc
+      }
+      lambda = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / lambda)
+    }
+    val k = v.indices.maxBy(i => math.abs(v(i)))
+    if (v(k) < 0) v = v.map(x => -x)
+    (v, lambda, mean)
+  }
+
   /** Every vector scored against every label centroid (the centroid table
     * is tiny — one row per label — and broadcast), ranked per vector by
     * cosine. Shared by coarse assignment (rnk = 1) and multi-probe search
@@ -482,35 +558,7 @@ object SimilarityQueries extends QueryModule {
     // covariance arithmetic runs on identical doubles in both engines;
     // the +0.0 folds normalize -0.0 from near-zero negative covariances.
     "q136_embed_covariance" -> { (s, dir) =>
-      // repartition before the double-explode: the fixture parquet is one
-      // split, and pair generation multiplies rows by d(d+1)/2 — the
-      // blow-up must happen AFTER the rows are spread across cores (at
-      // 100 TB the scan's own splits provide this; locally it's a shuffle
-      // of N skinny rows, far cheaper than single-threading N*2080)
-      val e = Tables.t(s, dir, "embeddings")
-        .select(asDouble(col("embedding")).as("v"))
-        .repartition(32)
-      // first moments don't depend on the pair: sum(x_i) per (i,j) group
-      // equals the per-dim sum (the decimal reduction is exact, hence
-      // order-independent — same value either way), so only the product
-      // moment rides the N*d(d+1)/2 stream; Σx and n come from the
-      // d-row aggregation and broadcast back onto the 2,080-row result
-      val fst = e.select(posexplode(col("v")).as(Seq("i", "xi")), col("v"))
-      val dims = fst.groupBy(col("i"))
-        .agg(count(lit(1)).as("n"), graft.Fns.dsum18(col("xi")).as("sx"))
-      val pairs = fst.select(col("i"), col("xi"),
-        posexplode(slice(col("v"), col("i") + 1, lit(Dim)))
-          .as(Seq("p", "xj")))
-      val nD = col("n").cast("double")
-      val cov = col("sxy") / nD - (col("sx") / nD) * (col("sy") / nD)
-      val cv = pairs
-        .groupBy(col("i"), (col("i") + col("p")).as("j"))
-        .agg(graft.Fns.dsum18(col("xi") * col("xj")).as("sxy"))
-        .join(broadcast(dims), "i")
-        .join(broadcast(dims.select(col("i").as("j"), col("sx").as("sy"))),
-          "j")
-        .select(col("i").cast("long").as("i"),
-          col("j").cast("long").as("j"), cov.as("cov"))
+      val cv = covUpper(Tables.t(s, dir, "embeddings"))
       val di = cv.filter(col("i") === col("j"))
         .select(col("i"), col("cov").as("var_i"))
       val dj = di.select(col("i").as("j"), col("var_i").as("var_j"))
@@ -548,6 +596,31 @@ object SimilarityQueries extends QueryModule {
           graft.Fns.davg(col("rc")).as("mean_cos"),
           min(col("rc")).as("min_cos"))
         .orderBy("label")
+    },
+
+    // PC1 projection — every vector's score along the corpus's leading
+    // principal axis (the 1-D curriculum / diversity coordinate; also the
+    // whitening direction q136's matrix feeds an eigensolver for). No
+    // oracle: eigensolvers aren't SQL-expressible — PcaSpec pins the
+    // quantitative bounds instead (Rayleigh quotient >= every coordinate
+    // variance, residual ||Cv - lambda*v|| <= 1e-8 * lambda, projection
+    // variance equal to lambda on centered data). Scale shape: the
+    // corpus-sized work is covUpper's one moment pass; the collect is
+    // dimension-bounded metadata (2,080 + 64 rows regardless of corpus
+    // size), and the projection is one scan-local pass with the centered
+    // axis riding as broadcast literals.
+    "q140_pca_projection" -> { (s, dir) =>
+      val emb = Tables.t(s, dir, "embeddings")
+      val (axis, _, mean) = pc1Axis(emb)
+      val pcLit = array(axis.toIndexedSeq.map(lit): _*)
+      val meanLit = array(mean.toIndexedSeq.map(lit): _*)
+      emb.select(col("vec_id"), col("label"),
+          asDouble(col("embedding")).as("v"))
+        .withColumn("pc1", round(
+          dot(zip_with(col("v"), meanLit,
+            (x: Column, m: Column) => x - m), pcLit), 4))
+        .select(col("vec_id"), col("label"), col("pc1"))
+        .orderBy("vec_id")
     })
 
   override def oracles: Map[String, String] = Map(

@@ -699,6 +699,35 @@ object TextQueries extends QueryModule {
             (col("n_types").cast("double") * col("sxx")
               - col("sx") * col("sx")), 4).as("zipf_slope"))
         .orderBy("source")
+    },
+
+    // Per-document keyword extraction — the top-3 TF-IDF terms per doc
+    // (the classic retrieval-free summarizer / routing signal). Rides
+    // q51's exact tf/df/n spine; the per-doc rank is a window over each
+    // doc's OWN term rows (doc-sized partitions, never corpus-wide), and
+    // it compares UNROUNDED scores with a token tie-break, so both
+    // engines rank identically (the q129 unrounded-cosine precedent) and
+    // only the emitted score is grid-rounded.
+    "q141_doc_keywords" -> { (s, dir) =>
+      val tok = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      val tf = tok.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tok.groupBy(col("token"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val n = Tables.t(s, dir, "documents").agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("token").asc)
+      tf.join(df, "token")
+        .crossJoin(broadcast(n))
+        .withColumn("tfidf",
+          col("tf") * log(col("n").cast("double") / col("df")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("token"),
+          round(col("tfidf"), 4).as("tfidf"))
+        .orderBy("doc_id", "rnk")
     })
 
   /** The q34 exact-Jaccard oracle, hoisted so composite oracles (q71,
@@ -1049,5 +1078,24 @@ object TextQueries extends QueryModule {
          |SELECT source, CAST(n_types AS BIGINT) AS n_types,
          |  ROUND((CAST(n_types AS DOUBLE) * sxy - sx * sy)
          |    / (CAST(n_types AS DOUBLE) * sxx - sx * sx), 4) AS zipf_slope
-         |FROM a ORDER BY source""".stripMargin)
+         |FROM a ORDER BY source""".stripMargin,
+
+    "q141_doc_keywords" ->
+      """WITH tok AS (
+        |  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.token,
+        |    tf.tf * LN(CAST(n.n AS DOUBLE) / df.df) AS tfidf
+        |  FROM tf JOIN df USING (token) CROSS JOIN n),
+        |r AS (
+        |  SELECT doc_id, token, tfidf,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                       ORDER BY tfidf DESC, token ASC) AS rnk
+        |  FROM sc)
+        |SELECT doc_id, rnk, token, ROUND(tfidf, 4) AS tfidf
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin)
 }
