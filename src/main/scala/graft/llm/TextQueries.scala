@@ -728,6 +728,44 @@ object TextQueries extends QueryModule {
         .select(col("doc_id"), col("rnk"), col("token"),
           round(col("tfidf"), 4).as("tfidf"))
         .orderBy("doc_id", "rnk")
+    },
+
+    // Bigram conditional entropy H(next | current) per source — the
+    // sequence-level predictability fingerprint completing the text-stats
+    // family (q135 unigram entropy, q102 association strength, q119 LM
+    // fit): templated/boilerplate sources have few continuations per
+    // context (low H), diverse prose many (high H).
+    // H(Y|X) = -Σ_{x,y} p(x,y) ln(c_xy / c_x). Scale shape: bigrams
+    // expand scan-locally (q102's transform — no window function over the
+    // token stream), counts shuffle bigram-vocabulary keys once; the
+    // per-context and per-source totals are windows OVER those count rows
+    // (q106's one-pass trick — never a second corpus pass), and the
+    // summands reduce through the exact-decimal sum.
+    "q142_conditional_entropy" -> { (s, dir) =>
+      val pairs = Tables.t(s, dir, "documents")
+        .select(col("source"), split(col("text"), " ").as("tok"))
+        .filter(size(col("tok")) >= 2)
+        .select(col("source"), explode(expr(
+          "transform(sequence(1, size(tok) - 1), " +
+            "i -> named_struct('x', element_at(tok, i), " +
+            "'y', element_at(tok, i + 1)))")).as("bg"))
+        .select(col("source"), col("bg.x").as("x"), col("bg.y").as("y"))
+      val cxy = pairs.groupBy(col("source"), col("x"), col("y"))
+        .agg(count(lit(1)).as("c_xy"))
+      val wX = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"), col("x"))
+      val wS = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+      val p = col("c_xy").cast("double") / col("n_s").cast("double")
+      val cond = col("c_xy").cast("double") / col("c_x").cast("double")
+      cxy
+        .withColumn("c_x", sum(col("c_xy")).over(wX))
+        .withColumn("n_s", sum(col("c_xy")).over(wS))
+        .select(col("source"), col("n_s"), (-p * log(cond)).as("summand"))
+        .groupBy(col("source"), col("n_s").as("n_bigrams"))
+        .agg(graft.Fns.dsum18(col("summand")).as("h_cond"))
+        .select(col("source"), col("n_bigrams"), col("h_cond"))
+        .orderBy("source")
     })
 
   /** The q34 exact-Jaccard oracle, hoisted so composite oracles (q71,
@@ -1097,5 +1135,28 @@ object TextQueries extends QueryModule {
         |                       ORDER BY tfidf DESC, token ASC) AS rnk
         |  FROM sc)
         |SELECT doc_id, rnk, token, ROUND(tfidf, 4) AS tfidf
-        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin)
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+    "q142_conditional_entropy" ->
+      s"""WITH d AS (
+         |  SELECT source, STRING_SPLIT(text, ' ') AS tok FROM documents
+         |  WHERE LEN(STRING_SPLIT(text, ' ')) >= 2),
+         |bg AS (
+         |  SELECT source, tok[i] AS x, tok[i + 1] AS y
+         |  FROM d, UNNEST(GENERATE_SERIES(1, LEN(tok) - 1)) AS g(i)),
+         |cxy AS (
+         |  SELECT source, x, y, COUNT(*) AS c_xy FROM bg GROUP BY 1, 2, 3),
+         |w AS (
+         |  SELECT source, c_xy,
+         |    SUM(c_xy) OVER (PARTITION BY source, x) AS c_x,
+         |    CAST(SUM(c_xy) OVER (PARTITION BY source) AS BIGINT) AS n_s
+         |  FROM cxy),
+         |sm AS (
+         |  SELECT source, n_s,
+         |    -(CAST(c_xy AS DOUBLE) / CAST(n_s AS DOUBLE))
+         |      * LN(CAST(c_xy AS DOUBLE) / CAST(c_x AS DOUBLE)) AS summand
+         |  FROM w)
+         |SELECT source, n_s AS n_bigrams,
+         |  ${graft.Fns.dsum18Sql("summand")} AS h_cond
+         |FROM sm GROUP BY source, n_s ORDER BY source""".stripMargin)
 }
