@@ -32,6 +32,8 @@ object MediaCodec {
       .map(v => Sniffed("y4m", v.width, v.height)).getOrElse(Bin)
     else if (isAvi(b)) demuxAvi(b)
       .map(v => Sniffed("avi", v.width, v.height)).getOrElse(Bin)
+    else if (isMp4(b)) demuxMp4(b)
+      .map(v => Sniffed("mp4", v.width, v.height)).getOrElse(Bin)
     else Bin
 
   /** A demuxed uncompressed Y4M (YUV4MPEG2) video: raw planar frames at
@@ -155,6 +157,127 @@ object MediaCodec {
     walk(12, math.min(b.length, 8 + le32(b, 4)).toInt max 12, 0)
     Some(Avi(width, height, codec, offs.result(), sizes.result()))
   }
+
+  /** A demuxed MP4 (ISO BMFF) video: per-sample payload offsets/sizes of
+    * the first video trak, plus the sample entry's codec FourCC (e.g.
+    * "avc1") and visual dimensions. Sample payloads are codec bitstream
+    * (H.264 access units, not JPEGs), so PIXEL decode stays behind the
+    * external-codec seam — but the demux itself (which bytes are frame k,
+    * what codec, what dims — everything a sampling/filtering pipeline
+    * needs before decode) is now real, the same contract as [[demuxAvi]].
+    */
+  final case class Mp4(width: Long, height: Long, codec: String,
+                       frameOffsets: Array[Int], frameSizes: Array[Int])
+
+  private def isMp4(b: Array[Byte]): Boolean =
+    b.length >= 12 && fourcc(b, 4) == "ftyp"
+
+  /** Pure-JVM ISO BMFF box walk: containers (`moov`/`trak`/`mdia`/`minf`/
+    * `stbl`) recurse; `hdlr` flags the video trak (`vide`); inside its
+    * sample table, `stsd`'s first VisualSampleEntry carries codec FourCC
+    * (+4) and width/height (+32/+34 from the entry start), `stsz` the
+    * per-sample sizes, `stsc` the samples-per-chunk runs, and `stco`/
+    * `co64` the chunk file offsets; a sample's offset is its chunk offset
+    * plus the sizes of the samples before it in that chunk. 64-bit
+    * largesize and size-0 (to-end) boxes are handled; truncated tables or
+    * out-of-range samples yield the frames that fully fit — never an
+    * exception: malformed media must not kill a 100 TB scan.
+    */
+  def demuxMp4(b: Array[Byte]): Option[Mp4] = {
+    if (!isMp4(b)) return None
+    var width = 0L; var height = 0L; var codec = ""
+    var sizes: Array[Int] = Array.empty
+    var chunkOffsets: Array[Long] = Array.empty
+    var stsc: Array[(Long, Long)] = Array.empty
+    var videoTrak = false
+    var done = false // first video trak with sample tables wins
+
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      if (depth > 10) return
+      var i = start
+      var ok = true
+      while (ok && i + 8 <= end) {
+        val sz32 = be32(b, i)
+        val tp = fourcc(b, i + 4)
+        var hdr = 8L
+        val boxLen: Long =
+          if (sz32 == 1L && i + 16 <= end) { hdr = 16L; be64(b, i + 8) }
+          else if (sz32 == 0L) (end - i).toLong
+          else sz32
+        if (boxLen < hdr || i + boxLen > end) ok = false
+        else {
+          val ds = i + hdr.toInt
+          val de = i + boxLen.toInt
+          tp match {
+            case "moov" | "mdia" | "minf" | "stbl" => walk(ds, de, depth + 1)
+            case "trak" if !done =>
+              videoTrak = false
+              walk(ds, de, depth + 1)
+              if (videoTrak && sizes.nonEmpty) done = true
+            case "hdlr" if de - ds >= 12 =>
+              videoTrak = fourcc(b, ds + 8) == "vide"
+            case "stsd" if videoTrak && !done && de - ds >= 44 =>
+              val es = ds + 8 // first sample entry
+              codec = fourcc(b, es + 4).trim
+              width = be16(b, es + 32)
+              height = be16(b, es + 34)
+            case "stsz" if videoTrak && !done && de - ds >= 12 =>
+              val fixed = be32(b, ds + 4)
+              // fixed-size mode carries no table to bound n — cap by the
+              // payload's own capacity (can't hold more samples than
+              // bytes), so a lying header can't force a huge allocation
+              val n = (be32(b, ds + 8) min
+                (if (fixed != 0) b.length.toLong / (fixed max 1L)
+                 else (de - ds - 12).toLong / 4)).toInt max 0
+              sizes =
+                if (fixed != 0) Array.fill(n)(fixed.toInt)
+                else Array.tabulate(n)(k => be32(b, ds + 12 + 4 * k).toInt)
+            case "stsc" if videoTrak && !done && de - ds >= 8 =>
+              val n = (be32(b, ds + 4) min
+                (de - ds - 8).toLong / 12).toInt max 0
+              stsc = Array.tabulate(n)(k =>
+                (be32(b, ds + 8 + 12 * k), be32(b, ds + 12 + 12 * k)))
+            case "stco" if videoTrak && !done && de - ds >= 8 =>
+              val n = (be32(b, ds + 4) min
+                (de - ds - 8).toLong / 4).toInt max 0
+              chunkOffsets = Array.tabulate(n)(k => be32(b, ds + 8 + 4 * k))
+            case "co64" if videoTrak && !done && de - ds >= 8 =>
+              val n = (be32(b, ds + 4) min
+                (de - ds - 8).toLong / 8).toInt max 0
+              chunkOffsets = Array.tabulate(n)(k => be64(b, ds + 8 + 8 * k))
+            case _ => () // other traks' tables, mdat, udta, free: skip
+          }
+          i = de
+        }
+      }
+    }
+    walk(0, b.length, 0)
+
+    val offs = Array.newBuilder[Int]
+    val szs = Array.newBuilder[Int]
+    var sample = 0
+    var c = 0
+    while (c < chunkOffsets.length && sample < sizes.length) {
+      val spc = stsc.takeWhile(_._1 <= c + 1)
+        .lastOption.map(_._2.toInt).getOrElse(0)
+      var off = chunkOffsets(c)
+      var k = 0
+      while (k < spc && sample < sizes.length) {
+        val ssz = sizes(sample)
+        if (off >= 0 && ssz > 0 && off + ssz <= b.length &&
+            off <= Int.MaxValue.toLong) {
+          offs += off.toInt
+          szs += ssz
+        }
+        off += ssz; k += 1; sample += 1
+      }
+      c += 1
+    }
+    Some(Mp4(width, height, codec, offs.result(), szs.result()))
+  }
+
+  private def be64(b: Array[Byte], i: Int): Long =
+    (be32(b, i) << 32) | be32(b, i + 4)
 
   private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
   private def be16(b: Array[Byte], i: Int): Long = (u8(b, i) << 8 | u8(b, i + 1)).toLong

@@ -153,9 +153,12 @@ object Multimodal extends QueryModule {
     *    a COMPRESSED container covered end to end, pure JVM.
     * Up to `n` evenly spaced actual frames come back with their true
     * frame numbers, the way a training pipeline samples stills.
-    * Inter-frame-coded containers (MP4/H.264 …) still need external
-    * codecs — for those opaque payloads the deterministic byte-range
-    * fallback (slice into `n` equal chunks) stands in, clearly
+    * MP4 is demuxed for real too (ISO BMFF sample tables — true frame
+    * byte ranges and indices); its sampled payloads are codec bitstream
+    * (H.264 access units), so PIXEL decode of inter-coded codecs still
+    * needs external libraries — that decode step is the remaining seam,
+    * not the container. Payloads no demuxer recognizes fall back to the
+    * deterministic byte-range slice into `n` equal chunks, clearly
     * distinguishable by its contiguous 0..n-1 frame indices. Either way
     * the shape is the one-to-many typed flatMap — one input row fanning
     * out to a row per frame, one decoder scope per partition.
@@ -186,15 +189,24 @@ object Multimodal extends QueryModule {
                 java.util.Arrays.copyOfRange(m.payload, off,
                   off + v.frameSizes(fi))
               }(m.doc_id)
-            case _ =>
-              val len = m.payload.length
-              if (len == 0) Iterator.empty
-              else (0 until n).iterator.map { i =>
-                val from = (len.toLong * i / n).toInt
-                val to   = (len.toLong * (i + 1) / n).toInt
-                Frame(m.doc_id, i,
-                  java.util.Arrays.copyOfRange(m.payload, from, to.max(from)))
-              }
+            case _ => MediaCodec.demuxMp4(m.payload) match {
+              case Some(v) if v.frameOffsets.nonEmpty =>
+                sampled(v.frameOffsets.length) { fi =>
+                  val off = v.frameOffsets(fi)
+                  java.util.Arrays.copyOfRange(m.payload, off,
+                    off + v.frameSizes(fi))
+                }(m.doc_id)
+              case _ =>
+                val len = m.payload.length
+                if (len == 0) Iterator.empty
+                else (0 until n).iterator.map { i =>
+                  val from = (len.toLong * i / n).toInt
+                  val to   = (len.toLong * (i + 1) / n).toInt
+                  Frame(m.doc_id, i,
+                    java.util.Arrays.copyOfRange(m.payload, from,
+                      to.max(from)))
+                }
+            }
           }
         }
       }

@@ -301,6 +301,44 @@ object EventQueries extends QueryModule {
         .select(col("from_type"), col("to_type"), col("n"),
           (col("n").cast("double") / col("n_from").cast("double")).as("p"))
         .orderBy("from_type", "to_type")
+    },
+
+    // Population-stability-index drift monitor — the production data-
+    // quality check a pipeline runs before retraining on fresh data: per
+    // event type, PSI = Σ (p_cur - p_base) ln(p_cur / p_base) between the
+    // first and second half of the time range, over q111's fixed-width
+    // value bins with Laplace (+1) smoothing so empty bins stay finite.
+    // PSI < 0.1 stable / 0.1-0.25 moderate / > 0.25 drifted (the industry
+    // rule of thumb). Scale shape: midpoint from a broadcast 1-row min/max
+    // agg; one count aggregation on (type, bin, half); totals and bin
+    // counts as windows over those histogram-sized rows; exact-decimal
+    // summand reduction. Nothing corpus-sized crosses a shuffle twice.
+    "q143_psi_drift" -> { (s, dir) =>
+      val ev = Tables.t(s, dir, "events")
+        .select(col("event_type"), col("value"),
+          unix_micros(col("ts")).as("us"))
+      val mm = ev.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+      val counts = ev.crossJoin(broadcast(mm))
+        .select(col("event_type"),
+          floor(col("value") / lit(0.25)).cast("long").as("bin"),
+          (col("us") >= expr("lo + (hi - lo) div 2")).as("cur"))
+        .groupBy(col("event_type"), col("bin"))
+        .agg(sum(when(col("cur"), 0L).otherwise(1L)).as("n_base"),
+          sum(when(col("cur"), 1L).otherwise(0L)).as("n_cur"))
+      val wT = Window.partitionBy(col("event_type"))
+      val pB = (col("n_base") + 1).cast("double") /
+        (col("tot_base") + col("k")).cast("double")
+      val pC = (col("n_cur") + 1).cast("double") /
+        (col("tot_cur") + col("k")).cast("double")
+      counts
+        .withColumn("tot_base", sum(col("n_base")).over(wT))
+        .withColumn("tot_cur", sum(col("n_cur")).over(wT))
+        .withColumn("k", count(lit(1)).over(wT))
+        .select(col("event_type"), ((pC - pB) * log(pC / pB)).as("summand"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_bins"),
+          graft.Fns.dsum18(col("summand")).as("psi"))
+        .orderBy("event_type")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -493,5 +531,37 @@ object EventQueries extends QueryModule {
         |  FROM events)
         |SELECT user_id, event_type, event_id, ts, value
         |FROM ranked WHERE rn = 1
-        |ORDER BY user_id, event_type""".stripMargin)
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "q143_psi_drift" ->
+      s"""WITH ev AS (
+         |  SELECT event_type, value, EPOCH_US(ts) AS us FROM events),
+         |mm AS (SELECT MIN(us) AS lo, MAX(us) AS hi FROM ev),
+         |b AS (
+         |  SELECT event_type,
+         |    CAST(FLOOR(value / 0.25) AS BIGINT) AS bin,
+         |    us >= lo + (hi - lo) // 2 AS cur
+         |  FROM ev CROSS JOIN mm),
+         |c AS (
+         |  SELECT event_type, bin,
+         |    SUM(CASE WHEN cur THEN 0 ELSE 1 END) AS n_base,
+         |    SUM(CASE WHEN cur THEN 1 ELSE 0 END) AS n_cur
+         |  FROM b GROUP BY 1, 2),
+         |w AS (
+         |  SELECT event_type, n_base, n_cur,
+         |    SUM(n_base) OVER (PARTITION BY event_type) AS tot_base,
+         |    SUM(n_cur) OVER (PARTITION BY event_type) AS tot_cur,
+         |    COUNT(*) OVER (PARTITION BY event_type) AS k
+         |  FROM c),
+         |sm AS (
+         |  SELECT event_type,
+         |    (CAST(n_cur + 1 AS DOUBLE) / CAST(tot_cur + k AS DOUBLE)
+         |       - CAST(n_base + 1 AS DOUBLE) / CAST(tot_base + k AS DOUBLE))
+         |      * LN((CAST(n_cur + 1 AS DOUBLE) / CAST(tot_cur + k AS DOUBLE))
+         |          / (CAST(n_base + 1 AS DOUBLE) / CAST(tot_base + k AS DOUBLE)))
+         |      AS summand
+         |  FROM w)
+         |SELECT event_type, COUNT(*) AS n_bins,
+         |  ${graft.Fns.dsum18Sql("summand")} AS psi
+         |FROM sm GROUP BY event_type ORDER BY event_type""".stripMargin)
 }

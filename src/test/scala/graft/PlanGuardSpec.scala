@@ -31,7 +31,8 @@ class PlanGuardSpec extends AnyFunSuite {
       "q119_bigram_lm", // 1-row vocab-size total crossed into the LM table
       "q127_curriculum", // 1-row decile-cuts array crossed into the scan
       "q131_weighted_jaccard", // 1-row corpus count crossed into the vocab
-      "q141_doc_keywords") // q51's shape: 1-row corpus count × tf rows
+      "q141_doc_keywords", // q51's shape: 1-row corpus count × tf rows
+      "q143_psi_drift") // 1-row time-range min/max crossed into the scan
 
   /** Shuffle ceilings for the most expensive plans (round-2 plan audit
     * values + 0 slack): these are the queries where one extra Exchange is

@@ -236,6 +236,92 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  /** Minimal-but-valid ISO BMFF fixture in faststart layout (moov before
+    * mdat, the streaming-friendly order real muxers emit): ftyp + moov
+    * whose trak/mdia carry hdlr 'vide' and an stbl (stsd/stsz/stsc/stco)
+    * describing the frame payloads, + mdat holding them in two chunks
+    * (2 samples then the rest). Built by hand so the test owns every
+    * offset; stco values are resolved by a two-pass build (moov's LENGTH
+    * doesn't depend on them).
+    */
+  private def mp4(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+    def be16(v: Int) = Array((v >> 8) & 0xff, v & 0xff).map(_.toByte)
+    def be32(v: Int) = Array((v >> 24) & 0xff, (v >> 16) & 0xff,
+      (v >> 8) & 0xff, v & 0xff).map(_.toByte)
+    def box(tp: String, parts: Array[Byte]*): Array[Byte] = {
+      val body = parts.foldLeft(Array[Byte]())(_ ++ _)
+      be32(8 + body.length) ++ tp.getBytes("US-ASCII") ++ body
+    }
+    // VisualSampleEntry: 8 hdr + 6 reserved + 2 dri + 16 predefined +
+    // w + h + 46 trailing (resolution, frame_count, compressorname, depth)
+    val entry = be32(86) ++ "avc1".getBytes("US-ASCII") ++
+      new Array[Byte](8) ++ new Array[Byte](16) ++
+      be16(w) ++ be16(h) ++ new Array[Byte](46)
+    val hdlr = box("hdlr", be32(0), be32(0),
+      "vide".getBytes("US-ASCII"), new Array[Byte](12))
+    val nChunks = (frames.length + 1) / 2 // 2 samples per chunk
+    def moovAt(chunk1: Int): Array[Byte] = {
+      val chunkOffs = (0 until nChunks).map(c => chunk1 +
+        frames.take(2 * c).map(_.length).sum)
+      val stsd = box("stsd", be32(0), be32(1), entry)
+      val stsz = box("stsz", be32(0), be32(0), be32(frames.length),
+        frames.map(f => be32(f.length)).foldLeft(Array[Byte]())(_ ++ _))
+      val stsc = box("stsc", be32(0), be32(1), be32(1), be32(2), be32(1))
+      val stco = box("stco", be32(0), be32(nChunks),
+        chunkOffs.map(be32).foldLeft(Array[Byte]())(_ ++ _))
+      box("moov", box("trak", box("mdia", hdlr,
+        box("minf", box("stbl", stsd, stsz, stsc, stco)))))
+    }
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII"), be32(0))
+    val moovLen = moovAt(0).length
+    val chunk1 = ftyp.length + moovLen + 8 // right after the mdat header
+    val mdat = box("mdat", frames.foldLeft(Array[Byte]())(_ ++ _))
+    ftyp ++ moovAt(chunk1) ++ mdat
+  }
+
+  test("MP4 demux walks the box tree: dims, codec, per-frame payloads") {
+    val f = Seq.tabulate(3)(i => Array.tabulate[Byte](10 + 2 * i)(k =>
+      (i * 31 + k).toByte))
+    val m = mp4(320, 240, f)
+    assert(MediaCodec.sniff(m) == MediaCodec.Sniffed("mp4", 320, 240))
+    val v = MediaCodec.demuxMp4(m).get
+    assert(v.codec == "avc1" && v.width == 320 && v.height == 240)
+    assert(v.frameOffsets.length == 3)
+    // each demuxed sample is byte-for-byte the original payload, across
+    // the 2-samples-then-1 chunk split the stsc run describes
+    v.frameOffsets.zip(v.frameSizes).zip(f).foreach { case ((off, sz), orig) =>
+      assert(java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(m, off, off + sz), orig))
+    }
+  }
+
+  test("MP4 demux keeps whole frames when mdat is truncated") {
+    val f = Seq.tabulate(3)(i => Array.fill[Byte](20)(i.toByte))
+    val m = mp4(64, 48, f)
+    assert(MediaCodec.demuxMp4(m).get.frameOffsets.length == 3)
+    // faststart layout: cutting mid-frame-3 leaves the tables intact but
+    // the last sample half-contained — the bounds guard must drop exactly
+    // it, no exception
+    val cutLen = MediaCodec.demuxMp4(m).get.frameOffsets(2) + 10
+    val torn = MediaCodec.demuxMp4(
+      java.util.Arrays.copyOf(m, cutLen)).get
+    assert(torn.frameOffsets.length == 2)
+    assert(torn.width == 64 && torn.codec == "avc1")
+  }
+
+  test("sampleFrames emits true MP4 sample payloads with real indices") {
+    import spark.implicits._
+    val frames = (0 until 6).map(i => Array.fill[Byte](16)(i.toByte))
+    val media = Seq(Multimodal.MediaIn(13L, mp4(128, 96, frames)))
+      .toDS().toDF()
+    val out = Multimodal.sampleFrames(media, 3).orderBy("frame_idx")
+      .collect().map(r => (r.getInt(1), r.getAs[Array[Byte]](2)))
+    assert(out.map(_._1).toSeq == Seq(0, 2, 4)) // evenly spaced REAL indices
+    out.foreach { case (fi, bytes) =>
+      assert(java.util.Arrays.equals(bytes, frames(fi)))
+    }
+  }
+
   test("sniffer and resize never throw on fuzzed bytes") {
     val rnd = new scala.util.Random(5)
     for (_ <- 1 to 500) {
