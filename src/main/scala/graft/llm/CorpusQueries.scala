@@ -885,6 +885,38 @@ object CorpusQueries extends QueryModule {
           (col("seqs_padded").cast("double") /
             col("seqs_packed").cast("double")).as("packing_gain"))
         .orderBy("max_len")
+    },
+
+    // Vocabulary coverage points — how many distinct tokens (taken most-
+    // frequent-first) cover 50 / 90 / 99% of each source's token mass:
+    // the tokenizer-budget planner's companion to q128's growth curve and
+    // q132's Zipf slope (a steep source needs few types; a flat one pays
+    // OOV or a bigger vocab). Scale shape: one (source, token) count
+    // aggregation; the rank and running mass are windows over those
+    // vocabulary-sized rows; the threshold picks are one more tiny
+    // aggregation. Comparisons run on exact int64 masses (cum * 100 >=
+    // pct * total in integer arithmetic — no float threshold can
+    // half-boundary).
+    "q145_vocab_coverage" -> { (s, dir) =>
+      val wR = Window.partitionBy(col("source"))
+        .orderBy(col("c").desc, col("t").asc)
+      val wCum = Window.partitionBy(col("source"))
+        .orderBy(col("c").desc, col("t").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wS = Window.partitionBy(col("source"))
+      def kAt(pct: Int): Column =
+        min(when(col("cum") * 100 >= lit(pct.toLong) * col("tot"),
+          col("r"))).as(s"k$pct")
+      Tables.t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("t"))
+        .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
+        .select(col("source"),
+          row_number().over(wR).cast("long").as("r"),
+          sum(col("c")).over(wCum).as("cum"),
+          sum(col("c")).over(wS).as("tot"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("vocab"), kAt(50), kAt(90), kAt(99))
+        .orderBy("source")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -1456,5 +1488,26 @@ object CorpusQueries extends QueryModule {
         |  CAST(seqs_padded AS DOUBLE)
         |    / CAST((total_tokens + max_len - 1) // max_len AS DOUBLE)
         |    AS packing_gain
-        |FROM g ORDER BY max_len""".stripMargin)
+        |FROM g ORDER BY max_len""".stripMargin,
+
+    "q145_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS t
+        |  FROM documents),
+        |cs AS (SELECT source, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        |r AS (
+        |  SELECT source,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |                       ORDER BY c DESC, t ASC) AS r,
+        |    CAST(SUM(c) OVER (PARTITION BY source
+        |      ORDER BY c DESC, t ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum,
+        |    CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS tot
+        |  FROM cs)
+        |SELECT source, COUNT(*) AS vocab,
+        |  MIN(CASE WHEN cum * 100 >= 50 * tot THEN r END) AS k50,
+        |  MIN(CASE WHEN cum * 100 >= 90 * tot THEN r END) AS k90,
+        |  MIN(CASE WHEN cum * 100 >= 99 * tot THEN r END) AS k99
+        |FROM r GROUP BY source ORDER BY source""".stripMargin)
 }

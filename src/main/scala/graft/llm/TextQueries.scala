@@ -766,6 +766,30 @@ object TextQueries extends QueryModule {
         .agg(graft.Fns.dsum18(col("summand")).as("h_cond"))
         .select(col("source"), col("n_bigrams"), col("h_cond"))
         .orderBy("source")
+    },
+
+    // Token burstiness (Fano factor): variance-to-mean ratio of a token's
+    // per-document counts, over the documents that contain it (Church &
+    // Gale's burstiness) — content words cluster (b >> 1), function words
+    // spread evenly (b ≈ their mean-adjusted floor); the signal keyword
+    // extractors and stopword inducers split on. All moments are exact
+    // int64 sums of the (token, doc) count table, so the ratio is a chain
+    // of deterministic IEEE ops on identical doubles — no rounding needed
+    // (the davg argument). Scale: one (token, doc) aggregation, one
+    // token-keyed aggregation — vocabulary-sized shuffles only.
+    "q144_burstiness" -> { (s, dir) =>
+      val df = col("df").cast("double")
+      val mean = col("tf").cast("double") / df
+      val fano = (col("s2").cast("double") / df - mean * mean) / mean
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        .groupBy(col("t"), col("doc_id")).agg(count(lit(1)).as("c"))
+        .groupBy(col("t"))
+        .agg(count(lit(1)).as("df"), sum(col("c")).as("tf"),
+          sum(col("c") * col("c")).as("s2"))
+        .filter(col("df") >= 10)
+        .select(col("t"), col("df"), col("tf"), fano.as("burstiness"))
+        .orderBy("t")
     })
 
   /** The q34 exact-Jaccard oracle, hoisted so composite oracles (q71,
@@ -1158,5 +1182,21 @@ object TextQueries extends QueryModule {
          |  FROM w)
          |SELECT source, n_s AS n_bigrams,
          |  ${graft.Fns.dsum18Sql("summand")} AS h_cond
-         |FROM sm GROUP BY source, n_s ORDER BY source""".stripMargin)
+         |FROM sm GROUP BY source, n_s ORDER BY source""".stripMargin,
+
+    "q144_burstiness" ->
+      """WITH tok AS (
+        |  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t
+        |  FROM documents),
+        |td AS (SELECT t, doc_id, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        |st AS (
+        |  SELECT t, COUNT(*) AS df, CAST(SUM(c) AS BIGINT) AS tf,
+        |    CAST(SUM(c * c) AS BIGINT) AS s2
+        |  FROM td GROUP BY 1)
+        |SELECT t, df, tf,
+        |  (CAST(s2 AS DOUBLE) / CAST(df AS DOUBLE)
+        |     - (CAST(tf AS DOUBLE) / CAST(df AS DOUBLE))
+        |       * (CAST(tf AS DOUBLE) / CAST(df AS DOUBLE)))
+        |    / (CAST(tf AS DOUBLE) / CAST(df AS DOUBLE)) AS burstiness
+        |FROM st WHERE df >= 10 ORDER BY t""".stripMargin)
 }
