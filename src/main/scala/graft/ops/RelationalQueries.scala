@@ -556,6 +556,30 @@ object RelationalQueries extends QueryModule {
             (col("n_customers") + 1).cast("double") /
               col("n_customers").cast("double")).as("gini"))
         .orderBy("c_nationkey")
+    },
+
+    // Salted skew join — the manual hot-key mitigation ([[Skew.saltedJoin]]):
+    // the fact side's join key is split across 8 salt buckets by a
+    // deterministic per-row expression and the dim side replicates 8×, so
+    // one hot orderkey's rows land on 8 reducers instead of one straggler.
+    // The oracle is the PLAIN join's aggregate — the salt only routes
+    // rows, it must never change semantics; that row-identity is exactly
+    // what this query's hash check certifies. (AQE's skew split does this
+    // at runtime for SMJ; the manual form also covers hash-partitioned
+    // shuffles and feeds of pre-partitioned stages.)
+    "q146_salted_join" -> { (s, dir) =>
+      val joined = Skew.saltedJoin(
+        Tables.t(s, dir, "lineitem"),
+        Tables.t(s, dir, "orders")
+          .select(col("o_orderkey").as("l_orderkey"),
+            col("o_orderpriority")),
+        "l_orderkey",
+        xxhash64(col("l_orderkey"), col("l_linenumber")),
+        buckets = 8)
+      joined.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          Fns.dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -875,5 +899,13 @@ object RelationalQueries extends QueryModule {
         |  SELECT o_custkey FROM orders)
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-        |ORDER BY custkey""".stripMargin)
+        |ORDER BY custkey""".stripMargin,
+
+    // deliberately the UNSALTED join: the salt must be invisible in the
+    // result, and the hash compare proves it
+    "q146_salted_join" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_items,
+         |  ${Fns.dsumSql("l_extendedprice")} AS sum_price
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -36,4 +36,24 @@ object Skew {
       .agg(
         sum(col("__psum")).cast(DoubleType).as("sum_value"),
         sum(col("__pcnt")).as("n_rows"))
+
+  /** Salted equi-join for skewed keys: the fact side's hot key is split
+    * across `buckets` sub-keys by a deterministic per-row salt, and the
+    * dim side is replicated once per salt value, so one hot key's rows
+    * spread over `buckets` reducers instead of one straggler. The result
+    * is row-identical to the plain join for ANY salt assignment — the
+    * salt only routes rows. (AQE's skew-join split does this at runtime
+    * for sort-merge joins; the manual form also covers hash-partitioned
+    * shuffles and pre-AQE plans, and makes the technique testable against
+    * the unsalted oracle.) Cost: dim side ships `buckets`× — use for a
+    * skewed FACT against a small-but-not-broadcastable dim.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 factSalt: Column, buckets: Int): DataFrame = {
+    val salted = fact.withColumn("__salt",
+      pmod(factSalt, lit(buckets)).cast("int"))
+    val replicated = dim.withColumn("__salt",
+      explode(array((0 until buckets).map(lit): _*)))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
 }
