@@ -23,6 +23,12 @@ object Tables {
     // Whole-µs fixture values make this lossless, and flooring agrees with
     // how µs-precision engines compare against whole-second literals.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // A µs-precision fixture written without the UTC-adjusted annotation
+    // (pyarrow timestamp[us]) would otherwise surface as TIMESTAMP_NTZ,
+    // which unix_micros/window-range arithmetic reject. The session runs
+    // in UTC, so reading it as an instant preserves every face value and
+    // matches the oracle's naive-timestamp comparisons.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
