@@ -917,6 +917,70 @@ object CorpusQueries extends QueryModule {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("vocab"), kAt(50), kAt(90), kAt(99))
         .orderBy("source")
+    },
+
+    // Pairwise source KL divergence — the mixture-design statistic behind
+    // domain weighting (DoReMi-style reweighting, dedup-by-distribution
+    // sanity checks): KL(P||Q) between every ordered pair of source
+    // unigram distributions, add-one smoothed over the GLOBAL vocab so
+    // tokens absent from one source keep the sum finite. Scale shape:
+    // the only corpus-sized pass is the (source, token) count
+    // aggregation; the smoothed matrix is vocab x #sources rows (totals
+    // and the vocab size ride as broadcast #sources-row/one-row frames), and
+    // the pair join blows up to vocab x sources^2 — vocab-bounded, never
+    // corpus-bounded. Counts are exact longs, so the smoothed p's are
+    // identical doubles in both engines; summands reduce through the
+    // order-independent exact-decimal sum.
+    "q149_source_kl" -> { (s, dir) =>
+      val tokc = Tables.t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+      val totals = tokc.groupBy(col("source")).agg(sum(col("c")).as("n_tok"))
+      val vocabN = tokc.select(col("token")).distinct()
+        .agg(count(lit(1)).as("v"))
+      val m = tokc.select(col("token")).distinct()
+        .crossJoin(broadcast(totals)).crossJoin(broadcast(vocabN))
+        .join(tokc, Seq("source", "token"), "left")
+        .select(col("source"), col("token"),
+          ((coalesce(col("c"), lit(0L)) + 1).cast("double") /
+            (col("n_tok") + col("v")).cast("double")).as("p"))
+      val a = m.select(col("source").as("p_source"), col("token"),
+        col("p").as("pa"))
+      val b = m.select(col("source").as("q_source"), col("token"),
+        col("p").as("pb"))
+      a.join(b, Seq("token")).filter(col("p_source") =!= col("q_source"))
+        .select(col("p_source"), col("q_source"),
+          (col("pa") * log(col("pa") / col("pb"))).as("summand"))
+        .groupBy(col("p_source"), col("q_source"))
+        .agg(graft.Fns.dsum18(col("summand")).as("kl_raw"))
+        .select(col("p_source"), col("q_source"),
+          (round(col("kl_raw"), 6) + lit(0.0)).as("kl"))
+        .orderBy("p_source", "q_source")
+    },
+
+    // Deterministic shard routing + balance audit — the final step that
+    // writes training shards: every doc routes to md5(doc_id) mod 16
+    // (key-tied like every sampler here: resharding the INPUT never moves
+    // a doc between OUTPUT shards, so shard k is reproducible in
+    // isolation), and the audit reports per-shard doc/token mass and
+    // share — the skew check before 16 writers each pull one shard. Scale
+    // shape: routing is scan-local arithmetic; the audit is one
+    // #shards-key aggregation and a window over 16 rows. At 100 TB the
+    // same expression IS the repartition key (`repartition(16,
+    // col("shard"))`), giving hash-partitioned writer tasks with no
+    // second shuffle.
+    "q154_shard_assignment" -> { (s, dir) =>
+      val h = conv(substring(md5(col("doc_id").cast("string")
+        .cast("binary")), 1, 4), 16, 10).cast("long")
+      Tables.t(s, dir, "documents")
+        .select((h % 16).as("shard"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .withColumn("token_share",
+          col("n_tokens").cast("double") /
+            sum(col("n_tokens")).over(Window.partitionBy()).cast("double"))
+        .orderBy("shard")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -1509,5 +1573,43 @@ object CorpusQueries extends QueryModule {
         |  MIN(CASE WHEN cum * 100 >= 50 * tot THEN r END) AS k50,
         |  MIN(CASE WHEN cum * 100 >= 90 * tot THEN r END) AS k90,
         |  MIN(CASE WHEN cum * 100 >= 99 * tot THEN r END) AS k99
-        |FROM r GROUP BY source ORDER BY source""".stripMargin)
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    // exact-long counts -> identical smoothed doubles; exact-decimal
+    // reduction of the summands (q149's Scaladoc argument)
+    "q149_source_kl" ->
+      s"""WITH tc AS (
+         |  SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS token
+         |  FROM documents),
+         |c AS (SELECT source, token, COUNT(*) AS c FROM tc GROUP BY 1, 2),
+         |tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tok
+         |        FROM c GROUP BY 1),
+         |vn AS (SELECT COUNT(DISTINCT token) AS v FROM c),
+         |vocab AS (SELECT DISTINCT token FROM c),
+         |m AS (
+         |  SELECT t.source, vocab.token,
+         |    CAST(COALESCE(c.c, 0) + 1 AS DOUBLE) /
+         |      CAST(t.n_tok + vn.v AS DOUBLE) AS p
+         |  FROM vocab CROSS JOIN tot t CROSS JOIN vn
+         |  LEFT JOIN c ON c.source = t.source AND c.token = vocab.token)
+         |SELECT a.source AS p_source, b.source AS q_source,
+         |  ROUND(${graft.Fns.dsum18Sql("a.p * LN(a.p / b.p)")}, 6) + 0.0
+         |    AS kl
+         |FROM m a JOIN m b ON a.token = b.token AND a.source <> b.source
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q154_shard_assignment" ->
+      """WITH d AS (
+        |  SELECT CAST(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |      AS BIGINT) % 16 AS shard,
+        |    CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |g AS (
+        |  SELECT shard, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        |  FROM d GROUP BY 1)
+        |SELECT shard, n_docs, n_tokens,
+        |  CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE)
+        |    AS token_share
+        |FROM g ORDER BY shard""".stripMargin)
 }

@@ -324,6 +324,59 @@ object DedupQueries extends QueryModule {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** Directed containment pairs within each source block: every ordered
+    * (a, b), a != b, with |A n B| / |A| >= threshold. `docs` needs
+    * (doc_id, source, tok) with tok an ascending-sorted distinct hash
+    * array (the shared total order the prefix/positional prunes need).
+    *
+    * Exactness of the prunes (no true pair dropped): an overlap of
+    * m = ceil(t*|A|) tokens cannot fit entirely in A's last m-1
+    * positions, so some common token sits within A's first
+    * |A| - m + 1 positions — that token's posting survives the A-prefix
+    * cut (B posts every token, so the B side never drops it). At that
+    * match position the remaining-overlap bound
+    * 1 + min(|A|-pA, |B|-pB) >= m holds for a true pair (overlap beyond
+    * this point is capped by what is left of either array), and
+    * |B| >= m because the intersection fits inside B. Every candidate
+    * is then verified exactly — the prunes only bound the candidate
+    * volume, never the answer.
+    */
+  def containmentPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    def prefixLen(n: Column) =
+      n - ceil(lit(threshold) * n - lit(1e-9)).cast("long") + lit(1L)
+    val need = ceil(lit(threshold) * col("a_n") - lit(1e-9)).cast("long")
+    val aPost = docs.select(col("source"), col("doc_id").as("a_id"),
+        size(col("tok")).cast("long").as("a_n"),
+        posexplode(slice(col("tok"), lit(1),
+          prefixLen(size(col("tok")).cast("long")).cast("int")))
+          .as(Seq("p0", "h")))
+      .select(col("source"), col("h"), col("a_id"), col("a_n"),
+        (col("p0") + 1).cast("long").as("a_p"))
+    val bPost = docs.select(col("source"), col("doc_id").as("b_id"),
+        size(col("tok")).cast("long").as("b_n"),
+        posexplode(col("tok")).as(Seq("p0", "h")))
+      .select(col("source"), col("h"), col("b_id"), col("b_n"),
+        (col("p0") + 1).cast("long").as("b_p"))
+    val cand = aPost.join(bPost, Seq("source", "h"))
+      .filter(col("a_id") =!= col("b_id") &&
+        col("b_n") >= need &&
+        lit(1) + least(col("a_n") - col("a_p"), col("b_n") - col("b_p"))
+          >= need)
+      .select(col("source"), col("a_id"), col("b_id")).distinct()
+    cand
+      .join(docs.select(col("source"), col("doc_id").as("a_id"),
+        col("tok").as("a_tok")), Seq("source", "a_id"))
+      .join(docs.select(col("source"), col("doc_id").as("b_id"),
+        col("tok").as("b_tok")), Seq("source", "b_id"))
+      .withColumn("n_common",
+        graft.functions.SortedIntersectCount.sortedIntersectCount(
+          col("a_tok"), col("b_tok")))
+      .withColumn("containment",
+        col("n_common").cast("double") / size(col("a_tok")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("source"), col("a_id"), col("b_id"), col("containment"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // MinHash-LSH near-dup pairs (no oracle — hash-dependent candidates;
     // ScalaTest asserts recall vs q34's exact pairs).
@@ -448,6 +501,92 @@ object DedupQueries extends QueryModule {
           count(lit(1)).as("n_pairs"),
           graft.Fns.davg(round(col("jaccard"), 4)).as("mean_jaccard"))
         .orderBy("source")
+    },
+
+    // Directed containment pairs — the near-dup relation symmetric
+    // Jaccard MISSES: a short doc quoted wholesale inside a longer one
+    // (C(A->B) = |A n B| / |A| >= 0.8) scores low Jaccard when |B| >>
+    // |A|, yet is exactly the subset-duplicate a curation pass must
+    // catch (quote farms, wrapper pages, partial mirrors). Prefix filter
+    // for containment: only A needs a prefix (|A| - ceil(t|A|) + 1
+    // hash-sorted tokens — pigeonhole: an overlap of ceil(t|A|) tokens
+    // must touch it), the index side posts ALL tokens (containment puts
+    // no lower bound on B's share of B). Size bound |B| >= ceil(t|A|)
+    // and the positional remaining-overlap bound both apply as
+    // predicates before the verify join — the q34 discipline, one
+    // candidate distinct, exact sorted-intersect verify.
+    "q148_containment_pairs" -> { (s, dir) =>
+      val d = Tables.t(s, dir, "documents").select(
+        col("doc_id"), col("source"),
+        array_sort(array_distinct(transform(split(col("text"), " "),
+          (t: Column) => xxhash64(t)))).as("tok"))
+      containmentPairs(d, 0.8)
+        .select(col("source"), col("a_id"), col("b_id"),
+          round(col("containment"), 4).as("containment"))
+        .orderBy("source", "a_id", "b_id")
+    },
+
+    // Per-source near-dup rate — the curation dashboard's first column:
+    // what fraction of each source participates in at least one exact-
+    // Jaccard pair (q34 semantics). A source with a high rate is crawl-
+    // duplicated (mirrors, re-crawls) and its effective token yield after
+    // dedup is proportionally lower — this and q156's threshold sweep are
+    // how a mixture planner discounts a source BEFORE running the full
+    // clustering. Scale shape: the pair plan IS q34's (every PPJoin bound
+    // intact); touched-doc extraction is one explode + distinct on the
+    // pair-sized edge list, and the report is #sources rows.
+    "q153_source_dup_rate" -> { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+      val d = docs.select(col("doc_id"), col("source"),
+        array_sort(array_distinct(transform(split(col("text"), " "),
+          (t: Column) => xxhash64(t)))).as("tok"))
+      val pairs =
+        TextQueries.prefixJaccardPairs(d, 0.6, presentationSort = false)
+      val dup = pairs
+        .select(col("source"),
+          explode(array(col("a_id"), col("b_id"))).as("doc_id"))
+        .distinct()
+        .groupBy(col("source")).agg(count(lit(1)).as("n_dup_docs"))
+      docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .join(dup, Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"),
+          (coalesce(col("n_dup_docs"), lit(0L)).cast("double") /
+            col("n_docs").cast("double")).as("dup_rate"))
+        .orderBy("source")
+    },
+
+    // Dedup yield curve — the threshold-sensitivity sweep run BEFORE
+    // committing to a dedup threshold: for each candidate threshold, how
+    // many pairs survive and how many docs would the cheap keep-min-id
+    // rule drop (a doc is dropped iff some SMALLER doc_id near-dups it —
+    // the standard greedy rule; transitive chains make it an upper bound
+    // on CC-canonical removal). One pair plan evaluated at the LOOSEST
+    // threshold serves every tighter one: the sweep is a 4-way explode
+    // over the pair-sized edge list, never a re-run of candidate
+    // generation. Thresholds compare against the 4-rounded jaccard both
+    // engines compute bit-identically (q34 precedent), so no boundary
+    // can disagree.
+    "q156_dedup_yield_curve" -> { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+      val d = docs.select(col("doc_id"), col("source"),
+        array_sort(array_distinct(transform(split(col("text"), " "),
+          (t: Column) => xxhash64(t)))).as("tok"))
+      val pairs =
+        TextQueries.prefixJaccardPairs(d, 0.6, presentationSort = false)
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      pairs
+        .withColumn("threshold", explode(array(
+          lit(0.6), lit(0.7), lit(0.8), lit(0.9))))
+        .filter(col("jaccard") >= col("threshold"))
+        .groupBy(col("threshold"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("b_id")).as("n_docs_dropped"))
+        .crossJoin(broadcast(nDocs))
+        .select(col("threshold"), col("n_pairs"), col("n_docs_dropped"),
+          (lit(1.0) - col("n_docs_dropped").cast("double") /
+            col("n_docs").cast("double")).as("yield_frac"))
+        .orderBy("threshold")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -533,5 +672,62 @@ object DedupQueries extends QueryModule {
          |SELECT source, COUNT(DISTINCT a_id) AS n_probe_docs,
          |  COUNT(*) AS n_pairs,
          |  ${graft.Fns.davgSql("ROUND(jacc, 4)")} AS mean_jaccard
-         |FROM p GROUP BY source ORDER BY source""".stripMargin)
+         |FROM p GROUP BY source ORDER BY source""".stripMargin,
+
+    // the naive all-common-token count states the semantics the prefix /
+    // positional / size prunes only accelerate
+    "q148_containment_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    LIST_DISTINCT(STRING_SPLIT(text, ' ')) AS tok
+        |  FROM documents),
+        |t AS (
+        |  SELECT source, doc_id, CAST(LEN(tok) AS BIGINT) AS ntok,
+        |    UNNEST(tok) AS token
+        |  FROM d),
+        |c AS (
+        |  SELECT a.source, a.doc_id AS a_id, a.ntok AS a_n,
+        |    b.doc_id AS b_id, COUNT(*) AS n_common
+        |  FROM t a JOIN t b
+        |    ON a.source = b.source AND a.token = b.token
+        |   AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT source, a_id, b_id,
+        |  ROUND(CAST(n_common AS DOUBLE) / CAST(a_n AS DOUBLE), 4)
+        |    AS containment
+        |FROM c
+        |WHERE CAST(n_common AS DOUBLE) / CAST(a_n AS DOUBLE) >= 0.8
+        |ORDER BY source, a_id, b_id""".stripMargin,
+
+    "q153_source_dup_rate" ->
+      s"""WITH pairs AS (
+         |${TextQueries.oracles("q34_jaccard_pairs")}),
+         |d AS (SELECT source, UNNEST([a_id, b_id]) AS doc_id FROM pairs),
+         |du AS (SELECT DISTINCT source, doc_id FROM d),
+         |dc AS (SELECT source, COUNT(*) AS n_dup_docs FROM du GROUP BY 1),
+         |t AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1)
+         |SELECT t.source, t.n_docs,
+         |  CAST(COALESCE(dc.n_dup_docs, 0) AS BIGINT) AS n_dup_docs,
+         |  CAST(COALESCE(dc.n_dup_docs, 0) AS DOUBLE)
+         |    / CAST(t.n_docs AS DOUBLE) AS dup_rate
+         |FROM t LEFT JOIN dc ON dc.source = t.source
+         |ORDER BY t.source""".stripMargin,
+
+    "q156_dedup_yield_curve" ->
+      s"""WITH pairs AS (
+         |${TextQueries.oracles("q34_jaccard_pairs")}),
+         |sw AS (
+         |  SELECT CAST(tt.threshold AS DOUBLE) AS threshold,
+         |    p.jaccard, p.b_id
+         |  FROM pairs p
+         |  CROSS JOIN (VALUES (0.6), (0.7), (0.8), (0.9)) AS tt(threshold)
+         |  WHERE p.jaccard >= CAST(tt.threshold AS DOUBLE)),
+         |g AS (
+         |  SELECT threshold, COUNT(*) AS n_pairs,
+         |    COUNT(DISTINCT b_id) AS n_docs_dropped
+         |  FROM sw GROUP BY 1)
+         |SELECT threshold, n_pairs, n_docs_dropped,
+         |  1.0 - CAST(n_docs_dropped AS DOUBLE)
+         |    / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS yield_frac
+         |FROM g ORDER BY threshold""".stripMargin)
 }

@@ -41,6 +41,38 @@ object SimilarityQueries extends QueryModule {
   def cosine(a: Column, b: Column): Column =
     graft.functions.CosineSimilarity.cosineSim(a, b)
 
+  /** Mutual-kNN edge list — the undirected graph corpus-curation starts
+    * from (mutual-neighbor clustering, kNN-graph community detection,
+    * SemDeDup's neighborhood variant): an edge (a, b) exists iff b is in
+    * a's top-k cosine neighbors AND a is in b's — mutuality kills the
+    * hub-vector edges a one-sided kNN graph drowns in. Blocked by the IVF
+    * cell key (label — q70's coarse cells at 100 TB): the quadratic
+    * scoring term is confined to one cell, the kNN rank is a per-vector
+    * window over cell-local rows, and the mutuality check is a self-join
+    * of the n*k edge LIST — corpus-linear, never pair-quadratic. Returns
+    * one row per undirected edge (a_id < b_id) with the unrounded cosine
+    * (the fused CosineSimilarity expression accumulates in DuckDB
+    * LIST_COSINE_SIMILARITY's order, so both engines rank identically).
+    */
+  def mutualKnnEdges(embeddings: DataFrame, k: Int): DataFrame = {
+    val e = embeddings
+      .select(col("label"), col("vec_id"), asDouble(col("embedding")).as("v"))
+    val a = e.select(col("label"), col("vec_id").as("a_id"), col("v").as("av"))
+    val b = e.select(col("label"), col("vec_id").as("b_id"), col("v").as("bv"))
+    val w = Window.partitionBy(col("label"), col("a_id"))
+      .orderBy(col("cos").desc, col("b_id").asc)
+    val knn = a.join(b, Seq("label")).filter(col("a_id") =!= col("b_id"))
+      .withColumn("cos", cosine(col("av"), col("bv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("label"), col("a_id"), col("b_id"), col("cos"))
+    val rev = knn.select(col("label"), col("a_id").as("b_id"),
+      col("b_id").as("a_id"))
+    knn.join(rev, Seq("label", "a_id", "b_id"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("label"), col("a_id"), col("b_id"), col("cos"))
+  }
+
   /** Brute-force top-k cosine neighbors for each query vector. The query
     * side is tiny -> broadcast; ranking via per-query row_number (planner:
     * one shuffle on query_id, per-partition top-k heaps under AQE).
@@ -525,22 +557,7 @@ object SimilarityQueries extends QueryModule {
     // CosineSimilarity expression accumulates in LIST_COSINE_SIMILARITY's
     // order, so both engines rank identically (the q38 precedent).
     "q129_mutual_knn" -> { (s, dir) =>
-      val k = 5
-      val e = Tables.t(s, dir, "embeddings")
-        .select(col("label"), col("vec_id"), asDouble(col("embedding")).as("v"))
-      val a = e.select(col("label"), col("vec_id").as("a_id"), col("v").as("av"))
-      val b = e.select(col("label"), col("vec_id").as("b_id"), col("v").as("bv"))
-      val w = Window.partitionBy(col("label"), col("a_id"))
-        .orderBy(col("cos").desc, col("b_id").asc)
-      val knn = a.join(b, Seq("label")).filter(col("a_id") =!= col("b_id"))
-        .withColumn("cos", cosine(col("av"), col("bv")))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= k)
-        .select(col("label"), col("a_id"), col("b_id"), col("cos"))
-      val rev = knn.select(col("label"), col("a_id").as("b_id"),
-        col("b_id").as("a_id"))
-      knn.join(rev, Seq("label", "a_id", "b_id"))
-        .filter(col("a_id") < col("b_id"))
+      mutualKnnEdges(Tables.t(s, dir, "embeddings"), 5)
         .select(col("label"), col("a_id"), col("b_id"),
           round(col("cos"), 4).as("cosine"))
         .orderBy("label", "a_id", "b_id")
@@ -620,6 +637,44 @@ object SimilarityQueries extends QueryModule {
           dot(zip_with(col("v"), meanLit,
             (x: Column, m: Column) => x - m), pcLit), 4))
         .select(col("vec_id"), col("label"), col("pc1"))
+        .orderBy("vec_id")
+    },
+
+    // Per-dimension standardization (whitening-lite) + Mahalanobis-style
+    // norm outliers — the embedding-QA gate before any cosine-threshold
+    // op: a dimension with runaway variance dominates every dot product,
+    // and a vector whose z-score norm is far above sqrt(d) is a corrupt /
+    // out-of-distribution row to quarantine. Scale shape: the per-dim
+    // moment pass is q136's argument (N*d rows into a d-key aggregation,
+    // exact-decimal sums so both engines derive identical mean/std); the
+    // d stats rows pack into one broadcast row of parallel arrays, and
+    // the z-transform + norm is a scan-local zip_with + fused dot product
+    // (FuseDotProduct) — sequential left-to-right accumulation, matching
+    // DuckDB's list_dot_product loop order bit-for-bit (the q38 ordered-
+    // accumulation precedent). Nothing corpus-sized shuffles twice.
+    "q152_embed_standardize" -> { (s, dir) =>
+      val e = Tables.t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      val nd = col("n").cast("double")
+      val stats = e.select(posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("i"))
+        .agg(count(lit(1)).as("n"), graft.Fns.dsum18(col("x")).as("sx"),
+          graft.Fns.dsum18(col("x") * col("x")).as("sxx"))
+        .select(col("i"), (col("sx") / nd).as("mean"),
+          sqrt(col("sxx") / nd - (col("sx") / nd) * (col("sx") / nd))
+            .as("std"))
+      val packed = stats
+        .agg(array_sort(collect_list(struct(col("i"), col("mean"),
+          col("std")))).as("ms"))
+        .select(expr("transform(ms, s -> s.mean)").as("means"),
+          expr("transform(ms, s -> s.std)").as("stds"))
+      e.crossJoin(broadcast(packed))
+        .withColumn("z", zip_with(
+          zip_with(col("v"), col("means"), (x: Column, m: Column) => x - m),
+          col("stds"), (u: Column, sd: Column) => u / sd))
+        .withColumn("znorm", round(sqrt(dot(col("z"), col("z"))), 4))
+        .select(col("vec_id"), col("label"), col("znorm"),
+          (col("znorm") > lit(10.0)).as("is_outlier"))
         .orderBy("vec_id")
     })
 
@@ -973,5 +1028,39 @@ object SimilarityQueries extends QueryModule {
          |  FROM e JOIN carr USING (label))
          |SELECT label, COUNT(*) AS n, ${graft.Fns.davgSql("rc")} AS mean_cos,
          |  MIN(rc) AS min_cos
-         |FROM s GROUP BY label ORDER BY label""".stripMargin)
+         |FROM s GROUP BY label ORDER BY label""".stripMargin,
+
+    // per-dim moments via the exact-decimal sums (identical doubles in
+    // both engines), z-vector assembled in dim order, and the norm via
+    // LIST_DOT_PRODUCT — same sequential accumulation as the fused Spark
+    // expression
+    "q152_embed_standardize" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |x AS (
+         |  SELECT CAST(UNNEST(v) AS DOUBLE) AS x,
+         |    GENERATE_SUBSCRIPTS(v, 1) AS i
+         |  FROM e),
+         |st AS (
+         |  SELECT i, COUNT(*) AS n,
+         |    ${graft.Fns.dsum18Sql("x")} AS sx,
+         |    ${graft.Fns.dsum18Sql("x * x")} AS sxx
+         |  FROM x GROUP BY i),
+         |sm AS (
+         |  SELECT i, sx / CAST(n AS DOUBLE) AS mean,
+         |    SQRT(sxx / CAST(n AS DOUBLE)
+         |      - (sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE))) AS std
+         |  FROM st),
+         |z AS (
+         |  SELECT e.vec_id, e.label,
+         |    LIST((e.v[sm.i] - sm.mean) / sm.std ORDER BY sm.i) AS zv
+         |  FROM e CROSS JOIN sm
+         |  GROUP BY e.vec_id, e.label),
+         |n AS (
+         |  SELECT vec_id, label,
+         |    ROUND(SQRT(LIST_DOT_PRODUCT(zv, zv)), 4) AS znorm
+         |  FROM z)
+         |SELECT vec_id, label, znorm, znorm > 10.0 AS is_outlier
+         |FROM n ORDER BY vec_id""".stripMargin)
 }

@@ -790,6 +790,38 @@ object TextQueries extends QueryModule {
         .filter(col("df") >= 10)
         .select(col("t"), col("df"), col("tf"), fano.as("burstiness"))
         .orderBy("t")
+    },
+
+    // Cross-source score calibration — the step between per-doc quality
+    // scoring (q33) and a single global admission threshold: raw scores
+    // are not comparable across sources (a boilerplate-heavy source's
+    // median sits far below a clean one's), so each doc gets its
+    // PERCENT_RANK within its source — the calibrated [0,1] coordinate a
+    // corpus-wide "keep top X%" policy actually cuts on (per-slice
+    // quantile normalization, the CCNet/FineWeb bucketing trick). Scale
+    // shape: quality is scan-local (q33's expressions); the only shuffle
+    // is the per-source rank window — source cardinality bounds the
+    // partition count and AQE splits a skewed source's sort. percent_rank
+    // is (rank-1)/(n-1) off bit-identical quality doubles (q33 is oracle-
+    // green), so ranks agree exactly; the division of exact longs is one
+    // IEEE op.
+    "q150_score_calibrate" -> { (s, dir) =>
+      val tok = split(col("text"), " ")
+      val nTok = size(tok).cast("double")
+      val nStop = size(filter(tok, (t: Column) =>
+        t.isInCollection(Stopwords))).cast("double")
+      val nDist = size(array_distinct(tok)).cast("double")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("quality"), col("doc_id"))
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          (nDist / nTok * lit(0.5) + (lit(1.0) - nStop / nTok) * lit(0.5))
+            .as("quality"))
+        .withColumn("calibrated", percent_rank().over(w))
+        .select(col("doc_id"), col("source"), col("quality"),
+          col("calibrated"))
+        .orderBy("doc_id")
     })
 
   /** The q34 exact-Jaccard oracle, hoisted so composite oracles (q71,
@@ -1198,5 +1230,23 @@ object TextQueries extends QueryModule {
         |     - (CAST(tf AS DOUBLE) / CAST(df AS DOUBLE))
         |       * (CAST(tf AS DOUBLE) / CAST(df AS DOUBLE)))
         |    / (CAST(tf AS DOUBLE) / CAST(df AS DOUBLE)) AS burstiness
-        |FROM st WHERE df >= 10 ORDER BY t""".stripMargin)
+        |FROM st WHERE df >= 10 ORDER BY t""".stripMargin,
+
+    // q33's quality expression, percent-ranked within source (doc_id
+    // tiebreak makes every rank distinct -> engine-independent)
+    "q150_score_calibrate" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, STRING_SPLIT(text, ' ') AS tok
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, source,
+        |    CAST(LEN(LIST_DISTINCT(tok)) AS DOUBLE) / LEN(tok) * 0.5
+        |      + (1.0 - CAST(LEN(LIST_FILTER(tok,
+        |          t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+        |          / LEN(tok)) * 0.5 AS quality
+        |  FROM d)
+        |SELECT doc_id, source, quality,
+        |  PERCENT_RANK() OVER (PARTITION BY source
+        |                       ORDER BY quality, doc_id) AS calibrated
+        |FROM q ORDER BY doc_id""".stripMargin)
 }

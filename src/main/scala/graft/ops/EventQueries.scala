@@ -339,6 +339,57 @@ object EventQueries extends QueryModule {
         .agg(count(lit(1)).as("n_bins"),
           graft.Fns.dsum18(col("summand")).as("psi"))
         .orderBy("event_type")
+    },
+
+    // Debounce / throttle dedup — the telemetry-cleaning pass before any
+    // event analytics: an event arriving under 5 s after the PREVIOUS
+    // event of the same (user, type) is a bounce/retry artifact, not a
+    // signal (closed-form lag rule, deliberately not the keep-dependent
+    // iterative variant — that needs per-key sequential state, the
+    // streaming mapGroupsWithState twin's job). Scale shape: one lag
+    // window partitioned by (user_id, event_type) — per-key state is one
+    // row, key cardinality spreads across the cluster — then a
+    // #types-sized aggregation. The tie-break (ts, event_id) makes lag
+    // deterministic under equal timestamps.
+    "q151_event_throttle" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.t(s, dir, "events")
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("kept", col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") >= lit(5000000L))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+        .select(col("event_type"), col("n_events"), col("n_kept"),
+          (col("n_kept").cast("double") / col("n_events").cast("double"))
+            .as("keep_ratio"))
+        .orderBy("event_type")
+    },
+
+    // Inter-arrival distribution — the cadence fingerprint behind
+    // bot/burst detection and the empirical basis for q151's throttle
+    // window: per event type, median and p95 of the gap between
+    // consecutive same-(user, type) events. Scale shape: the same
+    // (user_id, event_type) lag window as q151 (per-key state is one
+    // row), then one exact percentile aggregation per type — the q56
+    // cross-engine pattern (Spark `percentile` and DuckDB QUANTILE_CONT
+    // share linear interpolation; gaps are exact-long micros over one
+    // IEEE division, so both engines sort identical doubles).
+    "q155_interarrival_stats" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.t(s, dir, "events")
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .filter(col("prev_us").isNotNull)
+        .withColumn("gap_s",
+          (unix_micros(col("ts")) - col("prev_us")).cast("double") /
+            lit(1000000.0))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_gaps"),
+          round(expr("percentile(gap_s, 0.5)"), 4).as("median_gap_s"),
+          round(expr("percentile(gap_s, 0.95)"), 4).as("p95_gap_s"))
+        .orderBy("event_type")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -563,5 +614,37 @@ object EventQueries extends QueryModule {
          |  FROM w)
          |SELECT event_type, COUNT(*) AS n_bins,
          |  ${graft.Fns.dsum18Sql("summand")} AS psi
-         |FROM sm GROUP BY event_type ORDER BY event_type""".stripMargin)
+         |FROM sm GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q151_event_throttle" ->
+      """WITH l AS (
+        |  SELECT event_type, ts,
+        |    LAG(ts) OVER (PARTITION BY user_id, event_type
+        |                  ORDER BY ts, event_id) AS prev_ts
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CASE WHEN prev_ts IS NULL
+        |         OR ts - prev_ts >= INTERVAL 5 SECOND
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN prev_ts IS NULL
+        |         OR ts - prev_ts >= INTERVAL 5 SECOND
+        |       THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS keep_ratio
+        |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q155_interarrival_stats" ->
+      """WITH l AS (
+        |  SELECT event_type,
+        |    EPOCH_US(ts) AS us,
+        |    LAG(EPOCH_US(ts)) OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type,
+        |    CAST(us - prev_us AS DOUBLE) / 1000000.0 AS gap_s
+        |  FROM l WHERE prev_us IS NOT NULL)
+        |SELECT event_type, COUNT(*) AS n_gaps,
+        |  ROUND(QUANTILE_CONT(gap_s, 0.5), 4) AS median_gap_s,
+        |  ROUND(QUANTILE_CONT(gap_s, 0.95), 4) AS p95_gap_s
+        |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin)
 }

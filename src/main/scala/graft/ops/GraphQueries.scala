@@ -114,6 +114,39 @@ object GraphQueries extends QueryModule {
           struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
       pagerank(edges, 2).orderBy("node")
+    },
+
+    // Per-node triangle participation on the mutual-kNN graph (q129's
+    // edge set) — the local clustering signal graph-based curation uses
+    // to separate tight semantic clusters (high triangle count = dense
+    // near-dup neighborhoods worth one survivor) from bridge nodes.
+    // Plan: edges arrive oriented (a_id < b_id), so each triangle
+    // a<b<c is found exactly once by composing (a,b)+(b,c) wedges and
+    // closing with an (a,c) edge — the standard oriented-triangle join
+    // that never double-counts and bounds wedge fan-out by the forward
+    // degree. Scale shape: mutual-kNN degree is <= k by construction, so
+    // the edge list is n*k-sized, wedges are n*k^2-bounded (corpus-
+    // LINEAR, never pair-quadratic), and all three joins carry the label
+    // block key. The edge list materializes once (localCheckpoint) —
+    // three self-join branches would otherwise re-run the kNN window
+    // per branch (Spark plans have no subtree sharing).
+    "q147_triangle_count" -> { (s, dir) =>
+      val edges = graft.llm.SimilarityQueries
+        .mutualKnnEdges(Tables.t(s, dir, "embeddings"), 5)
+        .select(col("label"), col("a_id"), col("b_id"))
+        .localCheckpoint()
+      val e1 = edges.select(col("label"), col("a_id").as("a"),
+        col("b_id").as("b"))
+      val e2 = edges.select(col("label"), col("a_id").as("b"),
+        col("b_id").as("c"))
+      val e3 = edges.select(col("label"), col("a_id").as("a"),
+        col("b_id").as("c"))
+      e1.join(e2, Seq("label", "b")).join(e3, Seq("label", "a", "c"))
+        .select(col("label"),
+          explode(array(col("a"), col("b"), col("c"))).as("vec_id"))
+        .groupBy(col("label"), col("vec_id"))
+        .agg(count(lit(1)).as("n_triangles"))
+        .orderBy("label", "vec_id")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -146,5 +179,36 @@ object GraphQueries extends QueryModule {
          |  FROM e JOIN r1 ON r1.node = e.src
          |    JOIN deg ON deg.src = e.src CROSS JOIN n
          |  GROUP BY e.dst)
-         |SELECT node, pr FROM r2 ORDER BY node""".stripMargin)
+         |SELECT node, pr FROM r2 ORDER BY node""".stripMargin,
+
+    // q129's mutual-kNN CTE chain, then the same oriented-triangle join
+    "q147_triangle_count" ->
+      """WITH e AS (
+        |  SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
+        |    LIST_COSINE_SIMILARITY(a.v, b.v) AS cos
+        |  FROM e a JOIN e b
+        |    ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |r AS (
+        |  SELECT label, a_id, b_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY a_id
+        |                       ORDER BY cos DESC, b_id ASC) AS rnk
+        |  FROM s),
+        |knn AS (SELECT label, a_id, b_id FROM r WHERE rnk <= 5),
+        |mu AS (
+        |  SELECT k.label, k.a_id, k.b_id
+        |  FROM knn k JOIN knn m
+        |    ON k.label = m.label AND k.a_id = m.b_id AND k.b_id = m.a_id
+        |  WHERE k.a_id < k.b_id),
+        |tri AS (
+        |  SELECT e1.label, e1.a_id AS a, e1.b_id AS b, e2.b_id AS c
+        |  FROM mu e1
+        |  JOIN mu e2 ON e1.label = e2.label AND e2.a_id = e1.b_id
+        |  JOIN mu e3 ON e3.label = e1.label AND e3.a_id = e1.a_id
+        |    AND e3.b_id = e2.b_id),
+        |n AS (SELECT label, UNNEST([a, b, c]) AS vec_id FROM tri)
+        |SELECT label, vec_id, COUNT(*) AS n_triangles
+        |FROM n GROUP BY 1, 2 ORDER BY label, vec_id""".stripMargin)
 }

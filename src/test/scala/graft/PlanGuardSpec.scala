@@ -32,7 +32,10 @@ class PlanGuardSpec extends AnyFunSuite {
       "q127_curriculum", // 1-row decile-cuts array crossed into the scan
       "q131_weighted_jaccard", // 1-row corpus count crossed into the vocab
       "q141_doc_keywords", // q51's shape: 1-row corpus count × tf rows
-      "q143_psi_drift") // 1-row time-range min/max crossed into the scan
+      "q143_psi_drift", // 1-row time-range min/max crossed into the scan
+      "q149_source_kl", // #sources-row totals + 1-row vocab size × vocab
+      "q152_embed_standardize", // 1-row parallel-array stats × the scan
+      "q156_dedup_yield_curve") // 1-row doc count × #thresholds-row sweep
 
   /** Shuffle ceilings for the most expensive plans (round-2 plan audit
     * values + 0 slack): these are the queries where one extra Exchange is
@@ -57,10 +60,18 @@ class PlanGuardSpec extends AnyFunSuite {
     "q115_importance_sample" -> 1, // quality + hash accept are scan-local + sort
     "q116_eval_overlap" -> 3, // eval-set distinct (broadcast build) + doc agg + sort
     "q118_correlated_sub" -> 4, // decorrelated agg + join + sort
-    "q131_weighted_jaccard" -> 8) // q34's pair pipeline (5) + weighted-index
+    "q131_weighted_jaccard" -> 8, // q34's pair pipeline (5) + weighted-index
                                   // build (df agg + per-doc collect) + the
                                   // 1-row corpus count — each equi-keyed;
                                   // audited in the module doc
+    "q153_source_dup_rate" -> 8,  // q34's pair pipeline (5) + touched-doc
+                                  // distinct + two #sources-key aggs + sort
+                                  // — everything after the pairs is
+                                  // edge-list- or #sources-sized
+    "q156_dedup_yield_curve" -> 8) // q34's pair pipeline (5) + the 4-way
+                                  // threshold sweep agg + 1-row doc count
+                                  // + sort — the sweep re-reads the pair
+                                  // frame, never candidate generation
 
   /** Every declared query stays under this many shuffles regardless. */
   private val GlobalShuffleCeiling = 6
