@@ -134,6 +134,45 @@ object StreamingOps {
       }
   }
 
+  /** Input/output shapes for the stateful throttle. */
+  case class TypedEvent(user_id: Long, event_type: String,
+                        ts: java.sql.Timestamp, event_id: Long)
+  case class ThrottleDecision(user_id: Long, event_type: String,
+                              event_id: Long, kept: Boolean)
+
+  /** Keep-dependent throttle via flatMapGroupsWithState — the TRUE
+    * sequential semantics whose closed-form approximation is the q151
+    * batch lag rule: an event is kept iff it arrives >= minGapMs after
+    * the last KEPT event of its (user, type) key, so a long burst keeps
+    * one event per gap window (the lag rule, comparing against the
+    * previous event kept or not, drops the whole burst after its first
+    * event). This is exactly the semantics that NEEDS per-key sequential
+    * state — unreachable for a closed-form window function — and the
+    * state is one timestamp per key, watermark-evictable in production.
+    * Within a micro-batch, events apply in (ts, event_id) order, so a
+    * batch boundary never changes the decision sequence (StreamingSpec
+    * asserts the same decisions for one batch vs a straddling split).
+    */
+  def throttleStream(events: Dataset[TypedEvent], minGapMs: Long)
+      : Dataset[ThrottleDecision] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[Long, ThrottleDecision](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((uid, etype), rows, state) =>
+          var lastKept = state.getOption.getOrElse(Long.MinValue)
+          val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            .map { e =>
+              val kept = lastKept == Long.MinValue ||
+                e.ts.getTime - lastKept >= minGapMs
+              if (kept) lastKept = e.ts.getTime
+              ThrottleDecision(uid, etype, e.event_id, kept)
+            }
+          state.update(lastKept)
+          out.iterator
+      }
+  }
+
   /** The corpus-prep pipeline (q85's batch composition) as a continuous
     * stream: clean → quality gate → near-arrival dedup → context-length
     * chunking, over a stream of `(doc_id, ts, text)` — the shape of a

@@ -155,6 +155,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((1L, 2L, 3.0), (1L, 3L, 7.0), (2L, 1L, 5.0)))
   }
 
+  test("stateful throttle keeps one event per gap window (keep-dependent)") {
+    import StreamingOps.TypedEvent
+    def ev(id: Long, t: String) = TypedEvent(1L, "click", ts(t), id)
+    // 0s, 3s, 6s with a 5s window: 0s kept; 3s dropped (3s since KEPT);
+    // 6s KEPT (6s since the kept 0s event — the closed-form lag rule of
+    // q151 would drop it: only 3s since the PREVIOUS event)
+    val batch1 = Seq(ev(0, "2024-01-01 10:00:00"), ev(1, "2024-01-01 10:00:03"),
+      ev(2, "2024-01-01 10:00:06"))
+    val ms = MemoryStream[TypedEvent](spark)
+    ms.addData(batch1: _*)
+    val q = StreamingOps.throttleStream(ms.toDS(), 5000L)
+      .writeStream.format("memory").queryName("throttle")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // second micro-batch straddles the burst: 8s is 2s after the kept 6s
+    // event — state must carry the last KEPT timestamp across batches
+    ms.addData(ev(3, "2024-01-01 10:00:08"), ev(4, "2024-01-01 10:00:11"))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("throttle").orderBy("event_id")
+      .collect().map(r => (r.getLong(2), r.getBoolean(3)))
+    assert(got.toSeq == Seq((0L, true), (1L, false), (2L, true),
+      (3L, false), (4L, true)))
+  }
+
   test("stateful aggregation runs on the RocksDB state store (SCALE.md posture)") {
     // the production state-store configuration from SCALE.md, exercised
     // for real: same results as the default in-memory provider
