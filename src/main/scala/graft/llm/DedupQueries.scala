@@ -327,36 +327,49 @@ object DedupQueries extends QueryModule {
   /** Directed containment pairs within each source block: every ordered
     * (a, b), a != b, with |A n B| / |A| >= threshold. `docs` needs
     * (doc_id, source, tok) with tok an ascending-sorted distinct hash
-    * array (the shared total order the prefix/positional prunes need).
+    * array (the sorted-merge verify kernel's requirement; the PRUNES use
+    * their own df-order positions — see below).
     *
-    * Exactness of the prunes (no true pair dropped): an overlap of
-    * m = ceil(t*|A|) tokens cannot fit entirely in A's last m-1
-    * positions, so some common token sits within A's first
-    * |A| - m + 1 positions — that token's posting survives the A-prefix
+    * Exactness of the prunes (no true pair dropped): order each doc's
+    * tokens by (document frequency, hash) — a total order shared by both
+    * sides. An overlap of m = ceil(t*|A|) tokens cannot fit entirely in
+    * A's last m-1 df-order positions, so some common token sits within
+    * A's first |A| - m + 1 — that token's posting survives the A-prefix
     * cut (B posts every token, so the B side never drops it). At that
     * match position the remaining-overlap bound
     * 1 + min(|A|-pA, |B|-pB) >= m holds for a true pair (overlap beyond
-    * this point is capped by what is left of either array), and
-    * |B| >= m because the intersection fits inside B. Every candidate
-    * is then verified exactly — the prunes only bound the candidate
-    * volume, never the answer.
+    * this point is capped by what is left of either side's df-order
+    * tail), and |B| >= m because the intersection fits inside B. Every
+    * candidate is then verified exactly — the prunes only bound the
+    * candidate volume, never the answer.
     */
   def containmentPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     def prefixLen(n: Column) =
       n - ceil(lit(threshold) * n - lit(1e-9)).cast("long") + lit(1L)
     val need = ceil(lit(threshold) * col("a_n") - lit(1e-9)).cast("long")
-    val aPost = docs.select(col("source"), col("doc_id").as("a_id"),
-        size(col("tok")).cast("long").as("a_n"),
-        posexplode(slice(col("tok"), lit(1),
-          prefixLen(size(col("tok")).cast("long")).cast("int")))
-          .as(Seq("p0", "h")))
-      .select(col("source"), col("h"), col("a_id"), col("a_n"),
-        (col("p0") + 1).cast("long").as("a_p"))
-    val bPost = docs.select(col("source"), col("doc_id").as("b_id"),
-        size(col("tok")).cast("long").as("b_n"),
-        posexplode(col("tok")).as(Seq("p0", "h")))
-      .select(col("source"), col("h"), col("b_id"), col("b_n"),
-        (col("p0") + 1).cast("long").as("b_p"))
+    // Positions in DOCUMENT-FREQUENCY order (q34's dfOrdered path), not
+    // array order: the pigeonhole/positional arguments hold for ANY total
+    // order shared by both sides, and df-order makes A's prefix its
+    // RAREST tokens — the B side posts every token, so an array-order
+    // prefix joins frequent tokens against their full posting lists and
+    // the candidate product grows quadratically with corpus size (the
+    // first spelling measured 16x time at 10x data; df-ordered it
+    // re-joins only rare postings and scales with the true pair count).
+    val toks = docs.select(col("source"), col("doc_id"),
+      size(col("tok")).cast("long").as("ntok"), explode(col("tok")).as("h"))
+    val dfreq = toks.groupBy(col("source"), col("h"))
+      .agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("source"), col("doc_id"))
+      .orderBy(col("df"), col("h"))
+    val ranked = toks.join(dfreq, Seq("source", "h"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+    val aPost = ranked.filter(col("pos") <= prefixLen(col("ntok")))
+      .select(col("source"), col("h"), col("doc_id").as("a_id"),
+        col("ntok").as("a_n"), col("pos").as("a_p"))
+    val bPost = ranked.select(col("source"), col("h"),
+      col("doc_id").as("b_id"), col("ntok").as("b_n"),
+      col("pos").as("b_p"))
     val cand = aPost.join(bPost, Seq("source", "h"))
       .filter(col("a_id") =!= col("b_id") &&
         col("b_n") >= need &&

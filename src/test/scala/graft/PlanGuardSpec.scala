@@ -68,10 +68,16 @@ class PlanGuardSpec extends AnyFunSuite {
                                   // distinct + two #sources-key aggs + sort
                                   // — everything after the pairs is
                                   // edge-list- or #sources-sized
-    "q156_dedup_yield_curve" -> 8) // q34's pair pipeline (5) + the 4-way
+    "q156_dedup_yield_curve" -> 8, // q34's pair pipeline (5) + the 4-way
                                   // threshold sweep agg + 1-row doc count
                                   // + sort — the sweep re-reads the pair
                                   // frame, never candidate generation
+    "q148_containment_pairs" -> 10) // df-ordered postings build (dfreq agg
+                                  // + rank window) feeding BOTH probe and
+                                  // index branches + candidate join +
+                                  // verify joins + sort — each equi-keyed;
+                                  // the df-order is what keeps candidate
+                                  // volume linear (SCALE_PROOF: 16x -> 1.5x)
 
   /** Every declared query stays under this many shuffles regardless. */
   private val GlobalShuffleCeiling = 6
