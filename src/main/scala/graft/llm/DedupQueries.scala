@@ -362,8 +362,14 @@ object DedupQueries extends QueryModule {
       .agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("source"), col("doc_id"))
       .orderBy(col("df"), col("h"))
+    // materialized once: the probe and index branches both read the
+    // ranked postings, and Spark plans share no subtrees — un-checkpointed,
+    // the df join + rank window run twice (measured ~1.5 s of q148's
+    // 5.5 s floor at sf0.1); the frame is postings-sized (corpus-linear)
+    // and freed by the caller's Checkpoints.freeingAfter scope
     val ranked = toks.join(dfreq, Seq("source", "h"))
       .withColumn("pos", row_number().over(w).cast("long"))
+      .localCheckpoint()
     val aPost = ranked.filter(col("pos") <= prefixLen(col("ntok")))
       .select(col("source"), col("h"), col("doc_id").as("a_id"),
         col("ntok").as("a_n"), col("pos").as("a_p"))
