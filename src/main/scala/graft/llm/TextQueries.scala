@@ -822,6 +822,34 @@ object TextQueries extends QueryModule {
         .select(col("doc_id"), col("source"), col("quality"),
           col("calibrated"))
         .orderBy("doc_id")
+    },
+
+    // Per-source quality profile — the distribution summary next to
+    // q150's per-doc calibration: quartiles + exact-decimal mean of the
+    // q33 quality score per source, the table a mixture planner reads to
+    // see WHICH sources are quality-bimodal before setting per-source
+    // admission cuts. Scale shape: the score is scan-local; one exact
+    // percentile aggregation per source (the q56 QUANTILE_CONT pattern —
+    // both engines interpolate identically over bit-identical score
+    // doubles); #sources rows out.
+    "q158_source_quality_profile" -> { (s, dir) =>
+      val tok = split(col("text"), " ")
+      val nTok2 = size(tok).cast("double")
+      val nStop2 = size(filter(tok, (t: Column) =>
+        t.isInCollection(Stopwords))).cast("double")
+      val nDist2 = size(array_distinct(tok)).cast("double")
+      Tables.t(s, dir, "documents")
+        .select(col("source"),
+          (nDist2 / nTok2 * lit(0.5) + (lit(1.0) - nStop2 / nTok2) *
+            lit(0.5)).as("quality"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(expr("percentile(quality, 0.25)"), 4).as("q25"),
+          round(expr("percentile(quality, 0.5)"), 4).as("median"),
+          round(expr("percentile(quality, 0.75)"), 4).as("q75"),
+          (round(graft.Fns.dsum18(col("quality")) /
+            count(lit(1)).cast("double"), 6) + lit(0.0)).as("mean_quality"))
+        .orderBy("source")
     })
 
   /** The q34 exact-Jaccard oracle, hoisted so composite oracles (q71,
@@ -1248,5 +1276,23 @@ object TextQueries extends QueryModule {
         |SELECT doc_id, source, quality,
         |  PERCENT_RANK() OVER (PARTITION BY source
         |                       ORDER BY quality, doc_id) AS calibrated
-        |FROM q ORDER BY doc_id""".stripMargin)
+        |FROM q ORDER BY doc_id""".stripMargin,
+
+    "q158_source_quality_profile" ->
+      s"""WITH d AS (
+         |  SELECT source, STRING_SPLIT(text, ' ') AS tok FROM documents),
+         |q AS (
+         |  SELECT source,
+         |    CAST(LEN(LIST_DISTINCT(tok)) AS DOUBLE) / LEN(tok) * 0.5
+         |      + (1.0 - CAST(LEN(LIST_FILTER(tok,
+         |          t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+         |          / LEN(tok)) * 0.5 AS quality
+         |  FROM d)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  ROUND(QUANTILE_CONT(quality, 0.25), 4) AS q25,
+         |  ROUND(QUANTILE_CONT(quality, 0.5), 4) AS median,
+         |  ROUND(QUANTILE_CONT(quality, 0.75), 4) AS q75,
+         |  ROUND(${graft.Fns.dsum18Sql("quality")}
+         |    / CAST(COUNT(*) AS DOUBLE), 6) + 0.0 AS mean_quality
+         |FROM q GROUP BY source ORDER BY source""".stripMargin)
 }

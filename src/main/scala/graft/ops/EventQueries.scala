@@ -390,6 +390,37 @@ object EventQueries extends QueryModule {
           round(expr("percentile(gap_s, 0.5)"), 4).as("median_gap_s"),
           round(expr("percentile(gap_s, 0.95)"), 4).as("p95_gap_s"))
         .orderBy("event_type")
+    },
+
+    // Recency-weighted aggregation — the freshness-decayed rollup feeding
+    // trend dashboards and decayed feature stores: each event's value
+    // weights by 0.5^floor(age/7d) (weekly half-life against the
+    // corpus's max timestamp). The decay is DELIBERATELY transcendental-
+    // free: floor() of identical IEEE doubles is identical in both
+    // engines and 0.5^k with integral k is an exact dyadic — no exp()
+    // whose last-ulp behavior could differ between libm implementations
+    // and leak through the exact-decimal sums. Scale shape: the as-of
+    // anchor is a broadcast 1-row max; weighting is scan-local; one
+    // #types-key aggregation.
+    "q157_decayed_value" -> { (s, dir) =>
+      val ev = Tables.t(s, dir, "events")
+        .select(col("event_type"), col("value"),
+          unix_micros(col("ts")).as("us"))
+      val mx = ev.agg(max(col("us")).as("asof_us"))
+      val ageDays = (col("asof_us") - col("us")).cast("double") /
+        lit(86400000000.0)
+      val wgt = pow(lit(0.5), floor(ageDays / lit(7.0)))
+      ev.crossJoin(broadcast(mx))
+        .select(col("event_type"), col("value"), wgt.as("w"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          graft.Fns.dsum18(col("w")).as("weight_mass"),
+          graft.Fns.dsum18(col("w") * col("value")).as("decayed_sum"))
+        .select(col("event_type"), col("n_events"),
+          (round(col("weight_mass"), 6) + lit(0.0)).as("weight_mass"),
+          (round(col("decayed_sum") / col("weight_mass"), 4) + lit(0.0))
+            .as("decayed_mean"))
+        .orderBy("event_type")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -646,5 +677,24 @@ object EventQueries extends QueryModule {
         |SELECT event_type, COUNT(*) AS n_gaps,
         |  ROUND(QUANTILE_CONT(gap_s, 0.5), 4) AS median_gap_s,
         |  ROUND(QUANTILE_CONT(gap_s, 0.95), 4) AS p95_gap_s
-        |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q157_decayed_value" ->
+      s"""WITH e AS (
+         |  SELECT event_type, value, EPOCH_US(ts) AS us FROM events),
+         |mx AS (SELECT MAX(us) AS asof_us FROM e),
+         |w AS (
+         |  SELECT event_type, value,
+         |    POWER(0.5, FLOOR((CAST(asof_us - us AS DOUBLE) / 86400000000.0)
+         |      / 7.0)) AS w
+         |  FROM e CROSS JOIN mx),
+         |g AS (
+         |  SELECT event_type, COUNT(*) AS n_events,
+         |    ${graft.Fns.dsum18Sql("w")} AS weight_mass,
+         |    ${graft.Fns.dsum18Sql("w * value")} AS decayed_sum
+         |  FROM w GROUP BY 1)
+         |SELECT event_type, n_events,
+         |  ROUND(weight_mass, 6) + 0.0 AS weight_mass,
+         |  ROUND(decayed_sum / weight_mass, 4) + 0.0 AS decayed_mean
+         |FROM g ORDER BY event_type""".stripMargin)
 }

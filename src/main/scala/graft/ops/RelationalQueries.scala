@@ -580,6 +580,43 @@ object RelationalQueries extends QueryModule {
         .agg(count(lit(1)).as("n_items"),
           Fns.dsum(col("l_extendedprice")).as("sum_price"))
         .orderBy("o_orderpriority")
+    },
+
+    // RFM customer segmentation — the classic lifecycle-marketing rollup
+    // (recency / frequency / monetary quintiles, segment code "R_F_M_"):
+    // per customer from orders against a literal as-of date, scored 1-5
+    // per axis by quintile thresholds computed in ONE exact-percentile
+    // aggregation and broadcast back as a 1-row frame — the q127 recipe;
+    // an NTILE window over all customers would be a single-partition
+    // total sort, the shape this engine never ships. Recency inverts
+    // (lower = better). Determinism: recency/frequency are exact ints,
+    // monetary is an exact-decimal sum, the thresholds interpolate
+    // identically in both engines (q56), and the >= compares run on
+    // identical doubles.
+    "q159_rfm_segments" -> { (s, dir) =>
+      val asof = to_date(lit("2001-09-01"))
+      val cust = Tables.t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(datediff(asof, to_date(max(col("o_orderdate"))))
+            .cast("long").as("recency_days"),
+          count(lit(1)).as("frequency"),
+          Fns.dsum(col("o_totalprice")).as("monetary"))
+      def qs(c: String) = expr(s"percentile($c, array(0.2, 0.4, 0.6, 0.8))")
+      val th = cust.agg(qs("recency_days").as("rt"), qs("frequency").as("ft"),
+        qs("monetary").as("mt"))
+      def score(x: org.apache.spark.sql.Column, t: String) =
+        lit(1) + (0 to 3).map(i =>
+          (x >= element_at(col(t), i + 1)).cast("int")).reduce(_ + _)
+      cust.crossJoin(broadcast(th))
+        .select(col("o_custkey"), col("recency_days"), col("frequency"),
+          col("monetary"),
+          (lit(6) - score(col("recency_days").cast("double"), "rt"))
+            .as("r_score"),
+          score(col("frequency").cast("double"), "ft").as("f_score"),
+          score(col("monetary"), "mt").as("m_score"))
+        .withColumn("segment", concat(lit("R"), col("r_score"),
+          lit("F"), col("f_score"), lit("M"), col("m_score")))
+        .orderBy("o_custkey")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -907,5 +944,48 @@ object RelationalQueries extends QueryModule {
       s"""SELECT o_orderpriority, COUNT(*) AS n_items,
          |  ${Fns.dsumSql("l_extendedprice")} AS sum_price
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         |GROUP BY 1 ORDER BY 1""".stripMargin)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q159_rfm_segments" ->
+      s"""WITH c AS (
+         |  SELECT o_custkey,
+         |    CAST(DATE_DIFF('day', CAST(MAX(o_orderdate) AS DATE),
+         |      DATE '2001-09-01') AS BIGINT) AS recency_days,
+         |    COUNT(*) AS frequency,
+         |    ${Fns.dsumSql("o_totalprice")} AS monetary
+         |  FROM orders GROUP BY 1),
+         |t AS (
+         |  SELECT
+         |    QUANTILE_CONT(recency_days, 0.2) AS rt1,
+         |    QUANTILE_CONT(recency_days, 0.4) AS rt2,
+         |    QUANTILE_CONT(recency_days, 0.6) AS rt3,
+         |    QUANTILE_CONT(recency_days, 0.8) AS rt4,
+         |    QUANTILE_CONT(frequency, 0.2) AS ft1,
+         |    QUANTILE_CONT(frequency, 0.4) AS ft2,
+         |    QUANTILE_CONT(frequency, 0.6) AS ft3,
+         |    QUANTILE_CONT(frequency, 0.8) AS ft4,
+         |    QUANTILE_CONT(monetary, 0.2) AS mt1,
+         |    QUANTILE_CONT(monetary, 0.4) AS mt2,
+         |    QUANTILE_CONT(monetary, 0.6) AS mt3,
+         |    QUANTILE_CONT(monetary, 0.8) AS mt4
+         |  FROM c),
+         |s AS (
+         |  SELECT c.o_custkey, c.recency_days, c.frequency, c.monetary,
+         |    6 - (1 + CAST(CAST(recency_days AS DOUBLE) >= rt1 AS INT)
+         |           + CAST(CAST(recency_days AS DOUBLE) >= rt2 AS INT)
+         |           + CAST(CAST(recency_days AS DOUBLE) >= rt3 AS INT)
+         |           + CAST(CAST(recency_days AS DOUBLE) >= rt4 AS INT))
+         |      AS r_score,
+         |    1 + CAST(CAST(frequency AS DOUBLE) >= ft1 AS INT)
+         |      + CAST(CAST(frequency AS DOUBLE) >= ft2 AS INT)
+         |      + CAST(CAST(frequency AS DOUBLE) >= ft3 AS INT)
+         |      + CAST(CAST(frequency AS DOUBLE) >= ft4 AS INT) AS f_score,
+         |    1 + CAST(monetary >= mt1 AS INT) + CAST(monetary >= mt2 AS INT)
+         |      + CAST(monetary >= mt3 AS INT) + CAST(monetary >= mt4 AS INT)
+         |      AS m_score
+         |  FROM c CROSS JOIN t)
+         |SELECT o_custkey, recency_days, frequency, monetary,
+         |  r_score, f_score, m_score,
+         |  'R' || r_score || 'F' || f_score || 'M' || m_score AS segment
+         |FROM s ORDER BY o_custkey""".stripMargin)
 }

@@ -35,7 +35,9 @@ class PlanGuardSpec extends AnyFunSuite {
       "q143_psi_drift", // 1-row time-range min/max crossed into the scan
       "q149_source_kl", // #sources-row totals + 1-row vocab size × vocab
       "q152_embed_standardize", // 1-row parallel-array stats × the scan
-      "q156_dedup_yield_curve") // 1-row doc count × #thresholds-row sweep
+      "q156_dedup_yield_curve", // 1-row doc count × #thresholds-row sweep
+      "q157_decayed_value", // 1-row as-of max crossed into the scan
+      "q159_rfm_segments") // 1-row quintile thresholds × customer rollup
 
   /** Shuffle ceilings for the most expensive plans (round-2 plan audit
     * values + 0 slack): these are the queries where one extra Exchange is
