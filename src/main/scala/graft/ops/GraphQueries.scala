@@ -131,23 +131,35 @@ object GraphQueries extends QueryModule {
     // three self-join branches would otherwise re-run the kNN window
     // per branch (Spark plans have no subtree sharing).
     "q147_triangle_count" -> { (s, dir) =>
-      val edges = graft.llm.SimilarityQueries
+      triangleCounts(graft.llm.SimilarityQueries
         .mutualKnnEdges(Tables.t(s, dir, "embeddings"), 5)
-        .select(col("label"), col("a_id"), col("b_id"))
-        .localCheckpoint()
-      val e1 = edges.select(col("label"), col("a_id").as("a"),
-        col("b_id").as("b"))
-      val e2 = edges.select(col("label"), col("a_id").as("b"),
-        col("b_id").as("c"))
-      val e3 = edges.select(col("label"), col("a_id").as("a"),
-        col("b_id").as("c"))
-      e1.join(e2, Seq("label", "b")).join(e3, Seq("label", "a", "c"))
-        .select(col("label"),
-          explode(array(col("a"), col("b"), col("c"))).as("vec_id"))
-        .groupBy(col("label"), col("vec_id"))
-        .agg(count(lit(1)).as("n_triangles"))
+        .select(col("label"), col("a_id"), col("b_id")))
         .orderBy("label", "vec_id")
     })
+
+  /** Per-node triangle participation counts over an undirected,
+    * label-blocked edge list given in canonical orientation (a_id <
+    * b_id, one row per edge). Composes (a,b)+(b,c) wedges and closes on
+    * (a,c), so each triangle a<b<c is found exactly once; the input
+    * materializes once (localCheckpoint) because the three join branches
+    * would otherwise re-run the whole edge build. Returns (label,
+    * vec_id, n_triangles) for nodes in at least one triangle, unsorted
+    * (callers add their presentation ORDER BY).
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e = edges.localCheckpoint()
+    val e1 = e.select(col("label"), col("a_id").as("a"),
+      col("b_id").as("b"))
+    val e2 = e.select(col("label"), col("a_id").as("b"),
+      col("b_id").as("c"))
+    val e3 = e.select(col("label"), col("a_id").as("a"),
+      col("b_id").as("c"))
+    e1.join(e2, Seq("label", "b")).join(e3, Seq("label", "a", "c"))
+      .select(col("label"),
+        explode(array(col("a"), col("b"), col("c"))).as("vec_id"))
+      .groupBy(col("label"), col("vec_id"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
 
   override def oracles: Map[String, String] = Map(
     // the iterations unrolled as CTEs (the q90 recipe): each rank update
