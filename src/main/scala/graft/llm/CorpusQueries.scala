@@ -981,6 +981,34 @@ object CorpusQueries extends QueryModule {
           col("n_tokens").cast("double") /
             sum(col("n_tokens")).over(Window.partitionBy()).cast("double"))
         .orderBy("shard")
+    },
+
+    // OOV rate against a fixed reference vocabulary — the tokenizer-
+    // transfer check: if the tokenizer's vocab was fit on the whole
+    // corpus (here: the global top-1000 tokens, ties by token), what
+    // share of each source's token mass falls OUTSIDE it? A source with
+    // a high OOV rate will fragment into long byte-fallback sequences —
+    // the per-source warning light next to q126's fertility table.
+    // Scale shape: one corpus-sized (source, token) count pass; the
+    // reference vocab is a TakeOrdered top-k off the global counts
+    // (never a full sort) and rides as a broadcast join; the report is
+    // #sources rows. All masses are exact longs.
+    "q161_oov_rate" -> { (s, dir) =>
+      val sc = Tables.t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+      val top = sc.groupBy(col("token")).agg(sum(col("c")).as("tc"))
+        .orderBy(col("tc").desc, col("token").asc).limit(1000)
+        .select(col("token"), lit(true).as("in_vocab"))
+      sc.join(broadcast(top), Seq("token"), "left")
+        .groupBy(col("source"))
+        .agg(sum(col("c")).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, col("c")).otherwise(0L))
+            .as("oov_tokens"))
+        .select(col("source"), col("n_tokens"), col("oov_tokens"),
+          (col("oov_tokens").cast("double") / col("n_tokens").cast("double"))
+            .as("oov_rate"))
+        .orderBy("source")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -1611,5 +1639,23 @@ object CorpusQueries extends QueryModule {
         |SELECT shard, n_docs, n_tokens,
         |  CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE)
         |    AS token_share
-        |FROM g ORDER BY shard""".stripMargin)
+        |FROM g ORDER BY shard""".stripMargin,
+
+    "q161_oov_rate" ->
+      """WITH sc AS (
+        |  SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS token
+        |  FROM documents),
+        |c AS (SELECT source, token, COUNT(*) AS c FROM sc GROUP BY 1, 2),
+        |top AS (
+        |  SELECT token FROM (
+        |    SELECT token, SUM(c) AS tc FROM c GROUP BY 1)
+        |  ORDER BY tc DESC, token ASC LIMIT 1000),
+        |j AS (
+        |  SELECT c.source, c.c,
+        |    CASE WHEN top.token IS NULL THEN c.c ELSE 0 END AS oov
+        |  FROM c LEFT JOIN top ON c.token = top.token)
+        |SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(oov) AS BIGINT) AS oov_tokens,
+        |  CAST(SUM(oov) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS oov_rate
+        |FROM j GROUP BY source ORDER BY source""".stripMargin)
 }

@@ -421,6 +421,33 @@ object EventQueries extends QueryModule {
           (round(col("decayed_sum") / col("weight_mass"), 4) + lit(0.0))
             .as("decayed_mean"))
         .orderBy("event_type")
+    },
+
+    // Conversion latency distribution — q108's funnel tells HOW MANY
+    // convert; this tells HOW FAST: hours from a user's first view to
+    // their first purchase at or after it, summarized as median/p90.
+    // Scale shape: two user-keyed min-aggregations and one equi-join on
+    // user_id (the funnel's own shape), then a single exact-percentile
+    // aggregation over #converted-users rows. Latencies are exact-long
+    // microsecond differences over one IEEE division, so both engines
+    // sort identical doubles (the q56/q155 percentile pattern).
+    "q160_conversion_latency" -> { (s, dir) =>
+      val ev = Tables.t(s, dir, "events")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"))
+        .agg(min(unix_micros(col("ts"))).as("view_us"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+        .join(v, "user_id")
+        .filter(col("p_us") >= col("view_us"))
+        .groupBy(col("user_id"))
+        .agg(min(col("p_us")).as("purchase_us"),
+          min(col("view_us")).as("view_us2"))
+      p.select(((col("purchase_us") - col("view_us2")).cast("double") /
+          lit(3600000000.0)).as("latency_h"))
+        .agg(count(lit(1)).as("n_converted"),
+          round(expr("percentile(latency_h, 0.5)"), 4).as("median_hours"),
+          round(expr("percentile(latency_h, 0.9)"), 4).as("p90_hours"))
     })
 
   override def oracles: Map[String, String] = Map(
@@ -696,5 +723,24 @@ object EventQueries extends QueryModule {
          |SELECT event_type, n_events,
          |  ROUND(weight_mass, 6) + 0.0 AS weight_mass,
          |  ROUND(decayed_sum / weight_mass, 4) + 0.0 AS decayed_mean
-         |FROM g ORDER BY event_type""".stripMargin)
+         |FROM g ORDER BY event_type""".stripMargin,
+
+    "q160_conversion_latency" ->
+      """WITH v AS (
+        |  SELECT user_id, MIN(EPOCH_US(ts)) AS view_us FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, MIN(EPOCH_US(e.ts)) AS purchase_us,
+        |    MIN(v.view_us) AS view_us2
+        |  FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND EPOCH_US(e.ts) >= v.view_us
+        |  GROUP BY 1),
+        |l AS (
+        |  SELECT CAST(purchase_us - view_us2 AS DOUBLE) / 3600000000.0
+        |    AS latency_h
+        |  FROM p)
+        |SELECT COUNT(*) AS n_converted,
+        |  ROUND(QUANTILE_CONT(latency_h, 0.5), 4) AS median_hours,
+        |  ROUND(QUANTILE_CONT(latency_h, 0.9), 4) AS p90_hours
+        |FROM l""".stripMargin)
 }
