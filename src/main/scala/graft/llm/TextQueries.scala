@@ -850,6 +850,39 @@ object TextQueries extends QueryModule {
           (round(graft.Fns.dsum18(col("quality")) /
             count(lit(1)).cast("double"), 6) + lit(0.0)).as("mean_quality"))
         .orderBy("source")
+    },
+
+    // Language-label audit — the confusion matrix between the DECLARED
+    // lang column and q42's marker-token prediction: per (declared,
+    // predicted) cell, count and within-declared share. Mislabeled
+    // slices (a "da"-declared source predicting mostly "en") are the
+    // label-noise a lang-filtered training mix silently inherits — this
+    // is the QA table read before trusting the lang column at all.
+    // Scale shape: the prediction is q42's scan-local profile argmax;
+    // one #langs²-key aggregation; shares as a window over those
+    // matrix-sized rows.
+    "q163_langid_confusion" -> { (s, dir) =>
+      val tok = split(col("text"), " ")
+      def score(words: Seq[String]): Column =
+        size(filter(tok, (t: Column) => t.isInCollection(words))).cast("long")
+      val sEn = score(Seq("the", "a", "of"))
+      val sDe = score(Seq("table", "row"))
+      val sEs = score(Seq("data", "value"))
+      val sFr = score(Seq("filter", "join"))
+      val sZh = score(Seq("spark", "vector"))
+      val top = greatest(sEn, sDe, sEs, sFr, sZh)
+      val wL = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+      Tables.t(s, dir, "documents")
+        .select(col("lang"),
+          when(sDe >= top, "de").when(sEn >= top, "en")
+            .when(sEs >= top, "es").when(sFr >= top, "fr")
+            .otherwise("zh").as("pred_lang"))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("share", col("n").cast("double") /
+          sum(col("n")).over(wL).cast("double"))
+        .orderBy("lang", "pred_lang")
     })
 
   /** The q34 exact-Jaccard oracle, hoisted so composite oracles (q71,
@@ -1294,5 +1327,36 @@ object TextQueries extends QueryModule {
          |  ROUND(QUANTILE_CONT(quality, 0.75), 4) AS q75,
          |  ROUND(${graft.Fns.dsum18Sql("quality")}
          |    / CAST(COUNT(*) AS DOUBLE), 6) + 0.0 AS mean_quality
-         |FROM q GROUP BY source ORDER BY source""".stripMargin)
+         |FROM q GROUP BY source ORDER BY source""".stripMargin,
+
+    // q42's scoring CTE, rolled up to the (declared, predicted) matrix
+    "q163_langid_confusion" ->
+      """WITH d AS (
+        |  SELECT lang, STRING_SPLIT(text, ' ') AS tok FROM documents),
+        |s AS (
+        |  SELECT lang,
+        |    CAST(LEN(LIST_FILTER(tok, t -> t IN ('the','a','of'))) AS BIGINT)
+        |      AS s_en,
+        |    CAST(LEN(LIST_FILTER(tok, t -> t IN ('table','row'))) AS BIGINT)
+        |      AS s_de,
+        |    CAST(LEN(LIST_FILTER(tok, t -> t IN ('data','value'))) AS BIGINT)
+        |      AS s_es,
+        |    CAST(LEN(LIST_FILTER(tok, t -> t IN ('filter','join'))) AS BIGINT)
+        |      AS s_fr,
+        |    CAST(LEN(LIST_FILTER(tok, t -> t IN ('spark','vector'))) AS BIGINT)
+        |      AS s_zh
+        |  FROM d),
+        |p AS (
+        |  SELECT lang,
+        |    CASE WHEN s_de >= GREATEST(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
+        |         WHEN s_en >= GREATEST(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
+        |         WHEN s_es >= GREATEST(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
+        |         WHEN s_fr >= GREATEST(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
+        |         ELSE 'zh' END AS pred_lang
+        |  FROM s),
+        |g AS (SELECT lang, pred_lang, COUNT(*) AS n FROM p GROUP BY 1, 2)
+        |SELECT lang, pred_lang, n,
+        |  CAST(n AS DOUBLE)
+        |    / CAST(SUM(n) OVER (PARTITION BY lang) AS DOUBLE) AS share
+        |FROM g ORDER BY lang, pred_lang""".stripMargin)
 }

@@ -448,6 +448,44 @@ object EventQueries extends QueryModule {
         .agg(count(lit(1)).as("n_converted"),
           round(expr("percentile(latency_h, 0.5)"), 4).as("median_hours"),
           round(expr("percentile(latency_h, 0.9)"), 4).as("p90_hours"))
+    },
+
+    // Count-burst report — q105 flags anomalous VALUES, this ranks
+    // anomalous ARRIVAL RATES: the 5 busiest minute-buckets per event
+    // type with their z-score against that type's observed buckets, and
+    // is_burst marking the mean + 3*stddev exceedances (bot floods,
+    // retry storms, scraper bursts — what q151's throttle then cleans).
+    // A top-k report instead of a bare threshold filter: the peak
+    // minutes are the answer an on-call reads even when nothing crosses
+    // 3 sigma (and a uniform fixture — sf0.001's all-singleton buckets,
+    // where std = 0 — still yields rows; z defines to 0 there). Empty
+    // minutes are absent by construction (stats are over observed
+    // buckets — documented). Scale shape: one (type, minute) count
+    // aggregation, #types-row moment stats broadcast back, a
+    // #types-partitioned top-k rank window. All moments are exact longs,
+    // so mean/std/z are identical doubles.
+    "q162_burst_detection" -> { (s, dir) =>
+      val b = Tables.t(s, dir, "events")
+        .groupBy(col("event_type"),
+          date_trunc("minute", col("ts")).as("minute"))
+        .agg(count(lit(1)).as("n"))
+      val st = b.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("nb"), sum(col("n")).as("s"),
+          sum(col("n") * col("n")).as("s2"))
+      val mean = col("s").cast("double") / col("nb").cast("double")
+      val std = sqrt(col("s2").cast("double") / col("nb").cast("double")
+        - mean * mean)
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("n").desc, col("minute").asc)
+      b.join(broadcast(st), "event_type")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("event_type"), col("minute"), col("n"),
+          (when(std > 0.0,
+            round((col("n").cast("double") - mean) / std, 4))
+            .otherwise(0.0) + lit(0.0)).as("z"),
+          (col("n").cast("double") > mean + lit(3.0) * std).as("is_burst"))
+        .orderBy("event_type", "minute")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -742,5 +780,32 @@ object EventQueries extends QueryModule {
         |SELECT COUNT(*) AS n_converted,
         |  ROUND(QUANTILE_CONT(latency_h, 0.5), 4) AS median_hours,
         |  ROUND(QUANTILE_CONT(latency_h, 0.9), 4) AS p90_hours
-        |FROM l""".stripMargin)
+        |FROM l""".stripMargin,
+
+    "q162_burst_detection" ->
+      """WITH b AS (
+        |  SELECT event_type, DATE_TRUNC('minute', ts) AS minute,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, COUNT(*) AS nb,
+        |    CAST(SUM(n) AS BIGINT) AS s, CAST(SUM(n * n) AS BIGINT) AS s2
+        |  FROM b GROUP BY 1),
+        |j AS (
+        |  SELECT b.event_type, b.minute, b.n,
+        |    ROW_NUMBER() OVER (PARTITION BY b.event_type
+        |                       ORDER BY b.n DESC, b.minute ASC) AS rk,
+        |    CAST(st.s AS DOUBLE) / CAST(st.nb AS DOUBLE) AS mean,
+        |    SQRT(CAST(st.s2 AS DOUBLE) / CAST(st.nb AS DOUBLE)
+        |      - (CAST(st.s AS DOUBLE) / CAST(st.nb AS DOUBLE))
+        |        * (CAST(st.s AS DOUBLE) / CAST(st.nb AS DOUBLE))) AS std
+        |  FROM b JOIN st USING (event_type))
+        |SELECT event_type, minute, n,
+        |  CASE WHEN std > 0.0
+        |       THEN ROUND((CAST(n AS DOUBLE) - mean) / std, 4)
+        |       ELSE 0.0 END + 0.0 AS z,
+        |  CAST(n AS DOUBLE) > mean + 3.0 * std AS is_burst
+        |FROM j
+        |WHERE rk <= 5
+        |ORDER BY event_type, minute""".stripMargin)
 }
