@@ -1009,6 +1009,40 @@ object CorpusQueries extends QueryModule {
           (col("oov_tokens").cast("double") / col("n_tokens").cast("double"))
             .as("oov_rate"))
         .orderBy("source")
+    },
+
+    // Exact-k weighted sampling (Efraimidis-Spirakis A-ExpJ form) — the
+    // missing piece between q115 (probabilistic keep, budget only in
+    // expectation) and q120 (exact quota, unweighted): EXACTLY k docs
+    // per source, drawn with probability proportional to a quality
+    // weight. Each doc gets key = -ln(u) / w with u a hash-derived
+    // uniform in (0,1) — key-tied, so the draw is reproducible and
+    // resharding-stable like every sampler here — and the k smallest
+    // keys per source win (exponential-race argument: P(min) ∝ w).
+    // Scale shape: weight and key are scan-local; selection is a
+    // per-source top-k rank window (group-bounded, never a global sort);
+    // u's exact-long hash arithmetic makes -ln(u)/w the same double in
+    // both engines (the q102/q135 LN precedent). Keys round to 6 for
+    // presentation only — selection compares unrounded.
+    "q164_weighted_sample" -> { (s, dir) =>
+      val tok = split(col("text"), " ")
+      val nTok = size(tok).cast("double")
+      val nDist = size(array_distinct(tok)).cast("double")
+      // weight: distinct-ratio quality in (0, 1] — richer docs likelier
+      val wgt = nDist / nTok
+      val u = (conv(substring(md5(col("doc_id").cast("string")
+        .cast("binary")), 1, 8), 16, 10).cast("double") + lit(1.0)) /
+        lit(4294967297.0)
+      val wS = Window.partitionBy(col("source"))
+        .orderBy(col("key"), col("doc_id"))
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), wgt.as("w"),
+          (-log(u) / wgt).as("key"))
+        .withColumn("rk", row_number().over(wS))
+        .filter(col("rk") <= 20)
+        .select(col("doc_id"), col("source"), round(col("w"), 4).as("w"),
+          round(col("key"), 6).as("key"), col("rk"))
+        .orderBy("source", "rk")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -1657,5 +1691,24 @@ object CorpusQueries extends QueryModule {
         |SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
         |  CAST(SUM(oov) AS BIGINT) AS oov_tokens,
         |  CAST(SUM(oov) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS oov_rate
-        |FROM j GROUP BY source ORDER BY source""".stripMargin)
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
+
+    "q164_weighted_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, STRING_SPLIT(text, ' ') AS tok
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, source,
+        |    CAST(LEN(LIST_DISTINCT(tok)) AS DOUBLE) / LEN(tok) AS w,
+        |    -LN((CAST(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |           AS BIGINT) + 1.0) / 4294967297.0)
+        |      / (CAST(LEN(LIST_DISTINCT(tok)) AS DOUBLE) / LEN(tok)) AS key
+        |  FROM d),
+        |r AS (
+        |  SELECT doc_id, source, w, key,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |                       ORDER BY key, doc_id) AS rk
+        |  FROM k)
+        |SELECT doc_id, source, ROUND(w, 4) AS w, ROUND(key, 6) AS key, rk
+        |FROM r WHERE rk <= 20 ORDER BY source, rk""".stripMargin)
 }
