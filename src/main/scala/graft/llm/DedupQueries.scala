@@ -271,32 +271,50 @@ object DedupQueries extends QueryModule {
     * re-oriented for TWO relations — there the self-join keeps every bound
     * as a predicate on ONE postings branch so the exchange is computed
     * once; here the sides are genuinely different tables, so each builds
-    * its own hash-ordered prefix postings and the join is probe x index.
-    * Both sides' `tok` arrays must be ascending-sorted hashes (the shared
-    * TOTAL order the positional and asymmetric-prefix bounds hinge on: a
-    * true pair always survives via its globally-smallest shared token,
-    * which sits inside both t-prefixes and inside the (length, id)-lex
-    * smaller side's shorter index prefix — the same three exact prunes as
-    * q34, none relation-specific). Scale shape: the probe side is
-    * dump-sized (far below corpus size) and only prefix tokens of either
-    * side become postings; every candidate that reaches the verify join
-    * already passed all three bounds.
+    * its own prefix postings and the join is probe x index.
+    *
+    * Prefix positions are in DOCUMENT-FREQUENCY order over the INDEX
+    * corpus ((df, h) — one fixed total order both sides share; probe
+    * tokens unseen by the index take df 0, which is harmless: they have
+    * no index postings to meet anyway). The positional and asymmetric-
+    * prefix bounds hold for ANY shared total order — a true pair always
+    * survives via its order-smallest shared token, which sits inside
+    * both t-prefixes and inside the (length, id)-lex smaller side's
+    * shorter index prefix (the same three exact prunes as q34, none
+    * relation-specific) — and df-order is the one that makes prefixes
+    * RARE tokens: the array-order spelling joined hot tokens against
+    * corpus-wide posting lists and measured 55x time at 10x data
+    * (q165's first scale proof); df-ordered it scales with the true
+    * match density (the q148 lesson, applied to the two-relation form).
+    * Scale shape: the probe side is dump-sized (far below corpus size),
+    * only df-rare prefix tokens of either side become postings, and
+    * every candidate that reaches the verify join already passed all
+    * three bounds. The df table is vocabulary-sized and checkpointed
+    * once (both sides' rank windows read it).
     */
   def probeIndexJaccardPairs(probe: DataFrame, index: DataFrame,
                              threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     def prefixLen(n: Column) =
       n - ceil(lit(threshold) * n - lit(1e-9)).cast("long") + lit(1L)
     val tIdx = 2 * threshold / (1 + threshold)
     def idxPrefixLen(n: Column) =
       n - ceil(lit(tIdx) * n - lit(1e-9)).cast("long") + lit(1L)
-    def post(d: DataFrame, side: String) =
+    val dfreq = index
+      .select(explode(col("tok")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .localCheckpoint()
+    def post(d: DataFrame, side: String) = {
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
       d.select(col("doc_id"), size(col("tok")).cast("long").as("ntok"),
-          posexplode(slice(col("tok"), lit(1),
-            prefixLen(size(col("tok")).cast("long")).cast("int")))
-            .as(Seq("p0", "h")))
+          explode(col("tok")).as("h"))
+        .join(dfreq, Seq("h"), "left")
+        .withColumn("df", coalesce(col("df"), lit(0L)))
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .filter(col("pos") <= prefixLen(col("ntok")))
         .select(col("h"), col("doc_id").as(s"${side}_id"),
-          col("ntok").as(s"${side}_n"),
-          (col("p0") + 1).cast("long").as(s"${side}_p"))
+          col("ntok").as(s"${side}_n"), col("pos").as(s"${side}_p"))
+    }
     val cand = post(probe, "a").join(post(index, "b"), Seq("h"))
       .filter(
         least(col("a_n"), col("b_n")).cast("double") >=
@@ -606,6 +624,49 @@ object DedupQueries extends QueryModule {
           (lit(1.0) - col("n_docs_dropped").cast("double") /
             col("n_docs").cast("double")).as("yield_frac"))
         .orderBy("threshold")
+    },
+
+    // Incremental dump dedup — the decision table a per-dump pipeline
+    // actually emits (RefinedWeb/FineWeb dedup each new crawl against
+    // the corpus so far): the NEWEST 20% of doc_ids play the incoming
+    // dump, every older doc is the standing index, and each new doc is
+    // kept iff it near-dups nothing existing (exact Jaccard >= 0.6 via
+    // the probe-vs-index PPJoin — q130's kernel emitting per-doc
+    // decisions instead of a per-source rollup). Scale shape:
+    // [[probeIndexJaccardPairs]] — the probe side is dump-sized, all
+    // three prefix bounds prune before verify; the decision join is one
+    // left join of the dump against the match aggregate. The split
+    // itself is a scan-local id threshold from a broadcast 1-row
+    // percentile (cross-engine exact: ids are exact longs).
+    "q165_incremental_dedup" -> { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+      val d = docs.select(col("doc_id"), col("source"),
+        array_sort(array_distinct(transform(split(col("text"), " "),
+          (t: Column) => xxhash64(t)))).as("tok"))
+      val cut = docs.agg(
+        expr("percentile(doc_id, 0.8)").as("cut_id"))
+      val dd = d.crossJoin(broadcast(cut))
+      // the dump side is referenced three times (probe postings, verify
+      // join, decision join) but stays LAZY: re-running a codegen'd
+      // scan+tokenize is cheaper than serializing token arrays through a
+      // checkpoint (measured +2 s at sf0.1) — and at 100 TB both sides
+      // are tables you re-scan, not frames you materialize
+      val newDocs = dd.filter(col("doc_id").cast("double") > col("cut_id"))
+        .drop("cut_id")
+      val oldDocs = dd.filter(col("doc_id").cast("double") <= col("cut_id"))
+        .drop("cut_id")
+      val hits = probeIndexJaccardPairs(
+        newDocs.drop("source"), oldDocs.drop("source"), 0.6)
+        .groupBy(col("a_id").as("doc_id"))
+        .agg(count(lit(1)).as("n_matches"),
+          max(round(col("jaccard"), 4)).as("best_jaccard"))
+      newDocs.select(col("doc_id"), col("source"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+          coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+          coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"),
+          col("n_matches").isNull.as("kept"))
+        .orderBy("doc_id")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -748,5 +809,45 @@ object DedupQueries extends QueryModule {
          |SELECT threshold, n_pairs, n_docs_dropped,
          |  1.0 - CAST(n_docs_dropped AS DOUBLE)
          |    / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS yield_frac
-         |FROM g ORDER BY threshold""".stripMargin)
+         |FROM g ORDER BY threshold""".stripMargin,
+
+    // the naive probe x index posting join states the decision semantics
+    // the PPJoin bounds only accelerate (q130's oracle shape, per-doc)
+    "q165_incremental_dedup" ->
+      """WITH cut AS (
+        |  SELECT QUANTILE_CONT(doc_id, 0.8) AS cut_id FROM documents),
+        |d AS (
+        |  SELECT doc_id, source,
+        |    LIST_DISTINCT(STRING_SPLIT(text, ' ')) AS tok
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, CAST(LEN(tok) AS BIGINT) AS ntok,
+        |    UNNEST(tok) AS token
+        |  FROM d),
+        |c AS (
+        |  SELECT a.doc_id AS a_id, a.ntok AS a_n,
+        |    b.doc_id AS b_id, b.ntok AS b_n, COUNT(*) AS n_common
+        |  FROM t a JOIN t b ON a.token = b.token
+        |  CROSS JOIN cut
+        |  WHERE CAST(a.doc_id AS DOUBLE) > cut.cut_id
+        |    AND CAST(b.doc_id AS DOUBLE) <= cut.cut_id
+        |  GROUP BY 1, 2, 3, 4),
+        |p AS (
+        |  SELECT a_id,
+        |    ROUND(CAST(n_common AS DOUBLE) / (a_n + b_n - n_common), 4)
+        |      AS jacc
+        |  FROM c
+        |  WHERE CAST(n_common AS DOUBLE) / (a_n + b_n - n_common) >= 0.6),
+        |h AS (
+        |  SELECT a_id AS doc_id, COUNT(*) AS n_matches,
+        |    MAX(jacc) AS best_jaccard
+        |  FROM p GROUP BY 1)
+        |SELECT d.doc_id, d.source,
+        |  CAST(COALESCE(h.n_matches, 0) AS BIGINT) AS n_matches,
+        |  COALESCE(h.best_jaccard, 0.0) AS best_jaccard,
+        |  h.n_matches IS NULL AS kept
+        |FROM d CROSS JOIN cut
+        |LEFT JOIN h ON h.doc_id = d.doc_id
+        |WHERE CAST(d.doc_id AS DOUBLE) > cut.cut_id
+        |ORDER BY d.doc_id""".stripMargin)
 }
