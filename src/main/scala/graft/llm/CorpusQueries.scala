@@ -1043,6 +1043,79 @@ object CorpusQueries extends QueryModule {
         .select(col("doc_id"), col("source"), round(col("w"), 4).as("w"),
           round(col("key"), 6).as("key"), col("rk"))
         .orderBy("source", "rk")
+    },
+
+    // Kolmogorov–Smirnov drift per source: D = max ECDF gap between a
+    // source's length distribution and the REST of the corpus — the
+    // nonparametric twin of q143's PSI (PSI needs binning choices; KS is
+    // binning-free and exact). The trick that keeps it exact AND scalable:
+    // both ECDFs only jump at observed values, so evaluating the gap on
+    // the distinct-value grid is exhaustive, and that grid is
+    // DIMENSION-sized (#sources × #distinct lengths) after the first
+    // aggregation collapses the corpus. Shapes: one corpus-sized groupBy,
+    // a global cumulative window over #distinct-value rows, a broadcast
+    // cross of the #sources stats into that grid, and a per-source
+    // cumulative window. All counts exact longs; the two ECDF divisions
+    // and their difference are single IEEE ops — bit-stable cross-engine.
+    "q166_ks_drift" -> { (s, dir) =>
+      val d = Tables.t(s, dir, "documents")
+        .select(col("source"), col("n_chars"))
+      val cnt = d.groupBy(col("source"), col("n_chars"))
+        .agg(count(lit(1)).as("c"))
+      val srcTot = cnt.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+      val wAll = Window.orderBy(col("n_chars")) // #distinct-value rows only
+      val gcum = cnt.groupBy(col("n_chars")).agg(sum(col("c")).as("cg"))
+        .withColumn("cum_all", sum(col("cg")).over(wAll))
+        .select(col("n_chars"), col("cum_all"))
+      val total = d.agg(count(lit(1)).as("n_total"))
+      val wS = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+      broadcast(srcTot).crossJoin(gcum)
+        .join(cnt, Seq("source", "n_chars"), "left")
+        .na.fill(0L, Seq("c"))
+        .withColumn("cum_s", sum(col("c")).over(wS))
+        .crossJoin(broadcast(total))
+        .withColumn("gap", abs(
+          col("cum_s").cast("double") / col("n_s").cast("double")
+            - (col("cum_all") - col("cum_s")).cast("double")
+              / (col("n_total") - col("n_s")).cast("double")))
+        .groupBy(col("source"))
+        .agg(max(col("n_s")).as("n_docs"), max(col("gap")).as("ks_d"))
+        .orderBy("source")
+    },
+
+    // Size-balanced contiguous sharding — the compaction/shard planner: a
+    // 100 TB corpus lands as files whose sizes a writer must rebalance
+    // into ~equal-byte shards WITHOUT breaking doc_id order (contiguous
+    // ranges keep per-shard metadata to two ids and preserve locality for
+    // range predicates). Shard = floor(exclusive-prefix-chars / target):
+    // q91's two-phase distributed prefix sum per source (bucket-local
+    // cumsum, then a prefix over bucket TOTALS — the only single-ordering
+    // window sees #buckets rows), never one window over a whole source.
+    // The oracle states the single-window spelling this must equal.
+    "q167_size_shards" -> { (s, dir) =>
+      val target = 20000L
+      val bucketWidth = 500L
+      val d = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("bucket", expr(s"doc_id div $bucketWidth"))
+      val wLocal = Window.partitionBy(col("source"), col("bucket"))
+        .orderBy(col("doc_id"))
+      val local = d.withColumn("local_cume", sum(col("n_chars")).over(wLocal))
+      val wB = Window.partitionBy(col("source")).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = d.groupBy(col("source"), col("bucket"))
+        .agg(sum(col("n_chars")).as("bt"))
+        .withColumn("off", coalesce(sum(col("bt")).over(wB), lit(0L)))
+        .select(col("source"), col("bucket"), col("off"))
+      local.join(broadcast(offsets), Seq("source", "bucket"))
+        .withColumn("cume", col("off") + col("local_cume"))
+        .withColumn("shard", expr(s"(cume - n_chars) div $target"))
+        .groupBy(col("source"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy("source", "shard")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -1710,5 +1783,50 @@ object CorpusQueries extends QueryModule {
         |                       ORDER BY key, doc_id) AS rk
         |  FROM k)
         |SELECT doc_id, source, ROUND(w, 4) AS w, ROUND(key, 6) AS key, rk
-        |FROM r WHERE rk <= 20 ORDER BY source, rk""".stripMargin)
+        |FROM r WHERE rk <= 20 ORDER BY source, rk""".stripMargin,
+
+    "q166_ks_drift" ->
+      """WITH d AS (SELECT source, n_chars FROM documents),
+        |cnt AS (
+        |  SELECT source, n_chars, COUNT(*) AS c FROM d GROUP BY 1, 2),
+        |st AS (
+        |  SELECT source, CAST(SUM(c) AS BIGINT) AS n_s
+        |  FROM cnt GROUP BY 1),
+        |gc AS (
+        |  SELECT n_chars,
+        |    CAST(SUM(cg) OVER (ORDER BY n_chars) AS BIGINT) AS cum_all
+        |  FROM (SELECT n_chars, SUM(c) AS cg FROM cnt GROUP BY 1)),
+        |n AS (SELECT COUNT(*) AS n_total FROM d),
+        |grid AS (
+        |  SELECT st.source, st.n_s, gc.n_chars, gc.cum_all
+        |  FROM st CROSS JOIN gc),
+        |j AS (
+        |  SELECT g.source, g.n_s, g.n_chars, g.cum_all,
+        |    COALESCE(c.c, 0) AS c
+        |  FROM grid g LEFT JOIN cnt c
+        |    ON c.source = g.source AND c.n_chars = g.n_chars),
+        |cs AS (
+        |  SELECT source, n_s, cum_all,
+        |    CAST(SUM(c) OVER (PARTITION BY source ORDER BY n_chars)
+        |      AS BIGINT) AS cum_s
+        |  FROM j)
+        |SELECT cs.source, cs.n_s AS n_docs,
+        |  MAX(ABS(CAST(cum_s AS DOUBLE) / CAST(cs.n_s AS DOUBLE)
+        |    - CAST(cum_all - cum_s AS DOUBLE)
+        |      / CAST(n_total - cs.n_s AS DOUBLE))) AS ks_d
+        |FROM cs CROSS JOIN n
+        |GROUP BY 1, 2 ORDER BY source""".stripMargin,
+
+    // the oracle states the single-window per-source prefix sum the
+    // two-phase scan must equal exactly
+    "q167_size_shards" ->
+      """WITH c AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id)
+        |      AS BIGINT) AS cume
+        |  FROM documents)
+        |SELECT source, (cume - n_chars) // 20000 AS shard,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2 ORDER BY source, shard""".stripMargin)
 }

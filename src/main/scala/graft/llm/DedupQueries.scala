@@ -667,6 +667,38 @@ object DedupQueries extends QueryModule {
           coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"),
           col("n_matches").isNull.as("kept"))
         .orderBy("doc_id")
+    },
+
+    // Leakage-safe train/val/test split: q103's deterministic md5 bucket,
+    // but the hash KEY is the near-dup cluster id (q71's connected
+    // components), so a near-duplicate family can never straddle train
+    // and test — the within-corpus leak that benchmark decontamination
+    // (q87/q97, which only guard against EXTERNAL eval sets) cannot see.
+    // Singleton docs (no near-dup) key on their own id, which IS their
+    // (degenerate) cluster id — one rule, not two. Scale shape: q71's
+    // propagation (the dominant cost, corpus-linear pair generation +
+    // 4-round label propagation) plus one left join and a scan-local
+    // hash; the split itself adds nothing corpus-quadratic.
+    "q169_leakage_split" -> { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+      val d = docs.select(col("doc_id"), col("source"),
+        array_sort(array_distinct(transform(split(col("text"), " "),
+          (t: Column) => xxhash64(t)))).as("tok"))
+      val pairs =
+        TextQueries.prefixJaccardPairs(d, 0.6, presentationSort = false)
+      val cc = connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      val key = coalesce(col("cluster_id"), col("doc_id"))
+      val bucket = conv(substring(
+        md5(key.cast("string").cast("binary")), 1, 4), 16, 10)
+        .cast("long") % 10
+      docs.select(col("doc_id"))
+        .join(cc, Seq("doc_id"), "left")
+        .select(col("doc_id"), key.as("split_key"),
+          when(bucket < 8, lit("train"))
+            .when(bucket === 8, lit("val"))
+            .otherwise(lit("test")).as("split"))
+        .orderBy("doc_id")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -849,5 +881,33 @@ object DedupQueries extends QueryModule {
         |FROM d CROSS JOIN cut
         |LEFT JOIN h ON h.doc_id = d.doc_id
         |WHERE CAST(d.doc_id AS DOUBLE) > cut.cut_id
-        |ORDER BY d.doc_id""".stripMargin)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // the q71 fixpoint feeding q103's md5 bucket, keyed on the cluster id
+    "q169_leakage_split" ->
+      s"""WITH RECURSIVE pairs AS (
+         |${TextQueries.oracles("q34_jaccard_pairs")}),
+         |e AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION ALL SELECT b_id, a_id FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM e),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT e.dst AS id, reach.r FROM reach JOIN e ON e.src = reach.id),
+         |cc AS (SELECT id AS doc_id, MIN(r) AS cluster_id
+         |       FROM reach GROUP BY id),
+         |k AS (
+         |  SELECT d.doc_id,
+         |    COALESCE(cc.cluster_id, d.doc_id) AS split_key
+         |  FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id),
+         |b AS (
+         |  SELECT doc_id, split_key,
+         |    CAST(('0x' || SUBSTRING(MD5(CAST(split_key AS VARCHAR)), 1, 4))
+         |        AS BIGINT) % 10 AS b
+         |  FROM k)
+         |SELECT doc_id, split_key,
+         |  CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin)
 }

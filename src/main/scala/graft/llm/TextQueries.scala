@@ -883,6 +883,50 @@ object TextQueries extends QueryModule {
         .withColumn("share", col("n").cast("double") /
           sum(col("n")).over(wL).cast("double"))
         .orderBy("lang", "pred_lang")
+    },
+
+    // Hapax-legomena census (Baayen's vocabulary-richness tail) at
+    // bigram and trigram order: per source and order, how much of the
+    // gram vocabulary occurs exactly once (and exactly twice). q128
+    // already reads the unigram hapax point; on a closed synthetic
+    // vocabulary that saturates near zero — the n-gram orders are where
+    // the rarity tail actually lives, and the ORDER-over-order growth of
+    // hapax share is the richness curve an LM's context-length appetite
+    // cares about (q145's top-k coverage measures the HEAD; this is the
+    // TAIL). Scale shape: gram building is scan-local (transform over
+    // the token array, no self-join), counts are one corpus-sized
+    // (source, n, gram) aggregation, the census is one vocabulary-sized
+    // rollup to #sources×2 rows. Shares are single IEEE divisions of
+    // exact longs.
+    "q168_hapax_census" -> { (s, dir) =>
+      // IF guards short docs: sequence(1, 0) DESCENDS in Spark, which
+      // would probe element_at(tok, 0) and throw
+      def gramList(n: Int): String =
+        s"IF(size(tok) >= $n, transform(sequence(1, size(tok) - ${n - 1}), " +
+          "i -> concat_ws(' ', " +
+          (0 until n).map(j => s"element_at(tok, i + $j)").mkString(", ") +
+          ")), CAST(array() AS ARRAY<STRING>))"
+      val grams = Tables.t(s, dir, "documents")
+        .select(col("source"), split(col("text"), " ").as("tok"))
+        .select(col("source"), explode(array(
+          struct(lit(2).as("n"), expr(gramList(2)).as("g")),
+          struct(lit(3).as("n"), expr(gramList(3)).as("g")))).as("gn"))
+        .select(col("source"), col("gn.n").as("n"),
+          explode(col("gn.g")).as("gram"))
+      grams.groupBy(col("source"), col("n"), col("gram"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("source"), col("n"))
+        .agg(count(lit(1)).as("n_vocab"),
+          sum(col("c")).as("n_occurrences"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+          sum(when(col("c") === 2, 1L).otherwise(0L)).as("n_dis"))
+        .select(col("source"), col("n"), col("n_vocab"),
+          col("n_occurrences"), col("n_hapax"), col("n_dis"),
+          (col("n_hapax").cast("double") / col("n_vocab").cast("double"))
+            .as("hapax_vocab_share"),
+          (col("n_hapax").cast("double")
+            / col("n_occurrences").cast("double")).as("hapax_mass_share"))
+        .orderBy("source", "n")
     })
 
   /** The q34 exact-Jaccard oracle, hoisted so composite oracles (q71,
@@ -1358,5 +1402,32 @@ object TextQueries extends QueryModule {
         |SELECT lang, pred_lang, n,
         |  CAST(n AS DOUBLE)
         |    / CAST(SUM(n) OVER (PARTITION BY lang) AS DOUBLE) AS share
-        |FROM g ORDER BY lang, pred_lang""".stripMargin)
+        |FROM g ORDER BY lang, pred_lang""".stripMargin,
+
+    "q168_hapax_census" ->
+      """WITH d AS (
+        |  SELECT source, STRING_SPLIT(text, ' ') AS tok FROM documents),
+        |g AS (
+        |  SELECT source, 2 AS n, tok[i] || ' ' || tok[i + 1] AS gram
+        |  FROM d, UNNEST(GENERATE_SERIES(1, LEN(tok) - 1)) AS t(i)
+        |  UNION ALL
+        |  SELECT source, 3 AS n,
+        |    tok[i] || ' ' || tok[i + 1] || ' ' || tok[i + 2] AS gram
+        |  FROM d, UNNEST(GENERATE_SERIES(1, LEN(tok) - 2)) AS t(i)),
+        |c AS (
+        |  SELECT source, n, gram, COUNT(*) AS c FROM g GROUP BY 1, 2, 3),
+        |a AS (
+        |  SELECT source, n, COUNT(*) AS n_vocab,
+        |    CAST(SUM(c) AS BIGINT) AS n_occurrences,
+        |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_hapax,
+        |    CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_dis
+        |  FROM c GROUP BY 1, 2)
+        |SELECT source, n, n_vocab, n_occurrences, n_hapax, n_dis,
+        |  CAST(n_hapax AS DOUBLE) / CAST(n_vocab AS DOUBLE)
+        |    AS hapax_vocab_share,
+        |  CAST(n_hapax AS DOUBLE) / CAST(n_occurrences AS DOUBLE)
+        |    AS hapax_mass_share
+        |FROM a ORDER BY source, n""".stripMargin)
 }

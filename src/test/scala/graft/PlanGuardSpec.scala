@@ -38,7 +38,8 @@ class PlanGuardSpec extends AnyFunSuite {
       "q156_dedup_yield_curve", // 1-row doc count × #thresholds-row sweep
       "q157_decayed_value", // 1-row as-of max crossed into the scan
       "q159_rfm_segments", // 1-row quintile thresholds × customer rollup
-      "q165_incremental_dedup") // 1-row id-percentile cut × the scan
+      "q165_incremental_dedup", // 1-row id-percentile cut × the scan
+      "q166_ks_drift") // #sources-row stats + 1-row total × the value grid
 
   /** Shuffle ceilings for the most expensive plans (round-2 plan audit
     * values + 0 slack): these are the queries where one extra Exchange is

@@ -176,4 +176,81 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(hs >= 0 && hs <= 1.0, s"hapax share $hs out of range")
     }
   }
+
+  test("q168 hapax census equals brute-force n-gram counting") {
+    val texts = Tables.t(spark, TestSpark.Sf, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ")))
+    val expected = (for {
+      n <- Seq(2, 3); (src, tok) <- texts
+      g <- tok.sliding(n).filter(_.length == n).map(_.mkString(" "))
+    } yield ((src, n), g))
+      .groupBy(_._1).map { case (k, gs) =>
+        val counts = gs.map(_._2).groupBy(identity).view.mapValues(_.size)
+        k -> ((counts.size.toLong, gs.size.toLong,
+          counts.count(_._2 == 1).toLong, counts.count(_._2 == 2).toLong))
+      }
+    val got = q("q168_hapax_census").collect().map { r =>
+      (r.getString(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    }.toMap
+    assert(got == expected)
+    got.values.foreach { case (vocab, occ, hapax, dis) =>
+      assert(hapax + dis <= vocab && vocab <= occ)
+    }
+  }
+
+  test("q166 KS drift equals a brute-force two-sample ECDF sweep") {
+    val rows = Tables.t(spark, TestSpark.Sf, "documents")
+      .select(col("source"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val bySrc = rows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val expected = bySrc.map { case (src, mine) =>
+      val rest = rows.collect { case (s2, v) if s2 != src => v }
+      val grid = rows.map(_._2).distinct
+      val d = grid.map { x =>
+        math.abs(mine.count(_ <= x).toDouble / mine.length
+          - rest.count(_ <= x).toDouble / rest.length)
+      }.max
+      src -> d
+    }
+    val got = q("q166_ks_drift").collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("ks_d")).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (src, d) =>
+      assert(math.abs(d - expected(src)) < 1e-12,
+        s"$src: KS $d != brute-force ${expected(src)}")
+      assert(d >= 0.0 && d <= 1.0)
+    }
+  }
+
+  test("q167 shards equal a sequential cumulative packing; bins contiguous") {
+    val target = 20000L
+    val docs = Tables.t(spark, TestSpark.Sf, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      var cum = 0L
+      ds.sortBy(_._1).toSeq.map { case (id, _, n) =>
+        val shard = cum / target; cum += n; (src, shard, id, n)
+      }
+    }.groupBy(t => (t._1, t._2)).map { case ((src, sh), ms) =>
+      (src, sh) -> ((ms.size.toLong, ms.map(_._4).sum,
+        ms.map(_._3).min, ms.map(_._3).max))
+    }
+    val got = q("q167_size_shards").collect().map { r =>
+      (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    }.toMap
+    assert(got == expected, "two-phase prefix sum != sequential packing")
+    // contiguity: consecutive shards of a source never overlap doc ranges
+    got.groupBy(_._1._1).foreach { case (_, shards) =>
+      val ordered = shards.toSeq.sortBy(_._1._2).map(_._2)
+      ordered.sliding(2).foreach {
+        case Seq((_, _, _, lastA), (_, _, firstB, _)) =>
+          assert(lastA < firstB, "shard doc ranges overlap")
+        case _ =>
+      }
+    }
+  }
 }

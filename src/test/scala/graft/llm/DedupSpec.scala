@@ -138,4 +138,30 @@ class DedupSpec extends AnyFunSuite {
     assert(got == naive, s"missing=${(naive -- got).take(5)} " +
       s"extra=${(got -- naive).take(5)}")
   }
+
+  test("leakage split: a near-dup cluster never straddles two splits") {
+    val split = DedupQueries.queries("q169_leakage_split")(spark, TestSpark.Sf)
+      .select("doc_id", "split_key", "split").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val clusters = DedupQueries.queries("q71_dedup_clusters")(spark, TestSpark.Sf)
+      .select("doc_id", "cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(clusters.nonEmpty, "fixture should contain near-dup clusters")
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      val splits = members.map(m => split(m._1)._2).distinct
+      assert(splits.length == 1,
+        s"cluster $cid straddles splits ${splits.toSeq}")
+      members.foreach(m => assert(split(m._1)._1 == cid,
+        s"clustered doc ${m._1} must key on its cluster id"))
+    }
+    // singletons key on their own id — q103's per-doc rule
+    val clustered = clusters.map(_._1).toSet
+    split.foreach { case (id, (key, _)) =>
+      if (!clustered.contains(id)) assert(key == id,
+        s"singleton $id must key on its own doc_id")
+    }
+    // and every document is assigned exactly one split
+    assert(split.size == docs.count(),
+      "split table must cover the whole corpus")
+  }
 }
