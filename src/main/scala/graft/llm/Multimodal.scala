@@ -213,6 +213,94 @@ object Multimodal extends QueryModule {
     }.toDF()
   }
 
+  case class MediaHash(doc_id: Long, phash: Long, decoded: Boolean)
+
+  /** Perceptual average-hash (aHash) over a real pixel decode: downsample
+    * to 8×8 grayscale via the same JDK bilinear path [[resize]] uses,
+    * threshold each cell at the grid mean → a 64-bit fingerprint whose
+    * HAMMING distance tracks visual similarity (re-encodes, light crops,
+    * small noise keep most bits; byte-level hashes keep none). The
+    * near-dup key for image corpora — content SHA catches only exact
+    * bytes. Non-decodable payloads return phash 0 with decoded=false,
+    * never an exception (the 100 TB scan survival rule). Scan-local per
+    * row — zero shuffles at any scale.
+    */
+  def perceptualHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaIn].mapPartitions { it =>
+      it.map { m => MediaHash(m.doc_id, aHash64(m.payload),
+        aHashDecodes(m.payload)) }
+    }.toDF()
+  }
+
+  private def decode8x8Gray(payload: Array[Byte]): Option[Array[Int]] =
+    try {
+      val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val img = javax.imageio.ImageIO.read(in)
+      if (img == null) None
+      else {
+        val dst = new java.awt.image.BufferedImage(
+          8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, 8, 8, null)
+        g.dispose()
+        Some(Array.tabulate(64) { i =>
+          val rgb = dst.getRGB(i % 8, i / 8)
+          // integer luma (BT.601 weights scaled by 1000) — deterministic
+          // across JVMs where a float blend would not be
+          (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+        })
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  def aHashDecodes(payload: Array[Byte]): Boolean =
+    decode8x8Gray(payload).isDefined
+
+  /** The 64-bit aHash: bit i set iff cell i's luma >= the 64-cell mean. */
+  def aHash64(payload: Array[Byte]): Long =
+    decode8x8Gray(payload).fold(0L) { gray =>
+      val mean = gray.sum / 64 // integer mean — exact, engine-independent
+      gray.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
+        if (v >= mean) acc | (1L << i) else acc
+      }
+    }
+
+  /** Near-duplicate image pairs by perceptual-hash Hamming distance <=
+    * `maxDist`, at scale: the 64-bit hash splits into `maxDist + 1`
+    * disjoint bands — pigeonhole guarantees any pair within the distance
+    * agrees EXACTLY on at least one band — so candidates come from
+    * equi-joining band buckets (the MinHash-LSH shape, but with a 100%
+    * recall guarantee, not probabilistic), and the exact popcount-of-XOR
+    * confirms. No all-pairs join at any scale; bucket skew is bounded by
+    * how many images truly share a 16-bit perceptual band.
+    */
+  def nearDupByHamming(hashes: DataFrame, maxDist: Int): DataFrame = {
+    val nBands = maxDist + 1
+    val width = 64 / nBands
+    val banded = hashes.filter(col("decoded"))
+      .select(col("doc_id"), col("phash"), explode(array(
+        (0 until nBands).map(b => struct(lit(b).as("band"),
+          shiftright(col("phash"), b * width)
+            .bitwiseAND(lit((1L << width) - 1)).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("phash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = banded.select(col("band"), col("key"),
+      col("doc_id").as("a_id"), col("phash").as("a_hash"))
+    val b = banded.select(col("band"), col("key"),
+      col("doc_id").as("b_id"), col("phash").as("b_hash"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_hash").bitwiseXOR(col("b_hash"))).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct()
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Byte-level content features through the batch path — real features
     // (histogram stats), oracle-checkable since DuckDB can state the same

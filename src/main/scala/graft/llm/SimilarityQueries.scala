@@ -343,15 +343,29 @@ object SimilarityQueries extends QueryModule {
     */
   def kmeans(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
     val v = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    def assign(cents: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cos").desc, col("cid").asc)
-      v.crossJoin(broadcast(cents))
-        .withColumn("cos", cosine(col("v"), col("cv")))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") === 1)
-        .select(col("vec_id"), col("v"), col("cid"), col("cos"))
-    }
+    assignToCentroids(v, kmeansCentroids(embeddings, k, iters))
+      .select(col("vec_id"), col("cid").as("cluster"),
+        round(col("cos"), 4).as("cosine"))
+      .orderBy("vec_id")
+  }
+
+  /** Nearest-centroid assignment: one broadcast probe of the k-row
+    * centroid table, nearest-by-cosine with a cid tie-break. */
+  private def assignToCentroids(v: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("cid").asc)
+    v.crossJoin(broadcast(cents))
+      .withColumn("cos", cosine(col("v"), col("cv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("vec_id"), col("v"), col("cid"), col("cos"))
+  }
+
+  /** The trained centroid table (cid, cv) after `iters` Lloyd rounds —
+    * [[kmeans]]'s model half, exposed so audits (q171's silhouette) can
+    * probe ALL centroids, not just each vector's argmax. */
+  def kmeansCentroids(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
+    val v = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     def recenter(assigned: DataFrame): DataFrame =
       assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
@@ -366,13 +380,11 @@ object SimilarityQueries extends QueryModule {
     while (it < iters) {
       // roll: checkpoint the new centroid table, free the superseded one
       // (the final table stays live — the returned assignment reads it)
-      cents = graft.Checkpoints.roll(recenter(assign(cents)), cents)
+      cents = graft.Checkpoints.roll(
+        recenter(assignToCentroids(v, cents)), cents)
       it += 1
     }
-    assign(cents)
-      .select(col("vec_id"), col("cid").as("cluster"),
-        round(col("cos"), 4).as("cosine"))
-      .orderBy("vec_id")
+    cents
   }
 
   /** Product quantization (Jégou et al. 2011) — the memory lever PAST
@@ -676,6 +688,44 @@ object SimilarityQueries extends QueryModule {
         .select(col("vec_id"), col("label"), col("znorm"),
           (col("znorm") > lit(10.0)).as("is_outlier"))
         .orderBy("vec_id")
+    },
+
+    // Simplified silhouette (the centroid form — Hruschka et al. 2004)
+    // over q90's trained clustering: per vector, a = cosine distance to
+    // its own centroid, b = distance to the nearest OTHER centroid,
+    // s = (b-a)/max(a,b); reported as a per-cluster mean with the member
+    // count. The cluster-quality audit a curation pipeline reads before
+    // trusting q90's cells for semantic dedup or q84's IVF probes — full
+    // silhouette is O(n²) pairwise; the centroid form is the standard
+    // linear-cost surrogate and the ONLY one that scales. Shapes: the
+    // k-row centroid table broadcasts into one scan probe (all k cosines
+    // per vector ride the same row — rnk 1 and 2 from one window), then
+    // one k-row aggregation via the exact-decimal mean. s is a chain of
+    // single IEEE ops on engine-identical cosines, so davg sees the same
+    // doubles in both engines.
+    "q171_silhouette" -> { (s, dir) =>
+      val e = Tables.t(s, dir, "embeddings")
+      val v = e.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val cents = kmeansCentroids(e, 4, 2)
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("cid").asc)
+      val top2 = v.crossJoin(broadcast(cents))
+        .withColumn("cos", cosine(col("v"), col("cv")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 2)
+      val own = top2.filter(col("rnk") === 1)
+        .select(col("vec_id"), col("cid"), col("cos").as("c1"))
+      val second = top2.filter(col("rnk") === 2)
+        .select(col("vec_id"), col("cos").as("c2"))
+      val a = lit(1.0) - col("c1")
+      val b = lit(1.0) - col("c2")
+      own.join(second, "vec_id")
+        .withColumn("sil", when(greatest(a, b) > 0.0,
+          (b - a) / greatest(a, b)).otherwise(0.0))
+        .groupBy(col("cid").as("cluster"))
+        .agg(count(lit(1)).as("n_members"),
+          graft.Fns.davg(col("sil")).as("mean_silhouette"))
+        .orderBy("cluster")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -1062,5 +1112,70 @@ object SimilarityQueries extends QueryModule {
          |    ROUND(SQRT(LIST_DOT_PRODUCT(zv, zv)), 4) AS znorm
          |  FROM z)
          |SELECT vec_id, label, znorm, znorm > 10.0 AS is_outlier
-         |FROM n ORDER BY vec_id""".stripMargin)
+         |FROM n ORDER BY vec_id""".stripMargin,
+
+    // q90's two-Lloyd-round centroid chain (c2), then the centroid-form
+    // silhouette over rnk-1/rnk-2 cosines from one ranked probe
+    "q171_silhouette" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c0 AS (
+         |  SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < 4),
+         |s1 AS (
+         |  SELECT v.vec_id, v.v, c0.cid,
+         |    LIST_COSINE_SIMILARITY(v.v, c0.cv) AS cos
+         |  FROM v CROSS JOIN c0),
+         |a1 AS (
+         |  SELECT vec_id, v, cid FROM (
+         |    SELECT vec_id, v, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                         ORDER BY cos DESC, cid ASC) AS rnk
+         |    FROM s1) WHERE rnk = 1),
+         |d1 AS (
+         |  SELECT cid, GENERATE_SUBSCRIPTS(v, 1) AS dim, UNNEST(v) AS x
+         |  FROM a1),
+         |m1 AS (
+         |  SELECT cid, dim, ${graft.Fns.davgSql("x")} AS c
+         |  FROM d1 GROUP BY cid, dim),
+         |c1 AS (
+         |  SELECT cid, LIST(c ORDER BY dim) AS cv FROM m1 GROUP BY cid),
+         |s2 AS (
+         |  SELECT v.vec_id, v.v, c1.cid,
+         |    LIST_COSINE_SIMILARITY(v.v, c1.cv) AS cos
+         |  FROM v CROSS JOIN c1),
+         |a2 AS (
+         |  SELECT vec_id, v, cid FROM (
+         |    SELECT vec_id, v, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                         ORDER BY cos DESC, cid ASC) AS rnk
+         |    FROM s2) WHERE rnk = 1),
+         |d2 AS (
+         |  SELECT cid, GENERATE_SUBSCRIPTS(v, 1) AS dim, UNNEST(v) AS x
+         |  FROM a2),
+         |m2 AS (
+         |  SELECT cid, dim, ${graft.Fns.davgSql("x")} AS c
+         |  FROM d2 GROUP BY cid, dim),
+         |c2 AS (
+         |  SELECT cid, LIST(c ORDER BY dim) AS cv FROM m2 GROUP BY cid),
+         |s3 AS (
+         |  SELECT v.vec_id, c2.cid,
+         |    LIST_COSINE_SIMILARITY(v.v, c2.cv) AS cos
+         |  FROM v CROSS JOIN c2),
+         |rk AS (
+         |  SELECT vec_id, cid, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                       ORDER BY cos DESC, cid ASC) AS rnk
+         |  FROM s3),
+         |own AS (SELECT vec_id, cid, cos AS c1c FROM rk WHERE rnk = 1),
+         |sec AS (SELECT vec_id, cos AS c2c FROM rk WHERE rnk = 2),
+         |sil AS (
+         |  SELECT own.cid,
+         |    CASE WHEN GREATEST(1.0 - c1c, 1.0 - c2c) > 0.0
+         |         THEN ((1.0 - c2c) - (1.0 - c1c))
+         |              / GREATEST(1.0 - c1c, 1.0 - c2c)
+         |         ELSE 0.0 END AS s
+         |  FROM own JOIN sec ON own.vec_id = sec.vec_id)
+         |SELECT cid AS cluster, COUNT(*) AS n_members,
+         |  ${graft.Fns.davgSql("s")} AS mean_silhouette
+         |FROM sil GROUP BY cid ORDER BY cluster""".stripMargin)
 }

@@ -135,6 +135,24 @@ object GraphQueries extends QueryModule {
         .mutualKnnEdges(Tables.t(s, dir, "embeddings"), 5)
         .select(col("label"), col("a_id"), col("b_id")))
         .orderBy("label", "vec_id")
+    },
+
+    // k-core of the mutual-kNN graph (Seidman 1983): iteratively peel
+    // nodes with degree < k until the maximal subgraph where everyone
+    // keeps >= k neighbors remains — the density filter past q147's
+    // triangles (a triangle needs 3 mutual friends ONCE; a 3-core node
+    // keeps 3 inside the surviving subgraph, transitively). In corpus
+    // terms: the embedding neighborhoods dense enough to trust for
+    // semantic dedup or cluster seeding, with hub-noise and fringe
+    // vectors peeled away. The fixpoint is unique (peeling order never
+    // changes the maximal k-core), so the oracle can state it as
+    // unrolled rounds — any unroll depth >= the convergence round gives
+    // the same table.
+    "q170_kcore" -> { (s, dir) =>
+      kCore(graft.llm.SimilarityQueries
+        .mutualKnnEdges(Tables.t(s, dir, "embeddings"), 5)
+        .select(col("label"), col("a_id"), col("b_id")), 3)
+        .orderBy("label", "vec_id")
     })
 
   /** Per-node triangle participation counts over an undirected,
@@ -159,6 +177,55 @@ object GraphQueries extends QueryModule {
         explode(array(col("a"), col("b"), col("c"))).as("vec_id"))
       .groupBy(col("label"), col("vec_id"))
       .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Iterative k-core peel over a label-blocked undirected edge list in
+    * canonical orientation (a_id < b_id). Each round drops every node
+    * whose CURRENT degree is < k and keeps only edges with both
+    * endpoints surviving; converges when a round removes no edge.
+    * Returns (label, vec_id, core_deg) for the survivors — core_deg is
+    * the within-core degree, >= k by construction.
+    *
+    * Scale shape (the q71 loop recipe): the symmetrized adjacency
+    * materializes once per round via Checkpoints.roll (superseded rounds
+    * freed), each round costs one degree aggregation plus two
+    * co-keyed semi-joins — all edges/nodes-sized, never pair-quadratic —
+    * and convergence rides an `observe` metric on the round's own
+    * materialization, so each round is exactly one action. Peeling can
+    * take O(diameter) rounds on pathological chains; maxIter fails loudly
+    * rather than returning a mid-peel superset.
+    */
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = 50): DataFrame = {
+    var adj = edges.select(col("label"), explode(array(
+        struct(col("a_id").as("src"), col("b_id").as("dst")),
+        struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
+      .select(col("label"), col("e.src").as("src"), col("e.dst").as("dst"))
+      .repartition(col("label"), col("src"))
+      .localCheckpoint()
+    var prev = -1L
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val keep = adj.groupBy(col("label"), col("src"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("label"), col("src"))
+      val next = adj
+        .join(keep, Seq("label", "src"), "left_semi")
+        .join(keep.select(col("label"), col("src").as("dst")),
+          Seq("label", "dst"), "left_semi")
+        .select(col("label"), col("src"), col("dst"))
+      val obs = new org.apache.spark.sql.Observation(s"kcore_$iter")
+      adj = graft.Checkpoints.roll(
+        next.observe(obs, count(lit(1)).as("n_edges")), adj)
+      val n = obs.get("n_edges").asInstanceOf[Long]
+      converged = n == prev
+      prev = n
+      iter += 1
+    }
+    require(converged, s"kCore did not converge in $maxIter rounds")
+    adj.groupBy(col("label"), col("src").as("vec_id"))
+      .agg(count(lit(1)).as("core_deg"))
   }
 
   override def oracles: Map[String, String] = Map(
@@ -222,5 +289,52 @@ object GraphQueries extends QueryModule {
         |    AND e3.b_id = e2.b_id),
         |n AS (SELECT label, UNNEST([a, b, c]) AS vec_id FROM tri)
         |SELECT label, vec_id, COUNT(*) AS n_triangles
-        |FROM n GROUP BY 1, 2 ORDER BY label, vec_id""".stripMargin)
+        |FROM n GROUP BY 1, 2 ORDER BY label, vec_id""".stripMargin,
+
+    // q129's mutual-kNN chain, then the peel unrolled 10 rounds — the
+    // fixpoint is unique, so any depth >= the convergence round (4 at
+    // sf0.01, spec-asserted against a sequential peel) states the same
+    // table as the engine's converge-then-stop loop. Every round CTE is
+    // MATERIALIZED: each e_i is referenced three times (its degree CTE
+    // twice over, plus the next round), and DuckDB's default inlining
+    // would expand the 10-round chain exponentially — thousands of base
+    // scans — where materialization keeps it linear, mirroring the
+    // engine's per-round checkpoint.
+    "q170_kcore" -> {
+      val rounds = (0 until 10).map { i =>
+        s"""d$i AS MATERIALIZED (
+           |  SELECT label, src FROM e$i GROUP BY label, src
+           |  HAVING COUNT(*) >= 3),
+           |e${i + 1} AS MATERIALIZED (
+           |  SELECT e.label, e.src, e.dst FROM e$i e
+           |  JOIN d$i a ON a.label = e.label AND a.src = e.src
+           |  JOIN d$i b ON b.label = e.label AND b.src = e.dst)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |s AS (
+         |  SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
+         |    LIST_COSINE_SIMILARITY(a.v, b.v) AS cos
+         |  FROM e a JOIN e b
+         |    ON a.label = b.label AND a.vec_id <> b.vec_id),
+         |r AS (
+         |  SELECT label, a_id, b_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY a_id
+         |                       ORDER BY cos DESC, b_id ASC) AS rnk
+         |  FROM s),
+         |knn AS (SELECT label, a_id, b_id FROM r WHERE rnk <= 5),
+         |mu AS (
+         |  SELECT k.label, k.a_id, k.b_id
+         |  FROM knn k JOIN knn m
+         |    ON k.label = m.label AND k.a_id = m.b_id AND k.b_id = m.a_id
+         |  WHERE k.a_id < k.b_id),
+         |e0 AS MATERIALIZED (
+         |  SELECT label, a_id AS src, b_id AS dst FROM mu
+         |  UNION ALL SELECT label, b_id, a_id FROM mu),
+         |$rounds
+         |SELECT label, src AS vec_id, COUNT(*) AS core_deg
+         |FROM e10 GROUP BY 1, 2 ORDER BY label, vec_id""".stripMargin
+    })
 }

@@ -39,7 +39,8 @@ class PlanGuardSpec extends AnyFunSuite {
       "q157_decayed_value", // 1-row as-of max crossed into the scan
       "q159_rfm_segments", // 1-row quintile thresholds × customer rollup
       "q165_incremental_dedup", // 1-row id-percentile cut × the scan
-      "q166_ks_drift") // #sources-row stats + 1-row total × the value grid
+      "q166_ks_drift", // #sources-row stats + 1-row total × the value grid
+      "q171_silhouette") // k-row centroid table broadcast-probed (q90)
 
   /** Shuffle ceilings for the most expensive plans (round-2 plan audit
     * values + 0 slack): these are the queries where one extra Exchange is

@@ -360,4 +360,60 @@ class MultimodalSpec extends AnyFunSuite {
       (2L, "jpeg", 1920L, 1080L),
       (3L, "bin", 0L, 0L)))
   }
+
+  /** [[realImage]] with a per-pixel perturbation — visually the same
+    * gradient, byte-wise a different file (different SHA, near-equal
+    * perceptual hash). */
+  private def noisyImage(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val n = ((x * 31 + y * 17 + seed) % 7) - 3 // +-3 luma jitter
+      val r = (x * 255 / w + n).max(0).min(255)
+      val g = (y * 255 / h + n).max(0).min(255)
+      img.setRGB(x, y, (r << 16) | (g << 8) | 0x40)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("perceptual hash: jittered re-renders are near, inverses far") {
+    import spark.implicits._
+    val base = realImage(64, 48, "png")
+    val noisy = noisyImage(64, 48, 1)
+    // the visual opposite: the same gradient mirrored AND inverted
+    val inv = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(base))
+      for (y <- 0 until 48; x <- 0 until 64 / 2) {
+        val a = img.getRGB(x, y); val b = img.getRGB(63 - x, y)
+        img.setRGB(x, y, ~b & 0xffffff); img.setRGB(63 - x, y, ~a & 0xffffff)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    assert(!java.util.Arrays.equals(base, noisy),
+      "fixture must differ byte-wise")
+    val media = Seq(
+      Multimodal.MediaIn(1L, base), Multimodal.MediaIn(2L, noisy),
+      Multimodal.MediaIn(3L, inv),
+      Multimodal.MediaIn(4L, "not an image".getBytes)).toDS().toDF()
+    val hashes = Multimodal.perceptualHash(media)
+    val rows = hashes.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.map(_._3).toSeq == Seq(true, true, true, false),
+      "only the real images decode")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(rows(0)._2, rows(1)._2) <= 3,
+      "jittered copy within hamming 3 of the original")
+    assert(ham(rows(0)._2, rows(2)._2) > 10,
+      "mirrored+inverted image is perceptually far")
+    // the banded join finds exactly the near pair, exact distances attached
+    val pairs = Multimodal.nearDupByHamming(hashes, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    assert(pairs.head._3 == ham(rows(0)._2, rows(1)._2))
+  }
 }

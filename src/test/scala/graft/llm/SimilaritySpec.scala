@@ -108,4 +108,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == mutual,
       s"missing=${(mutual -- got).take(5)} extra=${(got -- mutual).take(5)}")
   }
+
+  test("q171 silhouette equals a brute-force pass over the trained model") {
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val cents = SimilarityQueries.kmeansCentroids(emb, 4, 2).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).sortBy(_._1)
+    val vs = emb.collect().map(r => (r.getLong(0),
+      r.getSeq[Float](1).map(_.toDouble)))
+    val perVec = vs.map { case (_, v) =>
+      val scored = cents.map { case (cid, cv) => (cid, cos(v, cv)) }
+        .sortBy { case (cid, c) => (-c, cid) }
+      val (ownCid, c1) = scored(0)
+      val c2 = scored(1)._2
+      val (a, b) = (1.0 - c1, 1.0 - c2)
+      (ownCid, if (math.max(a, b) > 0) (b - a) / math.max(a, b) else 0.0)
+    }
+    val want = perVec.groupBy(_._1).view.mapValues { ss =>
+      (ss.length.toLong, ss.map(_._2).sum / ss.length)
+    }.toMap
+    val got = SparkEntry.queries("q171_silhouette")(spark, TestSpark.Sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (cid, (n, mean)) =>
+      assert(n == want(cid)._1)
+      // brute-force mean uses plain double sums; davg's decimal path
+      // agrees to the 1e-6 cast grid times the member count
+      assert(math.abs(mean - want(cid)._2) < 1e-4,
+        s"cluster $cid: $mean vs ${want(cid)._2}")
+      assert(mean >= -1.0 && mean <= 1.0)
+    }
+  }
 }

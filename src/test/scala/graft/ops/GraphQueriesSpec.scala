@@ -45,4 +45,58 @@ class GraphQueriesSpec extends AnyFunSuite {
     assert(r(10L) > r(1L))
     assert(math.abs(r.values.sum - 1.0) < 1e-9)
   }
+
+  private def canonical(pairs: (Long, Long)*) =
+    pairs.toDF("a_id", "b_id").select(lit(0).as("label"),
+      least(col("a_id"), col("b_id")).as("a_id"),
+      greatest(col("a_id"), col("b_id")).as("b_id"))
+
+  /** Sequential reference peel: repeatedly drop nodes with degree < k. */
+  private def peel(pairs: Seq[(Long, Long)], k: Int): Map[Long, Int] = {
+    var es = pairs
+    var changed = true
+    while (changed) {
+      val deg = es.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+        .view.mapValues(_.size).toMap
+      val keep = deg.filter(_._2 >= k).keySet
+      val next = es.filter(e => keep(e._1) && keep(e._2))
+      changed = next.size != es.size
+      es = next
+    }
+    es.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .view.mapValues(_.size).toMap
+  }
+
+  test("kCore equals the sequential peel on hand graphs") {
+    // K4 (a 3-core) with a pendant path hanging off it: the path AND the
+    // bridge peel away in cascading rounds, the clique survives intact
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L))
+    val got = GraphQueries.kCore(canonical(pairs: _*), 3)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val want = peel(pairs, 3).map { case (n, d) => n -> d.toLong }
+    assert(got == want)
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got.values.forall(_ >= 3), "core degree >= k by definition")
+  }
+
+  test("kCore peels a chain to empty and returns the fixture core") {
+    // a pure path has no 2-core: endpoints peel round by round
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(GraphQueries.kCore(canonical(chain: _*), 2).count() == 0)
+    // fixture-scale: q170 equals the sequential peel of the mutual-kNN
+    // edges, independently of the oracle's unrolled-CTE spelling
+    val edges = graft.llm.SimilarityQueries.mutualKnnEdges(
+      graft.Tables.t(spark, TestSpark.Sf, "embeddings"), 5)
+      .select(col("label"), col("a_id"), col("b_id"))
+    val byLabel = edges.collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1)
+    val want = byLabel.toSeq.flatMap { case (lbl, es) =>
+      peel(es.map(_._2).toSeq, 3).map { case (n, d) => (lbl, n) -> d.toLong }
+    }.toMap
+    val got = graft.SparkEntry.queries("q170_kcore")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == want)
+  }
 }
