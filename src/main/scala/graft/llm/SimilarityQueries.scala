@@ -726,6 +726,58 @@ object SimilarityQueries extends QueryModule {
         .agg(count(lit(1)).as("n_members"),
           graft.Fns.davg(col("sil")).as("mean_silhouette"))
         .orderBy("cluster")
+    },
+
+    // Leave-one-out 1-NN label accuracy through the IVF index — the
+    // embedding-quality eval (is the space good enough that nearest
+    // neighbors share labels?) run the way it must run at scale: each
+    // query probes its 2 nearest cells (q84's dial) and takes the best
+    // candidate from THOSE postings only, so the quadratic term stays
+    // confined to probed cells (the q89 confinement) instead of an
+    // all-pairs scan. A candidate's home cell is unique, so the 2-probe
+    // join yields each candidate at most once — no dedup pass. Accuracy
+    // is one IEEE division of exact counts; ranking ties break on
+    // candidate id over engine-identical cosines.
+    "q173_knn_eval" -> { (s, dir) =>
+      // materialized once: cells and probes both read the ranked probe
+      // frame, and Spark plans share no subtrees — un-checkpointed, the
+      // centroid chain and the rank window run once per branch (the q148
+      // ranked-postings lesson); the frame is 2 rows/vector and freed by
+      // the caller's Checkpoints.freeingAfter scope. Vectors are
+      // UNIT-NORMALIZED at checkpoint time — each norm is computed once
+      // per vector instead of once per candidate PAIR (cosine recomputes
+      // both norms per pair: ~3x the arithmetic of the plain dot over
+      // pre-normalized units; with the sort-free max_by argmax, measured
+      // 5.1 s -> 1.9 s at sf0.1, 20.7 s -> 9.0 s at sf1).
+      val scored = ivfScored(Tables.t(s, dir, "embeddings"))
+        .filter(col("rnk") <= 2)
+        .withColumn("nrm", norm(col("v")))
+        .select(col("vec_id"), col("label"), col("c_label"),
+          transform(col("v"), (x: Column) => x / col("nrm")).as("u"),
+          col("rnk"))
+        .localCheckpoint()
+      val cells = scored.filter(col("rnk") === 1)
+        .select(col("vec_id").as("c_id"), col("label").as("c_lbl"),
+          col("c_label").as("cell"), col("u").as("cu"))
+      val probes = scored.filter(col("rnk") <= 2)
+        .select(col("vec_id").as("q_id"), col("label").as("q_lbl"),
+          col("c_label").as("cell"), col("u").as("qu"))
+      // per-query argmax as a hash aggregation (max_by over a composite
+      // (cos, -id) key) — no candidate-set sort window
+      probes.join(cells, Seq("cell"))
+        .filter(col("q_id") =!= col("c_id"))
+        .withColumn("cos", dot(col("qu"), col("cu")))
+        .groupBy(col("q_id"), col("q_lbl"))
+        .agg(max_by(col("c_lbl"),
+          struct(col("cos"), (-col("c_id")).cast("double"))).as("pred"))
+        .groupBy(col("q_lbl").as("label"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("q_lbl") === col("pred"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .select(col("label"), col("n"), col("n_correct"),
+          (col("n_correct").cast("double") / col("n").cast("double"))
+            .as("accuracy"))
+        .orderBy("label")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -1177,5 +1229,55 @@ object SimilarityQueries extends QueryModule {
          |  FROM own JOIN sec ON own.vec_id = sec.vec_id)
          |SELECT cid AS cluster, COUNT(*) AS n_members,
          |  ${graft.Fns.davgSql("s")} AS mean_silhouette
-         |FROM sil GROUP BY cid ORDER BY cluster""".stripMargin)
+         |FROM sil GROUP BY cid ORDER BY cluster""".stripMargin,
+
+    // the q89/q70 label-centroid chain, 2-probe candidate join, 1-NN
+    // argmax, label-match rollup
+    "q173_knn_eval" ->
+      s"""WITH d AS (
+         |  SELECT label,
+         |    UNNEST(CAST(embedding AS DOUBLE[])) AS x,
+         |    GENERATE_SUBSCRIPTS(embedding, 1) AS dim
+         |  FROM embeddings),
+         |cent AS (
+         |  SELECT label AS c_label, dim, ${graft.Fns.davgSql("x")} AS c
+         |  FROM d GROUP BY label, dim),
+         |carr AS (
+         |  SELECT c_label, LIST(c ORDER BY dim) AS cv
+         |  FROM cent GROUP BY c_label),
+         |v AS (
+         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |sc AS (
+         |  SELECT vec_id, label, v, c_label,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                       ORDER BY cos DESC, c_label ASC) AS rnk
+         |  FROM (
+         |    SELECT v.vec_id, v.label, v.v, carr.c_label,
+         |      LIST_COSINE_SIMILARITY(v.v, carr.cv) AS cos
+         |    FROM v CROSS JOIN carr)),
+         |cells AS (
+         |  SELECT vec_id AS c_id, label AS c_lbl, c_label AS cell,
+         |    LIST_TRANSFORM(v, x -> x / SQRT(LIST_DOT_PRODUCT(v, v)))
+         |      AS cu
+         |  FROM sc WHERE rnk = 1),
+         |probes AS (
+         |  SELECT vec_id AS q_id, label AS q_lbl, c_label AS cell,
+         |    LIST_TRANSFORM(v, x -> x / SQRT(LIST_DOT_PRODUCT(v, v)))
+         |      AS qu
+         |  FROM sc WHERE rnk <= 2),
+         |nn AS (
+         |  SELECT q_id, q_lbl, c_lbl,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY LIST_DOT_PRODUCT(qu, cu) DESC, c_id ASC)
+         |      AS r
+         |  FROM probes JOIN cells USING (cell)
+         |  WHERE q_id <> c_id)
+         |SELECT q_lbl AS label, COUNT(*) AS n,
+         |  CAST(SUM(CASE WHEN q_lbl = c_lbl THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_correct,
+         |  CAST(CAST(SUM(CASE WHEN q_lbl = c_lbl THEN 1 ELSE 0 END)
+         |        AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |    AS accuracy
+         |FROM nn WHERE r = 1 GROUP BY q_lbl ORDER BY label""".stripMargin)
 }

@@ -486,6 +486,37 @@ object EventQueries extends QueryModule {
             .otherwise(0.0) + lit(0.0)).as("z"),
           (col("n").cast("double") > mean + lit(3.0) * std).as("is_burst"))
         .orderBy("event_type", "minute")
+    },
+
+    // Last-touch attribution: each purchase credits the LATEST preceding
+    // view/click by the same user within a 7-day lookback — the marketing
+    // twin of q160's first-touch conversion latency (which engagement
+    // gets the credit vs how long conversion takes). Purchases with no
+    // qualifying touch keep NULL touch columns — the unattributed share
+    // IS a readout. One user-timeline window (last-ignoring-nulls over
+    // rows-preceding carries the most recent touch forward — never a
+    // per-purchase rescan of the history), so the whole operator rides a
+    // single user_id partitioning; gap seconds are exact integer
+    // microsecond arithmetic.
+    "q172_last_touch" -> { (s, dir) =>
+      val ev = Tables.t(s, dir, "events")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val touch = when(col("event_type").isin("view", "click"),
+        struct(unix_micros(col("ts")).as("us"),
+          col("event_id").as("id"), col("event_type").as("tp")))
+      val within = col("t.us").isNotNull &&
+        unix_micros(col("ts")) - col("t.us") <= lit(7L * 24 * 3600 * 1000000L)
+      ev.withColumn("t", last(touch, ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          unix_micros(col("ts")).as("purchase_us"), col("value"),
+          when(within, col("t.id")).as("touch_id"),
+          when(within, col("t.tp")).as("touch_type"),
+          when(within,
+            expr("(unix_micros(ts) - t.us) div 1000000")).as("gap_s"))
+        .orderBy("purchase_id")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -807,5 +838,25 @@ object EventQueries extends QueryModule {
         |  CAST(n AS DOUBLE) > mean + 3.0 * std AS is_burst
         |FROM j
         |WHERE rk <= 5
-        |ORDER BY event_type, minute""".stripMargin)
+        |ORDER BY event_type, minute""".stripMargin,
+
+    "q172_last_touch" ->
+      """WITH m AS (
+        |  SELECT event_id, user_id, ts, event_type, value,
+        |    LAST_VALUE(CASE WHEN event_type IN ('view', 'click') THEN
+        |        {'us': EPOCH_US(ts), 'id': event_id, 'tp': event_type}
+        |      END IGNORE NULLS) OVER (
+        |        PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS tch
+        |  FROM events),
+        |p AS (
+        |  SELECT *, tch.us IS NOT NULL
+        |      AND EPOCH_US(ts) - tch.us <= 604800000000 AS ok
+        |  FROM m WHERE event_type = 'purchase')
+        |SELECT event_id AS purchase_id, user_id,
+        |  EPOCH_US(ts) AS purchase_us, value,
+        |  CASE WHEN ok THEN tch.id END AS touch_id,
+        |  CASE WHEN ok THEN tch.tp END AS touch_type,
+        |  CASE WHEN ok THEN (EPOCH_US(ts) - tch.us) // 1000000 END AS gap_s
+        |FROM p ORDER BY purchase_id""".stripMargin)
 }

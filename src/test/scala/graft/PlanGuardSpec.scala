@@ -41,6 +41,8 @@ class PlanGuardSpec extends AnyFunSuite {
       "q165_incremental_dedup", // 1-row id-percentile cut × the scan
       "q166_ks_drift", // #sources-row stats + 1-row total × the value grid
       "q171_silhouette") // k-row centroid table broadcast-probed (q90)
+      // (q173's centroid probe BNLJ runs inside its eager checkpoint —
+      // the declared plan reads the materialized ranked frame)
 
   /** Shuffle ceilings for the most expensive plans (round-2 plan audit
     * values + 0 slack): these are the queries where one extra Exchange is

@@ -142,4 +142,41 @@ class SimilaritySpec extends AnyFunSuite {
       assert(mean >= -1.0 && mean <= 1.0)
     }
   }
+
+  test("q173 1-NN eval equals a brute-force IVF probe replay") {
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val vs = emb.collect().map(r => (r.getLong(0), r.getInt(2),
+      r.getSeq[Float](1).map(_.toDouble).toArray))
+    val cents = vs.groupBy(_._2).view.mapValues { g =>
+      val dims = g.head._3.length
+      Array.tabulate(dims)(i => g.map(_._3(i)).sum / g.length)
+    }.toMap
+    // per vector: centroid ranks by (cos desc, label asc)
+    val ranked = vs.map { case (id, lbl, v) =>
+      (id, lbl, v, cents.toSeq.map { case (cl, cv) => (cl, cos(v, cv)) }
+        .sortBy { case (cl, c) => (-c, cl) }.map(_._1))
+    }
+    val cellOf = ranked.map(r => r._1 -> r._4.head).toMap
+    val correctByLabel = ranked.map { case (id, lbl, v, order) =>
+      val probed = order.take(2).toSet
+      val cands = ranked.filter(o => o._1 != id && probed(cellOf(o._1)))
+      val nn = cands.map(o => (o._1, o._2, cos(v, o._3)))
+        .sortBy { case (cid, _, c) => (-c, cid) }.head
+      (lbl, nn._2 == lbl)
+    }.groupBy(_._1).view
+      .mapValues(g => (g.length.toLong, g.count(_._2).toLong)).toMap
+    val got = SparkEntry.queries("q173_knn_eval")(spark, TestSpark.Sf)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == correctByLabel.keySet)
+    got.foreach { case (lbl, (n, correct, acc)) =>
+      assert((n, correct) == correctByLabel(lbl),
+        s"label $lbl: ($n, $correct) vs ${correctByLabel(lbl)}")
+      assert(acc == correct.toDouble / n)
+    }
+  }
 }
