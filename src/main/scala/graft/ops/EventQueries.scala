@@ -517,6 +517,100 @@ object EventQueries extends QueryModule {
           when(within,
             expr("(unix_micros(ts) - t.us) div 1000000")).as("gap_s"))
         .orderBy("purchase_id")
+    },
+
+    // Daily-volume trend per event type: the least-squares slope of
+    // counts over epoch-day index — the direction readout next to q143's
+    // PSI (is the mix drifting?) and q162's bursts (did a minute spike?):
+    // a steady climb flags growth or a ramping scraper that never
+    // bursts. Slope from the closed form (n·Sxy − Sx·Sy)/(n·Sxx − Sx²):
+    // every moment is an exact-long sum over the #days-sized daily
+    // rollup (epoch-day indices need no global min — slope is
+    // shift-invariant), and the slope/intercept are single IEEE ops on
+    // those exact longs. One corpus-sized aggregation; everything after
+    // is #types rows.
+    "q174_trend_slope" -> { (s, dir) =>
+      val daily = Tables.t(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("unix_micros(date_trunc('day', ts)) div 86400000000")
+            .as("x"))
+        .agg(count(lit(1)).as("n"))
+      val slopeNum = col("np") * col("sxy") - col("sx") * col("sy")
+      val slopeDen = col("np") * col("sxx") - col("sx") * col("sx")
+      daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("np"), sum(col("x")).as("sx"),
+          sum(col("n")).as("sy"), sum(col("x") * col("n")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("event_type"), col("np").as("n_days"),
+          col("sy").as("total"),
+          (slopeNum.cast("double") / slopeDen.cast("double"))
+            .as("slope_per_day"))
+        .orderBy("event_type")
+    },
+
+    // CUSUM changepoint per event type: the day where the cumulative
+    // deviation of daily counts from the type's mean peaks — WHERE the
+    // level shifted, where q174 says whether it trends and q162 when a
+    // minute burst hit. Exactness without a running double sum: the
+    // cumulative deviation telescopes to P_t − t·(total/n_days) with P_t
+    // an exact-long prefix count and t the day's 1-based rank, so each
+    // day's statistic is two IEEE ops on exact ints — no
+    // accumulation-order hazard. Windows run over the daily rollup only;
+    // the argmax is a sort-free max_by on (|cusum|, earliest-day) ties.
+    "q175_cusum_changepoint" -> { (s, dir) =>
+      val daily = Tables.t(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("unix_micros(date_trunc('day', ts)) div 86400000000")
+            .as("x"))
+        .agg(count(lit(1)).as("n"))
+      val wOrd = Window.partitionBy(col("event_type")).orderBy(col("x"))
+      val wAll = Window.partitionBy(col("event_type"))
+      val cusum = col("p").cast("double") -
+        col("t").cast("double") *
+          (col("total").cast("double") / col("nd").cast("double"))
+      daily
+        .withColumn("p", sum(col("n")).over(wOrd))
+        .withColumn("t", row_number().over(wOrd).cast("long"))
+        .withColumn("total", sum(col("n")).over(wAll))
+        .withColumn("nd", count(lit(1)).over(wAll))
+        .withColumn("cusum", cusum)
+        .groupBy(col("event_type"))
+        .agg(max(col("nd")).as("n_days"),
+          max_by(col("x"), struct(abs(col("cusum")), -col("t")))
+            .as("cp_day"),
+          max_by(col("cusum"), struct(abs(col("cusum")), -col("t")))
+            .as("cusum_at_cp"))
+        .orderBy("event_type")
+    },
+
+    // Rolling 7-day active users (exact windowed distinct): each event
+    // fans out to the 7 trailing windows that contain its day, then ONE
+    // (window, user) distinct aggregation counts every window — the
+    // explode-into-windows spelling that replaces the 7-way self-join a
+    // naive rolling distinct needs (distinct counts don't merge across
+    // days, so there is no prefix-sum shortcut; ×7 linear fan-out IS the
+    // scalable exact form, and the probabilistic alternative is q44's
+    // HLL sketch). DAU rides the i=0 slice of the same fan-out. Windows
+    // report only on days that actually have events (join against the
+    // observed-day set — trailing windows anchored on empty days would
+    // restate their last observed sibling).
+    "q176_rolling_active" -> { (s, dir) =>
+      val ev = Tables.t(s, dir, "events")
+        .select(expr("unix_micros(date_trunc('day', ts)) div 86400000000")
+          .as("d"), col("user_id"))
+      val fan = ev.select(col("user_id"),
+          explode(expr("sequence(0L, 6L)")).as("i"),
+          col("d"))
+        .select(col("user_id"), (col("d") + col("i")).as("w"),
+          (col("i") === 0).as("is_day"))
+      val obs = ev.select(col("d")).distinct()
+      fan.join(obs.withColumnRenamed("d", "w"), Seq("w"))
+        .groupBy(col("w").as("day_idx"), col("user_id"))
+        .agg(max(col("is_day")).as("active_today"))
+        .groupBy(col("day_idx"))
+        .agg(sum(when(col("active_today"), 1L).otherwise(0L)).as("dau"),
+          count(lit(1)).as("wau7"))
+        .orderBy("day_idx")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -858,5 +952,70 @@ object EventQueries extends QueryModule {
         |  CASE WHEN ok THEN tch.id END AS touch_id,
         |  CASE WHEN ok THEN tch.tp END AS touch_type,
         |  CASE WHEN ok THEN (EPOCH_US(ts) - tch.us) // 1000000 END AS gap_s
-        |FROM p ORDER BY purchase_id""".stripMargin)
+        |FROM p ORDER BY purchase_id""".stripMargin,
+
+    "q174_trend_slope" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    EPOCH_US(DATE_TRUNC('day', ts)) // 86400000000 AS x,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, COUNT(*) AS np,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(n) AS BIGINT) AS sy,
+        |    CAST(SUM(x * n) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, np AS n_days, sy AS total,
+        |  CAST(np * sxy - sx * sy AS DOUBLE)
+        |    / CAST(np * sxx - sx * sx AS DOUBLE) AS slope_per_day
+        |FROM m ORDER BY event_type""".stripMargin,
+
+    "q175_cusum_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    EPOCH_US(DATE_TRUNC('day', ts)) // 86400000000 AS x,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, x,
+        |    CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY x)
+        |      AS BIGINT) AS p,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x) AS t,
+        |    CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS total,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS nd
+        |  FROM daily),
+        |k AS (
+        |  SELECT event_type, x, nd,
+        |    CAST(p AS DOUBLE) - CAST(t AS DOUBLE)
+        |      * (CAST(total AS DOUBLE) / CAST(nd AS DOUBLE)) AS cusum,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY ABS(CAST(p AS DOUBLE) - CAST(t AS DOUBLE)
+        |        * (CAST(total AS DOUBLE) / CAST(nd AS DOUBLE))) DESC,
+        |        t ASC) AS rk
+        |  FROM c)
+        |SELECT event_type, nd AS n_days, x AS cp_day,
+        |  cusum AS cusum_at_cp
+        |FROM k WHERE rk = 1 ORDER BY event_type""".stripMargin,
+
+    "q176_rolling_active" ->
+      """WITH ev AS (
+        |  SELECT EPOCH_US(DATE_TRUNC('day', ts)) // 86400000000 AS d,
+        |    user_id
+        |  FROM events),
+        |fan AS (
+        |  SELECT user_id, d + i AS w, i = 0 AS is_day
+        |  FROM ev, UNNEST(GENERATE_SERIES(0, 6)) AS g(i)),
+        |obs AS (SELECT DISTINCT d FROM ev),
+        |pu AS (
+        |  SELECT f.w AS day_idx, f.user_id,
+        |    MAX(f.is_day) AS active_today
+        |  FROM fan f JOIN obs ON obs.d = f.w
+        |  GROUP BY 1, 2)
+        |SELECT day_idx,
+        |  CAST(SUM(CASE WHEN active_today THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS dau,
+        |  COUNT(*) AS wau7
+        |FROM pu GROUP BY 1 ORDER BY day_idx""".stripMargin)
 }

@@ -44,4 +44,80 @@ class EventOpsSpec extends AnyFunSuite {
       assert(tp == "view" || tp == "click")
     }
   }
+
+  private def dailyCounts: Map[(String, Long), Long] =
+    Tables.t(spark, TestSpark.Sf, "events")
+      .select("event_type", "ts").collect()
+      .map { r =>
+        val us = r.getTimestamp(1).getTime * 1000 +
+          (r.getTimestamp(1).getNanos / 1000) % 1000
+        // floorDiv: epoch-day of the event's UTC day
+        (r.getString(0), Math.floorDiv(us, 86400000000L))
+      }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+
+  test("q174 trend slope equals the closed-form least squares") {
+    val daily = dailyCounts
+    val expected = daily.keys.map(_._1).toSet.map { (tp: String) =>
+      val pts = daily.collect { case ((t, x), n) if t == tp => (x, n) }.toSeq
+      val np = pts.length.toLong
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      tp -> ((np, sy,
+        (np * sxy - sx * sy).toDouble / (np * sxx - sx * sx).toDouble))
+    }.toMap
+    val got = SparkEntry.queries("q174_trend_slope")(spark, TestSpark.Sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (tp, (nd, tot, slope)) =>
+      assert((nd, tot) == (expected(tp)._1, expected(tp)._2))
+      assert(math.abs(slope - expected(tp)._3) < 1e-9, s"$tp slope")
+    }
+  }
+
+  test("q175 CUSUM picks the max-|deviation| day (earliest on ties)") {
+    val daily = dailyCounts
+    val got = SparkEntry.queries("q175_cusum_changepoint")(spark, TestSpark.Sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    daily.keys.map(_._1).toSet.foreach { (tp: String) =>
+      val pts = daily.collect { case ((t, x), n) if t == tp => (x, n) }
+        .toSeq.sortBy(_._1)
+      val total = pts.map(_._2).sum
+      val mean = total.toDouble / pts.length
+      var p = 0L
+      val cusums = pts.zipWithIndex.map { case ((x, n), i) =>
+        p += n; (x, p.toDouble - (i + 1) * mean)
+      }
+      val best = cusums.maxBy { case (x, c) => (math.abs(c), -x) }
+      val (nd, cpDay, cAt) = got(tp)
+      assert(nd == pts.length.toLong)
+      assert(cpDay == best._1, s"$tp changepoint day")
+      assert(math.abs(cAt - best._2) < 1e-9)
+    }
+  }
+
+  test("q176 rolling actives equal per-window distinct user sets") {
+    val evs = Tables.t(spark, TestSpark.Sf, "events")
+      .select("user_id", "ts").collect()
+      .map { r =>
+        val us = r.getTimestamp(1).getTime * 1000 +
+          (r.getTimestamp(1).getNanos / 1000) % 1000
+        (r.getLong(0), Math.floorDiv(us, 86400000000L))
+      }
+    val days = evs.map(_._2).distinct.sorted
+    val expected = days.map { w =>
+      val wau = evs.collect {
+        case (u, d) if d >= w - 6 && d <= w => u }.distinct.length.toLong
+      val dau = evs.collect { case (u, d) if d == w => u }
+        .distinct.length.toLong
+      w -> ((dau, wau))
+    }.toMap
+    val got = SparkEntry.queries("q176_rolling_active")(spark, TestSpark.Sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == expected)
+    got.foreach { case (_, (dau, wau)) => assert(dau <= wau) }
+  }
 }
