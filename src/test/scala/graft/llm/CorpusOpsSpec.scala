@@ -177,6 +177,58 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q177 bootstrap CI equals a sequential resample replay") {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val cdf = Seq(0.36787944117144233, 0.7357588823428847,
+      0.9196986029286058, 0.9810118431238463, 0.9963401531726563,
+      0.9994058151824183)
+    val docs = Tables.t(spark, TestSpark.Sf, "documents")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map { r =>
+        val tok = r.getString(2).split(" ")
+        (r.getLong(0), r.getString(1),
+          tok.distinct.length.toDouble / tok.length)
+      }
+    def pct(sorted: Seq[Double], p: Double): Double = {
+      val idx = p * (sorted.length - 1)
+      val lo = idx.toInt; val frac = idx - lo
+      if (lo + 1 < sorted.length)
+        sorted(lo) + frac * (sorted(lo + 1) - sorted(lo))
+      else sorted(lo)
+    }
+    val expected = docs.groupBy(_._2).map { case (src, ds) =>
+      val ms = (0 until 32).map { r =>
+        var kx = BigDecimal(0); var ks = 0L
+        ds.foreach { case (id, _, x) =>
+          // lane r reads 8 hex chars of digest j = r/4 at offset (r%4)*8
+          val hex = md5hex(s"${id}_${r / 4}").substring(r % 4 * 8,
+            r % 4 * 8 + 8)
+          val u = (java.lang.Long.parseLong(hex, 16).toDouble + 1.0) /
+            4294967297.0
+          val k = cdf.indexWhere(u < _) match { case -1 => 6; case i => i }
+          // mirror dsum's DECIMAL(27,6) per-row cast
+          kx += BigDecimal(k * x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          ks += k
+        }
+        kx.toDouble / ks.toDouble
+      }.sorted
+      src -> ((pct(ms, 0.025), pct(ms, 0.5), pct(ms, 0.975)))
+    }
+    val got = q("q177_bootstrap_ci").collect()
+      .map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (src, (lo, med, hi)) =>
+      val (elo, emed, ehi) = expected(src)
+      assert(lo <= med && med <= hi, s"$src: CI not ordered")
+      assert(math.abs(lo - elo) <= 1e-4 + 1e-9, s"$src lo $lo vs $elo")
+      assert(math.abs(med - emed) <= 1e-4 + 1e-9, s"$src med")
+      assert(math.abs(hi - ehi) <= 1e-4 + 1e-9, s"$src hi")
+    }
+  }
+
   test("q168 hapax census equals brute-force n-gram counting") {
     val texts = Tables.t(spark, TestSpark.Sf, "documents")
       .select(col("source"), col("text")).collect()
