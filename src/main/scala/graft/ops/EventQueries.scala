@@ -611,6 +611,94 @@ object EventQueries extends QueryModule {
         .agg(sum(when(col("active_today"), 1L).otherwise(0L)).as("dau"),
           count(lit(1)).as("wau7"))
         .orderBy("day_idx")
+    },
+
+    // Holdout experiment readout: users split 50/50 by the md5 parity of
+    // their id (the q103 split rule at user granularity — any real A/B
+    // assignment IS a deterministic user-keyed hash, so this exercises
+    // the exact production shape), metric = purchases per user, and the
+    // Welch z statistic says whether the arms differ beyond sampling
+    // noise — the significance gate every experiment dashboard puts next
+    // to its lift number (and the calibration check for an A/A split
+    // like this one: |z| should be small). A binary-conversion variant
+    // degenerates on this fixture (every user purchases → pooled
+    // variance 0), which is itself the lesson: rate metrics need
+    // variance. One user-level rollup + a 2-row pivot; every moment is
+    // an exact long (counts of counts), so means/variances/z are the
+    // same doubles in both engines.
+    "q178_holdout_ztest" -> { (s, dir) =>
+      val arm = conv(substring(
+        md5(col("user_id").cast("string").cast("binary")), 1, 4), 16, 10)
+        .cast("long") % 2
+      val users = Tables.t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("x"))
+        .select(arm.as("arm"), col("x"))
+      def m(i: Int) = col(s"s$i").cast("double") / col(s"n$i").cast("double")
+      def v(i: Int) = (col(s"q$i").cast("double")
+        - col(s"s$i").cast("double") * col(s"s$i").cast("double")
+          / col(s"n$i").cast("double")) /
+        (col(s"n$i") - 1).cast("double")
+      val se = sqrt(v(0) / col("n0").cast("double")
+        + v(1) / col("n1").cast("double"))
+      users.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+          sum(col("x") * col("x")).as("q"))
+        .agg(max(when(col("arm") === 0, col("n"))).as("n0"),
+          max(when(col("arm") === 1, col("n"))).as("n1"),
+          max(when(col("arm") === 0, col("s"))).as("s0"),
+          max(when(col("arm") === 1, col("s"))).as("s1"),
+          max(when(col("arm") === 0, col("q"))).as("q0"),
+          max(when(col("arm") === 1, col("q"))).as("q1"))
+        .select(col("n0"), col("n1"), m(0).as("mean0"), m(1).as("mean1"),
+          (m(1) - m(0)).as("lift"), ((m(1) - m(0)) / se).as("z"))
+    },
+
+    // Stationary distribution of q114's Markov chain: where a user's
+    // event process spends its time in the long run — the equilibrium
+    // readout over the same transition matrix whose single steps q114
+    // reports (a state whose stationary mass dwarfs its arrival share is
+    // a sink; one that starves is an exit). Ten unrolled power-iteration
+    // rounds from uniform — the q107 kernel shrunk to its essential
+    // shape: the state vector is #states rows, each round one
+    // co-partitioned join + one exact-decimal aggregation, and the
+    // transition matrix materializes ONCE (localCheckpoint) because ten
+    // rounds would otherwise re-run the corpus-sized LEAD pass each.
+    "q179_markov_stationary" -> { (s, dir) =>
+      val wUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wFrom = Window.partitionBy(col("from_type"))
+      val trans = Tables.t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("from_type"),
+          lead(col("event_type"), 1).over(wUser).as("to_type"))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", col("n").cast("double") /
+          sum(col("n")).over(wFrom).cast("double"))
+        .select(col("from_type"), col("to_type"), col("p"))
+        .localCheckpoint()
+      val states = trans.select(col("from_type").as("state")).distinct()
+      val nStates = states.agg(count(lit(1)).as("ns"))
+      var pi = states.crossJoin(broadcast(nStates))
+        .select(col("state"),
+          (lit(1.0) / col("ns").cast("double")).as("pi"))
+        .localCheckpoint()
+      (0 until 10).foreach { _ =>
+        pi = graft.Checkpoints.roll(
+          trans.join(pi, trans("from_type") === pi("state"))
+            .groupBy(col("to_type").as("state"))
+            .agg(graft.Fns.dsum18(col("p") * col("pi")).as("pi")),
+          pi)
+      }
+      // ten rounds compound the engines' DECIMAL-cast ulp differences to
+      // ~1e-17; the published vector rounds to the 1e-10 grid, far above
+      // the drift and far below anything a reader of a probability cares
+      // about
+      pi.orderBy("state")
+        .select(col("state").as("event_type"), round(col("pi"), 10).as("pi"))
     })
 
   override def oracles: Map[String, String] = Map(
@@ -1017,5 +1105,79 @@ object EventQueries extends QueryModule {
         |  CAST(SUM(CASE WHEN active_today THEN 1 ELSE 0 END) AS BIGINT)
         |    AS dau,
         |  COUNT(*) AS wau7
-        |FROM pu GROUP BY 1 ORDER BY day_idx""".stripMargin)
+        |FROM pu GROUP BY 1 ORDER BY day_idx""".stripMargin,
+
+    "q178_holdout_ztest" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |a AS (
+        |  SELECT CAST(('0x' || SUBSTRING(MD5(CAST(user_id AS VARCHAR)),
+        |      1, 4)) AS BIGINT) % 2 AS arm, x
+        |  FROM u),
+        |g AS (
+        |  SELECT arm, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS s,
+        |    CAST(SUM(x * x) AS BIGINT) AS q
+        |  FROM a GROUP BY 1),
+        |w AS (
+        |  SELECT
+        |    MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+        |    MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+        |    MAX(CASE WHEN arm = 0 THEN s END) AS s0,
+        |    MAX(CASE WHEN arm = 1 THEN s END) AS s1,
+        |    MAX(CASE WHEN arm = 0 THEN q END) AS q0,
+        |    MAX(CASE WHEN arm = 1 THEN q END) AS q1
+        |  FROM g)
+        |SELECT n0, n1,
+        |  CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS mean0,
+        |  CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean1,
+        |  CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |    - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS lift,
+        |  (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |    - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+        |  / SQRT(
+        |    ((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)
+        |        / CAST(n0 AS DOUBLE)) / CAST(n0 - 1 AS DOUBLE))
+        |      / CAST(n0 AS DOUBLE)
+        |    + ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |        / CAST(n1 AS DOUBLE)) / CAST(n1 - 1 AS DOUBLE))
+        |      / CAST(n1 AS DOUBLE)) AS z
+        |FROM w""".stripMargin,
+
+    // q114's transition matrix MATERIALIZED once, ten power-iteration
+    // rounds unrolled (the q107/q170 oracle recipe)
+    "q179_markov_stationary" -> {
+      val rounds = (0 until 10).map { i =>
+        s"""r${i + 1} AS (
+           |  SELECT t.to_type AS state,
+           |    ${graft.Fns.dsum18Sql("t.p * r.pi")} AS pi
+           |  FROM t JOIN r$i r ON r.state = t.from_type
+           |  GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH p0 AS (
+         |  SELECT user_id, event_type AS from_type,
+         |    LEAD(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS to_type
+         |  FROM events),
+         |c AS (
+         |  SELECT from_type, to_type, COUNT(*) AS n FROM p0
+         |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         |t AS MATERIALIZED (
+         |  SELECT from_type, to_type,
+         |    CAST(n AS DOUBLE)
+         |      / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE)
+         |      AS p
+         |  FROM c),
+         |s AS (SELECT DISTINCT from_type AS state FROM t),
+         |ns AS (SELECT COUNT(*) AS c FROM s),
+         |r0 AS (
+         |  SELECT state, 1.0 / CAST(c AS DOUBLE) AS pi
+         |  FROM s CROSS JOIN ns),
+         |$rounds
+         |SELECT state AS event_type, ROUND(pi, 10) AS pi
+         |FROM r10 ORDER BY state"""
+        .stripMargin
+    })
 }

@@ -120,4 +120,69 @@ class EventOpsSpec extends AnyFunSuite {
     assert(got == expected)
     got.foreach { case (_, (dau, wau)) => assert(dau <= wau) }
   }
+
+  test("q178 z-test equals the hand-computed Welch statistic") {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val users = Tables.t(spark, TestSpark.Sf, "events")
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).toSeq.map { case (u, es) =>
+        (Integer.parseInt(md5hex(u.toString).take(4), 16) % 2,
+          es.count(_._2 == "purchase").toLong)
+      }
+    def stats(arm: Int) = {
+      val xs = users.collect { case (a, x) if a == arm => x }
+      val n = xs.length.toLong
+      val s = xs.sum; val q = xs.map(x => x * x).sum
+      val mean = s.toDouble / n
+      val variance = (q.toDouble - s.toDouble * s / n) / (n - 1)
+      (n, mean, variance)
+    }
+    val (n0, m0, v0) = stats(0); val (n1, m1, v1) = stats(1)
+    val z = (m1 - m0) / math.sqrt(v0 / n0 + v1 / n1)
+    val r = SparkEntry.queries("q178_holdout_ztest")(spark, TestSpark.Sf)
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == ((n0, n1)))
+    assert(math.abs(r.getDouble(2) - m0) < 1e-12)
+    assert(math.abs(r.getDouble(3) - m1) < 1e-12)
+    assert(math.abs(r.getDouble(5) - z) < 1e-9)
+    // an A/A split on the same population should not scream significance
+    assert(math.abs(r.getDouble(5)) < 5.0, "md5 parity split badly skewed")
+  }
+
+  test("q179 stationary vector is a probability fixpoint of the chain") {
+    val trans = Tables.t(spark, TestSpark.Sf, "events")
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0),
+        r.getTimestamp(1).getTime * 1000 +
+          (r.getTimestamp(1).getNanos / 1000) % 1000,
+        r.getLong(2), r.getString(3)))
+      .groupBy(_._1).toSeq.flatMap { case (_, es) =>
+        es.sortBy(e => (e._2, e._3)).map(_._4).toSeq.sliding(2)
+          .collect { case Seq(a, b) => (a, b) }
+      }.groupBy(x => x).view.mapValues(_.size.toLong).toMap
+    val byFrom = trans.groupBy(_._1._1).view
+      .mapValues(m => m.values.sum).toMap
+    val p = trans.map { case ((f, t), n) =>
+      (f, t) -> n.toDouble / byFrom(f) }
+    val states = byFrom.keys.toSeq.sorted
+    val sinks = p.keys.map(_._2).toSeq.distinct.sorted
+    var pi = states.map(s => s -> 1.0 / states.length).toMap
+    (0 until 10).foreach { _ =>
+      pi = sinks.map { to =>
+        to -> p.collect { case ((f, t), pr) if t == to =>
+          pr * pi.getOrElse(f, 0.0) }.sum
+      }.toMap
+    }
+    val got = SparkEntry.queries("q179_markov_stationary")(spark, TestSpark.Sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == pi.keySet)
+    got.foreach { case (s2, v) =>
+      assert(math.abs(v - pi(s2)) < 1e-9, s"$s2: $v vs ${pi(s2)}")
+    }
+    assert(math.abs(got.values.sum - 1.0) < 1e-9,
+      "stationary mass must stay a probability vector")
+  }
 }
