@@ -1163,6 +1163,47 @@ object CorpusQueries extends QueryModule {
           round(expr("percentile(m, 0.5)"), 4).as("ci_med"),
           round(expr("percentile(m, 0.975)"), 4).as("ci_hi"))
         .orderBy("source")
+    },
+
+    // Spearman rank correlation between two quality signals per source —
+    // do doc length and lexical diversity AGREE about which documents
+    // are good? The diagnostic a curation pipeline runs before stacking
+    // filters (two highly rank-correlated gates are one gate paid
+    // twice; an anti-correlated pair silently empties the corpus).
+    // Average-rank ties via RANK() + (tie_count-1)/2 — the textbook
+    // midrank, expressible as two windows per signal; the correlation is
+    // Pearson over midranks from exact moments (ranks carry only .5
+    // halves and .25 products — exact through the decimal sums at any
+    // corpus size, where a raw double sum of n³-scale rank products
+    // would be partitioning-dependent). Per-source windows + one
+    // aggregation; #sources rows out.
+    "q181_rank_correlation" -> { (s, dir) =>
+      val tok = split(col("text"), " ")
+      val y = size(array_distinct(tok)).cast("double") /
+        size(tok).cast("double")
+      val wX = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+      val wXt = Window.partitionBy(col("source"), col("n_chars"))
+      val wY = Window.partitionBy(col("source")).orderBy(col("y"))
+      val wYt = Window.partitionBy(col("source"), col("y"))
+      val ranked = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"), y.as("y"))
+        .withColumn("rx", rank().over(wX).cast("double")
+          + (count(lit(1)).over(wXt) - 1).cast("double") / 2.0)
+        .withColumn("ry", rank().over(wY).cast("double")
+          + (count(lit(1)).over(wYt) - 1).cast("double") / 2.0)
+      val nD = col("n").cast("double")
+      ranked.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          graft.Fns.dsum(col("rx")).as("sx"),
+          graft.Fns.dsum(col("ry")).as("sy"),
+          graft.Fns.dsum(col("rx") * col("rx")).as("sxx"),
+          graft.Fns.dsum(col("ry") * col("ry")).as("syy"),
+          graft.Fns.dsum(col("rx") * col("ry")).as("sxy"))
+        .select(col("source"), col("n").as("n_docs"),
+          ((nD * col("sxy") - col("sx") * col("sy"))
+            / sqrt((nD * col("sxx") - col("sx") * col("sx"))
+              * (nD * col("syy") - col("sy") * col("sy")))).as("rho"))
+        .orderBy("source")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -1909,5 +1950,35 @@ object CorpusQueries extends QueryModule {
          |  ROUND(QUANTILE_CONT(m, 0.025), 4) AS ci_lo,
          |  ROUND(QUANTILE_CONT(m, 0.5), 4) AS ci_med,
          |  ROUND(QUANTILE_CONT(m, 0.975), 4) AS ci_hi
-         |FROM m GROUP BY source ORDER BY source""".stripMargin)
+         |FROM m GROUP BY source ORDER BY source""".stripMargin,
+
+    "q181_rank_correlation" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source, n_chars,
+         |    CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE)
+         |      / LEN(STRING_SPLIT(text, ' ')) AS y
+         |  FROM documents),
+         |r AS (
+         |  SELECT source,
+         |    CAST(RANK() OVER (PARTITION BY source ORDER BY n_chars)
+         |        AS DOUBLE)
+         |      + CAST(COUNT(*) OVER (PARTITION BY source, n_chars) - 1
+         |          AS DOUBLE) / 2.0 AS rx,
+         |    CAST(RANK() OVER (PARTITION BY source ORDER BY y) AS DOUBLE)
+         |      + CAST(COUNT(*) OVER (PARTITION BY source, y) - 1
+         |          AS DOUBLE) / 2.0 AS ry
+         |  FROM d),
+         |m AS (
+         |  SELECT source, COUNT(*) AS n,
+         |    ${graft.Fns.dsumSql("rx")} AS sx,
+         |    ${graft.Fns.dsumSql("ry")} AS sy,
+         |    ${graft.Fns.dsumSql("rx * rx")} AS sxx,
+         |    ${graft.Fns.dsumSql("ry * ry")} AS syy,
+         |    ${graft.Fns.dsumSql("rx * ry")} AS sxy
+         |  FROM r GROUP BY 1)
+         |SELECT source, n AS n_docs,
+         |  (CAST(n AS DOUBLE) * sxy - sx * sy)
+         |    / SQRT((CAST(n AS DOUBLE) * sxx - sx * sx)
+         |        * (CAST(n AS DOUBLE) * syy - sy * sy)) AS rho
+         |FROM m ORDER BY source""".stripMargin)
 }

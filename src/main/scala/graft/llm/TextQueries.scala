@@ -927,6 +927,45 @@ object TextQueries extends QueryModule {
           (col("n_hapax").cast("double")
             / col("n_occurrences").cast("double")).as("hapax_mass_share"))
         .orderBy("source", "n")
+    },
+
+    // Feature-hashing doc embeddings (Weinberger et al. 2009 — the
+    // Vowpal-Wabbit trick): each token maps to a ±1 sign per dimension
+    // read off its md5 bytes, and a document's vector is the
+    // count-weighted signed sum — a dense, model-free embedding whose
+    // cosine approximates token-profile similarity, built without any
+    // trained weights (the representation the similarity family
+    // (q38/q84) consumes when no neural embedding exists yet). 16 dims
+    // ride ONE md5 per distinct token: the per-(token, dim) sign table
+    // is VOCABULARY-sized and broadcast — the realistic shape, since the
+    // hash table IS the "model" and the corpus never rehashes a token
+    // per occurrence. Components are exact-long sums; the norm is one
+    // sqrt of an exact sum; the vector ships as CSV (the q83/q57
+    // serialization rule).
+    "q180_feature_hash" -> { (s, dir) =>
+      val nd = 16
+      val tf = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      val signs = tf.select(col("t")).distinct()
+        .withColumn("h", md5(col("t").cast("binary")))
+        .select(col("t"), explode(expr(
+          s"""transform(sequence(0, ${nd - 1}), j -> named_struct(
+             |'j', j,
+             |'sgn', CAST(conv(substring(h, 1 + 2 * j, 2), 16, 10) AS LONG)
+             |       % 2L * 2L - 1L))""".stripMargin)).as("js"))
+        .select(col("t"), col("js.j").as("j"), col("js.sgn").as("sgn"))
+      tf.join(broadcast(signs), "t")
+        .groupBy(col("doc_id"), col("j"))
+        .agg(sum(col("c") * col("sgn")).as("v"))
+        .groupBy(col("doc_id"))
+        .agg(array_sort(collect_list(struct(col("j"), col("v"))))
+          .as("jv"), sum(col("v") * col("v")).as("sq"))
+        .select(col("doc_id"),
+          array_join(expr("transform(jv, s -> CAST(s.v AS STRING))"), ",")
+            .as("vec"),
+          round(sqrt(col("sq").cast("double")), 4).as("norm"))
+        .orderBy("doc_id")
     })
 
   /** The q34 exact-Jaccard oracle, hoisted so composite oracles (q71,
@@ -1429,5 +1468,24 @@ object TextQueries extends QueryModule {
         |    AS hapax_vocab_share,
         |  CAST(n_hapax AS DOUBLE) / CAST(n_occurrences AS DOUBLE)
         |    AS hapax_mass_share
-        |FROM a ORDER BY source, n""".stripMargin)
+        |FROM a ORDER BY source, n""".stripMargin,
+
+    "q180_feature_hash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t
+        |  FROM documents),
+        |tf AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        |vocab AS (SELECT DISTINCT t FROM tf),
+        |signs AS (
+        |  SELECT t, j,
+        |    CAST(('0x' || SUBSTRING(MD5(t), 1 + 2 * j, 2)) AS BIGINT)
+        |      % 2 * 2 - 1 AS sgn
+        |  FROM vocab, UNNEST(GENERATE_SERIES(0, 15)) AS g(j)),
+        |dv AS (
+        |  SELECT tf.doc_id, s.j, CAST(SUM(tf.c * s.sgn) AS BIGINT) AS v
+        |  FROM tf JOIN signs s ON s.t = tf.t GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  STRING_AGG(CAST(v AS VARCHAR), ',' ORDER BY j) AS vec,
+        |  ROUND(SQRT(CAST(SUM(v * v) AS DOUBLE)), 4) AS norm
+        |FROM dv GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }

@@ -177,6 +177,65 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q180 feature-hash embeddings equal a sequential hash replay") {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val docs = Tables.t(spark, TestSpark.Sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ")))
+    val expected = docs.map { case (id, toks) =>
+      val v = Array.fill(16)(0L)
+      toks.groupBy(x => x).foreach { case (t, occ) =>
+        val h = md5hex(t)
+        (0 until 16).foreach { j =>
+          val byte = Integer.parseInt(h.substring(2 * j, 2 * j + 2), 16)
+          v(j) += occ.length.toLong * (byte % 2 * 2 - 1)
+        }
+      }
+      id -> ((v.mkString(","),
+        BigDecimal(math.sqrt(v.map(x => x * x).sum.toDouble))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }.toMap
+    val got = q("q180_feature_hash").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    assert(got == expected)
+  }
+
+  test("q181 Spearman equals a midrank-and-Pearson replay; bounded") {
+    val docs = Tables.t(spark, TestSpark.Sf, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"), col("text"))
+      .collect().map { r =>
+        val tok = r.getString(3).split(" ")
+        (r.getString(1), r.getLong(2).toDouble,
+          tok.distinct.length.toDouble / tok.length)
+      }
+    def midranks(xs: Seq[Double]): Seq[Double] = {
+      val sorted = xs.sorted
+      val firstRank = sorted.zipWithIndex.groupBy(_._1).view
+        .mapValues(g => g.map(_._2).min + 1.0 + (g.length - 1) / 2.0)
+      xs.map(firstRank(_))
+    }
+    val expected = docs.groupBy(_._1).map { case (src, ds) =>
+      val rx = midranks(ds.map(_._2).toSeq)
+      val ry = midranks(ds.map(_._3).toSeq)
+      val n = rx.length.toDouble
+      val (sx, sy) = (rx.sum, ry.sum)
+      val sxx = rx.map(x => x * x).sum
+      val syy = ry.map(x => x * x).sum
+      val sxy = rx.zip(ry).map { case (a, b) => a * b }.sum
+      src -> (n * sxy - sx * sy) /
+        math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    }
+    val got = q("q181_rank_correlation").collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (src, rho) =>
+      assert(math.abs(rho - expected(src)) < 1e-9, s"$src: $rho")
+      assert(rho >= -1.0 - 1e-12 && rho <= 1.0 + 1e-12)
+    }
+  }
+
   test("q177 bootstrap CI equals a sequential resample replay") {
     def md5hex(s: String): String = java.security.MessageDigest
       .getInstance("MD5").digest(s.getBytes("UTF-8"))
