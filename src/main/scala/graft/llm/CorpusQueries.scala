@@ -1204,6 +1204,49 @@ object CorpusQueries extends QueryModule {
             / sqrt((nD * col("sxx") - col("sx") * col("sx"))
               * (nD * col("syy") - col("sy") * col("sy")))).as("rho"))
         .orderBy("source")
+    },
+
+    // Chi-square homogeneity per source: is a source's length-bucket
+    // HISTOGRAM drawn from the same distribution as the rest of the
+    // corpus? The categorical twin of q166's KS (KS reads the continuous
+    // ECDF; chi-square reads binned shape and generalizes to any
+    // categorical column) — χ² = Σ (O−E)²/E over the source-vs-rest 2×B
+    // table with margin-product expecteds. q166's grid recipe: one
+    // corpus aggregation collapses to (source, bucket) counts, the
+    // #sources × #buckets grid is dimension-sized, zero cells zero-fill
+    // (their E>0 term still contributes). Observed counts are exact
+    // longs; each cell term is a fixed IEEE chain and the bucket sum
+    // runs through the scale-18 decimal, so χ² is engine-identical.
+    "q182_chisq_drift" -> { (s, dir) =>
+      val bucketW = 50L
+      val d = Tables.t(s, dir, "documents")
+        .select(col("source"), expr(s"n_chars div $bucketW").as("b"))
+      val cnt = d.groupBy(col("source"), col("b"))
+        .agg(count(lit(1)).as("o"))
+      val srcTot = cnt.groupBy(col("source")).agg(sum(col("o")).as("n_s"))
+      val bTot = cnt.groupBy(col("b")).agg(sum(col("o")).as("n_b"))
+      val total = d.agg(count(lit(1)).as("n_total"))
+      val nT = col("n_total").cast("double")
+      def term(o: Column, e: Column) = (o.cast("double") - e) *
+        (o.cast("double") - e) / e
+      val eS = col("n_s").cast("double") * col("n_b").cast("double") / nT
+      val eR = (col("n_total") - col("n_s")).cast("double") *
+        col("n_b").cast("double") / nT
+      broadcast(srcTot).crossJoin(bTot)
+        .join(cnt, Seq("source", "b"), "left")
+        .na.fill(0L, Seq("o"))
+        .crossJoin(broadcast(total))
+        .select(col("source"), col("n_s"),
+          (term(col("o"), eS) + term(col("n_b") - col("o"), eR))
+            .as("cell"))
+        .groupBy(col("source"))
+        .agg(max(col("n_s")).as("n_docs"),
+          (count(lit(1)) - 1).as("dof"),
+          // statistic on the 1e-8 grid: the engines' double->decimal
+          // casts disagree below the double ulp for O(1) cell terms,
+          // and a dozen buckets surface that at ~1e-15
+          round(graft.Fns.dsum18(col("cell")), 8).as("chi_sq"))
+        .orderBy("source")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -1980,5 +2023,47 @@ object CorpusQueries extends QueryModule {
          |  (CAST(n AS DOUBLE) * sxy - sx * sy)
          |    / SQRT((CAST(n AS DOUBLE) * sxx - sx * sx)
          |        * (CAST(n AS DOUBLE) * syy - sy * sy)) AS rho
-         |FROM m ORDER BY source""".stripMargin)
+         |FROM m ORDER BY source""".stripMargin,
+
+    "q182_chisq_drift" ->
+      s"""WITH d AS (
+         |  SELECT source, n_chars // 50 AS b FROM documents),
+         |cnt AS (
+         |  SELECT source, b, COUNT(*) AS o FROM d GROUP BY 1, 2),
+         |st AS (
+         |  SELECT source, CAST(SUM(o) AS BIGINT) AS n_s
+         |  FROM cnt GROUP BY 1),
+         |bt AS (
+         |  SELECT b, CAST(SUM(o) AS BIGINT) AS n_b FROM cnt GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n_total FROM d),
+         |grid AS (
+         |  SELECT st.source, st.n_s, bt.b, bt.n_b,
+         |    COALESCE(c.o, 0) AS o
+         |  FROM st CROSS JOIN bt
+         |  LEFT JOIN cnt c ON c.source = st.source AND c.b = bt.b),
+         |cells AS (
+         |  SELECT g.source, g.n_s,
+         |    (CAST(o AS DOUBLE)
+         |       - CAST(n_s AS DOUBLE) * CAST(n_b AS DOUBLE)
+         |         / CAST(n_total AS DOUBLE))
+         |    * (CAST(o AS DOUBLE)
+         |       - CAST(n_s AS DOUBLE) * CAST(n_b AS DOUBLE)
+         |         / CAST(n_total AS DOUBLE))
+         |    / (CAST(n_s AS DOUBLE) * CAST(n_b AS DOUBLE)
+         |       / CAST(n_total AS DOUBLE))
+         |    + (CAST(n_b - o AS DOUBLE)
+         |       - CAST(n_total - n_s AS DOUBLE) * CAST(n_b AS DOUBLE)
+         |         / CAST(n_total AS DOUBLE))
+         |    * (CAST(n_b - o AS DOUBLE)
+         |       - CAST(n_total - n_s AS DOUBLE) * CAST(n_b AS DOUBLE)
+         |         / CAST(n_total AS DOUBLE))
+         |    / (CAST(n_total - n_s AS DOUBLE) * CAST(n_b AS DOUBLE)
+         |       / CAST(n_total AS DOUBLE)) AS cell
+         |  FROM grid g CROSS JOIN n),
+         |agg AS (
+         |  SELECT source, MAX(n_s) AS n_docs, COUNT(*) - 1 AS dof,
+         |    ROUND(${graft.Fns.dsum18Sql("cell")}, 8) AS chi_sq
+         |  FROM cells GROUP BY source)
+         |SELECT source, n_docs, dof, chi_sq FROM agg
+         |ORDER BY source""".stripMargin)
 }

@@ -40,7 +40,8 @@ class PlanGuardSpec extends AnyFunSuite {
       "q159_rfm_segments", // 1-row quintile thresholds × customer rollup
       "q165_incremental_dedup", // 1-row id-percentile cut × the scan
       "q166_ks_drift", // #sources-row stats + 1-row total × the value grid
-      "q171_silhouette") // k-row centroid table broadcast-probed (q90)
+      "q171_silhouette", // k-row centroid table broadcast-probed (q90)
+      "q182_chisq_drift") // q166's grid shape: stats × bucket margins
       // (q173's centroid probe BNLJ runs inside its eager checkpoint —
       // the declared plan reads the materialized ranked frame)
 
@@ -79,6 +80,10 @@ class PlanGuardSpec extends AnyFunSuite {
                                   // threshold sweep agg + 1-row doc count
                                   // + sort — the sweep re-reads the pair
                                   // frame, never candidate generation
+    "q182_chisq_drift" -> 7,      // margin aggs (cnt/src/bucket/total) +
+                                  // grid zero-fill join + per-source agg
+                                  // + sort — every frame after cnt is
+                                  // dimension-sized (q166's grid shape)
     "q148_containment_pairs" -> 10) // df-ordered postings build (dfreq agg
                                   // + rank window) feeding BOTH probe and
                                   // index branches + candidate join +
