@@ -1247,6 +1247,35 @@ object CorpusQueries extends QueryModule {
           // and a dozen buckets surface that at ~1e-15
           round(graft.Fns.dsum18(col("cell")), 8).as("chi_sq"))
         .orderBy("source")
+    },
+
+    // Pareto skyline per source (Börzsönyi et al. 2001): the documents
+    // no other document dominates on (length, lexical diversity) — the
+    // frontier a curator actually eyeballs ("the best long docs at every
+    // quality level"), and the classic relational operator Spark has no
+    // built-in for. Sort-based 2-D skyline as pure windows: a doc
+    // survives iff its diversity beats every STRICTLY-longer doc's
+    // running max (range frame over n_chars, so equal lengths stay out
+    // of each other's frames) and it tops its own equal-length group.
+    // Both windows ride one per-source partitioning; dominance compares
+    // engine-identical doubles, so the frontier is exactly reproducible.
+    "q185_skyline" -> { (s, dir) =>
+      val tok = split(col("text"), " ")
+      val y = size(array_distinct(tok)).cast("double") /
+        size(tok).cast("double")
+      val wLonger = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars"))
+        .rangeBetween(1L, Window.unboundedFollowing)
+      val wSame = Window.partitionBy(col("source"), col("n_chars"))
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"), y.as("y"))
+        .withColumn("m_longer", max(col("y")).over(wLonger))
+        .withColumn("m_same", max(col("y")).over(wSame))
+        .filter((col("m_longer").isNull || col("y") > col("m_longer"))
+          && col("y") === col("m_same"))
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          round(col("y"), 4).as("diversity"))
+        .orderBy(col("source"), col("n_chars").desc, col("doc_id"))
     })
 
   override def oracles: Map[String, String] = Map(
@@ -2065,5 +2094,23 @@ object CorpusQueries extends QueryModule {
          |    ROUND(${graft.Fns.dsum18Sql("cell")}, 8) AS chi_sq
          |  FROM cells GROUP BY source)
          |SELECT source, n_docs, dof, chi_sq FROM agg
-         |ORDER BY source""".stripMargin)
+         |ORDER BY source""".stripMargin,
+
+    "q185_skyline" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE)
+        |      / LEN(STRING_SPLIT(text, ' ')) AS y
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, source, n_chars, y,
+        |    MAX(y) OVER (PARTITION BY source ORDER BY n_chars
+        |      RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |      AS m_longer,
+        |    MAX(y) OVER (PARTITION BY source, n_chars) AS m_same
+        |  FROM d)
+        |SELECT source, doc_id, n_chars, ROUND(y, 4) AS diversity
+        |FROM w
+        |WHERE (m_longer IS NULL OR y > m_longer) AND y = m_same
+        |ORDER BY source, n_chars DESC, doc_id""".stripMargin)
 }

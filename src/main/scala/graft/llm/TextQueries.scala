@@ -966,6 +966,51 @@ object TextQueries extends QueryModule {
             .as("vec"),
           round(sqrt(col("sq").cast("double")), 4).as("norm"))
         .orderBy("doc_id")
+    },
+
+    // Collocation-graph communities: q102's high-PMI bigrams become
+    // edges of a WORD graph and connected components label its
+    // communities — the phrase-cluster readout (multiword expressions,
+    // domain jargon groups) that tells a tokenizer team which strings
+    // deserve merged tokens. The third consumer of the CC kernel proves
+    // it generic over node type (docs in q71, vec_ids in q170, STRINGS
+    // here — min-label works on any ordered key). Scale shape: the
+    // graph is VOCABULARY-sized (pairs already aggregated), so the
+    // propagation loop runs over vocab-row frames; thresholds reuse
+    // q102's engine-identical rounded PMI.
+    "q183_word_communities" -> { (s, dir) =>
+      val pairs = Tables.t(s, dir, "documents")
+        .select(split(col("text"), " ").as("tok"))
+        .filter(size(col("tok")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(tok) - 1), " +
+            "i -> named_struct('x', element_at(tok, i), " +
+            "'y', element_at(tok, i + 1)))")).as("bg"))
+        .select(col("bg.x").as("x"), col("bg.y").as("y"))
+      val cxy = pairs.groupBy(col("x"), col("y"))
+        .agg(count(lit(1)).as("c_xy"))
+      val uni = Tables.t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      val n1 = uni.agg(sum(col("c")).as("n1"))
+      val n2 = cxy.agg(sum(col("c_xy")).as("n2"))
+      val pmi = round(log(
+        (col("c_xy").cast("double") * col("n1").cast("double")
+          * col("n1").cast("double")) /
+        (col("n2").cast("double") * col("c_x").cast("double")
+          * col("c_y").cast("double"))), 4) + lit(0.0)
+      val edges = cxy.filter(col("c_xy") >= 5)
+        .join(uni.select(col("t").as("x"), col("c").as("c_x")), "x")
+        .join(uni.select(col("t").as("y"), col("c").as("c_y")), "y")
+        .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+        .filter(pmi >= 0.35 && col("x") =!= col("y"))
+        .select(col("x").as("a_id"), col("y").as("b_id")).distinct()
+      val cc = DedupQueries.connectedComponents(edges)
+      val wC = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("community"))
+      cc.select(col("id").as("word"), col("label").as("community"))
+        .withColumn("community_size", count(lit(1)).over(wC))
+        .orderBy("community", "word")
     })
 
   /** The q34 exact-Jaccard oracle, hoisted so composite oracles (q71,
@@ -1487,5 +1532,43 @@ object TextQueries extends QueryModule {
         |SELECT doc_id,
         |  STRING_AGG(CAST(v AS VARCHAR), ',' ORDER BY j) AS vec,
         |  ROUND(SQRT(CAST(SUM(v * v) AS DOUBLE)), 4) AS norm
-        |FROM dv GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+        |FROM dv GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q102's PMI chain filtered to edges, then the q71 reachability
+    // fixpoint over WORDS (MIN works on VARCHAR like on ids)
+    "q183_word_communities" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT STRING_SPLIT(text, ' ') AS tok FROM documents
+        |  WHERE LEN(STRING_SPLIT(text, ' ')) >= 2),
+        |bg AS (
+        |  SELECT tok[i] AS x, tok[i + 1] AS y
+        |  FROM d, UNNEST(GENERATE_SERIES(1, LEN(tok) - 1)) AS g(i)),
+        |cxy AS (SELECT x, y, COUNT(*) AS c_xy FROM bg GROUP BY 1, 2),
+        |u0 AS (
+        |  SELECT UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents),
+        |uni AS (SELECT t, COUNT(*) AS c FROM u0 GROUP BY 1),
+        |n1 AS (SELECT CAST(SUM(c) AS BIGINT) AS n1 FROM uni),
+        |n2 AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS n2 FROM cxy),
+        |pm AS (
+        |  SELECT cxy.x, cxy.y FROM cxy
+        |  JOIN uni ux ON ux.t = cxy.x
+        |  JOIN uni uy ON uy.t = cxy.y
+        |  CROSS JOIN n1 CROSS JOIN n2
+        |  WHERE cxy.c_xy >= 5 AND cxy.x <> cxy.y
+        |    AND ROUND(LN(CAST(c_xy AS DOUBLE) * CAST(n1.n1 AS DOUBLE)
+        |          * CAST(n1.n1 AS DOUBLE)
+        |        / (CAST(n2.n2 AS DOUBLE) * CAST(ux.c AS DOUBLE)
+        |          * CAST(uy.c AS DOUBLE))), 4) + 0.0 >= 0.35),
+        |e AS (
+        |  SELECT x AS src, y AS dst FROM pm
+        |  UNION ALL SELECT y, x FROM pm),
+        |nodes AS (SELECT DISTINCT src AS id FROM e),
+        |reach AS (
+        |  SELECT id, id AS r FROM nodes
+        |  UNION
+        |  SELECT e.dst AS id, reach.r FROM reach JOIN e ON e.src = reach.id),
+        |cc AS (SELECT id AS word, MIN(r) AS community FROM reach GROUP BY id)
+        |SELECT word, community,
+        |  COUNT(*) OVER (PARTITION BY community) AS community_size
+        |FROM cc ORDER BY community, word""".stripMargin)
 }

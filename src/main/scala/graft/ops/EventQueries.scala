@@ -699,6 +699,58 @@ object EventQueries extends QueryModule {
       // about
       pi.orderBy("state")
         .select(col("state").as("event_type"), round(col("pi"), 10).as("pi"))
+    },
+
+    // Watermark planning profile under a deterministic REPLAY SHUFFLE:
+    // how late would events be if the transport reordered them? The
+    // fixture's log arrives in perfect event-time order (every event
+    // on-time — true, and useless for sizing a watermark), so the
+    // profile replays arrivals in md5(event_id) order — the standard
+    // adversarial-reorder stress a streaming job must survive — and
+    // measures each event's lateness against the event-time high-water
+    // mark among earlier REPLAY arrivals. The histogram is the empirical
+    // basis for a Structured Streaming `withWatermark` delay
+    // (streaming/StreamingOps consumes one): the share a 1/5/15-minute
+    // watermark would drop under this reorder is read straight off the
+    // rows. The running max is q91's two-phase scan — the bucket key is
+    // a PREFIX of the replay sort key, so bucket-local maxima plus a
+    // #buckets-row prefix replace one global single-partition window;
+    // the oracle states the single-window spelling.
+    "q184_lateness_profile" -> { (s, dir) =>
+      val d = Tables.t(s, dir, "events")
+        .select(col("event_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("h",
+          md5(col("event_id").cast("string").cast("binary")))
+        .withColumn("bucket", substring(col("h"), 1, 2))
+      val wLocal = Window.partitionBy(col("bucket"))
+        .orderBy(col("h"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wB = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = d.groupBy(col("bucket")).agg(max(col("us")).as("bmax"))
+        .withColumn("off", coalesce(max(col("bmax")).over(wB), lit(-1L)))
+        .select(col("bucket"), col("off"))
+      val prevMax = greatest(
+        coalesce(max(col("us")).over(wLocal), lit(-1L)), col("off"))
+      val lateS = when(prevMax > col("us"),
+        expr("(prev_max - us) div 1000000")).otherwise(0L)
+      val wAll = Window.partitionBy(lit(0))
+      d.join(broadcast(offsets), "bucket")
+        .withColumn("prev_max", prevMax)
+        .withColumn("late_s", lateS)
+        .select(col("late_s"),
+          when(col("late_s") === 0, 0).when(col("late_s") <= 60, 1)
+            .when(col("late_s") <= 300, 2).when(col("late_s") <= 900, 3)
+            .otherwise(4).as("ord"))
+        .groupBy(col("ord"))
+        .agg(count(lit(1)).as("n"), max(col("late_s")).as("max_late_s"))
+        .withColumn("share", col("n").cast("double") /
+          sum(col("n")).over(wAll).cast("double"))
+        .select(col("ord"),
+          element_at(array(lit("on_time"), lit("le_1m"), lit("le_5m"),
+            lit("le_15m"), lit("gt_15m")), col("ord") + 1).as("bucket"),
+          col("n"), col("share"), col("max_late_s"))
+        .orderBy("ord")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -1179,5 +1231,39 @@ object EventQueries extends QueryModule {
          |SELECT state AS event_type, ROUND(pi, 10) AS pi
          |FROM r10 ORDER BY state"""
         .stripMargin
-    })
+    },
+
+    // the oracle states the single-window running max the two-phase
+    // scan must equal
+    "q184_lateness_profile" ->
+      """WITH d AS (
+        |  SELECT event_id, EPOCH_US(ts) AS us,
+        |    MD5(CAST(event_id AS VARCHAR)) AS h
+        |  FROM events),
+        |m AS (
+        |  SELECT event_id, us,
+        |    COALESCE(MAX(us) OVER (ORDER BY h, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |      AS prev_max
+        |  FROM d),
+        |l AS (
+        |  SELECT CASE WHEN prev_max > us
+        |              THEN (prev_max - us) // 1000000 ELSE 0 END AS late_s
+        |  FROM m),
+        |b AS (
+        |  SELECT late_s,
+        |    CASE WHEN late_s = 0 THEN 0 WHEN late_s <= 60 THEN 1
+        |         WHEN late_s <= 300 THEN 2 WHEN late_s <= 900 THEN 3
+        |         ELSE 4 END AS ord
+        |  FROM l),
+        |g AS (
+        |  SELECT ord, COUNT(*) AS n,
+        |    CAST(MAX(late_s) AS BIGINT) AS max_late_s
+        |  FROM b GROUP BY 1)
+        |SELECT ord,
+        |  (['on_time', 'le_1m', 'le_5m', 'le_15m', 'gt_15m'])[ord + 1]
+        |    AS bucket,
+        |  n, CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE) AS share,
+        |  max_late_s
+        |FROM g ORDER BY ord""".stripMargin)
 }

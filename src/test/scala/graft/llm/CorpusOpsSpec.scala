@@ -177,6 +177,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q185 skyline rows are exactly the undominated documents") {
+    val docs = Tables.t(spark, TestSpark.Sf, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"), col("text"))
+      .collect().map { r =>
+        val tok = r.getString(3).split(" ")
+        (r.getLong(0), r.getString(1), r.getLong(2),
+          tok.distinct.length.toDouble / tok.length)
+      }
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (_, ds) =>
+      ds.filter { b =>
+        !ds.exists(a => a._1 != b._1 &&
+          a._3 >= b._3 && a._4 >= b._4 && (a._3 > b._3 || a._4 > b._4))
+      }.map(_._1).toSeq
+    }.toSet
+    val got = q("q185_skyline").collect().map(_.getLong(1)).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    assert(got.nonEmpty)
+  }
+
   test("q180 feature-hash embeddings equal a sequential hash replay") {
     def md5hex(s: String): String = java.security.MessageDigest
       .getInstance("MD5").digest(s.getBytes("UTF-8"))

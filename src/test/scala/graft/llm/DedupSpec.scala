@@ -139,6 +139,21 @@ class DedupSpec extends AnyFunSuite {
       s"extra=${(got -- naive).take(5)}")
   }
 
+  test("word communities: label is the community minimum; sizes consistent") {
+    // sf0.01 so the PMI graph is non-degenerate (sf0.001 has too few
+    // bigram repeats to pass the c_xy >= 5 support floor)
+    val rows = graft.SparkEntry.queries("q183_word_communities")(
+      spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.nonEmpty, "sf0.01 should yield PMI communities")
+    val byComm = rows.groupBy(_._2)
+    assert(byComm.size > 1, "threshold should split multiple communities")
+    byComm.foreach { case (comm, ms) =>
+      assert(ms.map(_._1).min == comm, "label must be the member minimum")
+      assert(ms.forall(_._3 == ms.length.toLong), "size column consistent")
+    }
+  }
+
   test("leakage split: a near-dup cluster never straddles two splits") {
     val split = DedupQueries.queries("q169_leakage_split")(spark, TestSpark.Sf)
       .select("doc_id", "split_key", "split").collect()

@@ -121,6 +121,34 @@ class EventOpsSpec extends AnyFunSuite {
     got.foreach { case (_, (dau, wau)) => assert(dau <= wau) }
   }
 
+  test("q184 lateness profile equals a sequential hashed replay") {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val evs = Tables.t(spark, TestSpark.Sf, "events")
+      .select("event_id", "ts").collect()
+      .map { r =>
+        val us = r.getTimestamp(1).getTime * 1000 +
+          (r.getTimestamp(1).getNanos / 1000) % 1000
+        (r.getLong(0), us, md5hex(r.getLong(0).toString))
+      }.sortBy(e => (e._3, e._1))
+    var hwm = -1L
+    val lates = evs.map { case (_, us, _) =>
+      val late = if (hwm > us) (hwm - us) / 1000000 else 0L
+      hwm = math.max(hwm, us)
+      late
+    }
+    val expected = lates.map { l =>
+      if (l == 0) 0 else if (l <= 60) 1 else if (l <= 300) 2
+      else if (l <= 900) 3 else 4
+    }.groupBy(x => x).view.mapValues(_.length.toLong).toMap
+    val got = SparkEntry.queries("q184_lateness_profile")(spark, TestSpark.Sf)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(got == expected)
+    // shares sum to 1 over exact counts
+    assert(got.values.sum == evs.length.toLong)
+  }
+
   test("q178 z-test equals the hand-computed Welch statistic") {
     def md5hex(s: String): String = java.security.MessageDigest
       .getInstance("MD5").digest(s.getBytes("UTF-8"))
