@@ -147,6 +147,45 @@ object EtlQueries extends QueryModule {
         .select(col("rows_added"), col("rows_deleted"),
           to_json(struct(col("rows_added"), col("rows_deleted")))
             .as("report"))
+    },
+
+    // Snapshot diff audit: the row-level reconciliation report between
+    // two table versions — what a data steward reads after every P2
+    // refresh (how many rows appeared / vanished / changed, and by how
+    // much in total). Versions derive deterministically from orders so
+    // the oracle can restate them: "new" deletes every 97th key,
+    // reprices every 13th, and appends fresh keys for every 31st. One
+    // full-outer pk join classifies each row exactly once; the value
+    // drift sums through the exact decimal (a double sum would make the
+    // report partitioning-dependent). At 100 TB the join is the
+    // unavoidable full-table comparison — pk-partitioned on both sides,
+    // no skew (pks are unique), prunable to changed partitions when the
+    // lake tracks them.
+    "q186_table_diff" -> { (s, dir) =>
+      val base = Tables.t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val old = base
+      val neu = base.filter(col("o_orderkey") % 97 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 13 === 0, col("o_totalprice") * 1.1)
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+        .unionByName(base.filter(col("o_orderkey") % 31 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            col("o_totalprice")))
+      val j = old.select(col("o_orderkey"), col("o_totalprice").as("v_old"))
+        .join(neu.select(col("o_orderkey"), col("o_totalprice").as("v_new")),
+          Seq("o_orderkey"), "full_outer")
+      j.select(
+          when(col("v_old").isNull, lit("added"))
+            .when(col("v_new").isNull, lit("removed"))
+            .when(col("v_old") =!= col("v_new"), lit("changed"))
+            .otherwise(lit("unchanged")).as("change_type"),
+          coalesce(col("v_new"), lit(0.0)).as("vn"),
+          coalesce(col("v_old"), lit(0.0)).as("vo"))
+        .groupBy(col("change_type"))
+        .agg(count(lit(1)).as("n"),
+          graft.Fns.dsum(col("vn") - col("vo")).as("value_delta"))
+        .orderBy("change_type")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -262,5 +301,30 @@ object EtlQueries extends QueryModule {
         |  CAST(TO_JSON(STRUCT_PACK(
         |    rows_added := (SELECT COUNT(*) FROM delta),
         |    rows_deleted := (SELECT COUNT(*) FROM deleted))) AS VARCHAR)
-        |    AS report""".stripMargin)
+        |    AS report""".stripMargin,
+
+    "q186_table_diff" ->
+      s"""WITH old AS (
+         |  SELECT o_orderkey, o_totalprice FROM orders),
+         |neu AS (
+         |  SELECT o_orderkey,
+         |    CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice * 1.1
+         |         ELSE o_totalprice END AS o_totalprice
+         |  FROM orders WHERE o_orderkey % 97 <> 0
+         |  UNION ALL
+         |  SELECT o_orderkey + 10000000, o_totalprice
+         |  FROM orders WHERE o_orderkey % 31 = 0),
+         |j AS (
+         |  SELECT
+         |    CASE WHEN o.o_orderkey IS NULL THEN 'added'
+         |         WHEN n.o_orderkey IS NULL THEN 'removed'
+         |         WHEN o.o_totalprice <> n.o_totalprice THEN 'changed'
+         |         ELSE 'unchanged' END AS change_type,
+         |    COALESCE(n.o_totalprice, 0.0) - COALESCE(o.o_totalprice, 0.0)
+         |      AS delta
+         |  FROM old o FULL OUTER JOIN neu n
+         |    ON o.o_orderkey = n.o_orderkey)
+         |SELECT change_type, COUNT(*) AS n,
+         |  ${graft.Fns.dsumSql("delta")} AS value_delta
+         |FROM j GROUP BY 1 ORDER BY change_type""".stripMargin)
 }

@@ -617,6 +617,107 @@ object RelationalQueries extends QueryModule {
         .withColumn("segment", concat(lit("R"), col("r_score"),
           lit("F"), col("f_score"), lit("M"), col("m_score")))
         .orderBy("o_custkey")
+    },
+
+    // Referential-integrity audit across the star schema: for every FK
+    // relationship, how many child rows dangle? The data-quality gate a
+    // warehouse runs after every load — all-zero orphans on this
+    // FK-consistent fixture IS the passing report (and the operator the
+    // quarantine path (q86) hands its survivors to). Each relationship
+    // is one anti-join count; parents are dimension-sized broadcasts
+    // except orders, where the anti-join shuffles on the key it would
+    // at 100 TB.
+    "q187_ri_audit" -> { (s, dir) =>
+      def rel(name: String, child: DataFrame, ck: String,
+              parent: DataFrame, pk2: String): DataFrame = {
+        val orphans = child.join(parent.select(col(pk2).as(ck)),
+          Seq(ck), "left_anti")
+        child.agg(count(lit(1)).as("n_rows"))
+          .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+          .select(lit(name).as("relationship"), col("n_rows"),
+            col("n_orphans"),
+            (col("n_orphans").cast("double") / col("n_rows").cast("double"))
+              .as("orphan_rate"))
+      }
+      val li = Tables.t(s, dir, "lineitem")
+      Seq(
+        rel("lineitem.l_orderkey->orders", li, "l_orderkey",
+          Tables.t(s, dir, "orders"), "o_orderkey"),
+        rel("lineitem.l_partkey->part", li, "l_partkey",
+          Tables.t(s, dir, "part"), "p_partkey"),
+        rel("lineitem.l_suppkey->supplier", li, "l_suppkey",
+          Tables.t(s, dir, "supplier"), "s_suppkey"),
+        rel("orders.o_custkey->customer", Tables.t(s, dir, "orders"),
+          "o_custkey", Tables.t(s, dir, "customer"), "c_custkey"),
+        rel("customer.c_nationkey->nation", Tables.t(s, dir, "customer"),
+          "c_nationkey", Tables.t(s, dir, "nation"), "n_nationkey"))
+        .reduce(_ unionByName _)
+        .orderBy("relationship")
+    },
+
+    // Functional-dependency audit: does A determine B? Profiled over a
+    // fixed candidate set (the dependencies a modeler would ASSERT about
+    // this schema — two that must hold, two that must not), reporting
+    // violating-group counts and the worst fan-out. The discovery
+    // primitive behind schema inference and normalization checks. Each
+    // candidate is one (A -> countDistinct B) aggregation over its
+    // table; violating groups collapse to a #groups-sized rollup.
+    "q188_fd_audit" -> { (s, dir) =>
+      def fd(name: String, df: DataFrame, a: String, b: String)
+          : DataFrame =
+        df.groupBy(col(a)).agg(countDistinct(col(b)).as("nb"))
+          .agg(count(lit(1)).as("n_groups"),
+            sum(when(col("nb") > 1, 1L).otherwise(0L))
+              .as("n_violating"),
+            max(col("nb")).as("max_fanout"))
+          .select(lit(name).as("dependency"), col("n_groups"),
+            col("n_violating"), (col("n_violating") === 0).as("holds"),
+            col("max_fanout"))
+      Seq(
+        fd("o_orderkey->o_custkey", Tables.t(s, dir, "orders"),
+          "o_orderkey", "o_custkey"),
+        fd("c_custkey->c_nationkey", Tables.t(s, dir, "customer"),
+          "c_custkey", "c_nationkey"),
+        fd("o_custkey->o_orderstatus", Tables.t(s, dir, "orders"),
+          "o_custkey", "o_orderstatus"),
+        fd("l_orderkey->l_suppkey", Tables.t(s, dir, "lineitem"),
+          "l_orderkey", "l_suppkey"))
+        .reduce(_ unionByName _)
+        .orderBy("dependency")
+    },
+
+    // Column-profiling report over orders: the (column, nulls, distinct,
+    // min, max, top value, top frequency) table every ingestion UI
+    // renders first — min/max computed in the column's own type and cast
+    // to string AFTER (string-min of numerics is wrong), top value by
+    // (count desc, value asc) so ties are deterministic. One aggregation
+    // pass per column plus a value-count rollup; all dimension-sized
+    // after the scans.
+    "q189_column_profile" -> { (s, dir) =>
+      val t = Tables.t(s, dir, "orders")
+      def prof(c: String): DataFrame = {
+        val base = t.agg(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+          countDistinct(col(c)).as("n_distinct"),
+          min(col(c)).cast("string").as("min_value"),
+          max(col(c)).cast("string").as("max_value"))
+        // deterministic top value: the (count desc, value asc) pick
+        // spelled as a min over (-count, value) — one struct-min
+        // aggregation, no sort
+        val top2 = t.filter(col(c).isNotNull)
+          .groupBy(col(c).cast("string").as("v"))
+          .agg(count(lit(1)).as("f"))
+          .agg(min(struct((-col("f")).as("nf"), col("v"))).as("m"))
+          .select(col("m.v").as("top_value"), (-col("m.nf")).as("top_freq"))
+        base.crossJoin(top2)
+          .select(lit(c).as("column_name"), col("n_nulls"),
+            col("n_distinct"), col("min_value"), col("max_value"),
+            col("top_value"), col("top_freq"))
+      }
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority")
+        .map(prof).reduce(_ unionByName _)
+        .orderBy("column_name")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -987,5 +1088,69 @@ object RelationalQueries extends QueryModule {
          |SELECT o_custkey, recency_days, frequency, monetary,
          |  r_score, f_score, m_score,
          |  'R' || r_score || 'F' || f_score || 'M' || m_score AS segment
-         |FROM s ORDER BY o_custkey""".stripMargin)
+         |FROM s ORDER BY o_custkey""".stripMargin,
+
+    "q187_ri_audit" -> {
+      def rel(name: String, child: String, ck: String, parent: String,
+              pk2: String): String =
+        s"""SELECT '$name' AS relationship,
+           |  (SELECT COUNT(*) FROM $child) AS n_rows,
+           |  (SELECT COUNT(*) FROM $child c WHERE NOT EXISTS
+           |    (SELECT 1 FROM $parent p WHERE p.$pk2 = c.$ck))
+           |    AS n_orphans,
+           |  CAST((SELECT COUNT(*) FROM $child c WHERE NOT EXISTS
+           |    (SELECT 1 FROM $parent p WHERE p.$pk2 = c.$ck)) AS DOUBLE)
+           |    / CAST((SELECT COUNT(*) FROM $child) AS DOUBLE)
+           |    AS orphan_rate""".stripMargin
+      Seq(
+        rel("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+          "orders", "o_orderkey"),
+        rel("lineitem.l_partkey->part", "lineitem", "l_partkey",
+          "part", "p_partkey"),
+        rel("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+          "supplier", "s_suppkey"),
+        rel("orders.o_custkey->customer", "orders", "o_custkey",
+          "customer", "c_custkey"),
+        rel("customer.c_nationkey->nation", "customer", "c_nationkey",
+          "nation", "n_nationkey"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY relationship")
+    },
+
+    "q188_fd_audit" -> {
+      def fd(name: String, table: String, a: String, b: String): String =
+        s"""SELECT '$name' AS dependency, COUNT(*) AS n_groups,
+           |  CAST(SUM(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_violating,
+           |  CAST(SUM(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT) = 0
+           |    AS holds,
+           |  CAST(MAX(nb) AS BIGINT) AS max_fanout
+           |FROM (SELECT $a, COUNT(DISTINCT $b) AS nb
+           |      FROM $table GROUP BY 1)""".stripMargin
+      Seq(
+        fd("o_orderkey->o_custkey", "orders", "o_orderkey", "o_custkey"),
+        fd("c_custkey->c_nationkey", "customer", "c_custkey",
+          "c_nationkey"),
+        fd("o_custkey->o_orderstatus", "orders", "o_custkey",
+          "o_orderstatus"),
+        fd("l_orderkey->l_suppkey", "lineitem", "l_orderkey",
+          "l_suppkey"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY dependency")
+    },
+
+    "q189_column_profile" -> {
+      def prof(c: String): String =
+        s"""SELECT '$c' AS column_name,
+           |  (SELECT CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)
+           |      AS BIGINT) FROM orders) AS n_nulls,
+           |  (SELECT COUNT(DISTINCT $c) FROM orders) AS n_distinct,
+           |  (SELECT CAST(MIN($c) AS VARCHAR) FROM orders) AS min_value,
+           |  (SELECT CAST(MAX($c) AS VARCHAR) FROM orders) AS max_value,
+           |  t.v AS top_value, t.f AS top_freq
+           |FROM (SELECT CAST($c AS VARCHAR) AS v, COUNT(*) AS f
+           |      FROM orders WHERE $c IS NOT NULL GROUP BY 1
+           |      ORDER BY f DESC, v ASC LIMIT 1) t""".stripMargin
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority")
+        .map(prof).mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    })
 }

@@ -41,7 +41,9 @@ class PlanGuardSpec extends AnyFunSuite {
       "q165_incremental_dedup", // 1-row id-percentile cut × the scan
       "q166_ks_drift", // #sources-row stats + 1-row total × the value grid
       "q171_silhouette", // k-row centroid table broadcast-probed (q90)
-      "q182_chisq_drift") // q166's grid shape: stats × bucket margins
+      "q182_chisq_drift", // q166's grid shape: stats × bucket margins
+      "q187_ri_audit", // 1-row count × 1-row orphan count per relationship
+      "q189_column_profile") // 1-row column stats × 1-row top-value pick
       // (q173's centroid probe BNLJ runs inside its eager checkpoint —
       // the declared plan reads the materialized ranked frame)
 
@@ -80,6 +82,14 @@ class PlanGuardSpec extends AnyFunSuite {
                                   // threshold sweep agg + 1-row doc count
                                   // + sort — the sweep re-reads the pair
                                   // frame, never candidate generation
+    "q187_ri_audit" -> 8,         // per-relationship anti-join + two
+                                  // 1-row counts × 5 relationships — all
+                                  // counts, no corpus-sized state
+    "q188_fd_audit" -> 12,        // per-candidate two-level aggregation
+                                  // (group countDistinct + rollup) × 4
+    "q189_column_profile" -> 20,  // per-column stats agg + distinct +
+                                  // top-value rollup × 5 columns — every
+                                  // frame 1-row after its aggregation
     "q182_chisq_drift" -> 7,      // margin aggs (cnt/src/bucket/total) +
                                   // grid zero-fill join + per-source agg
                                   // + sort — every frame after cnt is
