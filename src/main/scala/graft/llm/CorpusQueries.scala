@@ -1276,6 +1276,62 @@ object CorpusQueries extends QueryModule {
         .select(col("source"), col("doc_id"), col("n_chars"),
           round(col("y"), 4).as("diversity"))
         .orderBy(col("source"), col("n_chars").desc, col("doc_id"))
+    },
+
+    // Exact mixture apportionment (Hamilton's largest-remainder method):
+    // q93's sqrt-damped target weights turned into EXACT per-source doc
+    // quotas summing to K — where q93's hash-rate keep only hits its
+    // budget in expectation, a training-mix materializer must fill
+    // quotas exactly (a 1000-doc budget means 1000 docs). floor(w·K)
+    // seats everyone's integer part, the remaining seats go to the
+    // largest fractional remainders (ties to the lexicographically first
+    // source — deterministic). Every frame after the source rollup is
+    // #sources-sized, so the global remainder rank is a dimension-sized
+    // window, not a corpus sort.
+    "q190_mixture_apportion" -> { (s, dir) =>
+      val K = 1000L
+      val counts = Tables.t(s, dir, "documents")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("w", round(sqrt(col("n_docs").cast("double")), 6))
+      val denom = counts.agg(graft.Fns.dsum(col("w")).as("w_sum"))
+      val wAll = Window.partitionBy(lit(0))
+      val wRank = Window.orderBy(col("rem").desc, col("source").asc)
+      counts.crossJoin(broadcast(denom))
+        .withColumn("mix_w", col("w") / col("w_sum"))
+        .withColumn("ideal", col("mix_w") * lit(1000.0))
+        .withColumn("base", floor(col("ideal")).cast("long"))
+        .withColumn("rem", col("ideal") - floor(col("ideal")))
+        .withColumn("deficit", lit(K) - sum(col("base")).over(wAll))
+        .withColumn("rk", row_number().over(wRank).cast("long"))
+        .select(col("source"), col("n_docs"), col("mix_w"),
+          (col("rk") <= col("deficit")).as("got_bonus"),
+          (col("base") + when(col("rk") <= col("deficit"), 1L)
+            .otherwise(0L)).as("quota"))
+        .orderBy("source")
+    },
+
+    // Sliding-window chunking with stride (the RAG/pretraining overlap
+    // splitter): fixed 20-token windows every 10 tokens, so consecutive
+    // chunks share half their context — where q65's disjoint chunks cut
+    // mid-thought, the overlap keeps every boundary covered by some
+    // chunk's interior. Scan-local: starts enumerate by stride inside a
+    // transform over the materialized token array (bounded 2× fan-out),
+    // one generator explode, no window function over the token stream.
+    "q191_sliding_chunks" -> { (s, dir) =>
+      val win = 20; val stride = 10
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tok"))
+        .select(col("doc_id"), size(col("tok")).as("n"), posexplode(expr(
+          s"transform(sequence(0, (size(tok) - 1) div $stride), " +
+            s"i -> named_struct(" +
+            s"'start_tok', i * $stride + 1, " +
+            s"'chunk', array_join(slice(tok, i * $stride + 1, $win), ' ')" +
+            s"))")).as(Seq("chunk_idx", "c")))
+        .select(col("doc_id"), col("chunk_idx"),
+          col("c.start_tok").as("start_tok"),
+          least(lit(win), col("n") - col("c.start_tok") + 1).as("n_tokens"),
+          col("c.chunk").as("chunk_text"))
+        .orderBy("doc_id", "chunk_idx")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -2112,5 +2168,39 @@ object CorpusQueries extends QueryModule {
         |SELECT source, doc_id, n_chars, ROUND(y, 4) AS diversity
         |FROM w
         |WHERE (m_longer IS NULL OR y > m_longer) AND y = m_same
-        |ORDER BY source, n_chars DESC, doc_id""".stripMargin)
+        |ORDER BY source, n_chars DESC, doc_id""".stripMargin,
+
+    "q190_mixture_apportion" ->
+      s"""WITH c AS (
+         |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+         |w AS (
+         |  SELECT source, n_docs,
+         |    ROUND(SQRT(CAST(n_docs AS DOUBLE)), 6) AS w
+         |  FROM c),
+         |d AS (SELECT ${graft.Fns.dsumSql("w")} AS w_sum FROM w),
+         |x AS (
+         |  SELECT source, n_docs, w / w_sum AS mix_w,
+         |    CAST(FLOOR(w / w_sum * 1000.0) AS BIGINT) AS base,
+         |    w / w_sum * 1000.0 - FLOOR(w / w_sum * 1000.0) AS rem
+         |  FROM w CROSS JOIN d),
+         |y AS (
+         |  SELECT source, n_docs, mix_w, base, rem,
+         |    1000 - CAST(SUM(base) OVER () AS BIGINT) AS deficit,
+         |    ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) AS rk
+         |  FROM x)
+         |SELECT source, n_docs, mix_w, rk <= deficit AS got_bonus,
+         |  base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS quota
+         |FROM y ORDER BY source""".stripMargin,
+
+    "q191_sliding_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id, STRING_SPLIT(text, ' ') AS tok FROM documents)
+        |SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+        |  CAST(i * 10 + 1 AS INTEGER) AS start_tok,
+        |  CAST(LEAST(20, LEN(tok) - (i * 10 + 1) + 1) AS INTEGER)
+        |    AS n_tokens,
+        |  ARRAY_TO_STRING(LIST_SLICE(tok, i * 10 + 1, i * 10 + 20), ' ')
+        |    AS chunk_text
+        |FROM d, UNNEST(GENERATE_SERIES(0, (LEN(tok) - 1) // 10)) AS g(i)
+        |ORDER BY doc_id, chunk_idx""".stripMargin)
 }

@@ -751,6 +751,36 @@ object EventQueries extends QueryModule {
             lit("le_15m"), lit("gt_15m")), col("ord") + 1).as("bucket"),
           col("n"), col("share"), col("max_late_s"))
         .orderBy("ord")
+    },
+
+    // q176's rolling actives re-expressed the way a 100 TB deployment
+    // actually runs it: ONE HLL sketch per day (Datasketches
+    // `hll_sketch_agg` — a few KB regardless of user count), then any
+    // window is a SKETCH UNION instead of a re-aggregation of raw
+    // events. The exact spelling re-touches every event for every
+    // window it falls in (×7 fan-out); the sketch path fans out
+    // day-sized sketches only — this mergeability is why engines
+    // precompute daily sketches at all (no oracle: sketch estimates are
+    // engine-specific; ApproxBoundsSpec bounds both estimates against
+    // q176's exact counts).
+    "q192_hll_rolling" -> { (s, dir) =>
+      val ev = Tables.t(s, dir, "events")
+        .select(expr("unix_micros(date_trunc('day', ts)) div 86400000000")
+          .as("d"), col("user_id"))
+      val daily = ev.groupBy(col("d"))
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      val obs = ev.select(col("d")).distinct()
+      val fan = daily
+        .select(col("d"), col("sk"), explode(expr("sequence(0L, 6L)"))
+          .as("i"))
+        .select((col("d") + col("i")).as("w"), col("sk"))
+      fan.join(obs.withColumnRenamed("d", "w"), Seq("w"))
+        .groupBy(col("w").as("day_idx"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("wau7_est"))
+        .join(daily.select(col("d").as("day_idx"),
+          expr("hll_sketch_estimate(sk)").as("dau_est")), "day_idx")
+        .select(col("day_idx"), col("dau_est"), col("wau7_est"))
+        .orderBy("day_idx")
     })
 
   override def oracles: Map[String, String] = Map(

@@ -43,7 +43,8 @@ class PlanGuardSpec extends AnyFunSuite {
       "q171_silhouette", // k-row centroid table broadcast-probed (q90)
       "q182_chisq_drift", // q166's grid shape: stats × bucket margins
       "q187_ri_audit", // 1-row count × 1-row orphan count per relationship
-      "q189_column_profile") // 1-row column stats × 1-row top-value pick
+      "q189_column_profile", // 1-row column stats × 1-row top-value pick
+      "q190_mixture_apportion") // 1-row weight denominator × #sources rows
       // (q173's centroid probe BNLJ runs inside its eager checkpoint —
       // the declared plan reads the materialized ranked frame)
 

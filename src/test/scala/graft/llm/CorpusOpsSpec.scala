@@ -177,6 +177,51 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q190 quotas sum to K and bonuses go to the largest remainders") {
+    val rows = q("q190_mixture_apportion").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3), r.getLong(4)))
+    assert(rows.map(_._5).sum == 1000L, "apportionment must fill K exactly")
+    // every bonused source's remainder >= every unbonused one's
+    val rem = rows.map { r =>
+      val ideal = r._3 * 1000.0
+      (r._1, ideal - math.floor(ideal), r._4)
+    }
+    val minBonus = rem.collect { case (_, f, true) => f }
+    val maxPlain = rem.collect { case (_, f, false) => f }
+    if (minBonus.nonEmpty && maxPlain.nonEmpty)
+      assert(minBonus.min >= maxPlain.max - 1e-12,
+        "a skipped source outranked a bonused one")
+    // quota never drifts more than 1 from the ideal share
+    rows.foreach { r =>
+      assert(math.abs(r._5 - r._3 * 1000.0) <= 1.0, s"${r._1} quota drift")
+    }
+  }
+
+  test("q191 sliding chunks tile every document with stride overlap") {
+    val texts = Tables.t(spark, TestSpark.Sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ")).toMap
+    val got = q("q191_sliding_chunks").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getString(4)))
+    got.groupBy(_._1).foreach { case (id, chunks) =>
+      val tok = texts(id)
+      val sorted = chunks.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == sorted.indices.toSeq)
+      sorted.foreach { case (_, idx, start, n, text) =>
+        assert(start == idx * 10 + 1)
+        val want = tok.slice(start - 1, start - 1 + 20)
+        assert(text == want.mkString(" "), s"doc $id chunk $idx")
+        assert(n == want.length)
+      }
+      // the last chunk reaches the document's end
+      val last = sorted.last
+      assert(last._3 - 1 + last._4 == tok.length)
+    }
+    assert(got.map(_._1).toSet == texts.keySet)
+  }
+
   test("q185 skyline rows are exactly the undominated documents") {
     val docs = Tables.t(spark, TestSpark.Sf, "documents")
       .select(col("doc_id"), col("source"), col("n_chars"), col("text"))

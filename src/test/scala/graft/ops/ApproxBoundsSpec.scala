@@ -53,4 +53,23 @@ class ApproxBoundsSpec extends AnyFunSuite {
     for (flag <- exact.keys)
       assert(exact(flag).getAs[Long]("n") == approx(flag).getAs[Long]("n"))
   }
+
+  test("q192 HLL rolling actives within 10% of q176 exact per window") {
+    val exact = graft.SparkEntry.queries("q176_rolling_active")(
+      spark, graft.TestSpark.Sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val est = graft.SparkEntry.queries("q192_hll_rolling")(
+      spark, graft.TestSpark.Sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(est.keySet == exact.keySet, "same window set as the exact twin")
+    est.foreach { case (day, (dau, wau)) =>
+      val (ed, ew) = exact(day)
+      assert(math.abs(dau - ed).toDouble <= 0.10 * ed + 2,
+        s"day $day dau $dau vs exact $ed")
+      assert(math.abs(wau - ew).toDouble <= 0.10 * ew + 2,
+        s"day $day wau $wau vs exact $ew")
+    }
+  }
 }
