@@ -718,6 +718,74 @@ object RelationalQueries extends QueryModule {
         "o_orderpriority")
         .map(prof).reduce(_ unionByName _)
         .orderBy("column_name")
+    },
+
+    // Two-table AS-OF join via the union-timeline carry: each purchase
+    // event picks up the customer's most recent order AS OF the event
+    // time — the temporal join feature stores and tick databases live
+    // on, which Spark has no built-in for. Instead of a range join
+    // (quadratic without bucketing) the two tables UNION into one
+    // per-user timeline, orders sort before events at equal timestamps,
+    // and one last-ignoring-nulls window carries the latest order
+    // forward — the q172 carry generalized across tables. One user-keyed
+    // partitioning end to end; never-ordered users keep NULL order
+    // columns (an audit readout, not an error).
+    "q193_asof_join" -> { (s, dir) =>
+      val ev = Tables.t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id").as("id"), lit(1).as("kind"))
+      val ord = Tables.t(s, dir, "orders")
+        .select(col("o_custkey").as("user_id"),
+          unix_micros(col("o_orderdate")).as("us"),
+          col("o_orderkey").as("id"), lit(0).as("kind"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("kind"), col("id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val carry = when(col("kind") === 0,
+        struct(col("id").as("oid"), col("us").as("ous")))
+      ev.unionByName(ord)
+        .withColumn("o", last(carry, ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .select(col("id").as("event_id"), col("user_id"),
+          col("us").as("event_us"), col("o.oid").as("order_id"),
+          col("o.ous").as("order_us"),
+          expr("(us - o.ous) div 1000000").as("age_s"))
+        .orderBy("event_id")
+    },
+
+    // SCD Type-2 dimension build (Kimball): the customer-status history
+    // table with validity intervals — each interval one run of equal
+    // o_orderstatus in the customer's order timeline, closed by the next
+    // run's start (NULL = current). Gaps-and-islands as two windows per
+    // customer: a change flag via LAG, a running sum numbering the runs,
+    // then one per-run aggregation and a LEAD to close intervals. The
+    // warehouse-dimension op every P2-style refresh feeds; all exact
+    // integer timestamps, deterministic run boundaries.
+    "q194_scd2_build" -> { (s, dir) =>
+      val wT = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("us"), col("o_orderkey"))
+      val wG = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("us"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wRun = Window.partitionBy(col("o_custkey")).orderBy(col("grp"))
+      Tables.t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderstatus"), unix_micros(col("o_orderdate")).as("us"))
+        .withColumn("chg", when(
+          lag(col("o_orderstatus"), 1).over(wT).isNull ||
+            lag(col("o_orderstatus"), 1).over(wT) =!= col("o_orderstatus"),
+          1L).otherwise(0L))
+        .withColumn("grp", sum(col("chg")).over(wG))
+        .groupBy(col("o_custkey"), col("grp"))
+        .agg(min(col("us")).as("valid_from_us"),
+          max(col("o_orderstatus")).as("status"),
+          count(lit(1)).as("n_orders"))
+        .withColumn("valid_to_us",
+          lead(col("valid_from_us"), 1).over(wRun))
+        .select(col("o_custkey"), col("grp").as("version"), col("status"),
+          col("valid_from_us"), col("valid_to_us"), col("n_orders"))
+        .orderBy("o_custkey", "version")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -1152,5 +1220,52 @@ object RelationalQueries extends QueryModule {
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderpriority")
         .map(prof).mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
-    })
+    },
+
+    "q193_asof_join" ->
+      """WITH tl AS (
+        |  SELECT user_id, EPOCH_US(ts) AS us, event_id AS id, 1 AS kind
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT o_custkey, EPOCH_US(o_orderdate), o_orderkey, 0
+        |  FROM orders),
+        |c AS (
+        |  SELECT user_id, us, id, kind,
+        |    LAST_VALUE(CASE WHEN kind = 0
+        |        THEN {'oid': id, 'ous': us} END IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY us, kind, id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS o
+        |  FROM tl)
+        |SELECT id AS event_id, user_id, us AS event_us,
+        |  o.oid AS order_id, o.ous AS order_us,
+        |  (us - o.ous) // 1000000 AS age_s
+        |FROM c WHERE kind = 1 ORDER BY event_id""".stripMargin,
+
+    "q194_scd2_build" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey, o_orderstatus,
+        |    EPOCH_US(o_orderdate) AS us
+        |  FROM orders),
+        |m AS (
+        |  SELECT *,
+        |    CASE WHEN LAG(o_orderstatus) OVER w IS NULL
+        |           OR LAG(o_orderstatus) OVER w <> o_orderstatus
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM o
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY us, o_orderkey)),
+        |g AS (
+        |  SELECT *, CAST(SUM(chg) OVER (PARTITION BY o_custkey
+        |    ORDER BY us, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS grp
+        |  FROM m),
+        |runs AS (
+        |  SELECT o_custkey, grp, MIN(us) AS valid_from_us,
+        |    MAX(o_orderstatus) AS status, COUNT(*) AS n_orders
+        |  FROM g GROUP BY 1, 2)
+        |SELECT o_custkey, grp AS version, status, valid_from_us,
+        |  LEAD(valid_from_us) OVER (PARTITION BY o_custkey ORDER BY grp)
+        |    AS valid_to_us,
+        |  n_orders
+        |FROM runs ORDER BY o_custkey, version""".stripMargin)
 }

@@ -56,6 +56,55 @@ class ProfilingSpec extends AnyFunSuite {
     got.values.foreach { case (_, fanout) => assert(fanout >= 1L) }
   }
 
+  test("q193 as-of join equals a sequential per-user replay") {
+    val orders2 = Tables.t(spark, TestSpark.Sf, "orders")
+      .select("o_custkey", "o_orderkey", "o_orderdate").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2).getTime * 1000 +
+          (r.getTimestamp(2).getNanos / 1000) % 1000))
+    val purchases = Tables.t(spark, TestSpark.Sf, "events")
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2).getTime * 1000 +
+          (r.getTimestamp(2).getNanos / 1000) % 1000))
+    val byUser = orders2.groupBy(_._1)
+    val expected = purchases.map { case (eid, u, us) =>
+      // kind sorts orders before events at equal timestamps, so any
+      // order with ous <= us is visible to the event
+      val cands = byUser.getOrElse(u, Array()).filter(o => o._3 <= us)
+      eid -> (if (cands.isEmpty) None
+        else Some(cands.maxBy(o => (o._3, o._2))._2))
+    }.toMap
+    val got = SparkEntry.queries("q193_asof_join")(spark, TestSpark.Sf)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(got == expected)
+    assert(got.values.flatten.nonEmpty, "some purchases must match orders")
+  }
+
+  test("q194 SCD2 intervals are contiguous runs covering every order") {
+    val got = SparkEntry.queries("q194_scd2_build")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        r.getLong(5)))
+    val orders2 = Tables.t(spark, TestSpark.Sf, "orders").count()
+    assert(got.map(_._6).sum == orders2,
+      "every order belongs to exactly one interval")
+    got.groupBy(_._1).foreach { case (cust, ivs) =>
+      val sorted = ivs.sortBy(_._2).toSeq
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq,
+        s"$cust versions must be dense from 1")
+      sorted.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a._5.contains(b._4), s"$cust interval not contiguous")
+          assert(a._3 != b._3, s"$cust adjacent runs share a status")
+        case _ =>
+      }
+      assert(sorted.last._5.isEmpty, s"$cust last interval must be open")
+    }
+  }
+
   test("q189 profile equals brute-force column statistics") {
     val got = q("q189_column_profile").collect().map(r =>
       r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3),
