@@ -1322,14 +1322,17 @@ object CorpusQueries extends QueryModule {
       Tables.t(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("tok"))
         .select(col("doc_id"), size(col("tok")).as("n"), posexplode(expr(
+          // CAST pins the struct fields to INT: `div` yields LONG, and
+          // the oracle's GENERATE_SERIES casts to INTEGER
           s"transform(sequence(0, (size(tok) - 1) div $stride), " +
             s"i -> named_struct(" +
-            s"'start_tok', i * $stride + 1, " +
+            s"'start_tok', CAST(i * $stride + 1 AS INT), " +
             s"'chunk', array_join(slice(tok, i * $stride + 1, $win), ' ')" +
             s"))")).as(Seq("chunk_idx", "c")))
         .select(col("doc_id"), col("chunk_idx"),
           col("c.start_tok").as("start_tok"),
-          least(lit(win), col("n") - col("c.start_tok") + 1).as("n_tokens"),
+          least(lit(win), col("n") - col("c.start_tok") + 1)
+            .cast("int").as("n_tokens"),
           col("c.chunk").as("chunk_text"))
         .orderBy("doc_id", "chunk_idx")
     })
