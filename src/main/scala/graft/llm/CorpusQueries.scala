@@ -1335,6 +1335,54 @@ object CorpusQueries extends QueryModule {
             .cast("int").as("n_tokens"),
           col("c.chunk").as("chunk_text"))
         .orderBy("doc_id", "chunk_idx")
+    },
+
+    // Cross-source quantile normalization of a per-doc quality score
+    // (the microarray-analytics transform applied to corpus curation):
+    // each document's score is replaced by the POOLED distribution's
+    // value at the document's within-source quantile, so every source's
+    // score distribution becomes comparable before mixture planning —
+    // the fix for "source A's quality model runs hot". Within-source
+    // quantile = PERCENT_RANK (rank-based, tie-stable); the pooled
+    // order statistics come from a TWO-PHASE global row_number (q91's
+    // prefix-sum shape: coarse score-range buckets are a prefix of the
+    // sort key, so bucket-local row numbers plus a broadcast
+    // bucket-offset table replace the single-partition global window);
+    // the lookup interpolates linearly between adjacent order
+    // statistics via two integer-keyed joins. No corpus-sized sort ever
+    // lands on one task.
+    "q198_quantile_norm" -> { (s, dir) =>
+      val d = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          col("n_chars").cast("double").as("score"))
+      val wSrc = Window.partitionBy(col("source")).orderBy(col("score"))
+      val n = d.agg(count(lit(1)).as("n"))
+      // two-phase pooled rank: bucket-local row_number + bucket offsets
+      val b = d.withColumn("bkt", expr("CAST(score AS BIGINT) div 64"))
+      val wLoc = Window.partitionBy(col("bkt"))
+        .orderBy(col("score"), col("doc_id"))
+      val wOff = Window.orderBy(col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = b.groupBy(col("bkt")).agg(count(lit(1)).as("bn"))
+        .withColumn("off", coalesce(sum(col("bn")).over(wOff), lit(0L)))
+        .select(col("bkt"), col("off"))
+      val pooled = b.join(broadcast(offs), "bkt")
+        .withColumn("idx", col("off") + row_number().over(wLoc) - 1)
+        .select(col("idx"), col("score").as("pv"))
+      val ranked = d
+        .withColumn("pr", percent_rank().over(wSrc))
+        .crossJoin(broadcast(n))
+        .withColumn("fidx", col("pr") * (col("n") - 1).cast("double"))
+        .withColumn("lo", floor(col("fidx")))
+        .withColumn("hi", least(col("lo") + 1, col("n") - 1))
+      ranked
+        .join(pooled.select(col("idx").as("lo"), col("pv").as("lo_v")), "lo")
+        .join(pooled.select(col("idx").as("hi"), col("pv").as("hi_v")), "hi")
+        .select(col("doc_id"), col("source"), col("score"),
+          (round(col("lo_v") +
+            (col("fidx") - col("lo").cast("double")) *
+            (col("hi_v") - col("lo_v")), 6) + lit(0.0)).as("qnorm"))
+        .orderBy("doc_id")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -2205,5 +2253,35 @@ object CorpusQueries extends QueryModule {
         |  ARRAY_TO_STRING(LIST_SLICE(tok, i * 10 + 1, i * 10 + 20), ' ')
         |    AS chunk_text
         |FROM d, UNNEST(GENERATE_SERIES(0, (LEN(tok) - 1) // 10)) AS g(i)
-        |ORDER BY doc_id, chunk_idx""".stripMargin)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q198_quantile_norm" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS score
+        |  FROM documents),
+        |n AS (SELECT COUNT(*) AS n FROM d),
+        |p AS (
+        |  SELECT score AS pv,
+        |    ROW_NUMBER() OVER (ORDER BY score, doc_id) - 1 AS idx
+        |  FROM d),
+        |r AS (
+        |  SELECT doc_id, source, score,
+        |    PERCENT_RANK() OVER (PARTITION BY source ORDER BY score)
+        |      AS pr
+        |  FROM d),
+        |j AS (
+        |  SELECT r.*, n.n,
+        |    r.pr * CAST(n.n - 1 AS DOUBLE) AS fidx
+        |  FROM r CROSS JOIN n),
+        |k AS (
+        |  SELECT *, CAST(FLOOR(fidx) AS BIGINT) AS lo,
+        |    LEAST(CAST(FLOOR(fidx) AS BIGINT) + 1, n - 1) AS hi
+        |  FROM j)
+        |SELECT k.doc_id, k.source, k.score,
+        |  ROUND(plo.pv + (k.fidx - CAST(k.lo AS DOUBLE))
+        |    * (phi.pv - plo.pv), 6) + 0.0 AS qnorm
+        |FROM k
+        |JOIN p plo ON plo.idx = k.lo
+        |JOIN p phi ON phi.idx = k.hi
+        |ORDER BY doc_id""".stripMargin)
 }

@@ -1011,6 +1011,34 @@ object TextQueries extends QueryModule {
       cc.select(col("id").as("word"), col("label").as("community"))
         .withColumn("community_size", count(lit(1)).over(wC))
         .orderBy("community", "word")
+    },
+
+    // Exact corpus heavy hitters through a BOUNDED-STATE nomination
+    // phase: a mergeable Misra-Gries sketch (256 slots per partial
+    // buffer — see functions/MisraGriesSketch) nominates candidate
+    // tokens, then ONE broadcast semi-join recounts just the candidates
+    // exactly. The full-domain `groupBy(token)` this replaces shuffles
+    // every distinct token (billions at web scale); here the shuffle
+    // carries ≤256 entries per map task, and the recount shuffles only
+    // the ≤256-key candidate subset of the token stream. The MG bound
+    // (undercount ≤ n/257, preserved across merges) guarantees no token
+    // above the n/100 report threshold can be missed, so the output is
+    // EXACT and the oracle is the plain exact-count SQL.
+    "q197_heavy_hitters" -> { (s, dir) =>
+      import graft.functions.MisraGriesSketch.misraGries
+      val toks = Tables.t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+      val cand = toks.agg(misraGries(col("tok"), 256).as("mg"))
+        .select(explode(map_keys(col("mg"))).as("tok"))
+      val n = toks.agg(count(lit(1)).as("n_tok"))
+      toks.join(broadcast(cand), "tok")
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(n))
+        .filter(col("cnt") * 100 > col("n_tok"))
+        .select(col("tok"), col("cnt"),
+          (round(col("cnt").cast("double") /
+            col("n_tok").cast("double"), 10) + lit(0.0)).as("share"))
+        .orderBy("tok")
     })
 
   /** The q34 exact-Jaccard oracle, hoisted so composite oracles (q71,
@@ -1570,5 +1598,17 @@ object TextQueries extends QueryModule {
         |cc AS (SELECT id AS word, MIN(r) AS community FROM reach GROUP BY id)
         |SELECT word, community,
         |  COUNT(*) OVER (PARTITION BY community) AS community_size
-        |FROM cc ORDER BY community, word""".stripMargin)
+        |FROM cc ORDER BY community, word""".stripMargin,
+
+    "q197_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents),
+        |n AS (SELECT COUNT(*) AS n_tok FROM t),
+        |g AS (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY 1)
+        |SELECT tok, cnt,
+        |  ROUND(CAST(cnt AS DOUBLE) / CAST(n_tok AS DOUBLE), 10) + 0.0
+        |    AS share
+        |FROM g CROSS JOIN n
+        |WHERE cnt * 100 > n_tok
+        |ORDER BY tok""".stripMargin)
 }

@@ -781,6 +781,52 @@ object EventQueries extends QueryModule {
           expr("hll_sketch_estimate(sk)").as("dau_est")), "day_idx")
         .select(col("day_idx"), col("dau_est"), col("wau7_est"))
         .orderBy("day_idx")
+    },
+
+    // Kaplan-Meier survival over user lifetimes with right-censoring —
+    // the retention curve estimator product analytics runs on churn
+    // data. A user's lifetime is last-minus-first event day; a user
+    // still active in the final 7 days of the log is CENSORED (their
+    // true lifetime is only known to exceed the observed one), which is
+    // exactly what the KM product-limit estimator handles and a naive
+    // retention ratio gets wrong. One user-keyed aggregation collapses
+    // the event log to a lifetime table; everything after operates on
+    // the ≤(log-span-in-days) life-table rows, so the single-partition
+    // cumulative windows are over a DAY-domain table that stays tiny at
+    // any corpus scale. Survival is exp of an ordered cumulative sum of
+    // per-day ln factors — both engines sum the identical doubles in
+    // the identical (day-ordered) sequence, then one 6-decimal round.
+    "q196_survival_km" -> { (s, dir) =>
+      val ev = Tables.t(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      val span = ev.groupBy(col("user_id"))
+        .agg(min(col("us")).as("f"), max(col("us")).as("l"))
+      val m = ev.agg(max(col("us")).as("m_us"))
+      val lif = span.crossJoin(broadcast(m))
+        .select(expr("(l - f) div 86400000000").as("t"),
+          when(col("l") <= col("m_us") - lit(604800000000L), 1L)
+            .otherwise(0L).as("event"))
+      val table = lif.groupBy(col("t"))
+        .agg(count(lit(1)).as("ending"), sum(col("event")).as("d"))
+      val wPrev = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wCum = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.orderBy(col("t")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      table
+        .withColumn("n_users", sum(col("ending")).over(wAll))
+        .withColumn("n_risk", col("n_users") -
+          coalesce(sum(col("ending")).over(wPrev), lit(0L)))
+        .withColumn("lnf", log(
+          (col("n_risk") - col("d")).cast("double") /
+            col("n_risk").cast("double")))
+        .withColumn("survival",
+          round(exp(sum(col("lnf")).over(wCum)), 6) + lit(0.0))
+        .select(col("t").as("day"), col("n_risk"),
+          col("d").as("d_churned"),
+          (col("ending") - col("d")).as("c_censored"), col("survival"))
+        .orderBy("day")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -1295,5 +1341,38 @@ object EventQueries extends QueryModule {
         |    AS bucket,
         |  n, CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE) AS share,
         |  max_late_s
-        |FROM g ORDER BY ord""".stripMargin)
+        |FROM g ORDER BY ord""".stripMargin,
+
+    "q196_survival_km" ->
+      """WITH ev AS (
+        |  SELECT user_id, EPOCH_US(ts) AS us FROM events),
+        |span AS (
+        |  SELECT user_id, MIN(us) AS f, MAX(us) AS l
+        |  FROM ev GROUP BY 1),
+        |m AS (SELECT MAX(us) AS m_us FROM ev),
+        |lif AS (
+        |  SELECT (l - f) // 86400000000 AS t,
+        |    CASE WHEN l <= m_us - 604800000000 THEN 1 ELSE 0 END AS event
+        |  FROM span CROSS JOIN m),
+        |tab AS (
+        |  SELECT t, COUNT(*) AS ending, CAST(SUM(event) AS BIGINT) AS d
+        |  FROM lif GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n_users FROM lif),
+        |risk AS (
+        |  SELECT t, ending, d,
+        |    n_users - COALESCE(SUM(ending) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n_risk
+        |  FROM tab CROSS JOIN tot),
+        |f AS (
+        |  SELECT *,
+        |    LN(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+        |      AS lnf
+        |  FROM risk)
+        |SELECT t AS day, CAST(n_risk AS BIGINT) AS n_risk,
+        |  d AS d_churned, CAST(ending - d AS BIGINT) AS c_censored,
+        |  ROUND(EXP(SUM(lnf) OVER (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) + 0.0
+        |    AS survival
+        |FROM f ORDER BY day""".stripMargin)
 }

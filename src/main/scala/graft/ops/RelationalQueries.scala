@@ -786,6 +786,134 @@ object RelationalQueries extends QueryModule {
         .select(col("o_custkey"), col("grp").as("version"), col("status"),
           col("valid_from_us"), col("valid_to_us"), col("n_orders"))
         .orderBy("o_custkey", "version")
+    },
+
+    // Market-basket association rules (Agrawal-style support /
+    // confidence / lift) over order baskets: items are part brands,
+    // baskets are orders. ONE order-keyed aggregation materializes each
+    // basket as a sorted item array; pair candidates then expand
+    // SCAN-LOCALLY from that array (bounded by basket-size², a
+    // per-order constant) — no basket self-join, so pair generation
+    // grows linearly in orders at any scale and shuffles only
+    // vocabulary-sized (item, item) keys. Item counts are a
+    // vocabulary-sized table, broadcast into the rule assembly. All
+    // statistics are exact-integer ratios spelled as single divisions
+    // (products of counts stay far below 2^53), so both engines round
+    // identically.
+    "q195_assoc_rules" -> { (s, dir) =>
+      val brands = Tables.t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))
+      val basket = Tables.t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+        .join(broadcast(brands), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_orderkey").as("ok"))
+        .agg(sort_array(collect_set(col("p_brand"))).as("items"))
+      val n = basket.agg(count(lit(1)).as("n_orders"))
+      val icnt = basket
+        .select(explode(col("items")).as("item"))
+        .groupBy(col("item")).agg(count(lit(1)).as("c"))
+      // pair expansion is SCAN-LOCAL over the per-basket sorted item
+      // array (bounded by basket-size², a per-order constant) — no
+      // basket self-join ever shuffles
+      val pairs = basket
+        .filter(size(col("items")) >= 2)
+        .select(explode(expr(
+          "flatten(transform(sequence(1, size(items) - 1), " +
+            "i -> transform(sequence(i + 1, size(items)), " +
+            "j -> named_struct('item_a', element_at(items, i), " +
+            "'item_b', element_at(items, j)))))")).as("p"))
+        .groupBy(col("p.item_a").as("item_a"), col("p.item_b").as("item_b"))
+        .agg(count(lit(1)).as("c_pair"))
+        .filter(col("c_pair") >= 50)
+      pairs
+        .join(broadcast(icnt.select(col("item").as("item_a"),
+          col("c").as("c_a"))), "item_a")
+        .join(broadcast(icnt.select(col("item").as("item_b"),
+          col("c").as("c_b"))), "item_b")
+        .crossJoin(broadcast(n))
+        .select(col("item_a"), col("item_b"), col("c_pair"),
+          (round(col("c_pair").cast("double") /
+            col("n_orders").cast("double"), 10) + lit(0.0)).as("support"),
+          (round(col("c_pair").cast("double") /
+            col("c_a").cast("double"), 10) + lit(0.0)).as("conf_a_b"),
+          (round(col("c_pair").cast("double") /
+            col("c_b").cast("double"), 10) + lit(0.0)).as("conf_b_a"),
+          (round((col("c_pair") * col("n_orders")).cast("double") /
+            (col("c_a") * col("c_b")).cast("double"), 10) + lit(0.0))
+            .as("lift"))
+        .orderBy("item_a", "item_b")
+    },
+
+    // Benford first-digit audit over order totals — the fraud /
+    // data-quality screen (Nigrini): compare the observed leading-digit
+    // distribution against log10(1 + 1/d) and report a chi-square
+    // statistic. The digit is extracted through exact integer cents
+    // (round(x*100) → BIGINT → first character), not through log10 of
+    // the value, so no libm boundary can misclassify a digit. The
+    // digit domain is 9 rows; the chi-square total is an
+    // order-independent decimal-cast window sum over those 9 rows —
+    // nothing here exceeds a single scan + one 9-group aggregate at
+    // any scale.
+    "q199_benford" -> { (s, dir) =>
+      val wAll = Window.partitionBy(lit(0))
+      val digits = Tables.t(s, dir, "orders")
+        .filter(col("o_totalprice") > 0)
+        .select(substring(round(col("o_totalprice") * 100, 0)
+          .cast("long").cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      digits
+        .crossJoin(broadcast(digits.agg(sum(col("n")).as("n_total"))))
+        .withColumn("share",
+          col("n").cast("double") / col("n_total").cast("double"))
+        .withColumn("benford_share",
+          log(10.0, lit(1.0) + lit(1.0) / col("digit").cast("double")))
+        .withColumn("chi2_term",
+          (col("n").cast("double") -
+            col("benford_share") * col("n_total").cast("double")) *
+          (col("n").cast("double") -
+            col("benford_share") * col("n_total").cast("double")) /
+          (col("benford_share") * col("n_total").cast("double")))
+        .withColumn("chi2", sum(col("chi2_term")
+          .cast(org.apache.spark.sql.types.DecimalType(38, 15))).over(wAll)
+          .cast("double"))
+        .select(col("digit"), col("n"),
+          (round(col("share"), 10) + lit(0.0)).as("share"),
+          (round(col("benford_share"), 10) + lit(0.0)).as("benford_share"),
+          (round(col("chi2"), 6) + lit(0.0)).as("chi2"))
+        .orderBy("digit")
+    },
+
+    // Record linkage by sorted-neighborhood blocking (Hernandez &
+    // Stolfo's merge/purge): candidate entity matches among part names
+    // without an all-pairs comparison. The linkage runs over the
+    // DISTINCT-name domain (vocabulary-sized, with per-name part
+    // counts carried along), blocks on the first character, sorts each
+    // block, and compares each name only against its next 4 sorted
+    // neighbors — O(names × window) candidates — then keeps pairs
+    // within Levenshtein distance 3 (a codegen'd built-in in both
+    // engines). At scale the block key bounds every window partition
+    // and the name domain grows sublinearly in rows; nothing touches
+    // the row-level table after the first distinct aggregation.
+    "q200_name_linkage" -> { (s, dir) =>
+      val names = Tables.t(s, dir, "part")
+        .groupBy(col("p_name").as("name"))
+        .agg(count(lit(1)).as("n_parts"))
+        .withColumn("blk", substring(col("name"), 1, 1))
+      val wB = Window.partitionBy(col("blk")).orderBy(col("name"))
+      val withLeads = names.select(
+        col("name"), col("n_parts"),
+        array((1 to 4).map(i => struct(
+          lead(col("name"), i).over(wB).as("nb"),
+          lead(col("n_parts"), i).over(wB).as("nb_n"))): _*).as("cands"))
+      withLeads
+        .select(col("name").as("name_a"), col("n_parts").as("n_parts_a"),
+          explode(col("cands")).as("c"))
+        .filter(col("c.nb").isNotNull)
+        .withColumn("dist", levenshtein(col("name_a"), col("c.nb")))
+        .filter(col("dist") <= 3)
+        .select(col("name_a"), col("c.nb").as("name_b"),
+          col("n_parts_a"), col("c.nb_n").as("n_parts_b"), col("dist"))
+        .orderBy("name_a", "name_b")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -1267,5 +1395,80 @@ object RelationalQueries extends QueryModule {
         |  LEAD(valid_from_us) OVER (PARTITION BY o_custkey ORDER BY grp)
         |    AS valid_to_us,
         |  n_orders
-        |FROM runs ORDER BY o_custkey, version""".stripMargin)
+        |FROM runs ORDER BY o_custkey, version""".stripMargin,
+
+    "q195_assoc_rules" ->
+      """WITH basket AS (
+        |  SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS item
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM basket),
+        |icnt AS (SELECT item, COUNT(*) AS c FROM basket GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS c_pair
+        |  FROM basket a JOIN basket b
+        |    ON a.ok = b.ok AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 50)
+        |SELECT item_a, item_b, c_pair,
+        |  ROUND(CAST(c_pair AS DOUBLE) / CAST(n_orders AS DOUBLE), 10)
+        |    + 0.0 AS support,
+        |  ROUND(CAST(c_pair AS DOUBLE) / CAST(ca.c AS DOUBLE), 10)
+        |    + 0.0 AS conf_a_b,
+        |  ROUND(CAST(c_pair AS DOUBLE) / CAST(cb.c AS DOUBLE), 10)
+        |    + 0.0 AS conf_b_a,
+        |  ROUND(CAST(c_pair * n_orders AS DOUBLE)
+        |    / CAST(ca.c * cb.c AS DOUBLE), 10) + 0.0 AS lift
+        |FROM pairs
+        |JOIN icnt ca ON ca.item = pairs.item_a
+        |JOIN icnt cb ON cb.item = pairs.item_b
+        |CROSS JOIN n
+        |ORDER BY item_a, item_b""".stripMargin,
+
+    "q199_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(SUBSTR(CAST(CAST(ROUND(o_totalprice * 100, 0)
+        |      AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |  FROM orders WHERE o_totalprice > 0),
+        |g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM g),
+        |e AS (
+        |  SELECT digit, n, n_total,
+        |    CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE) AS share,
+        |    LN(1.0 + 1.0 / CAST(digit AS DOUBLE)) / LN(10.0)
+        |      AS benford_share
+        |  FROM g CROSS JOIN t),
+        |c AS (
+        |  SELECT *,
+        |    (CAST(n AS DOUBLE) - benford_share * CAST(n_total AS DOUBLE))
+        |    * (CAST(n AS DOUBLE) - benford_share * CAST(n_total AS DOUBLE))
+        |    / (benford_share * CAST(n_total AS DOUBLE)) AS chi2_term
+        |  FROM e)
+        |SELECT digit, n, ROUND(share, 10) + 0.0 AS share,
+        |  ROUND(benford_share, 10) + 0.0 AS benford_share,
+        |  ROUND(CAST(CAST(SUM(CAST(chi2_term AS DECIMAL(38,15)))
+        |      OVER () AS DECIMAL(38,15)) AS DOUBLE), 6) + 0.0 AS chi2
+        |FROM c ORDER BY digit""".stripMargin,
+
+    "q200_name_linkage" ->
+      """WITH nm AS (
+        |  SELECT p_name AS name, COUNT(*) AS n_parts,
+        |    SUBSTR(p_name, 1, 1) AS blk
+        |  FROM part GROUP BY 1),
+        |l AS (
+        |  SELECT name, n_parts,
+        |    LEAD(name, 1) OVER w AS nb1, LEAD(n_parts, 1) OVER w AS nn1,
+        |    LEAD(name, 2) OVER w AS nb2, LEAD(n_parts, 2) OVER w AS nn2,
+        |    LEAD(name, 3) OVER w AS nb3, LEAD(n_parts, 3) OVER w AS nn3,
+        |    LEAD(name, 4) OVER w AS nb4, LEAD(n_parts, 4) OVER w AS nn4
+        |  FROM nm WINDOW w AS (PARTITION BY blk ORDER BY name)),
+        |u AS (
+        |  SELECT name AS name_a, n_parts AS n_parts_a,
+        |    nb1 AS name_b, nn1 AS n_parts_b FROM l
+        |  UNION ALL SELECT name, n_parts, nb2, nn2 FROM l
+        |  UNION ALL SELECT name, n_parts, nb3, nn3 FROM l
+        |  UNION ALL SELECT name, n_parts, nb4, nn4 FROM l)
+        |SELECT name_a, name_b, n_parts_a, n_parts_b,
+        |  CAST(LEVENSHTEIN(name_a, name_b) AS INTEGER) AS dist
+        |FROM u
+        |WHERE name_b IS NOT NULL AND LEVENSHTEIN(name_a, name_b) <= 3
+        |ORDER BY name_a, name_b""".stripMargin)
 }

@@ -44,7 +44,12 @@ class PlanGuardSpec extends AnyFunSuite {
       "q182_chisq_drift", // q166's grid shape: stats × bucket margins
       "q187_ri_audit", // 1-row count × 1-row orphan count per relationship
       "q189_column_profile", // 1-row column stats × 1-row top-value pick
-      "q190_mixture_apportion") // 1-row weight denominator × #sources rows
+      "q190_mixture_apportion", // 1-row weight denominator × #sources rows
+      "q195_assoc_rules", // 1-row basket count × vocab²-bounded rule rows
+      "q196_survival_km", // 1-row global max-ts × user-lifetime rollup
+      "q197_heavy_hitters", // 1-row token total × ≤256 candidate recounts
+      "q198_quantile_norm", // 1-row corpus count × per-doc rank rows
+      "q199_benford") // 1-row digit total × the 9-row digit table
       // (q173's centroid probe BNLJ runs inside its eager checkpoint —
       // the declared plan reads the materialized ranked frame)
 
