@@ -55,6 +55,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "winnow_fingerprints", classOf[WinnowFingerprints], 2)(a =>
       WinnowFingerprints(a(0),
         intLit(a(1), "winnow_fingerprints", "window")))
+    // aggregate: the analyzer wraps a bare AggregateFunction returned
+    // from a registry builder into its AggregateExpression
+    register(ext, "misra_gries_sketch", classOf[MisraGriesSketch], 2)(a =>
+      MisraGriesSketch(a(0), intLit(a(1), "misra_gries_sketch", "k")))
     // rewrite HOF dot products into the fused native expression (path (c):
     // Rule[LogicalPlan] via injectOptimizerRule)
     ext.injectOptimizerRule(_ => FuseDotProduct)

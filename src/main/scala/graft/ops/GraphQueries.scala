@@ -153,7 +153,63 @@ object GraphQueries extends QueryModule {
         .mutualKnnEdges(Tables.t(s, dir, "embeddings"), 5)
         .select(col("label"), col("a_id"), col("b_id")), 3)
         .orderBy("label", "vec_id")
+    },
+
+    // Single-source BFS hop distances over the q107 co-transaction
+    // graph, seeded at the smallest node id — the reachability /
+    // radius primitive (crawl-frontier depth, link-distance-from-seed
+    // quality signals) that completes the graph family alongside rank,
+    // triangles, cores, and components. Frontier-delta iteration: each
+    // round expands ONLY the nodes discovered last round against the
+    // once-checkpointed edge list (co-partitioned join), anti-joins the
+    // known set to keep the state nodes-sized, and rolls the checkpoint
+    // so storage stays bounded at any hop count. Four hops cover the
+    // fixture's bipartite diameter; unreached nodes are absent (a
+    // reachability readout, not an error).
+    "q201_bfs_hops" -> { (s, dir) =>
+      val off = lit(1000000L)
+      val e0 = Tables.t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + off).as("dst"))
+        .distinct()
+      val edges = e0.select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      bfsHops(edges, 4).orderBy("node")
     })
+
+  /** Fixed-depth single-source BFS from the smallest node id of an
+    * undirected edge list (both directions present). Returns (node,
+    * dist) for every node within `maxHops`; min-hop semantics fall out
+    * of the frontier construction (a node joins `known` the first round
+    * it is reached and is anti-joined away afterwards). One checkpoint
+    * rolls per round, the edge list materializes once — the q107/q71
+    * iterative shape.
+    */
+  def bfsHops(edges: DataFrame, maxHops: Int): DataFrame = {
+    val e = edges.repartition(col("src")).localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    var known = e.agg(min(col("src")).as("node"))
+      .select(col("node"), lit(0).as("dist"))
+    var h = 1
+    while (h <= maxHops) {
+      val frontier = known.filter(col("dist") === h - 1)
+      val newNodes = e
+        .join(frontier.select(col("node").as("src")), "src")
+        .select(col("dst").as("node")).distinct()
+        .join(known, Seq("node"), "left_anti")
+        .select(col("node"), lit(h).as("dist"))
+      known = graft.Checkpoints.roll(known.unionByName(newNodes), known)
+      h += 1
+    }
+    graft.Checkpoints.free(e)
+    known
+  }
 
   /** Per-node triangle participation counts over an undirected,
     * label-blocked edge list given in canonical orientation (a_id <
@@ -336,5 +392,22 @@ object GraphQueries extends QueryModule {
          |$rounds
          |SELECT label, src AS vec_id, COUNT(*) AS core_deg
          |FROM e10 GROUP BY 1, 2 ORDER BY label, vec_id""".stripMargin
-    })
+    },
+
+    "q201_bfs_hops" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT DISTINCT o.o_custkey AS src,
+        |    l.l_suppkey + 1000000 AS dst
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |e AS MATERIALIZED (
+        |  SELECT src, dst FROM e0
+        |  UNION ALL SELECT dst, src FROM e0),
+        |bfs AS (
+        |  SELECT (SELECT MIN(src) FROM e) AS node, 0 AS dist
+        |  UNION
+        |  SELECT e.dst AS node, bfs.dist + 1 AS dist
+        |  FROM bfs JOIN e ON e.src = bfs.node
+        |  WHERE bfs.dist < 4)
+        |SELECT node, CAST(MIN(dist) AS INTEGER) AS dist
+        |FROM bfs GROUP BY node ORDER BY node""".stripMargin)
 }

@@ -52,6 +52,14 @@ class MisraGriesSpec extends AnyFunSuite {
     }
   }
 
+  test("misra_gries_sketch is reachable from SQL with a literal k") {
+    val keys = spark.sql(
+      "SELECT map_keys(misra_gries_sketch(c, 4)) AS ks " +
+        "FROM VALUES ('a'), ('a'), ('b'), ('a') AS t(c)")
+      .head().getSeq[String](0)
+    assert(keys.contains("a"))
+  }
+
   test("q197 equals the exact full-groupBy heavy hitters at sf0.001") {
     import spark.implicits._
     val got = SparkEntry.queries("q197_heavy_hitters")(spark, TestSpark.Sf)
