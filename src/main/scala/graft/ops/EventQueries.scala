@@ -827,6 +827,72 @@ object EventQueries extends QueryModule {
           col("d").as("d_churned"),
           (col("ending") - col("d")).as("c_censored"), col("survival"))
         .orderBy("day")
+    },
+
+    // Seasonality-adjusted volume anomalies: q105's z-score with the
+    // day-of-week baseline a real traffic monitor needs (Mondays are
+    // not anomalies of Sundays). Daily counts per event type, then
+    // mean/stddev PER (type, weekday) from exact integer sums — the
+    // moment table is ≤ 7×|types| rows, broadcast back onto the daily
+    // rollup. The weekday comes from the epoch-day index mod 7, not a
+    // calendar function, so both engines bucket identically. Everything
+    // past the first rollup is calendar-sized at any event volume.
+    "q202_dow_seasonal" -> { (s, dir) =>
+      val daily = Tables.t(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("unix_micros(date_trunc('day', ts)) div 86400000000")
+            .as("d"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("dow", expr("(d + 4) % 7"))
+      val m = daily.groupBy(col("event_type"), col("dow"))
+        .agg(count(lit(1)).cast("double").as("k"),
+          sum(col("n")).as("sx"), sum(col("n") * col("n")).as("sx2"))
+        .filter(col("k") >= 2)
+        .select(col("event_type"), col("dow"),
+          (col("sx").cast("double") / col("k")).as("mean"),
+          sqrt(greatest(
+            (col("sx2").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double") /
+                col("k")) / (col("k") - 1),
+            lit(0.0))).as("sd"))
+        .filter(col("sd") > 0)
+      val z = (col("n").cast("double") - col("mean")) / col("sd")
+      daily.join(broadcast(m), Seq("event_type", "dow"))
+        .select(col("event_type"), col("d").as("day"), col("dow"),
+          col("n"),
+          (round(z, 6) + lit(0.0)).as("zscore"),
+          when(abs(z) > 2.0, 1).otherwise(0).as("is_anomaly"))
+        .orderBy("event_type", "day")
+    },
+
+    // Forecasting feature assembly — per-user calendar-lag and trailing
+    // rolling features over the daily activity rollup, the step between
+    // an event log and a demand/engagement model's training matrix.
+    // RANGE frames over the integer day index make every feature
+    // GAP-ROBUST without a calendar spine: lag_1 is "the count on day
+    // d-1" (absent day → 0, never the last observed day), and the
+    // trailing 7-day window covers exactly days d-6..d regardless of
+    // which of them exist. One user-keyed shuffle for the rollup; the
+    // windows ride the same partitioning; counts are exact integers and
+    // the value sum is the exact-decimal dsum.
+    "q203_lag_features" -> { (s, dir) =>
+      def overDays(lo: Long, hi: Long) = Window.partitionBy(col("user_id"))
+        .orderBy(col("d")).rangeBetween(lo, hi)
+      val daily = Tables.t(s, dir, "events")
+        .groupBy(col("user_id"),
+          expr("unix_micros(date_trunc('day', ts)) div 86400000000")
+            .as("d"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("v"))
+      daily
+        .select(col("user_id"), col("d").as("day"), col("n"), col("v"),
+          coalesce(sum(col("n")).over(overDays(-1, -1)), lit(0L))
+            .as("lag1_n"),
+          coalesce(sum(col("n")).over(overDays(-7, -7)), lit(0L))
+            .as("lag7_n"),
+          sum(col("n")).over(overDays(-6, 0)).as("roll7_n"),
+          count(lit(1)).over(overDays(-6, 0)).as("roll7_days"),
+          max(col("n")).over(overDays(-6, 0)).as("roll7_max"))
+        .orderBy("user_id", "day")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -1374,5 +1440,57 @@ object EventQueries extends QueryModule {
         |  ROUND(EXP(SUM(lnf) OVER (ORDER BY t
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) + 0.0
         |    AS survival
-        |FROM f ORDER BY day""".stripMargin)
+        |FROM f ORDER BY day""".stripMargin,
+
+    "q202_dow_seasonal" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    EPOCH_US(DATE_TRUNC('day', ts)) // 86400000000 AS d,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |dd AS (SELECT *, (d + 4) % 7 AS dow FROM daily),
+        |m AS (
+        |  SELECT event_type, dow,
+        |    CAST(COUNT(*) AS DOUBLE) AS k,
+        |    CAST(SUM(n) AS BIGINT) AS sx,
+        |    CAST(SUM(n * n) AS BIGINT) AS sx2
+        |  FROM dd GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |s AS (
+        |  SELECT event_type, dow,
+        |    CAST(sx AS DOUBLE) / k AS mean,
+        |    SQRT(GREATEST((CAST(sx2 AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / k) / (k - 1),
+        |      0.0)) AS sd
+        |  FROM m)
+        |SELECT dd.event_type, dd.d AS day, dd.dow, dd.n,
+        |  ROUND((CAST(dd.n AS DOUBLE) - s.mean) / s.sd, 6) + 0.0
+        |    AS zscore,
+        |  CASE WHEN ABS((CAST(dd.n AS DOUBLE) - s.mean) / s.sd) > 2.0
+        |       THEN 1 ELSE 0 END AS is_anomaly
+        |FROM dd JOIN s
+        |  ON dd.event_type = s.event_type AND dd.dow = s.dow
+        |WHERE s.sd > 0
+        |ORDER BY dd.event_type, day""".stripMargin,
+
+    "q203_lag_features" -> (
+      """WITH daily AS (
+        |  SELECT user_id,
+        |    EPOCH_US(DATE_TRUNC('day', ts)) // 86400000000 AS d,
+        |    COUNT(*) AS n,
+        |    """.stripMargin + dsumSql("value") + """ AS v
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, d AS day, n, v,
+        |  COALESCE(CAST(SUM(n) OVER (PARTITION BY user_id ORDER BY d
+        |    RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |    AS lag1_n,
+        |  COALESCE(CAST(SUM(n) OVER (PARTITION BY user_id ORDER BY d
+        |    RANGE BETWEEN 7 PRECEDING AND 7 PRECEDING) AS BIGINT), 0)
+        |    AS lag7_n,
+        |  CAST(SUM(n) OVER w7 AS BIGINT) AS roll7_n,
+        |  COUNT(*) OVER w7 AS roll7_days,
+        |  MAX(n) OVER w7 AS roll7_max
+        |FROM daily
+        |WINDOW w7 AS (PARTITION BY user_id ORDER BY d
+        |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, day""".stripMargin))
 }

@@ -914,6 +914,33 @@ object RelationalQueries extends QueryModule {
         .select(col("name_a"), col("c.nb").as("name_b"),
           col("n_parts_a"), col("c.nb_n").as("n_parts_b"), col("dist"))
         .orderBy("name_a", "name_b")
+    },
+
+    // Leave-one-out target encoding of a categorical feature — the
+    // leakage-safe ML encoding (each row's encoded value excludes its
+    // own target, so the feature never memorizes the label it will be
+    // trained against). One broadcast dimension join attaches the
+    // segment, one segment-keyed aggregation computes exact-decimal
+    // group sums, and the LOO mean is algebra on the broadcast-back
+    // group row: (S - x) / (n - 1) — no per-row window over the group,
+    // no self-join. The group table is |segments| rows at any fact
+    // volume.
+    "q204_target_encoding" -> { (s, dir) =>
+      val o = Tables.t(s, dir, "orders")
+        .join(broadcast(Tables.t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+      val g = o.groupBy(col("c_mktsegment"))
+        .agg(dsum(col("o_totalprice")).as("seg_sum"),
+          count(lit(1)).as("seg_n"))
+        .filter(col("seg_n") > 1)
+      o.join(broadcast(g), "c_mktsegment")
+        .select(col("o_orderkey"), col("c_mktsegment").as("segment"),
+          col("o_totalprice"),
+          (round((col("seg_sum") - col("o_totalprice")) /
+            (col("seg_n") - 1).cast("double"), 6) + lit(0.0))
+            .as("loo_mean"))
+        .orderBy("o_orderkey")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -1470,5 +1497,20 @@ object RelationalQueries extends QueryModule {
         |  CAST(LEVENSHTEIN(name_a, name_b) AS INTEGER) AS dist
         |FROM u
         |WHERE name_b IS NOT NULL AND LEVENSHTEIN(name_a, name_b) <= 3
-        |ORDER BY name_a, name_b""".stripMargin)
+        |ORDER BY name_a, name_b""".stripMargin,
+
+    "q204_target_encoding" -> (
+      """WITH o AS (
+        |  SELECT o_orderkey, o_totalprice, c_mktsegment
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |g AS (
+        |  SELECT c_mktsegment,
+        |    """.stripMargin + dsumSql("o_totalprice") + """ AS seg_sum,
+        |    COUNT(*) AS seg_n
+        |  FROM o GROUP BY 1 HAVING COUNT(*) > 1)
+        |SELECT o.o_orderkey, o.c_mktsegment AS segment, o.o_totalprice,
+        |  ROUND((g.seg_sum - o.o_totalprice)
+        |    / CAST(g.seg_n - 1 AS DOUBLE), 6) + 0.0 AS loo_mean
+        |FROM o JOIN g ON o.c_mktsegment = g.c_mktsegment
+        |ORDER BY o_orderkey""".stripMargin))
 }
