@@ -59,6 +59,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // from a registry builder into its AggregateExpression
     register(ext, "misra_gries_sketch", classOf[MisraGriesSketch], 2)(a =>
       MisraGriesSketch(a(0), intLit(a(1), "misra_gries_sketch", "k")))
+    register(ext, "top_k_by", classOf[TopKByAggregate], 3)(a =>
+      TopKByAggregate(a(0), a(1), intLit(a(2), "top_k_by", "k")))
     // rewrite HOF dot products into the fused native expression (path (c):
     // Rule[LogicalPlan] via injectOptimizerRule)
     ext.injectOptimizerRule(_ => FuseDotProduct)

@@ -1383,6 +1383,50 @@ object CorpusQueries extends QueryModule {
             (col("fidx") - col("lo").cast("double")) *
             (col("hi_v") - col("lo_v")), 6) + lit(0.0)).as("qnorm"))
         .orderBy("doc_id")
+    },
+
+    // Neyman-optimal sample allocation across sources: a fixed
+    // evaluation budget K split so strata sample sizes track N_h·σ_h
+    // (big AND internally-diverse sources earn more draws — the
+    // minimum-variance stratified design, vs q120's proportional and
+    // q190's sqrt-damped splits), finished with q190's
+    // largest-remainder exact apportionment so quotas sum to exactly K.
+    // Per-stratum σ comes from exact integer sums of the length score
+    // (q202's moment recipe — bit-identical thresholds in both
+    // engines); everything after the one per-source aggregation is
+    // #sources-sized.
+    "q206_neyman_allocation" -> { (s, dir) =>
+      val K = 100L
+      val m = Tables.t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sx"),
+          sum(col("n_chars") * col("n_chars")).as("sx2"))
+        .filter(col("n_docs") >= 2)
+        .withColumn("sd", sqrt(greatest(
+          (col("sx2").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double") /
+              col("n_docs").cast("double")) /
+            (col("n_docs") - 1).cast("double"),
+          lit(0.0))))
+        .withColumn("w",
+          round(col("n_docs").cast("double") * col("sd"), 6))
+      val denom = m.agg(graft.Fns.dsum(col("w")).as("w_sum"))
+      val wAll = Window.partitionBy(lit(0))
+      val wRank = Window.orderBy(col("rem").desc, col("source").asc)
+      m.crossJoin(broadcast(denom))
+        .withColumn("alloc_w", col("w") / col("w_sum"))
+        .withColumn("ideal", col("alloc_w") * lit(100.0))
+        .withColumn("base", floor(col("ideal")).cast("long"))
+        .withColumn("rem", col("ideal") - floor(col("ideal")))
+        .withColumn("deficit", lit(K) - sum(col("base")).over(wAll))
+        .withColumn("rk", row_number().over(wRank).cast("long"))
+        .select(col("source"), col("n_docs"),
+          (round(col("sd"), 6) + lit(0.0)).as("sd"),
+          (round(col("alloc_w"), 10) + lit(0.0)).as("alloc_w"),
+          (col("base") + when(col("rk") <= col("deficit"), 1L)
+            .otherwise(0L)).as("quota"))
+        .orderBy("source")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -2283,5 +2327,36 @@ object CorpusQueries extends QueryModule {
         |FROM k
         |JOIN p plo ON plo.idx = k.lo
         |JOIN p phi ON phi.idx = k.hi
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q206_neyman_allocation" ->
+      s"""WITH c AS (
+         |  SELECT source, COUNT(*) AS n_docs,
+         |    CAST(SUM(n_chars) AS BIGINT) AS sx,
+         |    CAST(SUM(n_chars * n_chars) AS BIGINT) AS sx2
+         |  FROM documents GROUP BY 1 HAVING COUNT(*) >= 2),
+         |w AS (
+         |  SELECT source, n_docs,
+         |    SQRT(GREATEST((CAST(sx2 AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+         |        / CAST(n_docs AS DOUBLE)) / CAST(n_docs - 1 AS DOUBLE),
+         |      0.0)) AS sd
+         |  FROM c),
+         |ww AS (
+         |  SELECT *, ROUND(CAST(n_docs AS DOUBLE) * sd, 6) AS w FROM w),
+         |d AS (SELECT ${graft.Fns.dsumSql("w")} AS w_sum FROM ww),
+         |x AS (
+         |  SELECT source, n_docs, sd, w / w_sum AS alloc_w,
+         |    CAST(FLOOR(w / w_sum * 100.0) AS BIGINT) AS base,
+         |    w / w_sum * 100.0 - FLOOR(w / w_sum * 100.0) AS rem
+         |  FROM ww CROSS JOIN d),
+         |y AS (
+         |  SELECT source, n_docs, sd, alloc_w, base, rem,
+         |    100 - CAST(SUM(base) OVER () AS BIGINT) AS deficit,
+         |    ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) AS rk
+         |  FROM x)
+         |SELECT source, n_docs, ROUND(sd, 6) + 0.0 AS sd,
+         |  ROUND(alloc_w, 10) + 0.0 AS alloc_w,
+         |  base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS quota
+         |FROM y ORDER BY source""".stripMargin)
 }

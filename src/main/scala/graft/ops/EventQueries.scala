@@ -893,6 +893,46 @@ object EventQueries extends QueryModule {
           count(lit(1)).over(overDays(-6, 0)).as("roll7_days"),
           max(col("n")).over(overDays(-6, 0)).as("roll7_max"))
         .orderBy("user_id", "day")
+    },
+
+    // Activity-bitmap rollup: each user's month of day-grain activity
+    // packed into ONE 64-bit mask (bit i = active on day min_day+i) —
+    // the bitmap-index trick behind fast retention engines (Druid /
+    // ClickHouse roaring bitmaps): any cohort/retention question
+    // becomes bit algebra on a longs column instead of a re-scan of
+    // day-grain rows. One user-keyed aggregation builds the masks;
+    // n_active_days is a popcount; week-over-week retention is
+    // ((mask >> 7) & mask) ≠ 0 — all exact integer ops, identical in
+    // both engines. The longest consecutive-day streak comes from the
+    // gaps-and-islands run numbering (d − dense rank is constant within
+    // a run) on the same user partitioning — no second shuffle.
+    "q205_activity_bitmap" -> { (s, dir) =>
+      val d0 = Tables.t(s, dir, "events")
+        .select(col("user_id"),
+          expr("unix_micros(date_trunc('day', ts)) div 86400000000")
+            .as("d"))
+        .distinct()
+      val dmin = d0.agg(min(col("d")).as("d_min"))
+      val days = d0.crossJoin(broadcast(dmin))
+        .select(col("user_id"), (col("d") - col("d_min")).as("i"))
+      val wU = Window.partitionBy(col("user_id")).orderBy(col("i"))
+      val streaks = days
+        .withColumn("grp", col("i") - row_number().over(wU))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id"))
+        .agg(max(col("len")).as("max_streak"))
+      val masks = days
+        .groupBy(col("user_id"))
+        .agg(bit_or(expr("shiftleft(1L, CAST(i AS INT))")).as("mask"),
+          count(lit(1)).as("n_active_days"),
+          min(col("i")).as("first_i"), max(col("i")).as("last_i"))
+      masks.join(streaks, "user_id")
+        .select(col("user_id"), col("mask"), col("n_active_days"),
+          col("first_i"), col("last_i"), col("max_streak"),
+          when((col("mask").bitwiseAND(shiftright(col("mask"), 7)))
+            =!= 0, 1).otherwise(0).as("wow_retained"))
+        .orderBy("user_id")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -1492,5 +1532,35 @@ object EventQueries extends QueryModule {
         |FROM daily
         |WINDOW w7 AS (PARTITION BY user_id ORDER BY d
         |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
-        |ORDER BY user_id, day""".stripMargin))
+        |ORDER BY user_id, day""".stripMargin),
+
+    "q205_activity_bitmap" ->
+      """WITH d0 AS (
+        |  SELECT DISTINCT user_id,
+        |    EPOCH_US(DATE_TRUNC('day', ts)) // 86400000000 AS d
+        |  FROM events),
+        |m AS (SELECT MIN(d) AS d_min FROM d0),
+        |days AS (SELECT user_id, d - d_min AS i FROM d0 CROSS JOIN m),
+        |runs AS (
+        |  SELECT user_id,
+        |    i - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY i)
+        |      AS grp
+        |  FROM days),
+        |st AS (
+        |  SELECT user_id, CAST(MAX(len) AS BIGINT) AS max_streak FROM (
+        |    SELECT user_id, grp, COUNT(*) AS len FROM runs GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |mk AS (
+        |  SELECT user_id,
+        |    CAST(BIT_OR(1::BIGINT << CAST(i AS INTEGER)) AS BIGINT)
+        |      AS mask,
+        |    COUNT(*) AS n_active_days,
+        |    MIN(i) AS first_i, MAX(i) AS last_i
+        |  FROM days GROUP BY 1)
+        |SELECT mk.user_id, mask, n_active_days, first_i, last_i,
+        |  max_streak,
+        |  CASE WHEN (mask & (mask >> 7)) <> 0 THEN 1 ELSE 0 END
+        |    AS wow_retained
+        |FROM mk JOIN st ON mk.user_id = st.user_id
+        |ORDER BY mk.user_id""".stripMargin)
 }

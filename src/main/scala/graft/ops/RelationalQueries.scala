@@ -941,6 +941,32 @@ object RelationalQueries extends QueryModule {
             (col("seg_n") - 1).cast("double"), 6) + lit(0.0))
             .as("loo_mean"))
         .orderBy("o_orderkey")
+    },
+
+    // Per-group top-k through a BOUNDED-HEAP native aggregate
+    // (functions/TopKByAggregate): top-5 orders by value per market
+    // segment. The q18/q21 window spelling shuffles every fact row to
+    // its group's task and sorts the whole group; the heap aggregate
+    // ships ≤5 (value, id) slots per group per MAP task and merges
+    // heaps on the reduce side — skewed groups cost 5 slots like any
+    // other, where a window plan concentrates the hot group's entire
+    // row set on one task. Total (value DESC, id ASC) ordering makes
+    // the heap contents and emitted array deterministic, so the
+    // window-spelled oracle states the identical rows.
+    "q207_topk_agg" -> { (s, dir) =>
+      import graft.functions.TopKByAggregate.topKBy
+      val o = Tables.t(s, dir, "orders")
+        .join(broadcast(Tables.t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment"),
+          col("o_totalprice"), col("o_orderkey"))
+      o.groupBy(col("segment"))
+        .agg(topKBy(col("o_totalprice"), col("o_orderkey"), 5).as("top"))
+        .select(col("segment"), posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("segment"), (col("pos") + 1).as("rank"),
+          col("e.id").as("o_orderkey"), col("e.v").as("o_totalprice"))
+        .orderBy("segment", "rank")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -1512,5 +1538,18 @@ object RelationalQueries extends QueryModule {
         |  ROUND((g.seg_sum - o.o_totalprice)
         |    / CAST(g.seg_n - 1 AS DOUBLE), 6) + 0.0 AS loo_mean
         |FROM o JOIN g ON o.c_mktsegment = g.c_mktsegment
-        |ORDER BY o_orderkey""".stripMargin))
+        |ORDER BY o_orderkey""".stripMargin),
+
+    "q207_topk_agg" ->
+      """WITH o AS (
+        |  SELECT c_mktsegment AS segment, o_totalprice, o_orderkey
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |r AS (
+        |  SELECT segment, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY segment
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+        |  FROM o)
+        |SELECT segment, CAST(rank AS INTEGER) AS rank, o_orderkey,
+        |  o_totalprice
+        |FROM r WHERE rank <= 5 ORDER BY segment, rank""".stripMargin)
 }

@@ -49,7 +49,9 @@ class PlanGuardSpec extends AnyFunSuite {
       "q196_survival_km", // 1-row global max-ts × user-lifetime rollup
       "q197_heavy_hitters", // 1-row token total × ≤256 candidate recounts
       "q198_quantile_norm", // 1-row corpus count × per-doc rank rows
-      "q199_benford") // 1-row digit total × the 9-row digit table
+      "q199_benford", // 1-row digit total × the 9-row digit table
+      "q205_activity_bitmap", // 1-row global min-day × the day rollup
+      "q206_neyman_allocation") // 1-row weight denominator × #sources
       // (q173's centroid probe BNLJ runs inside its eager checkpoint —
       // the declared plan reads the materialized ranked frame)
 
