@@ -933,6 +933,44 @@ object EventQueries extends QueryModule {
           when((col("mask").bitwiseAND(shiftright(col("mask"), 7)))
             =!= 0, 1).otherwise(0).as("wow_retained"))
         .orderBy("user_id")
+    },
+
+    // Cohort LTV triangle — cumulative purchase revenue per signup
+    // cohort by age week, normalized per cohort user: the
+    // lifetime-value readout finance runs beside q109's retention
+    // counts (which only count users; this follows the money). Cohort =
+    // calendar week of a user's first event (one user-keyed agg);
+    // every later step is cohort×age-sized. Revenue cells are
+    // exact-decimal sums; the cumulative walk is an ordered window over
+    // a cohort's ≤(weeks) cells, summed in the identical order by both
+    // engines.
+    "q209_cohort_ltv" -> { (s, dir) =>
+      val ev = Tables.t(s, dir, "events")
+        .select(col("user_id"),
+          expr("unix_micros(date_trunc('day', ts)) div 86400000000")
+            .as("d"),
+          col("event_type"), col("value"))
+      val fc = ev.groupBy(col("user_id")).agg(min(col("d")).as("d0"))
+        .select(col("user_id"), expr("d0 div 7").as("cohort_w"))
+      val sz = fc.groupBy(col("cohort_w"))
+        .agg(count(lit(1)).as("cohort_users"))
+      val cells = ev.filter(col("event_type") === "purchase")
+        .join(fc, "user_id")
+        .withColumn("age_w", expr("d div 7") - col("cohort_w"))
+        .groupBy(col("cohort_w"), col("age_w"))
+        .agg(countDistinct(col("user_id")).as("n_buyers"),
+          dsum(col("value")).as("revenue"))
+      val wCum = Window.partitionBy(col("cohort_w"))
+        .orderBy(col("age_w"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      cells.join(broadcast(sz), "cohort_w")
+        .withColumn("cum_rev", sum(col("revenue")).over(wCum))
+        .select(col("cohort_w"), col("age_w"), col("cohort_users"),
+          col("n_buyers"), col("revenue"),
+          (round(col("cum_rev"), 4) + lit(0.0)).as("cum_revenue"),
+          (round(col("cum_rev") / col("cohort_users").cast("double"), 6)
+            + lit(0.0)).as("ltv_per_user"))
+        .orderBy("cohort_w", "age_w")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -1562,5 +1600,34 @@ object EventQueries extends QueryModule {
         |  CASE WHEN (mask & (mask >> 7)) <> 0 THEN 1 ELSE 0 END
         |    AS wow_retained
         |FROM mk JOIN st ON mk.user_id = st.user_id
-        |ORDER BY mk.user_id""".stripMargin)
+        |ORDER BY mk.user_id""".stripMargin,
+
+    "q209_cohort_ltv" -> (
+      """WITH ev AS (
+        |  SELECT user_id,
+        |    EPOCH_US(DATE_TRUNC('day', ts)) // 86400000000 AS d,
+        |    event_type, value
+        |  FROM events),
+        |f AS (SELECT user_id, MIN(d) AS d0 FROM ev GROUP BY 1),
+        |fc AS (SELECT user_id, d0 // 7 AS cohort_w FROM f),
+        |sz AS (
+        |  SELECT cohort_w, COUNT(*) AS cohort_users FROM fc GROUP BY 1),
+        |cells AS (
+        |  SELECT fc.cohort_w, ev.d // 7 - fc.cohort_w AS age_w,
+        |    COUNT(DISTINCT ev.user_id) AS n_buyers,
+        |    """.stripMargin + dsumSql("value") + """ AS revenue
+        |  FROM ev JOIN fc ON ev.user_id = fc.user_id
+        |  WHERE ev.event_type = 'purchase'
+        |  GROUP BY 1, 2),
+        |w AS (
+        |  SELECT cells.*, sz.cohort_users,
+        |    SUM(revenue) OVER (PARTITION BY cells.cohort_w ORDER BY age_w
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cum_rev
+        |  FROM cells JOIN sz ON cells.cohort_w = sz.cohort_w)
+        |SELECT cohort_w, age_w, cohort_users, n_buyers, revenue,
+        |  ROUND(cum_rev, 4) + 0.0 AS cum_revenue,
+        |  ROUND(cum_rev / CAST(cohort_users AS DOUBLE), 6) + 0.0
+        |    AS ltv_per_user
+        |FROM w ORDER BY cohort_w, age_w""".stripMargin))
 }

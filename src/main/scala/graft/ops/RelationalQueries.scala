@@ -967,6 +967,64 @@ object RelationalQueries extends QueryModule {
         .select(col("segment"), (col("pos") + 1).as("rank"),
           col("e.id").as("o_orderkey"), col("e.v").as("o_totalprice"))
         .orderBy("segment", "rank")
+    },
+
+    // Decile lift / gains table — the campaign-targeting evaluation:
+    // rank customers by a model score (account balance as the stand-in
+    // propensity), cut into 10 equal-depth bins, and report each bin's
+    // response rate against the base rate plus cumulative gains. The
+    // global rank comes from the q198 two-phase prefix-sum (score-range
+    // buckets + broadcast offsets), NOT a single-partition NTILE — and
+    // the decile is the explicit ((rn−1)·10) div N formula stated
+    // identically in the oracle, sidestepping engine NTILE remainder
+    // conventions. Lift spelled as a ratio of exact integer products —
+    // one division, no intermediate rates.
+    "q208_decile_lift" -> { (s, dir) =>
+      val resp = Tables.t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"))
+        .join(Tables.t(s, dir, "orders")
+          .filter(col("o_totalprice") > 450000.0)
+          .select(col("o_custkey")).distinct()
+          .withColumn("r", lit(1L)),
+          col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("c_acctbal"),
+          coalesce(col("r"), lit(0L)).as("responded"))
+      // two-phase global rank by (acctbal DESC, custkey ASC): negated
+      // score bins are a prefix of the sort key
+      val b = resp.withColumn("bkt",
+        floor(-col("c_acctbal") / lit(500.0)).cast("long"))
+      val wLoc = Window.partitionBy(col("bkt"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      val wOff = Window.orderBy(col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = b.groupBy(col("bkt")).agg(count(lit(1)).as("bn"))
+        .withColumn("off", coalesce(sum(col("bn")).over(wOff), lit(0L)))
+        .select(col("bkt"), col("off"))
+      val n = resp.agg(count(lit(1)).as("n_total"))
+      val wCum = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.partitionBy(lit(0))
+      b.join(broadcast(offs), "bkt")
+        .withColumn("rn", col("off") + row_number().over(wLoc))
+        .crossJoin(broadcast(n))
+        .withColumn("decile",
+          expr("((rn - 1) * 10) div n_total") + 1)
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("responded")).as("n_resp"),
+          max(col("n_total")).as("n_total"))
+        .withColumn("resp_total", sum(col("n_resp")).over(wAll))
+        .withColumn("cum_resp", sum(col("n_resp")).over(wCum))
+        .select(col("decile"), col("n_cust"), col("n_resp"),
+          (round(col("n_resp").cast("double") /
+            col("n_cust").cast("double"), 10) + lit(0.0)).as("resp_rate"),
+          (round((col("n_resp") * col("n_total")).cast("double") /
+            (col("n_cust") * col("resp_total")).cast("double"), 10)
+            + lit(0.0)).as("lift"),
+          (round(col("cum_resp").cast("double") /
+            col("resp_total").cast("double"), 10) + lit(0.0))
+            .as("cum_gain"))
+        .orderBy("decile")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -1551,5 +1609,44 @@ object RelationalQueries extends QueryModule {
         |  FROM o)
         |SELECT segment, CAST(rank AS INTEGER) AS rank, o_orderkey,
         |  o_totalprice
-        |FROM r WHERE rank <= 5 ORDER BY segment, rank""".stripMargin)
+        |FROM r WHERE rank <= 5 ORDER BY segment, rank""".stripMargin,
+
+    "q208_decile_lift" ->
+      """WITH resp AS (
+        |  SELECT c.c_custkey, c.c_acctbal,
+        |    CASE WHEN r.o_custkey IS NULL THEN 0 ELSE 1 END AS responded
+        |  FROM customer c LEFT JOIN (
+        |    SELECT DISTINCT o_custkey FROM orders
+        |    WHERE o_totalprice > 450000.0) r
+        |    ON c.c_custkey = r.o_custkey),
+        |n AS (SELECT COUNT(*) AS n_total FROM resp),
+        |rk AS (
+        |  SELECT c_custkey, responded,
+        |    ROW_NUMBER() OVER (ORDER BY c_acctbal DESC, c_custkey ASC)
+        |      AS rn
+        |  FROM resp),
+        |dd AS (
+        |  SELECT responded,
+        |    ((rn - 1) * 10) // n_total + 1 AS decile, n_total
+        |  FROM rk CROSS JOIN n),
+        |g AS (
+        |  SELECT decile, COUNT(*) AS n_cust,
+        |    CAST(SUM(responded) AS BIGINT) AS n_resp,
+        |    MAX(n_total) AS n_total
+        |  FROM dd GROUP BY 1),
+        |w AS (
+        |  SELECT *,
+        |    CAST(SUM(n_resp) OVER () AS BIGINT) AS resp_total,
+        |    CAST(SUM(n_resp) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_resp
+        |  FROM g)
+        |SELECT decile, n_cust, n_resp,
+        |  ROUND(CAST(n_resp AS DOUBLE) / CAST(n_cust AS DOUBLE), 10)
+        |    + 0.0 AS resp_rate,
+        |  ROUND(CAST(n_resp * n_total AS DOUBLE)
+        |    / CAST(n_cust * resp_total AS DOUBLE), 10) + 0.0 AS lift,
+        |  ROUND(CAST(cum_resp AS DOUBLE) / CAST(resp_total AS DOUBLE),
+        |    10) + 0.0 AS cum_gain
+        |FROM w ORDER BY decile""".stripMargin)
 }

@@ -55,6 +55,24 @@ object StreamingOps {
         col("session_window.end").as("session_end"), col("n_events"),
         col("session_value"))
 
+  /** Streaming per-window top-k via the bounded-heap native aggregate
+    * (batch twin: q207). The heap state is the whole point in a stream:
+    * each open window holds ≤k (value, id) slots per event type — a
+    * few hundred bytes — no matter how many events the window sees,
+    * and incremental batches MERGE heaps instead of re-sorting history
+    * (TypedImperativeAggregate's merge path is exactly Structured
+    * Streaming's state-update path). Windows past the watermark
+    * finalize and drop.
+    */
+  def topkStream(events: DataFrame, k: Int): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(graft.functions.TopKByAggregate
+        .topKBy(col("value"), col("event_id"), k).as("top"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("top"))
+
   /** Stateful stream dedup bounded by the watermark (batch twin: q30). */
   def dedupWithinWatermark(events: DataFrame): DataFrame =
     events

@@ -51,7 +51,8 @@ class PlanGuardSpec extends AnyFunSuite {
       "q198_quantile_norm", // 1-row corpus count × per-doc rank rows
       "q199_benford", // 1-row digit total × the 9-row digit table
       "q205_activity_bitmap", // 1-row global min-day × the day rollup
-      "q206_neyman_allocation") // 1-row weight denominator × #sources
+      "q206_neyman_allocation", // 1-row weight denominator × #sources
+      "q208_decile_lift") // 1-row customer total × the ranked scan
       // (q173's centroid probe BNLJ runs inside its eager checkpoint —
       // the declared plan reads the materialized ranked frame)
 
@@ -102,12 +103,22 @@ class PlanGuardSpec extends AnyFunSuite {
                                   // grid zero-fill join + per-source agg
                                   // + sort — every frame after cnt is
                                   // dimension-sized (q166's grid shape)
-    "q148_containment_pairs" -> 10) // df-ordered postings build (dfreq agg
+    "q148_containment_pairs" -> 10, // df-ordered postings build (dfreq agg
                                   // + rank window) feeding BOTH probe and
                                   // index branches + candidate join +
                                   // verify joins + sort — each equi-keyed;
                                   // the df-order is what keeps candidate
                                   // volume linear (SCALE_PROOF: 16x -> 1.5x)
+    "q208_decile_lift" -> 7,      // responder join + two-phase rank
+                                  // (bucket agg + tiny offset window) +
+                                  // decile agg + 10-row windows + sort —
+                                  // row-level shuffles are the 2 keyed
+                                  // ones; the rest are decile/bucket-sized
+    "q209_cohort_ltv" -> 7)       // first-event agg + cohort size + cell
+                                  // join/agg (countDistinct = 2-phase) +
+                                  // cohort window + sort — everything
+                                  // past the user-keyed steps is
+                                  // cohort×age-sized
 
   /** Every declared query stays under this many shuffles regardless. */
   private val GlobalShuffleCeiling = 6

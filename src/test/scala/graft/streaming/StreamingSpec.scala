@@ -76,6 +76,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(counts.toSeq == Seq((1L, 2L), (1L, 1L), (2L, 1L), (2L, 2L)))
   }
 
+  test("streaming bounded-heap top-k merges state across micro-batches") {
+    val ms = MemoryStream[Ev](spark)
+    val q = StreamingOps.topkStream(ms.toDF(), 2).writeStream
+      .format("memory").queryName("topk").outputMode("complete").start()
+    // two micro-batches so the 10:00 window's heap state (built from
+    // batch 1's clicks at 1.0/2.0) must MERGE with batch 2's 4.0 click
+    // and evict the 1.0 entry — the TypedImperativeAggregate merge path
+    ms.addData(fixture.take(3): _*)
+    q.processAllAvailable()
+    ms.addData(fixture.drop(3): _*)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("topk").orderBy("win_start", "event_type")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+        r.getSeq[org.apache.spark.sql.Row](2)
+          .map(e => (e.getDouble(0), e.getLong(1))).toList))
+    assert(got.toSeq == Seq(
+      ("2024-01-01 10:00:00.0", "click", List((4.0, 3L), (2.0, 1L))),
+      ("2024-01-01 11:00:00.0", "view", List((3.0, 2L))),
+      ("2024-01-01 12:00:00.0", "click", List((6.0, 5L), (5.0, 4L)))))
+  }
+
   test("stream-stream join pairs errors with clicks in the next 10 minutes") {
     val ms = MemoryStream[Ev](spark)
     ms.addData(
