@@ -971,6 +971,39 @@ object EventQueries extends QueryModule {
           (round(col("cum_rev") / col("cohort_users").cast("double"), 6)
             + lit(0.0)).as("ltv_per_user"))
         .orderBy("cohort_w", "age_w")
+    },
+
+    // Late-data backfill merge: rebuild the hourly rollup after a late
+    // batch arrives by recomputing ONLY the affected hours and keeping
+    // every untouched state row as-is — the incremental-maintenance
+    // pattern a warehouse runs nightly instead of full re-aggregation
+    // (etl.IncrementalAgg's idea expressed at the query layer). A
+    // deterministic md5 lane marks ~1/16 of events "late"; affected
+    // hours come from one distinct over the late slice (calendar-sized,
+    // broadcast), the kept state anti-joins it, the recompute
+    // semi-joins it — on an hour-partitioned lake both sides prune to
+    // the affected partitions and the merge cost is O(late hours), not
+    // O(history). The oracle is the plain full rollup: equality PROVES
+    // the incremental path reconstructs it exactly.
+    "q210_window_backfill" -> { (s, dir) =>
+      val ev = Tables.t(s, dir, "events")
+        .select(col("event_type"), col("value"), col("event_id"),
+          expr("date_trunc('hour', ts)").as("h"))
+        .withColumn("late",
+          substring(md5(col("event_id").cast("string").cast("binary")),
+            1, 1) === "f")
+      val state = ev.filter(!col("late"))
+        .groupBy(col("h"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      val affected = ev.filter(col("late")).select(col("h")).distinct()
+      val kept = state.join(broadcast(affected), Seq("h"), "left_anti")
+      val recomputed = ev.join(broadcast(affected), Seq("h"))
+        .groupBy(col("h"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      kept.unionByName(recomputed)
+        .select(col("h").as("hour"), col("event_type"),
+          col("n_events"), col("sum_value"))
+        .orderBy("hour", "event_type")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -1629,5 +1662,14 @@ object EventQueries extends QueryModule {
         |  ROUND(cum_rev, 4) + 0.0 AS cum_revenue,
         |  ROUND(cum_rev / CAST(cohort_users AS DOUBLE), 6) + 0.0
         |    AS ltv_per_user
-        |FROM w ORDER BY cohort_w, age_w""".stripMargin))
+        |FROM w ORDER BY cohort_w, age_w""".stripMargin),
+
+    // the plain full rollup — matching it proves the incremental
+    // backfill merge is exact
+    "q210_window_backfill" -> (
+      """SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
+        |  COUNT(*) AS n_events,
+        |  """.stripMargin + dsumSql("value") + """ AS sum_value
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin))
 }

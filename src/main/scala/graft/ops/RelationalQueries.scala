@@ -1025,6 +1025,32 @@ object RelationalQueries extends QueryModule {
             col("resp_total").cast("double"), 10) + lit(0.0))
             .as("cum_gain"))
         .orderBy("decile")
+    },
+
+    // Join-key skew audit — the diagnostic that decides between a plain
+    // shuffle join, a broadcast, and q146's salting: per-key row counts
+    // for a prospective join key, the top-10 hottest keys with their
+    // share of all rows, and each key's skew factor (its count over the
+    // uniform per-key expectation). One keyed aggregation; everything
+    // after runs on the KEY DOMAIN (dimension-sized), so the ranking
+    // window is bounded however large the fact table grows. AQE's
+    // skew-join splitting reacts at runtime; this measures the same
+    // thing ahead of plan selection.
+    "q211_skew_audit" -> { (s, dir) =>
+      val wAll = Window.partitionBy(lit(0))
+      val wRank = Window.orderBy(col("n").desc, col("key"))
+      Tables.t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey").as("key")).agg(count(lit(1)).as("n"))
+        .withColumn("total", sum(col("n")).over(wAll))
+        .withColumn("n_keys", count(lit(1)).over(wAll))
+        .withColumn("rk", row_number().over(wRank))
+        .filter(col("rk") <= 10)
+        .select(col("rk").as("rank"), col("key"), col("n"),
+          (round(col("n").cast("double") / col("total").cast("double"),
+            10) + lit(0.0)).as("share"),
+          (round((col("n") * col("n_keys")).cast("double") /
+            col("total").cast("double"), 6) + lit(0.0)).as("skew_factor"))
+        .orderBy("rank")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -1648,5 +1674,21 @@ object RelationalQueries extends QueryModule {
         |    / CAST(n_cust * resp_total AS DOUBLE), 10) + 0.0 AS lift,
         |  ROUND(CAST(cum_resp AS DOUBLE) / CAST(resp_total AS DOUBLE),
         |    10) + 0.0 AS cum_gain
-        |FROM w ORDER BY decile""".stripMargin)
+        |FROM w ORDER BY decile""".stripMargin,
+
+    "q211_skew_audit" ->
+      """WITH c AS (
+        |  SELECT l_suppkey AS key, COUNT(*) AS n
+        |  FROM lineitem GROUP BY 1),
+        |w AS (
+        |  SELECT *, CAST(SUM(n) OVER () AS BIGINT) AS total,
+        |    COUNT(*) OVER () AS n_keys,
+        |    ROW_NUMBER() OVER (ORDER BY n DESC, key) AS rk
+        |  FROM c)
+        |SELECT CAST(rk AS INTEGER) AS rank, key, n,
+        |  ROUND(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 10) + 0.0
+        |    AS share,
+        |  ROUND(CAST(n * n_keys AS DOUBLE) / CAST(total AS DOUBLE), 6)
+        |    + 0.0 AS skew_factor
+        |FROM w WHERE rk <= 10 ORDER BY rank""".stripMargin)
 }

@@ -73,6 +73,24 @@ object StreamingOps {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("top"))
 
+  /** Streaming trending-terms via the mergeable Misra-Gries summary
+    * (batch twin: q197): per hourly window, the ≤k-slot frequent-items
+    * sketch over the event-type stream. Same bounded-state argument as
+    * [[topkStream]] — an exact per-window `groupBy(term).count` would
+    * hold every distinct term seen in the window as state; the MG
+    * buffer holds k slots however wide the term domain grows, and its
+    * n/(k+1) undercount bound means anything above that floor is
+    * guaranteed present (the candidates a downstream exact recount
+    * would confirm).
+    */
+  def trendingStream(events: DataFrame, k: Int): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.functions.MisraGriesSketch
+        .misraGries(col("event_type"), k).as("trending"))
+      .select(col("window.start").as("win_start"), col("trending"))
+
   /** Stateful stream dedup bounded by the watermark (batch twin: q30). */
   def dedupWithinWatermark(events: DataFrame): DataFrame =
     events

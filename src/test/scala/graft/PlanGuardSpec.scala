@@ -182,6 +182,18 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(over.isEmpty, s"shuffle-heavy plans: ${over.toSeq.sorted}")
   }
 
+  test("scans prune columns and push filters (representative queries)") {
+    // column pruning: q53 touches only (text, source) of documents —
+    // the scan must not read the other three columns
+    val q53scan = plans("q53_token_freq")
+    assert(q53scan.contains("ReadSchema: struct<text:string,source:string>"),
+      s"q53 documents scan reads more than (text, source):\n$q53scan")
+    // predicate pushdown: q193's purchase filter must reach the events
+    // parquet scan, not run post-scan only
+    assert(plans("q193_asof_join").contains("EqualTo(event_type,purchase)"),
+      s"q193 lost its pushed filter:\n${plans("q193_asof_join")}")
+  }
+
   test("the star join broadcasts its dimension tables") {
     assert(plans("q11_join_star").contains("BroadcastHashJoin"),
       s"q11 lost its broadcast:\n${plans("q11_join_star")}")

@@ -97,6 +97,28 @@ class StreamingSpec extends AnyFunSuite {
       ("2024-01-01 12:00:00.0", "click", List((6.0, 5L), (5.0, 4L)))))
   }
 
+  test("streaming MG trending sketch surfaces every above-floor term") {
+    val ms = MemoryStream[Ev](spark)
+    val q = StreamingOps.trendingStream(ms.toDF(), 2).writeStream
+      .format("memory").queryName("trending").outputMode("complete").start()
+    ms.addData(fixture.take(3): _*)
+    q.processAllAvailable()
+    ms.addData(fixture.drop(3): _*)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("trending").orderBy("win_start").collect()
+      .map(r => (r.getTimestamp(0).toString,
+        r.getMap[String, Long](1).toMap.keySet))
+    // 10:00 window sees click×3 (above the n/(k+1)=1 floor with k=2,
+    // so the guarantee REQUIRES it); 11:00 view and 12:00 click are
+    // their windows' only terms
+    assert(got.map(_._1).toSeq ==
+      Seq("2024-01-01 10:00:00.0", "2024-01-01 11:00:00.0",
+        "2024-01-01 12:00:00.0"))
+    assert(got(0)._2.contains("click"))
+    assert(got(1)._2 == Set("view"))
+    assert(got(2)._2 == Set("click"))
+  }
+
   test("stream-stream join pairs errors with clicks in the next 10 minutes") {
     val ms = MemoryStream[Ev](spark)
     ms.addData(
