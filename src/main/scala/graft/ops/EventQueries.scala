@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   * watermark made explicit.
   */
 object EventQueries extends QueryModule {
-  import Fns.{dsum, dsumSql}
+  import Fns.{dsum, dsumSql, dsum18, dsum18Sql}
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tumbling-window aggregation (streaming: groupBy(window($"ts","1 hour"))).
@@ -1004,6 +1004,95 @@ object EventQueries extends QueryModule {
         .select(col("h").as("hour"), col("event_type"),
           col("n_events"), col("sum_value"))
         .orderBy("hour", "event_type")
+    },
+
+    // CUPED variance-reduced A/B readout (Deng et al., WSDM'13) — the
+    // modern experimentation twin of q178's Welch z: each user's
+    // post-period purchase value is adjusted by their PRE-period value
+    // (y − θ(x − x̄), θ = cov/var from the pooled pre/post moments),
+    // which absorbs stable between-user spending variance and shrinks
+    // the detectable-effect floor at no cost in bias (arms share θ and
+    // x̄). One user-keyed aggregation with conditional exact-decimal
+    // sums builds (x, y); every moment after is a 1-row or 2-row
+    // frame. θ and the adjusted means are single-expression double
+    // algebra over exact decimal sums — bit-identical cross-engine.
+    "q212_cuped" -> { (s, dir) =>
+      val split = lit(1705276800000000L) // 2024-01-15 00:00:00 UTC, µs
+      val arm = conv(substring(
+        md5(col("user_id").cast("string").cast("binary")), 1, 4), 16, 10)
+        .cast("long") % 2
+      val isP = col("event_type") === "purchase"
+      val users = Tables.t(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_type"), col("value"))
+        .groupBy(col("user_id"))
+        .agg(
+          dsum(when(isP && col("us") < split, col("value"))
+            .otherwise(0.0)).as("x"),
+          dsum(when(isP && col("us") >= split, col("value"))
+            .otherwise(0.0)).as("y"))
+        .select(arm.as("arm"), col("x"), col("y"))
+      val pooled = users.agg(
+        count(lit(1)).as("n"),
+        dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+        dsum18(col("x") * col("y")).as("sxy"),
+        dsum18(col("x") * col("x")).as("sxx"))
+        .select(col("n"),
+          ((col("sxy") - col("sx") * col("sy") / col("n").cast("double"))
+            / (col("sxx") - col("sx") * col("sx")
+              / col("n").cast("double"))).as("theta"),
+          (col("sx") / col("n").cast("double")).as("xbar"))
+      users.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n_arm"),
+          dsum(col("x")).as("sx_a"), dsum(col("y")).as("sy_a"))
+        .crossJoin(broadcast(pooled))
+        .select(col("arm"), col("n_arm"),
+          (round(col("sy_a") / col("n_arm").cast("double"), 6)
+            + lit(0.0)).as("mean_y"),
+          (round(col("sx_a") / col("n_arm").cast("double"), 6)
+            + lit(0.0)).as("mean_x"),
+          (round(col("theta"), 6) + lit(0.0)).as("theta"),
+          (round(col("sy_a") / col("n_arm").cast("double")
+            - col("theta") * (col("sx_a") / col("n_arm").cast("double")
+              - col("xbar")), 6) + lit(0.0)).as("mean_y_adj"))
+        .orderBy("arm")
+    },
+
+    // Linear multi-touch attribution — q172's last-touch rule replaced
+    // by equal credit across EVERY view/click in the 7 days before a
+    // purchase (the other standard attribution model; position-weighted
+    // is the same plan with a weight expression). The touch↔conversion
+    // pairing is a user-keyed equi-join with a time-range predicate —
+    // co-partitioned, fan-out bounded by one user's 7-day activity,
+    // never a global range join — and the per-conversion touch count is
+    // one window over the pair set. Credit fractions (1/n) sum through
+    // the scale-18 exact-decimal carry so channel totals are
+    // order-independent.
+    "q213_linear_attribution" -> { (s, dir) =>
+      val ev = Tables.t(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_type"), col("event_id"))
+      val convs = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("us").as("cus"),
+          col("event_id").as("conv_id"))
+      val touches = ev
+        .filter(col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("us").as("tus"),
+          col("event_type").as("touch_type"))
+      val wC = Window.partitionBy(col("conv_id"))
+      convs.join(touches, Seq("user_id"))
+        .filter(col("tus") < col("cus") &&
+          col("tus") >= col("cus") - lit(604800000000L))
+        .withColumn("n_touch", count(lit(1)).over(wC))
+        .withColumn("credit", lit(1.0) / col("n_touch").cast("double"))
+        .groupBy(col("touch_type"))
+        .agg(dsum18(col("credit")).as("credit"),
+          count(lit(1)).as("n_touch_events"),
+          countDistinct(col("conv_id")).as("n_conversions"))
+        .select(col("touch_type"),
+          (round(col("credit"), 6) + lit(0.0)).as("credit"),
+          col("n_touch_events"), col("n_conversions"))
+        .orderBy("touch_type")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -1671,5 +1760,77 @@ object EventQueries extends QueryModule {
         |  COUNT(*) AS n_events,
         |  """.stripMargin + dsumSql("value") + """ AS sum_value
         |FROM events
-        |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin))
+        |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin),
+
+    "q212_cuped" -> (
+      """WITH u AS (
+        |  SELECT user_id,
+        |    """.stripMargin +
+        dsumSql("CASE WHEN event_type = 'purchase' AND " +
+          "EPOCH_US(ts) < 1705276800000000 THEN value ELSE 0.0 END") +
+        """ AS x,
+        |    """.stripMargin +
+        dsumSql("CASE WHEN event_type = 'purchase' AND " +
+          "EPOCH_US(ts) >= 1705276800000000 THEN value ELSE 0.0 END") +
+        """ AS y
+        |  FROM events GROUP BY 1),
+        |a AS (
+        |  SELECT CAST(('0x' || SUBSTRING(MD5(CAST(user_id AS VARCHAR)),
+        |      1, 4)) AS BIGINT) % 2 AS arm, x, y
+        |  FROM u),
+        |p AS (
+        |  SELECT COUNT(*) AS n,
+        |    """.stripMargin + dsumSql("x") + """ AS sx,
+        |    """.stripMargin + dsumSql("y") + """ AS sy,
+        |    """.stripMargin + dsum18Sql("x * y") + """ AS sxy,
+        |    """.stripMargin + dsum18Sql("x * x") + """ AS sxx
+        |  FROM a),
+        |t AS (
+        |  SELECT n,
+        |    (sxy - sx * sy / CAST(n AS DOUBLE))
+        |      / (sxx - sx * sx / CAST(n AS DOUBLE)) AS theta,
+        |    sx / CAST(n AS DOUBLE) AS xbar
+        |  FROM p),
+        |g AS (
+        |  SELECT arm, COUNT(*) AS n_arm,
+        |    """.stripMargin + dsumSql("x") + """ AS sx_a,
+        |    """.stripMargin + dsumSql("y") + """ AS sy_a
+        |  FROM a GROUP BY 1)
+        |SELECT arm, n_arm,
+        |  ROUND(sy_a / CAST(n_arm AS DOUBLE), 6) + 0.0 AS mean_y,
+        |  ROUND(sx_a / CAST(n_arm AS DOUBLE), 6) + 0.0 AS mean_x,
+        |  ROUND(theta, 6) + 0.0 AS theta,
+        |  ROUND(sy_a / CAST(n_arm AS DOUBLE)
+        |    - theta * (sx_a / CAST(n_arm AS DOUBLE) - xbar), 6) + 0.0
+        |    AS mean_y_adj
+        |FROM g CROSS JOIN t
+        |ORDER BY arm""".stripMargin),
+
+    "q213_linear_attribution" -> (
+      """WITH ev AS (
+        |  SELECT user_id, EPOCH_US(ts) AS us, event_type, event_id
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, us AS cus, event_id AS conv_id FROM ev
+        |  WHERE event_type = 'purchase'),
+        |t AS (
+        |  SELECT user_id, us AS tus, event_type AS touch_type FROM ev
+        |  WHERE event_type IN ('view', 'click')),
+        |j AS (
+        |  SELECT c.conv_id, t.touch_type
+        |  FROM c JOIN t ON c.user_id = t.user_id
+        |  WHERE t.tus < c.cus AND t.tus >= c.cus - 604800000000),
+        |w AS (
+        |  SELECT touch_type,
+        |    1.0 / CAST(COUNT(*) OVER (PARTITION BY conv_id) AS DOUBLE)
+        |      AS credit,
+        |    conv_id
+        |  FROM j)
+        |SELECT touch_type,
+        |  ROUND(""".stripMargin + dsum18Sql("credit") + """, 6) + 0.0
+        |    AS credit,
+        |  COUNT(*) AS n_touch_events,
+        |  CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_conversions
+        |FROM w GROUP BY touch_type
+        |ORDER BY touch_type""".stripMargin))
 }

@@ -52,7 +52,8 @@ class PlanGuardSpec extends AnyFunSuite {
       "q199_benford", // 1-row digit total × the 9-row digit table
       "q205_activity_bitmap", // 1-row global min-day × the day rollup
       "q206_neyman_allocation", // 1-row weight denominator × #sources
-      "q208_decile_lift") // 1-row customer total × the ranked scan
+      "q208_decile_lift", // 1-row customer total × the ranked scan
+      "q212_cuped") // 1-row pooled θ/x̄ × the 2-row arm table
       // (q173's centroid probe BNLJ runs inside its eager checkpoint —
       // the declared plan reads the materialized ranked frame)
 
