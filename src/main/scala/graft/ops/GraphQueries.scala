@@ -181,6 +181,46 @@ object GraphQueries extends QueryModule {
           struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
       bfsHops(edges, 4).orderBy("node")
+    },
+
+    // Link prediction on the mutual-kNN graph: score NON-edges by
+    // common-neighbor count and Adamic-Adar (Σ 1/ln deg(b) over shared
+    // neighbors b — rare shared neighbors weigh more), the classic
+    // local-similarity predictors for "these two documents should be
+    // connected" (missing near-dup pairs, retrieval candidates). Same
+    // wedge machinery as q147's triangles, pointed at the OPEN wedges:
+    // compose adjacency with itself (fan-out ≤ k² per node — corpus-
+    // linear by the mutual-kNN degree bound), drop pairs already
+    // joined by an edge (co-keyed anti-join), aggregate per candidate
+    // pair. Wedge centers have degree ≥ 2, so ln(deg) never hits zero;
+    // the AA sum rides the scale-18 exact-decimal carry.
+    "q214_link_prediction" -> { (s, dir) =>
+      val e = graft.llm.SimilarityQueries
+        .mutualKnnEdges(Tables.t(s, dir, "embeddings"), 5)
+        .select(col("label"), col("a_id"), col("b_id"))
+        .localCheckpoint()
+      val adj = e.select(col("label"), explode(array(
+          struct(col("a_id").as("src"), col("b_id").as("dst")),
+          struct(col("b_id").as("src"), col("a_id").as("dst")))).as("p"))
+        .select(col("label"), col("p.src").as("src"), col("p.dst").as("dst"))
+      val deg = adj.groupBy(col("label"), col("src"))
+        .agg(count(lit(1)).as("deg"))
+      adj.select(col("label"), col("dst").as("x"), col("src").as("b"))
+        .join(adj.select(col("label"), col("src").as("b"),
+          col("dst").as("y")), Seq("label", "b"))
+        .filter(col("x") < col("y"))
+        .join(e.select(col("label"), col("a_id").as("x"),
+          col("b_id").as("y")), Seq("label", "x", "y"), "left_anti")
+        .join(deg.select(col("label"), col("src").as("b"), col("deg")),
+          Seq("label", "b"))
+        .groupBy(col("label"), col("x"), col("y"))
+        .agg(count(lit(1)).as("common_neighbors"),
+          Fns.dsum18(lit(1.0) / log(col("deg").cast("double"))).as("aa"))
+        .filter(col("common_neighbors") >= 2)
+        .select(col("label"), col("x"), col("y"),
+          col("common_neighbors"),
+          (round(col("aa"), 6) + lit(0.0)).as("adamic_adar"))
+        .orderBy("label", "x", "y")
     })
 
   /** Fixed-depth single-source BFS from the smallest node id of an
@@ -409,5 +449,53 @@ object GraphQueries extends QueryModule {
         |  FROM bfs JOIN e ON e.src = bfs.node
         |  WHERE bfs.dist < 4)
         |SELECT node, CAST(MIN(dist) AS INTEGER) AS dist
-        |FROM bfs GROUP BY node ORDER BY node""".stripMargin)
+        |FROM bfs GROUP BY node ORDER BY node""".stripMargin,
+
+    "q214_link_prediction" -> (
+      """WITH e AS (
+        |  SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
+        |    LIST_COSINE_SIMILARITY(a.v, b.v) AS cos
+        |  FROM e a JOIN e b
+        |    ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |r AS (
+        |  SELECT label, a_id, b_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY a_id
+        |                       ORDER BY cos DESC, b_id ASC) AS rnk
+        |  FROM s),
+        |knn AS (SELECT label, a_id, b_id FROM r WHERE rnk <= 5),
+        |mu AS MATERIALIZED (
+        |  SELECT k.label, k.a_id, k.b_id
+        |  FROM knn k JOIN knn m
+        |    ON k.label = m.label AND k.a_id = m.b_id AND k.b_id = m.a_id
+        |  WHERE k.a_id < k.b_id),
+        |adj AS MATERIALIZED (
+        |  SELECT label, a_id AS src, b_id AS dst FROM mu
+        |  UNION ALL SELECT label, b_id, a_id FROM mu),
+        |dg AS (SELECT label, src, COUNT(*) AS deg FROM adj
+        |  GROUP BY 1, 2),
+        |wdg AS (
+        |  SELECT a1.label, a1.dst AS x, a1.src AS b, a2.dst AS y
+        |  FROM adj a1 JOIN adj a2
+        |    ON a1.label = a2.label AND a1.src = a2.src
+        |  WHERE a1.dst < a2.dst),
+        |cand AS (
+        |  SELECT w.label, w.x, w.b, w.y
+        |  FROM wdg w LEFT JOIN mu
+        |    ON mu.label = w.label AND mu.a_id = w.x AND mu.b_id = w.y
+        |  WHERE mu.a_id IS NULL),
+        |sc AS (
+        |  SELECT c.label, c.x, c.y,
+        |    COUNT(*) AS common_neighbors,
+        |    """.stripMargin +
+        graft.Fns.dsum18Sql("1.0 / LN(CAST(dg.deg AS DOUBLE))") + """ AS aa
+        |  FROM cand c JOIN dg
+        |    ON dg.label = c.label AND dg.src = c.b
+        |  GROUP BY 1, 2, 3)
+        |SELECT label, x, y, common_neighbors,
+        |  ROUND(aa, 6) + 0.0 AS adamic_adar
+        |FROM sc WHERE common_neighbors >= 2
+        |ORDER BY label, x, y""".stripMargin))
 }
