@@ -1051,6 +1051,57 @@ object RelationalQueries extends QueryModule {
           (round((col("n") * col("n_keys")).cast("double") /
             col("total").cast("double"), 6) + lit(0.0)).as("skew_factor"))
         .orderBy("rank")
+    },
+
+    // Point-in-time dimensional join: each purchase event picks up the
+    // SCD2 dimension version (q194's customer-status history) that was
+    // valid AT the event instant — the time-correct feature/dimension
+    // lookup that prevents label leakage in training pipelines (joining
+    // today's dimension onto last month's events is the classic bug).
+    // Spelled as q193's union-timeline carry instead of an interval
+    // join: version-start rows sort before events at equal timestamps
+    // (later versions later still, via the order key), one
+    // last-ignoring-nulls window carries the in-effect version forward
+    // — linear in events + versions on ONE customer partitioning, no
+    // range-join candidate blowup. Events before a customer's first
+    // version keep NULLs (an audit readout).
+    "q215_pit_join" -> { (s, dir) =>
+      val wT = Window.partitionBy(col("cust"))
+        .orderBy(col("us"), col("o_orderkey"))
+      val wG = Window.partitionBy(col("cust"))
+        .orderBy(col("us"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val dim = Tables.t(s, dir, "orders")
+        .select(col("o_custkey").as("cust"), col("o_orderkey"),
+          col("o_orderstatus").as("status"),
+          unix_micros(col("o_orderdate")).as("us"))
+        .withColumn("chg", when(
+          lag(col("status"), 1).over(wT).isNull ||
+            lag(col("status"), 1).over(wT) =!= col("status"), 1L)
+          .otherwise(0L))
+        .withColumn("version", sum(col("chg")).over(wG))
+        .filter(col("chg") === 1L)
+        .select(col("cust"), col("us"), col("o_orderkey").as("id"),
+          col("status"), col("version"), lit(0).as("kind"))
+      val ev = Tables.t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("cust"), unix_micros(col("ts")).as("us"),
+          col("event_id").as("id"), lit(null).cast("string").as("status"),
+          lit(null).cast("long").as("version"), lit(1).as("kind"))
+      val wC = Window.partitionBy(col("cust"))
+        .orderBy(col("us"), col("kind"), col("id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val carry = when(col("kind") === 0,
+        struct(col("version").as("v"), col("status").as("st"),
+          col("us").as("since")))
+      dim.unionByName(ev)
+        .withColumn("d", last(carry, ignoreNulls = true).over(wC))
+        .filter(col("kind") === 1)
+        .select(col("id").as("event_id"), col("cust").as("user_id"),
+          col("us").as("event_us"), col("d.v").as("version"),
+          col("d.st").as("status_at_event"),
+          col("d.since").as("since_us"))
+        .orderBy("event_id")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -1690,5 +1741,36 @@ object RelationalQueries extends QueryModule {
         |    AS share,
         |  ROUND(CAST(n * n_keys AS DOUBLE) / CAST(total AS DOUBLE), 6)
         |    + 0.0 AS skew_factor
-        |FROM w WHERE rk <= 10 ORDER BY rank""".stripMargin)
+        |FROM w WHERE rk <= 10 ORDER BY rank""".stripMargin,
+
+    "q215_pit_join" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS cust, o_orderkey,
+        |    o_orderstatus AS status, EPOCH_US(o_orderdate) AS us
+        |  FROM orders),
+        |m AS (
+        |  SELECT *, CASE WHEN LAG(status) OVER w IS NULL
+        |      OR LAG(status) OVER w <> status THEN 1 ELSE 0 END AS chg
+        |  FROM o WINDOW w AS (PARTITION BY cust ORDER BY us, o_orderkey)),
+        |g AS (
+        |  SELECT *, CAST(SUM(chg) OVER (PARTITION BY cust
+        |    ORDER BY us, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS version
+        |  FROM m),
+        |v AS (
+        |  SELECT cust, us AS valid_from, status, version,
+        |    LEAD(us) OVER (PARTITION BY cust ORDER BY version)
+        |      AS valid_to
+        |  FROM g WHERE chg = 1),
+        |e AS (
+        |  SELECT event_id, user_id, EPOCH_US(ts) AS eus FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT e.event_id, e.user_id, e.eus AS event_us,
+        |  v.version, v.status AS status_at_event,
+        |  v.valid_from AS since_us
+        |FROM e LEFT JOIN v
+        |  ON v.cust = e.user_id AND v.valid_from <= e.eus
+        |  AND (v.valid_to IS NULL OR e.eus < v.valid_to)
+        |ORDER BY event_id""".stripMargin)
 }
