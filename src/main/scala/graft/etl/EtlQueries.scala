@@ -186,6 +186,47 @@ object EtlQueries extends QueryModule {
         .agg(count(lit(1)).as("n"),
           graft.Fns.dsum(col("vn") - col("vo")).as("value_delta"))
         .orderBy("change_type")
+    },
+
+    // CDC change feed: q186's version pair emitted as the ROW-LEVEL
+    // change stream downstream consumers subscribe to — the
+    // `table_changes()` surface of lakehouse change-data-feed, with
+    // Delta-CDF op vocabulary (insert / delete / update_preimage /
+    // update_postimage, updates as a before+after row pair so a
+    // consumer can retract-and-apply). Same single full-outer pk join
+    // as the diff; the per-row op rows expand scan-locally from a ≤2
+    // element array, unchanged rows never leave the join. At scale this
+    // is the materialization a Snapshot delta commit could emit
+    // directly — the join is the fallback when only the two versions
+    // exist.
+    "q216_cdc_feed" -> { (s, dir) =>
+      val base = Tables.t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val neu = base.filter(col("o_orderkey") % 97 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 13 === 0, col("o_totalprice") * 1.1)
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+        .unionByName(base.filter(col("o_orderkey") % 31 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            col("o_totalprice")))
+      base.select(col("o_orderkey"), col("o_totalprice").as("v_old"))
+        .join(neu.select(col("o_orderkey"),
+          col("o_totalprice").as("v_new")), Seq("o_orderkey"), "full_outer")
+        .withColumn("ops",
+          when(col("v_old").isNull, array(
+            struct(lit("insert").as("op"), col("v_new").as("price"))))
+          .when(col("v_new").isNull, array(
+            struct(lit("delete").as("op"), col("v_old").as("price"))))
+          .when(col("v_old") =!= col("v_new"), array(
+            struct(lit("update_preimage").as("op"),
+              col("v_old").as("price")),
+            struct(lit("update_postimage").as("op"),
+              col("v_new").as("price")))))
+        .filter(col("ops").isNotNull)
+        .select(col("o_orderkey"), explode(col("ops")).as("c"))
+        .select(col("o_orderkey"), col("c.op").as("op"),
+          col("c.price").as("price"))
+        .orderBy("o_orderkey", "op")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -326,5 +367,35 @@ object EtlQueries extends QueryModule {
          |    ON o.o_orderkey = n.o_orderkey)
          |SELECT change_type, COUNT(*) AS n,
          |  ${graft.Fns.dsumSql("delta")} AS value_delta
-         |FROM j GROUP BY 1 ORDER BY change_type""".stripMargin)
+         |FROM j GROUP BY 1 ORDER BY change_type""".stripMargin,
+
+    "q216_cdc_feed" ->
+      """WITH old AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders),
+        |neu AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice * 1.1
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_totalprice
+        |  FROM orders WHERE o_orderkey % 31 = 0),
+        |j AS (
+        |  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |    o.o_totalprice AS v_old, n.o_totalprice AS v_new,
+        |    CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END AS ins,
+        |    CASE WHEN n.o_orderkey IS NULL THEN 1 ELSE 0 END AS del
+        |  FROM old o FULL OUTER JOIN neu n
+        |    ON o.o_orderkey = n.o_orderkey)
+        |SELECT o_orderkey, 'insert' AS op, v_new AS price
+        |FROM j WHERE ins = 1
+        |UNION ALL
+        |SELECT o_orderkey, 'delete', v_old FROM j WHERE del = 1
+        |UNION ALL
+        |SELECT o_orderkey, 'update_preimage', v_old
+        |FROM j WHERE ins = 0 AND del = 0 AND v_old <> v_new
+        |UNION ALL
+        |SELECT o_orderkey, 'update_postimage', v_new
+        |FROM j WHERE ins = 0 AND del = 0 AND v_old <> v_new
+        |ORDER BY o_orderkey, op""".stripMargin)
 }
