@@ -1039,6 +1039,60 @@ object TextQueries extends QueryModule {
           (round(col("cnt").cast("double") /
             col("n_tok").cast("double"), 10) + lit(0.0)).as("share"))
         .orderBy("tok")
+    },
+
+    // Code-switch detection: per-SEGMENT language structure inside each
+    // document — q72's trigram-profile language ID applied to disjoint
+    // 10-token chunks, then gaps-and-islands over the chunk sequence to
+    // count maximal same-language runs. A document-level argmax (q42/
+    // q72) calls a half-English-half-Spanish doc "en" and moves on;
+    // curation pipelines need to know it SWITCHES (mixed-language docs
+    // are dropped or routed to per-segment processing). Chunking and
+    // scoring are scan-local (the fused TrigramProfileHits per chunk);
+    // the only shuffles are doc-keyed (island window + two doc-level
+    // aggregations), so cost is one pass over tokens at any corpus
+    // size.
+    "q217_code_switch" -> { (s, dir) =>
+      val win = 10
+      val chunks = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tok"))
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, (size(tok) - 1) div $win), " +
+            s"i -> array_join(slice(tok, i * $win + 1, $win), ' '))"))
+          .as(Seq("chunk_idx", "chunk")))
+      val hits = graft.functions.TrigramProfileHits.trigramProfileHits(
+        lower(col("chunk")),
+        Seq(Seq("the", "he ", " th", "of ", "and"),
+            Seq("tab", "row", " ro", "le "),
+            Seq("dat", "val", " va", "ta ")))
+      val top = greatest(col("g_en"), col("g_da"), col("g_es"))
+      val scored = chunks.withColumn("h", hits)
+        .withColumn("g_en", col("h").getItem(0))
+        .withColumn("g_da", col("h").getItem(1))
+        .withColumn("g_es", col("h").getItem(2))
+        .withColumn("pred", when(col("g_en") >= top, "en")
+          .when(col("g_da") >= top, "da").otherwise("es"))
+      val wD = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("chunk_idx"))
+      val segs = scored
+        .withColumn("chg", when(lag(col("pred"), 1).over(wD).isNull ||
+            lag(col("pred"), 1).over(wD) =!= col("pred"), 1L)
+          .otherwise(0L))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("chg")).as("n_segments"),
+          countDistinct(col("pred")).as("n_langs"))
+      val dom = scored.groupBy(col("doc_id"), col("pred"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(min(struct((-col("c")).as("nc"), col("pred").as("p")))
+          .as("m"))
+        .select(col("doc_id"), col("m.p").as("dominant_lang"))
+      segs.join(dom, "doc_id")
+        .select(col("doc_id"), col("n_chunks"), col("n_segments"),
+          col("n_langs"), col("dominant_lang"),
+          when(col("n_langs") > 1, 1).otherwise(0).as("code_switched"))
+        .orderBy("doc_id")
     })
 
   /** The q34 exact-Jaccard oracle, hoisted so composite oracles (q71,
@@ -1610,5 +1664,60 @@ object TextQueries extends QueryModule {
         |    AS share
         |FROM g CROSS JOIN n
         |WHERE cnt * 100 > n_tok
-        |ORDER BY tok""".stripMargin)
+        |ORDER BY tok""".stripMargin,
+
+    "q217_code_switch" ->
+      """WITH d AS (
+        |  SELECT doc_id, STRING_SPLIT(text, ' ') AS tok FROM documents),
+        |ch AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+        |    LOWER(ARRAY_TO_STRING(
+        |      LIST_SLICE(tok, i * 10 + 1, i * 10 + 10), ' ')) AS chunk
+        |  FROM d, UNNEST(GENERATE_SERIES(0, (LEN(tok) - 1) // 10))
+        |    AS g(i)),
+        |sc AS (
+        |  SELECT doc_id, chunk_idx,
+        |    LIST_TRANSFORM(
+        |      RANGE(1, GREATEST(LENGTH(chunk) - 2, 0) + 1),
+        |      i -> SUBSTRING(chunk, i, 3)) AS grams
+        |  FROM ch),
+        |s AS (
+        |  SELECT doc_id, chunk_idx,
+        |    CAST(LEN(LIST_FILTER(grams,
+        |      x -> x IN ('the','he ',' th','of ','and'))) AS BIGINT)
+        |      AS g_en,
+        |    CAST(LEN(LIST_FILTER(grams,
+        |      x -> x IN ('tab','row',' ro','le '))) AS BIGINT) AS g_da,
+        |    CAST(LEN(LIST_FILTER(grams,
+        |      x -> x IN ('dat','val',' va','ta '))) AS BIGINT) AS g_es
+        |  FROM sc),
+        |p AS (
+        |  SELECT doc_id, chunk_idx,
+        |    CASE WHEN g_en >= GREATEST(g_en, g_da, g_es) THEN 'en'
+        |         WHEN g_da >= GREATEST(g_en, g_da, g_es) THEN 'da'
+        |         ELSE 'es' END AS pred
+        |  FROM s),
+        |isl AS (
+        |  SELECT doc_id, pred,
+        |    CASE WHEN LAG(pred) OVER w IS NULL
+        |        OR LAG(pred) OVER w <> pred THEN 1 ELSE 0 END AS chg
+        |  FROM p WINDOW w AS (PARTITION BY doc_id ORDER BY chunk_idx)),
+        |segs AS (
+        |  SELECT doc_id, COUNT(*) AS n_chunks,
+        |    CAST(SUM(chg) AS BIGINT) AS n_segments,
+        |    CAST(COUNT(DISTINCT pred) AS BIGINT) AS n_langs
+        |  FROM isl GROUP BY 1),
+        |pl AS (
+        |  SELECT doc_id, pred, COUNT(*) AS c FROM p GROUP BY 1, 2),
+        |dm AS (
+        |  SELECT doc_id, pred AS dominant_lang,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY c DESC, pred) AS rk
+        |  FROM pl)
+        |SELECT segs.doc_id, n_chunks, n_segments, n_langs,
+        |  dm.dominant_lang,
+        |  CASE WHEN n_langs > 1 THEN 1 ELSE 0 END AS code_switched
+        |FROM segs JOIN dm
+        |  ON segs.doc_id = dm.doc_id AND dm.rk = 1
+        |ORDER BY segs.doc_id""".stripMargin)
 }
