@@ -1093,6 +1093,61 @@ object EventQueries extends QueryModule {
           (round(col("credit"), 6) + lit(0.0)).as("credit"),
           col("n_touch_events"), col("n_conversions"))
         .orderBy("touch_type")
+    },
+
+    // Session-concurrency profile by sweep line: how many user sessions
+    // (q29's 30-minute-gap sessions) are open simultaneously, peak per
+    // day — the capacity-planning readout (connection pools, serving
+    // fleet sizing) that interval tables hide. Each session emits a +1
+    // at its start and a −1 at its end; the running sum over the
+    // merged, totally-ordered event stream IS the live concurrency.
+    // Scale shape: the running sum uses the q184/q91 two-phase trick —
+    // the DAY is a prefix of the (us, delta, …) sort key, so day-local
+    // running sums plus a broadcast day-offset table replace the
+    // single-partition global window (sessions spanning midnight are
+    // exactly what the carried offset handles); the per-day peak is
+    // then one aggregation. Ordering is total (us, delta, user_id,
+    // session_id) so both engines walk identical prefixes.
+    "q218_concurrency_profile" -> { (s, dir) =>
+      val wOrd = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      val sessions = Tables.t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(wOrd))
+        .withColumn("is_new",
+          when(col("prev_ts").isNull ||
+            col("ts") - col("prev_ts") > expr("INTERVAL 30 MINUTES"), 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("is_new")).over(wRun))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(unix_micros(min(col("ts"))).as("sus"),
+          unix_micros(max(col("ts"))).as("eus"))
+      val sweep = sessions
+        .select(col("user_id"), col("session_id"),
+          col("sus").as("us"), lit(1L).as("delta"))
+        .unionByName(sessions.select(col("user_id"), col("session_id"),
+          col("eus").as("us"), lit(-1L).as("delta")))
+        .withColumn("d", expr("us div 86400000000"))
+      // two-phase running sum: day-local cumulative + prior-day offsets
+      val wLoc = Window.partitionBy(col("d"))
+        .orderBy(col("us"), col("delta"), col("user_id"),
+          col("session_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wOff = Window.orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = sweep.groupBy(col("d"))
+        .agg(sum(col("delta")).as("dsum"),
+          sum(when(col("delta") === 1L, 1L).otherwise(0L))
+            .as("n_started"))
+        .withColumn("off", coalesce(sum(col("dsum")).over(wOff), lit(0L)))
+        .select(col("d"), col("off"), col("n_started"))
+      sweep.join(broadcast(offs), "d")
+        .withColumn("conc", col("off") + sum(col("delta")).over(wLoc))
+        .groupBy(col("d").as("day"))
+        .agg(max(col("conc")).as("max_concurrent"),
+          max(col("n_started")).as("n_sessions_started"))
+        .orderBy("day")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -1832,5 +1887,38 @@ object EventQueries extends QueryModule {
         |  COUNT(*) AS n_touch_events,
         |  CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_conversions
         |FROM w GROUP BY touch_type
-        |ORDER BY touch_type""".stripMargin))
+        |ORDER BY touch_type""".stripMargin),
+
+    // the single-window spelling — the engine's two-phase day-offset
+    // running sum must reproduce it exactly
+    "q218_concurrency_profile" ->
+      """WITH m AS (
+        |  SELECT *, CASE WHEN LAG(ts) OVER w IS NULL
+        |      OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+        |      THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |se AS (
+        |  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS session_id
+        |  FROM m),
+        |sess AS (
+        |  SELECT user_id, session_id,
+        |    EPOCH_US(MIN(ts)) AS sus, EPOCH_US(MAX(ts)) AS eus
+        |  FROM se GROUP BY 1, 2),
+        |sweep AS (
+        |  SELECT user_id, session_id, sus AS us, 1 AS delta FROM sess
+        |  UNION ALL
+        |  SELECT user_id, session_id, eus, -1 FROM sess),
+        |r AS (
+        |  SELECT us // 86400000000 AS d, delta,
+        |    SUM(delta) OVER (ORDER BY us, delta, user_id, session_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+        |  FROM sweep)
+        |SELECT d AS day, CAST(MAX(conc) AS BIGINT) AS max_concurrent,
+        |  CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_sessions_started
+        |FROM r GROUP BY 1 ORDER BY day""".stripMargin)
 }
