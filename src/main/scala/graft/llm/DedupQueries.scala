@@ -474,6 +474,51 @@ object DedupQueries extends QueryModule {
         .orderBy("cluster_id")
     },
 
+    // Golden-record construction (MDM survivorship): where q122 keeps
+    // one MEMBER per near-dup cluster, this MERGES the cluster into a
+    // canonical record field-by-field — majority vote for source and
+    // lang (ties to the lexicographically smallest — the one-struct-min
+    // argmax, no sort), longest member for the payload pointer. The
+    // per-field rules are the standard survivorship vocabulary of
+    // master-data pipelines; everything after q71's components is
+    // cluster-keyed aggregation over member rows — cluster sizes are
+    // near-dup-bounded, never corpus-sized.
+    "q219_golden_record" -> { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+      val d = docs.select(
+        col("doc_id"), col("source"),
+        array_sort(array_distinct(transform(split(col("text"), " "),
+          (t: Column) => xxhash64(t)))).as("tok"))
+      val pairs =
+        TextQueries.prefixJaccardPairs(d, 0.6, presentationSort = false)
+      val cc = connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      val mem = cc.join(docs.select(col("doc_id"), col("source"),
+        col("lang"), col("n_chars")), "doc_id")
+      def vote(field: String) = mem
+        .groupBy(col("cluster_id"), col(field))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("cluster_id"))
+        .agg(min(struct((-col("c")).as("nc"), col(field).as("v")))
+          .as("m"))
+        .select(col("cluster_id"), col("m.v").as(s"canonical_$field"))
+      val wL = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster_id"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      val longest = mem.withColumn("rk", row_number().over(wL))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          min(when(col("rk") === 1, col("doc_id"))).as("canonical_doc_id"),
+          min(when(col("rk") === 1, col("n_chars"))).as("canonical_chars"))
+      longest
+        .join(vote("source"), "cluster_id")
+        .join(vote("lang"), "cluster_id")
+        .select(col("cluster_id"), col("n_members"),
+          col("canonical_doc_id"), col("canonical_chars"),
+          col("canonical_source"), col("canonical_lang"))
+        .orderBy("cluster_id")
+    },
+
     // Winnowing rolling-window fingerprints (no oracle — hash-valued;
     // invariants ScalaTest-checked). The declared output serializes the
     // fingerprint set to a sorted CSV string: the harness row-hashes results
@@ -743,6 +788,49 @@ object DedupQueries extends QueryModule {
          |  MIN(CASE WHEN rk = 1 THEN doc_id END) AS survivor_id,
          |  MIN(CASE WHEN rk = 1 THEN n_chars END) AS survivor_chars
          |FROM m GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+
+    "q219_golden_record" ->
+      s"""WITH RECURSIVE pairs AS (
+         |${TextQueries.oracles("q34_jaccard_pairs")}),
+         |e AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION ALL SELECT b_id, a_id FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM e),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT e.dst AS id, reach.r FROM reach JOIN e ON e.src = reach.id),
+         |cc AS (SELECT id AS doc_id, MIN(r) AS cluster_id
+         |       FROM reach GROUP BY id),
+         |mem AS (
+         |  SELECT cc.cluster_id, cc.doc_id, d.source, d.lang, d.n_chars
+         |  FROM cc JOIN documents d ON d.doc_id = cc.doc_id),
+         |sv AS (
+         |  SELECT cluster_id, source AS canonical_source,
+         |    ROW_NUMBER() OVER (PARTITION BY cluster_id
+         |      ORDER BY COUNT(*) DESC, source ASC) AS rk
+         |  FROM mem GROUP BY cluster_id, source),
+         |lv AS (
+         |  SELECT cluster_id, lang AS canonical_lang,
+         |    ROW_NUMBER() OVER (PARTITION BY cluster_id
+         |      ORDER BY COUNT(*) DESC, lang ASC) AS rk
+         |  FROM mem GROUP BY cluster_id, lang),
+         |lg AS (
+         |  SELECT cluster_id, doc_id, n_chars,
+         |    ROW_NUMBER() OVER (PARTITION BY cluster_id
+         |      ORDER BY n_chars DESC, doc_id ASC) AS rk
+         |  FROM mem),
+         |base AS (
+         |  SELECT cluster_id, COUNT(*) AS n_members,
+         |    MIN(CASE WHEN rk = 1 THEN doc_id END) AS canonical_doc_id,
+         |    MIN(CASE WHEN rk = 1 THEN n_chars END) AS canonical_chars
+         |  FROM lg GROUP BY cluster_id)
+         |SELECT base.cluster_id, n_members, canonical_doc_id,
+         |  canonical_chars, sv.canonical_source, lv.canonical_lang
+         |FROM base
+         |JOIN sv ON sv.cluster_id = base.cluster_id AND sv.rk = 1
+         |JOIN lv ON lv.cluster_id = base.cluster_id AND lv.rk = 1
+         |ORDER BY base.cluster_id""".stripMargin,
 
     "q125_prefix_dedup" ->
       """WITH d AS (
