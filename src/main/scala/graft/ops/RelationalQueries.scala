@@ -1053,6 +1053,57 @@ object RelationalQueries extends QueryModule {
         .orderBy("rank")
     },
 
+    // ABC / Pareto classification: parts ranked by revenue, classified
+    // A (first 80% of cumulative revenue share), B (to 95%), C (tail) —
+    // the inventory-analytics 80/20 readout. Revenue per part is one
+    // keyed exact-decimal aggregation; the global revenue rank uses the
+    // q198/q208 two-phase prefix-sum (revenue-band buckets + broadcast
+    // offsets — no single-partition window over the part domain); the
+    // cumulative share walks bucket-local cumsums plus the carried
+    // offset the same way. Class cuts compare exact decimal-summed
+    // doubles against 0.80/0.95 of an exact total — both engines
+    // compute the identical cumulative sequence in the identical order.
+    "q220_abc_pareto" -> { (s, dir) =>
+      val rev = Tables.t(s, dir, "lineitem")
+        .groupBy(col("l_partkey").as("partkey"))
+        .agg(dsum(col("l_extendedprice")).as("revenue"))
+      val b = rev.withColumn("bkt",
+        floor(-col("revenue") / lit(100000.0)).cast("long"))
+      val wLoc = Window.partitionBy(col("bkt"))
+        .orderBy(col("revenue").desc, col("partkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wLocRn = Window.partitionBy(col("bkt"))
+        .orderBy(col("revenue").desc, col("partkey"))
+      val wOff = Window.orderBy(col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+      // offsets and local cumsums stay DECIMAL until one final cast, so
+      // the two-phase sum is bit-equal to the oracle's single global
+      // decimal running sum (double-ing each phase separately would
+      // round twice)
+      val offs = b.groupBy(col("bkt"))
+        .agg(count(lit(1)).as("bn"),
+          sum(col("revenue").cast(dec)).as("brev"))
+        .withColumn("off_n", coalesce(sum(col("bn")).over(wOff), lit(0L)))
+        .withColumn("off_rev",
+          coalesce(sum(col("brev")).over(wOff), lit(0).cast(dec)))
+        .select(col("bkt"), col("off_n"), col("off_rev"))
+      val tot = rev.agg(dsum(col("revenue")).as("total_rev"))
+      b.join(broadcast(offs), "bkt")
+        .crossJoin(broadcast(tot))
+        .withColumn("rn", col("off_n") + row_number().over(wLocRn))
+        .withColumn("cum_rev",
+          (col("off_rev") + sum(col("revenue").cast(dec)).over(wLoc))
+            .cast("double"))
+        .select(col("partkey"), col("revenue"), col("rn").as("rank"),
+          (round(col("cum_rev") / col("total_rev"), 10) + lit(0.0))
+            .as("cum_share"),
+          when(col("cum_rev") <= col("total_rev") * 0.80, "A")
+            .when(col("cum_rev") <= col("total_rev") * 0.95, "B")
+            .otherwise("C").as("abc_class"))
+        .orderBy("rank")
+    },
+
     // Point-in-time dimensional join: each purchase event picks up the
     // SCD2 dimension version (q194's customer-status history) that was
     // valid AT the event instant — the time-correct feature/dimension
@@ -1742,6 +1793,29 @@ object RelationalQueries extends QueryModule {
         |  ROUND(CAST(n * n_keys AS DOUBLE) / CAST(total AS DOUBLE), 6)
         |    + 0.0 AS skew_factor
         |FROM w WHERE rk <= 10 ORDER BY rank""".stripMargin,
+
+    "q220_abc_pareto" -> (
+      """WITH rev AS (
+        |  SELECT l_partkey AS partkey,
+        |    """.stripMargin + dsumSql("l_extendedprice") + """ AS revenue
+        |  FROM lineitem GROUP BY 1),
+        |t AS (
+        |  SELECT """.stripMargin + dsumSql("revenue") + """ AS total_rev
+        |  FROM rev),
+        |r AS (
+        |  SELECT partkey, revenue,
+        |    ROW_NUMBER() OVER (ORDER BY revenue DESC, partkey) AS rank,
+        |    CAST(SUM(CAST(revenue AS DECIMAL(38,6)))
+        |      OVER (ORDER BY revenue DESC, partkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS DOUBLE) AS cum_rev
+        |  FROM rev)
+        |SELECT partkey, revenue, CAST(rank AS BIGINT) AS rank,
+        |  ROUND(cum_rev / total_rev, 10) + 0.0 AS cum_share,
+        |  CASE WHEN cum_rev <= total_rev * 0.80 THEN 'A'
+        |       WHEN cum_rev <= total_rev * 0.95 THEN 'B'
+        |       ELSE 'C' END AS abc_class
+        |FROM r CROSS JOIN t ORDER BY rank""".stripMargin),
 
     "q215_pit_join" ->
       """WITH o AS (
