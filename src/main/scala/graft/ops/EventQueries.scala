@@ -1148,6 +1148,33 @@ object EventQueries extends QueryModule {
         .agg(max(col("conc")).as("max_concurrent"),
           max(col("n_started")).as("n_sessions_started"))
         .orderBy("day")
+    },
+
+    // Missing-value imputation — the ML-preprocessing step between a
+    // raw metric stream and a training matrix: error events carry no
+    // meaningful value, so each is filled with ITS USER's mean of valid
+    // observations (per-entity imputation beats a global constant when
+    // per-user levels differ), falling back to the global mean for
+    // users with no valid history. Means come from [[Fns.davg]] (exact
+    // decimal sum ÷ count — bit-equal doubles cross-engine, no rounding
+    // needed); the user-mean table is user-keyed (one aggregation, one
+    // co-keyed left join), the global fallback a broadcast 1-row cross.
+    "q221_mean_impute" -> { (s, dir) =>
+      val ev = Tables.t(s, dir, "events")
+      val valid = ev.filter(col("event_type") =!= "error")
+      val um = valid.groupBy(col("user_id"))
+        .agg(Fns.davg(col("value")).as("user_mean"))
+      val g = valid.agg(Fns.davg(col("value")).as("global_mean"))
+      ev.join(um, Seq("user_id"), "left")
+        .crossJoin(broadcast(g))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"),
+          when(col("event_type") === "error",
+            coalesce(col("user_mean"), col("global_mean")))
+            .otherwise(col("value")).as("value_filled"),
+          when(col("event_type") === "error", 1).otherwise(0)
+            .as("imputed"))
+        .orderBy("event_id")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -1920,5 +1947,25 @@ object EventQueries extends QueryModule {
         |SELECT d AS day, CAST(MAX(conc) AS BIGINT) AS max_concurrent,
         |  CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_sessions_started
-        |FROM r GROUP BY 1 ORDER BY day""".stripMargin)
+        |FROM r GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "q221_mean_impute" -> (
+      """WITH v AS (
+        |  SELECT * FROM events WHERE event_type <> 'error'),
+        |um AS (
+        |  SELECT user_id, """.stripMargin +
+        graft.Fns.davgSql("value") + """ AS user_mean
+        |  FROM v GROUP BY user_id),
+        |g AS (
+        |  SELECT """.stripMargin + graft.Fns.davgSql("value") +
+        """ AS global_mean FROM v)
+        |SELECT e.event_id, e.user_id, e.event_type, e.value,
+        |  CASE WHEN e.event_type = 'error'
+        |       THEN COALESCE(um.user_mean, g.global_mean)
+        |       ELSE e.value END AS value_filled,
+        |  CASE WHEN e.event_type = 'error' THEN 1 ELSE 0 END AS imputed
+        |FROM events e
+        |LEFT JOIN um ON e.user_id = um.user_id
+        |CROSS JOIN g
+        |ORDER BY event_id""".stripMargin))
 }
