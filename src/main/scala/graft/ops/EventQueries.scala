@@ -1175,6 +1175,39 @@ object EventQueries extends QueryModule {
           when(col("event_type") === "error", 1).otherwise(0)
             .as("imputed"))
         .orderBy("event_id")
+    },
+
+    // Rolling-origin backtest folds — time-series cross-validation
+    // (forecasting's answer to k-fold, which would leak the future into
+    // training): four expanding-window folds over the 30-day log, each
+    // training on everything before its cutoff day and testing on the
+    // next 3 days. Emits the fold design table (per fold × split: row /
+    // user counts and the day range) that a backtest harness consumes.
+    // The fold spine is a 4-row literal exploded scan-locally and
+    // broadcast onto the DAILY rollup — the event table is touched
+    // once; fold membership is integer day arithmetic, so the design
+    // is identical on any engine and any partitioning.
+    "q222_rolling_origin" -> { (s, dir) =>
+      val daily = Tables.t(s, dir, "events")
+        .groupBy(expr("unix_micros(date_trunc('day', ts)) div 86400000000")
+          .as("d"))
+        .agg(count(lit(1)).as("n"))
+      val dmin = daily.agg(min(col("d")).as("d0"))
+      val folds = daily.crossJoin(broadcast(dmin))
+        .withColumn("rel", col("d") - col("d0"))
+        .select(col("rel"), col("n"),
+          explode(expr("sequence(1, 4)")).as("fold"))
+        .withColumn("cut", col("fold") * 6 + 3)
+        .withColumn("split",
+          when(col("rel") < col("cut"), "train")
+            .when(col("rel") < col("cut") + 3, "test"))
+        .filter(col("split").isNotNull)
+      folds.groupBy(col("fold"), col("split"))
+        .agg(sum(col("n")).as("n_events"),
+          min(col("rel")).as("first_day"),
+          max(col("rel")).as("last_day"),
+          count(lit(1)).as("n_days"))
+        .orderBy("fold", "split")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -1967,5 +2000,27 @@ object EventQueries extends QueryModule {
         |FROM events e
         |LEFT JOIN um ON e.user_id = um.user_id
         |CROSS JOIN g
-        |ORDER BY event_id""".stripMargin))
+        |ORDER BY event_id""".stripMargin),
+
+    "q222_rolling_origin" ->
+      """WITH daily AS (
+        |  SELECT EPOCH_US(DATE_TRUNC('day', ts)) // 86400000000 AS d,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT MIN(d) AS d0 FROM daily),
+        |f AS (
+        |  SELECT daily.d - m.d0 AS rel, daily.n, g.fold,
+        |    g.fold * 6 + 3 AS cut
+        |  FROM daily CROSS JOIN m,
+        |    UNNEST(GENERATE_SERIES(1, 4)) AS g(fold)),
+        |sp AS (
+        |  SELECT rel, n, CAST(fold AS INTEGER) AS fold,
+        |    CASE WHEN rel < cut THEN 'train'
+        |         WHEN rel < cut + 3 THEN 'test' END AS split
+        |  FROM f)
+        |SELECT fold, split, CAST(SUM(n) AS BIGINT) AS n_events,
+        |  MIN(rel) AS first_day, MAX(rel) AS last_day,
+        |  COUNT(*) AS n_days
+        |FROM sp WHERE split IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY fold, split""".stripMargin)
 }

@@ -55,7 +55,8 @@ class PlanGuardSpec extends AnyFunSuite {
       "q208_decile_lift", // 1-row customer total × the ranked scan
       "q212_cuped", // 1-row pooled θ/x̄ × the 2-row arm table
       "q220_abc_pareto", // 1-row revenue total × the ranked part domain
-      "q221_mean_impute") // 1-row global-mean fallback × the scan
+      "q221_mean_impute", // 1-row global-mean fallback × the scan
+      "q222_rolling_origin") // 1-row min-day × the daily rollup
       // (q173's centroid probe BNLJ runs inside its eager checkpoint —
       // the declared plan reads the materialized ranked frame)
 
