@@ -1427,6 +1427,41 @@ object CorpusQueries extends QueryModule {
           (col("base") + when(col("rk") <= col("deficit"), 1L)
             .otherwise(0L)).as("quota"))
         .orderBy("source")
+    },
+
+    // Rejection-reason census: which admission rules fire, ALONE AND IN
+    // COMBINATION — the observability readout curation teams tune gates
+    // with (a pass/fail flag per doc says how much was dropped; the
+    // reason-combination histogram says WHY, and whether rules are
+    // redundant). Four exact-integer rules from one fused NGramStats
+    // pass (no float thresholds — ratios compare via integer
+    // cross-multiplication, so no engine can disagree at a boundary);
+    // the reason string concatenates failed rules in a fixed order.
+    // Scan-local per doc; one reason-keyed aggregation (≤16 rows).
+    "q223_rejection_census" -> { (s, dir) =>
+      val wAll = Window.partitionBy(lit(0))
+      val frag = concat(
+        when(col("n_words") < 60, lit("+too_short")).otherwise(lit("")),
+        when(col("n_words") > 100, lit("+too_long")).otherwise(lit("")),
+        when(col("top_cnt") * 5 >= col("n_words"), lit("+top_heavy"))
+          .otherwise(lit("")),
+        when(col("n_distinct") * 2 < col("n_words"),
+          lit("+low_diversity")).otherwise(lit("")))
+      Tables.t(s, dir, "documents")
+        .withColumn("st",
+          graft.functions.NGramStats.ngramStats(col("text"), 1))
+        .select(col("doc_id"), col("st.total").as("n_words"),
+          col("st.distinct").as("n_distinct"),
+          col("st.top").as("top_cnt"))
+        .withColumn("frag", frag)
+        .withColumn("reason", when(col("frag") === "", lit("admitted"))
+          .otherwise(expr("substring(frag, 2)")))
+        .groupBy(col("reason"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("share",
+          round(col("n_docs").cast("double") /
+            sum(col("n_docs")).over(wAll).cast("double"), 10) + lit(0.0))
+        .orderBy("reason")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -2358,5 +2393,35 @@ object CorpusQueries extends QueryModule {
          |SELECT source, n_docs, ROUND(sd, 6) + 0.0 AS sd,
          |  ROUND(alloc_w, 10) + 0.0 AS alloc_w,
          |  base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS quota
-         |FROM y ORDER BY source""".stripMargin)
+         |FROM y ORDER BY source""".stripMargin,
+
+    "q223_rejection_census" ->
+      """WITH d AS (
+        |  SELECT doc_id, STRING_SPLIT(text, ' ') AS tok FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(LEN(tok) AS BIGINT) AS n_words,
+        |    CAST(LEN(LIST_DISTINCT(tok)) AS BIGINT) AS n_distinct,
+        |    CAST(LIST_MAX(LIST_TRANSFORM(LIST_DISTINCT(tok),
+        |      u -> LEN(LIST_FILTER(tok, t -> t = u)))) AS BIGINT)
+        |      AS top_cnt
+        |  FROM d),
+        |r AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN n_words < 60 THEN '+too_short' ELSE '' END)
+        |    || (CASE WHEN n_words > 100 THEN '+too_long' ELSE '' END)
+        |    || (CASE WHEN top_cnt * 5 >= n_words
+        |            THEN '+top_heavy' ELSE '' END)
+        |    || (CASE WHEN n_distinct * 2 < n_words
+        |            THEN '+low_diversity' ELSE '' END) AS frag
+        |  FROM m),
+        |c AS (
+        |  SELECT CASE WHEN frag = '' THEN 'admitted'
+        |              ELSE SUBSTRING(frag, 2, LENGTH(frag)) END AS reason
+        |  FROM r),
+        |g AS (SELECT reason, COUNT(*) AS n_docs FROM c GROUP BY 1)
+        |SELECT reason, n_docs,
+        |  ROUND(CAST(n_docs AS DOUBLE)
+        |    / CAST(SUM(n_docs) OVER () AS DOUBLE), 10) + 0.0 AS share
+        |FROM g ORDER BY reason""".stripMargin)
 }
