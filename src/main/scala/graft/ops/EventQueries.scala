@@ -1208,6 +1208,34 @@ object EventQueries extends QueryModule {
           max(col("rel")).as("last_day"),
           count(lit(1)).as("n_days"))
         .orderBy("fold", "split")
+    },
+
+    // Daily new-vs-returning split — the growth-accounting decomposition
+    // of daily actives (is today's DAU acquisition or retention?). One
+    // user-day distinct, one user-keyed first-day aggregation joined
+    // back on the user key, then a day-keyed rollup: a user is NEW on
+    // their first active day and RETURNING on every later one; the
+    // ratio column is the day's returning share. All exact integers
+    // until one final division; both aggregations ride the same user
+    // partitioning before the calendar-sized day rollup.
+    "q224_new_returning" -> { (s, dir) =>
+      val ud = Tables.t(s, dir, "events")
+        .select(col("user_id"),
+          expr("unix_micros(date_trunc('day', ts)) div 86400000000")
+            .as("d"))
+        .distinct()
+      val first = ud.groupBy(col("user_id")).agg(min(col("d")).as("d0"))
+      ud.join(first, "user_id")
+        .groupBy(col("d").as("day"))
+        .agg(count(lit(1)).as("n_active"),
+          sum(when(col("d") === col("d0"), 1L).otherwise(0L))
+            .as("n_new"),
+          sum(when(col("d") > col("d0"), 1L).otherwise(0L))
+            .as("n_returning"))
+        .withColumn("returning_share",
+          round(col("n_returning").cast("double") /
+            col("n_active").cast("double"), 10) + lit(0.0))
+        .orderBy("day")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -2022,5 +2050,24 @@ object EventQueries extends QueryModule {
         |  MIN(rel) AS first_day, MAX(rel) AS last_day,
         |  COUNT(*) AS n_days
         |FROM sp WHERE split IS NOT NULL
-        |GROUP BY 1, 2 ORDER BY fold, split""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY fold, split""".stripMargin,
+
+    "q224_new_returning" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |    EPOCH_US(DATE_TRUNC('day', ts)) // 86400000000 AS d
+        |  FROM events),
+        |f AS (SELECT user_id, MIN(d) AS d0 FROM ud GROUP BY 1),
+        |g AS (
+        |  SELECT ud.d AS day, COUNT(*) AS n_active,
+        |    CAST(SUM(CASE WHEN ud.d = f.d0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_new,
+        |    CAST(SUM(CASE WHEN ud.d > f.d0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_returning
+        |  FROM ud JOIN f ON ud.user_id = f.user_id
+        |  GROUP BY 1)
+        |SELECT day, n_active, n_new, n_returning,
+        |  ROUND(CAST(n_returning AS DOUBLE) / CAST(n_active AS DOUBLE),
+        |    10) + 0.0 AS returning_share
+        |FROM g ORDER BY day""".stripMargin)
 }
