@@ -34,8 +34,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * candidates, then recounts exactly on the candidate set (a broadcast
   * semi-join, not a full-domain shuffle) — the final answer is EXACT;
   * the sketch just bounds the state. The reference has no frequent-items
-  * path at all (closest is pandas `value_counts` materializing the full
-  * domain, `pyopenetl/operations.py:529-535`).
+  * path at all — this is part of the mandated extension surface.
   *
   * Determinism: the emitted map's stored counts depend on encounter
   * order, but the KEY SET above the n/(k+1) floor does not — and only
@@ -78,20 +77,15 @@ case class MisraGriesSketch(
       buf: mutable.HashMap[UTF8String, Long],
       other: mutable.HashMap[UTF8String, Long])
       : mutable.HashMap[UTF8String, Long] = {
-    // union counts, then shrink back to k slots by subtracting the
-    // (k+1)-th largest count from everything (the mergeable-summaries
-    // reduction; error adds to at most n/(k+1) overall)
+    // weighted-add merge: each of the other summary's (key, count)
+    // entries replays through add() with its full weight, whose
+    // decrement rounds keep the buffer at <= k slots throughout — the
+    // buffer can never exceed k afterwards, so no separate shrink pass
+    // is needed. Each decrement round cancels (k+1) units of mass, so
+    // the total undercount stays <= n/(k+1) across any merge tree
+    // (Agarwal et al., "Mergeable Summaries", PODS'12 §3.1's bound
+    // holds for weighted updates).
     other.foreach { case (key, c) => add(buf, key, c, owned = true) }
-    if (buf.size > k) {
-      val counts = buf.values.toArray
-      java.util.Arrays.sort(counts)
-      val cut = counts(buf.size - k - 1) // (k+1)-th largest
-      val dead = buf.iterator.collect {
-        case (key, c) if c <= cut => key
-      }.toArray
-      dead.foreach(buf.remove)
-      buf.keysIterator.toArray.foreach(key => buf.update(key, buf(key) - cut))
-    }
     buf
   }
 

@@ -280,6 +280,14 @@ object Multimodal extends QueryModule {
     * how many images truly share a 16-bit perceptual band.
     */
   def nearDupByHamming(hashes: DataFrame, maxDist: Int): DataFrame = {
+    // banding contract: width = 64/(maxDist+1) must land in [2, 32].
+    // maxDist = 0 would give width 64, where (1L << 64) wraps to mask 0
+    // and every image lands in one bucket (the all-pairs join this
+    // method exists to avoid) — use an exact equi-join on phash for
+    // that; maxDist >= 32 gives width <= 1 with the same degeneracy.
+    require(maxDist >= 1 && maxDist <= 31,
+      s"maxDist must be in [1, 31] (got $maxDist); " +
+        "use an exact phash equi-join for maxDist = 0")
     val nBands = maxDist + 1
     val width = 64 / nBands
     val banded = hashes.filter(col("decoded"))

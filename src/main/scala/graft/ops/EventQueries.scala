@@ -895,17 +895,22 @@ object EventQueries extends QueryModule {
         .orderBy("user_id", "day")
     },
 
-    // Activity-bitmap rollup: each user's month of day-grain activity
-    // packed into ONE 64-bit mask (bit i = active on day min_day+i) —
-    // the bitmap-index trick behind fast retention engines (Druid /
-    // ClickHouse roaring bitmaps): any cohort/retention question
-    // becomes bit algebra on a longs column instead of a re-scan of
-    // day-grain rows. One user-keyed aggregation builds the masks;
-    // n_active_days is a popcount; week-over-week retention is
-    // ((mask >> 7) & mask) ≠ 0 — all exact integer ops, identical in
-    // both engines. The longest consecutive-day streak comes from the
-    // gaps-and-islands run numbering (d − dense rank is constant within
-    // a run) on the same user partitioning — no second shuffle.
+    // Activity-bitmap rollup: each user's day-grain activity packed
+    // into ONE 64-bit mask — the bitmap-index trick behind fast
+    // retention engines (Druid / ClickHouse roaring bitmaps): cohort/
+    // retention questions become bit algebra on a longs column instead
+    // of a re-scan of day-grain rows. Span safety (a log longer than
+    // 64 days would silently wrap Spark's shiftleft, which reduces the
+    // shift amount mod 64): the mask is defined as the user's FIRST-64-
+    // DAYS fingerprint — bit j = active on (own first day + j), bits
+    // for j >= 64 dropped explicitly — so every shift amount is in
+    // [0, 64) for any span. Week-over-week retention is computed
+    // exactly from the full day SET (a user_id-co-partitioned
+    // self-join: some day i with i-7 also active), not from the
+    // truncated mask, so it stays exact beyond day 63. The longest
+    // consecutive-day streak comes from the gaps-and-islands run
+    // numbering (i − row_number is constant within a run) on the same
+    // user partitioning.
     "q205_activity_bitmap" -> { (s, dir) =>
       val d0 = Tables.t(s, dir, "events")
         .select(col("user_id"),
@@ -923,15 +928,25 @@ object EventQueries extends QueryModule {
         .groupBy(col("user_id"))
         .agg(max(col("len")).as("max_streak"))
       val masks = days
+        .withColumn("i_u",
+          col("i") - min(col("i")).over(Window.partitionBy(col("user_id"))))
         .groupBy(col("user_id"))
-        .agg(bit_or(expr("shiftleft(1L, CAST(i AS INT))")).as("mask"),
+        .agg(bit_or(when(col("i_u") < 64,
+            expr("shiftleft(1L, CAST(i_u AS INT))")).otherwise(lit(0L)))
+            .as("mask"),
           count(lit(1)).as("n_active_days"),
           min(col("i")).as("first_i"), max(col("i")).as("last_i"))
+      val wow = days.as("a")
+        .join(days.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.i") === col("b.i") + 7, "left_semi")
+        .select(col("a.user_id")).distinct()
+        .withColumn("wow", lit(1))
       masks.join(streaks, "user_id")
+        .join(wow, Seq("user_id"), "left")
         .select(col("user_id"), col("mask"), col("n_active_days"),
           col("first_i"), col("last_i"), col("max_streak"),
-          when((col("mask").bitwiseAND(shiftright(col("mask"), 7)))
-            =!= 0, 1).otherwise(0).as("wow_retained"))
+          coalesce(col("wow"), lit(0)).as("wow_retained"))
         .orderBy("user_id")
     },
 
@@ -1844,6 +1859,10 @@ object EventQueries extends QueryModule {
         |  FROM events),
         |m AS (SELECT MIN(d) AS d_min FROM d0),
         |days AS (SELECT user_id, d - d_min AS i FROM d0 CROSS JOIN m),
+        |du AS (
+        |  SELECT user_id, i,
+        |    i - MIN(i) OVER (PARTITION BY user_id) AS i_u
+        |  FROM days),
         |runs AS (
         |  SELECT user_id,
         |    i - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY i)
@@ -1855,16 +1874,21 @@ object EventQueries extends QueryModule {
         |  GROUP BY 1),
         |mk AS (
         |  SELECT user_id,
-        |    CAST(BIT_OR(1::BIGINT << CAST(i AS INTEGER)) AS BIGINT)
-        |      AS mask,
+        |    CAST(BIT_OR(CASE WHEN i_u < 64
+        |      THEN 1::BIGINT << CAST(i_u AS INTEGER)
+        |      ELSE 0::BIGINT END) AS BIGINT) AS mask,
         |    COUNT(*) AS n_active_days,
         |    MIN(i) AS first_i, MAX(i) AS last_i
-        |  FROM days GROUP BY 1)
+        |  FROM du GROUP BY 1),
+        |w7 AS (
+        |  SELECT DISTINCT a.user_id FROM days a
+        |  JOIN days b ON a.user_id = b.user_id AND a.i = b.i + 7)
         |SELECT mk.user_id, mask, n_active_days, first_i, last_i,
         |  max_streak,
-        |  CASE WHEN (mask & (mask >> 7)) <> 0 THEN 1 ELSE 0 END
+        |  CASE WHEN w7.user_id IS NOT NULL THEN 1 ELSE 0 END
         |    AS wow_retained
         |FROM mk JOIN st ON mk.user_id = st.user_id
+        |LEFT JOIN w7 ON mk.user_id = w7.user_id
         |ORDER BY mk.user_id""".stripMargin,
 
     "q209_cohort_ltv" -> (
