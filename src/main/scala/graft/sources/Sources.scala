@@ -94,6 +94,15 @@ final case class BinaryFileSource(
 /** JDBC endpoint ≙ PostgresConnection/CloudSQLConnection option bundles
   * (connections.py:42-174). `readReplica` mirrors the Heroku
   * follower-for-reads routing (connections.py:118-121).
+  *
+  * Executed path: JdbcRoundTripSpec drives this source against embedded
+  * Derby (ships with Spark) — seed, partitioned read-back, and the
+  * Derby-sourced upsert all run through a real JDBC connection; nothing
+  * here is construction-only. A partitioned scan needs the full stride
+  * spec (`partitionColumn` + `lowerBound`/`upperBound` + `numPartitions`
+  * — Spark refuses a column without bounds), mirroring how the
+  * reference's chunk loop needs a total row order to page through
+  * (operations.py:39-51).
   */
 final case class JdbcSource(
     url: String,
@@ -103,11 +112,11 @@ final case class JdbcSource(
     secrets: SecretProvider,
     fetchSize: Int = 100000,           // ≙ stream_results server cursor
     partitionColumn: Option[String] = None,
+    lowerBound: Option[Long] = None,
+    upperBound: Option[Long] = None,
     numPartitions: Int = 32,
     readReplica: Option[String] = None) extends Source {
 
-  /** The reader is fully configured but only executed against a live
-    * endpoint — offline harness covers construction, not connectivity. */
   def configure(spark: SparkSession): DataFrameReader = {
     val base = spark.read.format("jdbc")
       .option("url", readReplica.getOrElse(url))
@@ -116,8 +125,14 @@ final case class JdbcSource(
       .option("password", secrets.get(secretName))
       .option("fetchsize", fetchSize.toString)
     partitionColumn match {
-      case Some(c) => base.option("partitionColumn", c)
-        .option("numPartitions", numPartitions.toString)
+      case Some(c) =>
+        require(lowerBound.isDefined && upperBound.isDefined,
+          "partitionColumn requires lowerBound and upperBound " +
+            "(Spark's JDBC stride spec)")
+        base.option("partitionColumn", c)
+          .option("lowerBound", lowerBound.get.toString)
+          .option("upperBound", upperBound.get.toString)
+          .option("numPartitions", numPartitions.toString)
       case None => base
     }
   }
@@ -170,8 +185,10 @@ final case class BigQuerySource(
   * pre-existing table. `batchSize` ≙ the `chunksize` buffer,
   * `numPartitions` caps concurrent connections (the chunk loop,
   * parallelized), `truncate=false` + SaveMode.Append ≙ `if_exists="append"`
-  * against an existing schema. Same offline contract as [[JdbcSource]]:
-  * `configure` assembles the writer, execution needs a live endpoint.
+  * against an existing schema. `mode = Overwrite` is the seed shape (W5
+  * create-table-from-df + W6 drop, operations.py:312-366: drop/recreate,
+  * then load). Executed against embedded Derby in JdbcRoundTripSpec —
+  * same contract as [[JdbcSource]].
   */
 final case class JdbcSink(
     url: String,
@@ -181,11 +198,12 @@ final case class JdbcSink(
     secrets: SecretProvider,
     batchSize: Int = 100000,             // ≙ COPY chunk size
     numPartitions: Int = 8,
-    isolationLevel: String = "READ_COMMITTED") {
+    isolationLevel: String = "READ_COMMITTED",
+    mode: org.apache.spark.sql.SaveMode = org.apache.spark.sql.SaveMode.Append) {
 
   def configure(df: DataFrame): org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =
     df.write.format("jdbc")
-      .mode(org.apache.spark.sql.SaveMode.Append)
+      .mode(mode)
       .option("url", url)
       .option("dbtable", table)
       .option("user", user)
