@@ -45,7 +45,17 @@ def eq(a, b):
     return a == b
 
 
+def check_citations():
+    r = subprocess.run(
+        [sys.executable, "/root/repo/tools/check_citations.py"],
+        capture_output=True, text=True)
+    print(r.stdout.strip())
+    if r.returncode != 0:
+        sys.exit("citation check failed")
+
+
 def main():
+    check_citations()
     if "--skip-spark" not in sys.argv:
         run_spark()
     con = duckdb.connect()
