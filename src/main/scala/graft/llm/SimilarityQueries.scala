@@ -304,10 +304,17 @@ object SimilarityQueries extends QueryModule {
     * Everything else is the broadcast centroid probe of [[ivfAssign]]
     * plus one aggregation, no all-pairs term across cells.
     */
-  def semDedup(embeddings: DataFrame, threshold: Double): DataFrame = {
-    val cells = ivfScored(embeddings)
-      .filter(col("rnk") === 1)
-      .select(col("vec_id"), col("c_label").as("cell"), col("v"))
+  def semDedup(embeddings: DataFrame, threshold: Double): DataFrame =
+    semDedupOnCells(
+      ivfScored(embeddings)
+        .filter(col("rnk") === 1)
+        .select(col("vec_id"), col("c_label").as("cell"), col("v")),
+      threshold)
+
+  /** The cell-confined pairwise half of [[semDedup]], over any cell
+    * structure (vec_id, cell, v) — label centroids in the declared q89,
+    * scaled-k unsupervised cells in [[semDedupScaledK]]. */
+  private def semDedupOnCells(cells: DataFrame, threshold: Double): DataFrame = {
     val a = cells.select(col("cell"), col("vec_id").as("a_id"),
       col("v").as("av"))
     val b = cells.select(col("cell"), col("vec_id").as("b_id"),
@@ -323,6 +330,23 @@ object SimilarityQueries extends QueryModule {
       .select(col("vec_id"), col("cell"),
         coalesce(col("kept"), lit(true)).as("kept"))
       .orderBy("vec_id")
+  }
+
+  /** [[semDedup]] with the production cell structure: k-means cells,
+    * k ∝ √N ([[kmeansCentroids]], the q90 trainer). With k = √N the
+    * expected cell population is N/k = √N, so the per-cell quadratic
+    * term is N/k² · N = N per cell-population — total candidate volume
+    * O(N^1.5) instead of the fixed-k O(N²/k); per VECTOR the confined
+    * work is O(√N). This is the configuration the SemDeDup paper runs at
+    * billions of embeddings; SCALE_PROOF.md carries the measured curve.
+    */
+  def semDedupScaledK(embeddings: DataFrame, threshold: Double,
+                      k: Int, iters: Int): DataFrame = {
+    val v = embeddings.select(col("vec_id"),
+      asDouble(col("embedding")).as("v"))
+    val cells = assignToCentroids(v, kmeansCentroids(embeddings, k, iters))
+      .select(col("vec_id"), col("cid").as("cell"), col("v"))
+    semDedupOnCells(cells, threshold)
   }
 
   /** Distributed spherical k-means (Lloyd's algorithm) — the actual
@@ -749,36 +773,76 @@ object SimilarityQueries extends QueryModule {
       // both norms per pair: ~3x the arithmetic of the plain dot over
       // pre-normalized units; with the sort-free max_by argmax, measured
       // 5.1 s -> 1.9 s at sf0.1, 20.7 s -> 9.0 s at sf1).
-      val scored = ivfScored(Tables.t(s, dir, "embeddings"))
-        .filter(col("rnk") <= 2)
-        .withColumn("nrm", norm(col("v")))
-        .select(col("vec_id"), col("label"), col("c_label"),
-          transform(col("v"), (x: Column) => x / col("nrm")).as("u"),
-          col("rnk"))
-        .localCheckpoint()
-      val cells = scored.filter(col("rnk") === 1)
-        .select(col("vec_id").as("c_id"), col("label").as("c_lbl"),
-          col("c_label").as("cell"), col("u").as("cu"))
-      val probes = scored.filter(col("rnk") <= 2)
-        .select(col("vec_id").as("q_id"), col("label").as("q_lbl"),
-          col("c_label").as("cell"), col("u").as("qu"))
-      // per-query argmax as a hash aggregation (max_by over a composite
-      // (cos, -id) key) — no candidate-set sort window
-      probes.join(cells, Seq("cell"))
-        .filter(col("q_id") =!= col("c_id"))
-        .withColumn("cos", dot(col("qu"), col("cu")))
-        .groupBy(col("q_id"), col("q_lbl"))
-        .agg(max_by(col("c_lbl"),
-          struct(col("cos"), (-col("c_id")).cast("double"))).as("pred"))
-        .groupBy(col("q_lbl").as("label"))
-        .agg(count(lit(1)).as("n"),
-          sum(when(col("q_lbl") === col("pred"), 1L).otherwise(0L))
-            .as("n_correct"))
-        .select(col("label"), col("n"), col("n_correct"),
-          (col("n_correct").cast("double") / col("n").cast("double"))
-            .as("accuracy"))
-        .orderBy("label")
+      knnEvalFromScored(
+        ivfScored(Tables.t(s, dir, "embeddings"))
+          .filter(col("rnk") <= 2)
+          .withColumn("nrm", norm(col("v")))
+          .select(col("vec_id"), col("label"),
+            col("c_label").as("cell"),
+            transform(col("v"), (x: Column) => x / col("nrm")).as("u"),
+            col("rnk"))
+          .localCheckpoint())
     })
+
+  /** The probe/argmax/accuracy half of q173 over a ranked, unit-
+    * normalized, checkpointed probe frame (vec_id, label, cell, u, rnk)
+    * — shared by the declared label-cell query and the scaled-k path. */
+  private def knnEvalFromScored(scored: DataFrame): DataFrame = {
+    val cells = scored.filter(col("rnk") === 1)
+      .select(col("vec_id").as("c_id"), col("label").as("c_lbl"),
+        col("cell"), col("u").as("cu"))
+    val probes = scored.filter(col("rnk") <= 2)
+      .select(col("vec_id").as("q_id"), col("label").as("q_lbl"),
+        col("cell"), col("u").as("qu"))
+    // per-query argmax as a hash aggregation (max_by over a composite
+    // (cos, -id) key) — no candidate-set sort window
+    probes.join(cells, Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", dot(col("qu"), col("cu")))
+      .groupBy(col("q_id"), col("q_lbl"))
+      .agg(max_by(col("c_lbl"),
+        struct(col("cos"), (-col("c_id")).cast("double"))).as("pred"))
+      .groupBy(col("q_lbl").as("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("q_lbl") === col("pred"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("label"), col("n"), col("n_correct"),
+        (col("n_correct").cast("double") / col("n").cast("double"))
+          .as("accuracy"))
+      .orderBy("label")
+  }
+
+  /** q173's ranked 2-probe frame over the PRODUCTION cell structure:
+    * unsupervised k-means cells with k ∝ √N (the q90 trainer) instead of
+    * the fixture's fixed label centroids. With k = √N each cell holds
+    * ~√N vectors, so probed-candidate volume is nprobe·N·√N — per query
+    * O(√N), the classic IVF balance point — where fixed-k volume is
+    * nprobe·N²/k. Exposed separately so ScaleProofScaledK can both time
+    * the eval and COUNT the candidate volume (the structural metric the
+    * timer only approximates at harness sizes). */
+  def knnScoredScaledK(embeddings: DataFrame, k: Int,
+                       iters: Int): DataFrame = {
+    val cents = kmeansCentroids(embeddings, k, iters)
+    val v = embeddings.select(col("vec_id"), col("label"),
+      asDouble(col("embedding")).as("v"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("cid").asc)
+    v.crossJoin(broadcast(cents))
+      .withColumn("cos", cosine(col("v"), col("cv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 2)
+      .withColumn("nrm", norm(col("v")))
+      .select(col("vec_id"), col("label"), col("cid").as("cell"),
+        transform(col("v"), (x: Column) => x / col("nrm")).as("u"),
+        col("rnk"))
+      .localCheckpoint()
+  }
+
+  /** Leave-one-out 1-NN label accuracy with scaled-k cells — the
+    * configuration a real deployment runs (see [[knnScoredScaledK]]). */
+  def knnEvalScaledK(embeddings: DataFrame, k: Int,
+                     iters: Int): DataFrame =
+    knnEvalFromScored(knnScoredScaledK(embeddings, k, iters))
 
   override def oracles: Map[String, String] = Map(
     "q101_hard_negatives" ->

@@ -179,4 +179,30 @@ class SimilaritySpec extends AnyFunSuite {
       assert(acc == correct.toDouble / n)
     }
   }
+
+  test("scaled-k kNN eval covers every vector and stays deterministic") {
+    val e = graft.Tables.t(spark, TestSpark.Sf, "embeddings")
+    val n = e.count()
+    val k = math.ceil(math.sqrt(n.toDouble)).toInt
+    val r1 = SimilarityQueries.knnEvalScaledK(e, k, 2).collect()
+    // every vector is evaluated exactly once (probes cover all queries)
+    assert(r1.map(_.getLong(1)).sum == n)
+    // deterministic: same model, same accuracy, run-to-run
+    val r2 = SimilarityQueries.knnEvalScaledK(e, k, 2).collect()
+    assert(r1.map(_.toSeq).toSeq == r2.map(_.toSeq).toSeq)
+  }
+
+  test("scaled-k semantic dedup keeps the lowest id of each similar group") {
+    val e = graft.Tables.t(spark, TestSpark.Sf, "embeddings")
+    val n = e.count()
+    val k = math.ceil(math.sqrt(n.toDouble)).toInt
+    val out = SimilarityQueries.semDedupScaledK(e, 0.97, k, 2).collect()
+    assert(out.length == n)                       // verdict for every vector
+    val byCell = out.groupBy(_.get(1))
+    byCell.values.foreach { cell =>
+      // within each cell the smallest vec_id can never be dropped
+      val minId = cell.map(_.getLong(0)).min
+      assert(cell.find(_.getLong(0) == minId).get.getBoolean(2))
+    }
+  }
 }
