@@ -233,3 +233,48 @@ final case class MapSecretProvider(m: Map[String, String]) extends SecretProvide
   def get(name: String): String = m.getOrElse(name,
     throw new IllegalArgumentException(s"secret not found: $name"))
 }
+
+/** Versioned secret backend with the reference's latest-version
+  * resolution (connections.py:23-39: `access_secret_version` on
+  * `projects/{p}/secrets/{name}/versions/latest`): secrets carry
+  * monotonically increasing integer versions, the default read resolves
+  * `latest` = highest version, and pinned historical versions stay
+  * readable (rotation never breaks an in-flight pipeline holding a pin).
+  *
+  * Layout: `<root>/<name>/<version>` files; payloads are UTF-8 bytes
+  * returned verbatim (the payload IS the secret — no trimming). Any
+  * secret-manager service maps onto this shape; the filesystem backend
+  * makes the semantics executable offline.
+  */
+final case class FileSecretProvider(root: String) extends SecretProvider {
+  import java.io.File
+  import java.nio.charset.StandardCharsets.UTF_8
+  import java.nio.file.Files
+
+  /** `/versions/latest` read — the reference's default. */
+  def get(name: String): String =
+    getVersion(name, versions(name).maxOption.getOrElse(
+      throw new IllegalArgumentException(s"secret not found: $name")))
+
+  /** Pinned-version read (`/versions/<n>`). */
+  def getVersion(name: String, version: Long): String = {
+    val f = new File(new File(root, name), version.toString)
+    if (!f.isFile)
+      throw new IllegalArgumentException(
+        s"secret not found: $name/versions/$version")
+    new String(Files.readAllBytes(f.toPath), UTF_8)
+  }
+
+  /** Rotation: add a payload as the next version and return its number. */
+  def addVersion(name: String, payload: String): Long = {
+    val next = versions(name).maxOption.getOrElse(0L) + 1
+    val d = new File(root, name)
+    d.mkdirs()
+    Files.write(new File(d, next.toString).toPath, payload.getBytes(UTF_8))
+    next
+  }
+
+  private def versions(name: String): Seq[Long] =
+    Option(new File(root, name).list()).toSeq.flatten
+      .flatMap(_.toLongOption)
+}

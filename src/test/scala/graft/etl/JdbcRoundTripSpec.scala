@@ -35,7 +35,14 @@ class JdbcRoundTripSpec extends AnyFunSuite {
 
   private val dbDir = s"/tmp/graft-derby-${System.nanoTime()}"
   private val url = s"jdbc:derby:$dbDir;create=true"
-  private val secrets = MapSecretProvider(Map("db_pw" -> "unused-by-derby"))
+  // credential resolution goes through the versioned backend (C1) — the
+  // JDBC path reads the LATEST rotated version, like the reference
+  private val secrets = {
+    val p = FileSecretProvider(s"/tmp/graft-derby-sec-${System.nanoTime()}")
+    p.addVersion("db_pw", "stale-rotated-out")
+    p.addVersion("db_pw", "unused-by-derby")
+    p
+  }
 
   private def sink(table: String, mode: SaveMode) =
     JdbcSink(url, table, "app", "db_pw", secrets,
