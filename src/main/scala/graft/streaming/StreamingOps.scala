@@ -258,11 +258,22 @@ object StreamingOps {
     * reuses the tested batch kernel, so streaming and batch cannot diverge.
     */
   def upsertSink(delta: DataFrame, destPath: String, pk: String,
-                 deltaCol: String = "ts"): DataStreamWriter[Row] = {
+                 deltaCol: String = "ts"): DataStreamWriter[Row] =
+    upsertSinkHooked(delta, destPath, pk, deltaCol, _ => ())
+
+  /** [[upsertSink]] with a phase hook fired AFTER the snapshot commit but
+    * BEFORE the micro-batch returns (i.e. before Structured Streaming
+    * commits the batch's offsets) — the SnapshotSpec kill-between-phases
+    * pattern lifted to the streaming runtime. A hook that throws models
+    * the worst crash window: data committed, offsets not, so the restart
+    * REPLAYS the batch and the commit-absorption argument must hold. */
+  private[graft] def upsertSinkHooked(
+      delta: DataFrame, destPath: String, pk: String,
+      deltaCol: String, afterCommit: Long => Unit): DataStreamWriter[Row] = {
     delta.writeStream
       .outputMode("update")
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // deterministic in-batch dedup: a micro-batch can carry several
         // versions of one key; keep the newest by deltaCol (dropDuplicates
         // would pick an arbitrary row and could resurrect an older version).
@@ -285,6 +296,7 @@ object StreamingOps {
         // rewrites (beyond snapshot+delta) remain the Delta/Iceberg seam
         // at 100 TB (SURVEY.md §7.3).
         graft.etl.Snapshot.commitDelta(latest, destPath, pk)
+        afterCommit(batchId)
         ()
       }
   }
@@ -300,7 +312,18 @@ object StreamingOps {
     */
   def dedupSink(docs: DataFrame, destPath: String, storePath: String,
                 textCol: String = "text", keyCol: String = "doc_id")
-      : DataStreamWriter[Row] = {
+      : DataStreamWriter[Row] =
+    dedupSinkHooked(docs, destPath, storePath, textCol, keyCol, () => ())
+
+  /** [[dedupSink]] with a hook fired BETWEEN the corpus commit and the
+    * fingerprint commit — the crash window the corpus-before-fingerprints
+    * ordering exists for. A throwing hook leaves the corpus committed and
+    * the content unrecorded; the restarted stream must re-see the batch
+    * as novel and converge without losing or duplicating a document. */
+  private[graft] def dedupSinkHooked(
+      docs: DataFrame, destPath: String, storePath: String,
+      textCol: String, keyCol: String,
+      betweenCommits: () => Unit): DataStreamWriter[Row] = {
     docs.writeStream
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
@@ -313,6 +336,7 @@ object StreamingOps {
         // as seen and lose it on replay (DedupStore.recordFingerprints)
         graft.etl.Snapshot.commitDelta(
           novel.drop("content_hash"), destPath, keyCol)
+        betweenCommits()
         graft.llm.DedupStore.recordFingerprints(novel, storePath, keyCol)
         ()
       }

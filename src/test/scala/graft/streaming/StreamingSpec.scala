@@ -384,4 +384,90 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(3)))
     assert(out.toSeq == Seq((100L, "updated"), (101L, "new")))
   }
+
+  test("upsert sink killed after the data commit recovers exactly-once") {
+    // VERDICT r7 §5: the worst crash window for the foreachBatch→Snapshot
+    // sink — the snapshot commit lands, the process dies BEFORE the
+    // streaming offsets commit. On restart Structured Streaming REPLAYS
+    // that micro-batch; the table must converge to the batch twin (the
+    // replayed commit absorbed by the pk-folded read), not double-apply.
+    val base = s"/tmp/graft-test-upsert-crash-${System.nanoTime()}"
+    val dest = s"$base/table"
+    val ckpt = s"$base/ckpt"
+    val ms = MemoryStream[Ev](spark)
+    // batch 0: commits clean
+    ms.addData(Ev(100, ts("2024-01-01 10:00:00"), 9, "v1", 1.0),
+               Ev(101, ts("2024-01-01 10:01:00"), 9, "a", 1.0))
+    val q0 = StreamingOps.upsertSink(ms.toDF(), dest, "event_id")
+      .option("checkpointLocation", ckpt).start()
+    q0.awaitTermination(60000)
+
+    // batch 1: the hook throws AFTER Snapshot.commitDelta — data durable,
+    // offsets not (the injected kill between commit phases)
+    ms.addData(Ev(100, ts("2024-01-01 11:00:00"), 9, "v2", 2.0),
+               Ev(102, ts("2024-01-01 11:01:00"), 9, "b", 3.0))
+    val q1 = StreamingOps.upsertSinkHooked(ms.toDF(), dest, "event_id",
+        "ts", _ => throw new RuntimeException("injected crash after commit"))
+      .option("checkpointLocation", ckpt).start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination(60000)
+      throw q1.exception.get // AvailableNow surfaced the failure
+    }
+    // the data commit IS visible to readers despite the crash
+    val mid = graft.etl.Snapshot.read(spark, dest)
+      .orderBy("event_id").collect().map(r => (r.getLong(0), r.getString(3)))
+    assert(mid.toSeq == Seq((100L, "v2"), (101L, "a"), (102L, "b")))
+
+    // restart from the same checkpoint: the uncommitted batch replays
+    // (recommitting identical content), then new data flows
+    ms.addData(Ev(103, ts("2024-01-01 12:00:00"), 9, "c", 4.0))
+    val q2 = StreamingOps.upsertSink(ms.toDF(), dest, "event_id")
+      .option("checkpointLocation", ckpt).start()
+    q2.awaitTermination(60000)
+
+    // exactly-once vs the batch twin: newest version per pk, pk-unique
+    val fin = graft.etl.Snapshot.read(spark, dest).orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getString(3)))
+    assert(fin.toSeq ==
+      Seq((100L, "v2"), (101L, "a"), (102L, "b"), (103L, "c")))
+  }
+
+  test("dedup sink killed between corpus and fingerprint commits converges") {
+    // the crash window the corpus-before-fingerprints ordering exists
+    // for: corpus committed, content NOT yet recorded as seen. The
+    // replayed batch re-sees its docs as novel and re-commits — absorbed
+    // by the pk fold — then records fingerprints; nothing lost, nothing
+    // duplicated. (The reverse order would drop the batch forever.)
+    val base = s"/tmp/graft-test-dedupsink-crash-${System.nanoTime()}"
+    val dest = s"$base/corpus"
+    val store = s"$base/seen"
+    val ckpt = s"$base/ckpt"
+    val ms = MemoryStream[Doc](spark)
+    ms.addData(Doc(1, ts("2024-01-01 10:00:00"), "alpha"),
+               Doc(2, ts("2024-01-01 10:01:00"), "beta"))
+    val q1 = StreamingOps.dedupSinkHooked(ms.toDF(), dest, store,
+        "text", "doc_id",
+        () => throw new RuntimeException("injected crash between commits"))
+      .option("checkpointLocation", ckpt).start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination(60000)
+      throw q1.exception.get
+    }
+    // corpus committed, store empty — exactly the modeled crash state
+    assert(graft.etl.Snapshot.read(spark, dest).count() == 2)
+    assert(!new java.io.File(store).exists() ||
+      graft.etl.Snapshot.read(spark, store).count() == 0)
+
+    // restart: replay converges, then a later batch dedups against the
+    // now-recorded content
+    ms.addData(Doc(10, ts("2024-01-02 10:00:00"), "alpha"), // dup content
+               Doc(11, ts("2024-01-02 10:01:00"), "gamma"))
+    val q2 = StreamingOps.dedupSink(ms.toDF(), dest, store)
+      .option("checkpointLocation", ckpt).start()
+    q2.awaitTermination(60000)
+    val ids = graft.etl.Snapshot.read(spark, dest)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 11L))
+    assert(graft.etl.Snapshot.read(spark, store).count() == 3)
+  }
 }
