@@ -227,6 +227,47 @@ object EtlQueries extends QueryModule {
         .select(col("o_orderkey"), col("c.op").as("op"),
           col("c.price").as("price"))
         .orderBy("o_orderkey", "op")
+    },
+
+    // Partition-digest reconciliation — how replicas, backups, and
+    // migrated tables are compared at 100 TB WITHOUT a row-level join:
+    // each side folds into k=64 order-independent bucket digests
+    // (bucket = pk mod 64; digest = exact-decimal sum of a per-row
+    // integer fingerprint + row count), then a k-row comparison names
+    // the buckets that diverge — q186's row-level diff then runs ONLY
+    // inside flagged buckets, not across the whole table. Row movement
+    // is 2 full scans collapsing map-side into 64 partials each; the
+    // compare moves 128 tiny rows. The fingerprint is a polynomial over
+    // the row's fields in exact integer arithmetic (price at cent
+    // precision via ROUND — truncation-vs-round cast divergence avoided
+    // by rounding in BOTH engines); the sum rides DECIMAL(38,0) so no
+    // overflow and no order sensitivity. The modified side reuses
+    // q186's drift derivation (drop %97, reprice %13, add %31).
+    "q228_partition_digest" -> { (s, dir) =>
+      val base = Tables.t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val neu = base.filter(col("o_orderkey") % 97 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 13 === 0, col("o_totalprice") * 1.1)
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+        .unionByName(base.filter(col("o_orderkey") % 31 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            col("o_totalprice")))
+      def digest(df: DataFrame, side: String): DataFrame = df
+        .select((col("o_orderkey") % 64).as("bucket"),
+          (col("o_orderkey") * 1000003L +
+            (round(col("o_totalprice") * 100, 0).cast("long") % 999983L))
+            .cast("decimal(38,0)").as("fp"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as(s"n_$side"), sum(col("fp")).as(s"d_$side"))
+      digest(base, "a").join(digest(neu, "b"), Seq("bucket"), "full_outer")
+        .select(col("bucket"),
+          coalesce(col("n_a"), lit(0L)).as("n_a"),
+          coalesce(col("n_b"), lit(0L)).as("n_b"),
+          when(col("n_a").isNotNull && col("n_b").isNotNull &&
+            col("n_a") === col("n_b") && col("d_a") === col("d_b"), 1)
+            .otherwise(0).as("is_match"))
+        .orderBy("bucket")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -397,5 +438,37 @@ object EtlQueries extends QueryModule {
         |UNION ALL
         |SELECT o_orderkey, 'update_postimage', v_new
         |FROM j WHERE ins = 0 AND del = 0 AND v_old <> v_new
-        |ORDER BY o_orderkey, op""".stripMargin)
+        |ORDER BY o_orderkey, op""".stripMargin,
+
+    // identical fingerprint polynomial; DECIMAL(38,0) sums exact +
+    // order-independent on both sides
+    "q228_partition_digest" ->
+      """WITH a AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders),
+        |b AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice * 1.1
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_totalprice
+        |  FROM orders WHERE o_orderkey % 31 = 0),
+        |da AS (
+        |  SELECT o_orderkey % 64 AS bucket, COUNT(*) AS n_a,
+        |    SUM(CAST(o_orderkey * 1000003 +
+        |      CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) % 999983
+        |      AS DECIMAL(38,0))) AS d_a
+        |  FROM a GROUP BY 1),
+        |db AS (
+        |  SELECT o_orderkey % 64 AS bucket, COUNT(*) AS n_b,
+        |    SUM(CAST(o_orderkey * 1000003 +
+        |      CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) % 999983
+        |      AS DECIMAL(38,0))) AS d_b
+        |  FROM b GROUP BY 1)
+        |SELECT COALESCE(da.bucket, db.bucket) AS bucket,
+        |  COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b,
+        |  CASE WHEN n_a IS NOT NULL AND n_b IS NOT NULL
+        |        AND n_a = n_b AND d_a = d_b THEN 1 ELSE 0 END AS is_match
+        |FROM da FULL OUTER JOIN db ON da.bucket = db.bucket
+        |ORDER BY bucket""".stripMargin)
 }

@@ -1093,6 +1093,38 @@ object TextQueries extends QueryModule {
           col("n_langs"), col("dominant_lang"),
           when(col("n_langs") > 1, 1).otherwise(0).as("code_switched"))
         .orderBy("doc_id")
+    },
+
+    // Readability scoring (Flesch reading ease, heuristic syllables) —
+    // the classic document-difficulty prior corpus curation mixes with
+    // q33's surface-quality score: curriculum schedules start easy
+    // (high FRE) and anneal hard, and an out-of-band FRE flags OCR
+    // garbage and boilerplate. All three inputs are scan-local regex
+    // counts over the text column (words = whitespace split, sentences
+    // = terminal-punctuation runs, syllables ≈ vowel-group runs — the
+    // standard dictionary-free approximation), so the operator is one
+    // projection: zero shuffles except the output sort; the formula is
+    // pure double arithmetic on exact ints, identical in both engines.
+    "q231_readability" -> { (s, dir) =>
+      val words = size(split(col("text"), " ")).cast("long")
+      val sents = greatest(lit(1L),
+        size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+          .cast("long"))
+      val syll = greatest(lit(1L),
+        size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"),
+          lit(0))).cast("long"))
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"), words.as("n_words"),
+          sents.as("n_sentences"), syll.as("n_syllables"))
+        .select(col("doc_id"), col("n_words"), col("n_sentences"),
+          col("n_syllables"),
+          (round(lit(206.835)
+            - lit(1.015) * col("n_words").cast("double")
+              / col("n_sentences").cast("double")
+            - lit(84.6) * col("n_syllables").cast("double")
+              / col("n_words").cast("double"), 4) + lit(0.0))
+            .as("flesch"))
+        .orderBy("doc_id")
     })
 
   /** The q34 exact-Jaccard oracle, hoisted so composite oracles (q71,
@@ -1719,5 +1751,24 @@ object TextQueries extends QueryModule {
         |  CASE WHEN n_langs > 1 THEN 1 ELSE 0 END AS code_switched
         |FROM segs JOIN dm
         |  ON segs.doc_id = dm.doc_id AND dm.rk = 1
-        |ORDER BY segs.doc_id""".stripMargin)
+        |ORDER BY segs.doc_id""".stripMargin,
+
+    // the same three regex counts; both engines agree on these simple
+    // character-class patterns
+    "q231_readability" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_words,
+        |    GREATEST(1, CAST(LEN(REGEXP_EXTRACT_ALL(text, '[.!?]+'))
+        |      AS BIGINT)) AS n_sentences,
+        |    GREATEST(1, CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text),
+        |      '[aeiouy]+')) AS BIGINT)) AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  ROUND(206.835
+        |    - 1.015 * CAST(n_words AS DOUBLE)
+        |      / CAST(n_sentences AS DOUBLE)
+        |    - 84.6 * CAST(n_syllables AS DOUBLE)
+        |      / CAST(n_words AS DOUBLE), 4) + 0.0 AS flesch
+        |FROM c ORDER BY doc_id""".stripMargin)
 }

@@ -1251,6 +1251,73 @@ object EventQueries extends QueryModule {
           round(col("n_returning").cast("double") /
             col("n_active").cast("double"), 10) + lit(0.0))
         .orderBy("day")
+    },
+
+    // Interval-overlap join — the two-sided generalization of q48's
+    // point-in-interval range join: user sessions (q29's 30-minute-gap
+    // intervals) against system "incident windows" (contiguous runs of
+    // busy hours: hours whose event count is ≥ 2× the average hourly
+    // rate, an exact-integer rule). Which sessions ran during an
+    // incident, and for how long? Naive interval-interval is a
+    // cartesian with range predicates; the scale spelling buckets BOTH
+    // sides by hour (each session explodes into its covered hours —
+    // bounded by session span; each incident into its run of hours) so
+    // candidates come from a hash equi-join on the hour key, then
+    // dedup per (session, incident) and measure exact-microsecond
+    // overlap. At 100 TB the bucket grain is the tuning dial: candidate
+    // volume tracks true temporal co-occurrence, never |sessions| ×
+    // |incidents|.
+    "q227_interval_join" -> { (s, dir) =>
+      val ev = Tables.t(s, dir, "events")
+      val wOrd = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = ev
+        .withColumn("prev_ts", lag(col("ts"), 1).over(wOrd))
+        .withColumn("is_new",
+          when(col("prev_ts").isNull ||
+               col("ts") - col("prev_ts") > expr("INTERVAL 30 MINUTES"), 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("is_new")).over(wRun))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(expr("unix_micros(ts)")).as("s_us"),
+          max(expr("unix_micros(ts)")).as("e_us"))
+      val hourly = ev
+        .groupBy(expr("unix_micros(date_trunc('hour', ts)) div 3600000000")
+          .as("h"))
+        .agg(count(lit(1)).as("n"))
+      val tot = hourly.agg(count(lit(1)).as("n_hours"),
+        sum(col("n")).as("total"))
+      val busy = hourly.crossJoin(broadcast(tot))
+        .filter(col("n") * col("n_hours") >= col("total") * 2)
+      val wIsl = Window.orderBy(col("h"))
+      val incidents = busy
+        .withColumn("grp", col("h") - row_number().over(wIsl))
+        .groupBy(col("grp"))
+        .agg(min(col("h")).as("ih0"), max(col("h")).as("ih1"))
+        .select(col("ih0").as("incident_id"),
+          (col("ih0") * 3600000000L).as("is_us"),
+          ((col("ih1") + 1) * 3600000000L).as("ie_us"),
+          explode(expr("sequence(ih0, ih1)")).as("h"))
+      val sHours = sess.select(col("user_id"), col("session_id"),
+        col("s_us"), col("e_us"),
+        explode(expr("sequence(s_us div 3600000000, e_us div 3600000000)"))
+          .as("h"))
+      val pairs = sHours.join(incidents, "h")
+        .groupBy(col("user_id"), col("session_id"), col("incident_id"),
+          col("s_us"), col("e_us"), col("is_us"), col("ie_us"))
+        .agg(count(lit(1)).as("shared_hours"))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_incidents"),
+          sum(greatest(lit(0L),
+            least(col("e_us"), col("ie_us")) -
+              greatest(col("s_us"), col("is_us")))).as("overlap_us"))
+      sess.join(pairs, Seq("user_id", "session_id"), "left")
+        .select(col("user_id"), col("session_id"), col("s_us"),
+          col("e_us"),
+          coalesce(col("n_incidents"), lit(0L)).as("n_incidents"),
+          coalesce(col("overlap_us"), lit(0L)).as("overlap_us"))
+        .orderBy("user_id", "session_id")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -2093,5 +2160,64 @@ object EventQueries extends QueryModule {
         |SELECT day, n_active, n_new, n_returning,
         |  ROUND(CAST(n_returning AS DOUBLE) / CAST(n_active AS DOUBLE),
         |    10) + 0.0 AS returning_share
-        |FROM g ORDER BY day""".stripMargin)
+        |FROM g ORDER BY day""".stripMargin,
+
+    "q227_interval_join" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS session_id,
+        |    EPOCH_US(ts) AS us
+        |  FROM marked),
+        |sb AS (
+        |  SELECT user_id, session_id, MIN(us) AS s_us, MAX(us) AS e_us
+        |  FROM sess GROUP BY 1, 2),
+        |hourly AS (
+        |  SELECT EPOCH_US(DATE_TRUNC('hour', ts)) // 3600000000 AS h,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n_hours, SUM(n) AS total FROM hourly),
+        |busy AS (
+        |  SELECT h FROM hourly CROSS JOIN tot
+        |  WHERE n * n_hours >= total * 2),
+        |isl AS (
+        |  SELECT h, h - ROW_NUMBER() OVER (ORDER BY h) AS grp FROM busy),
+        |inc AS (
+        |  SELECT MIN(h) AS incident_id,
+        |    MIN(h) * 3600000000 AS is_us,
+        |    (MAX(h) + 1) * 3600000000 AS ie_us,
+        |    MIN(h) AS h0, MAX(h) AS h1
+        |  FROM isl GROUP BY grp),
+        |ih AS (
+        |  SELECT incident_id, is_us, ie_us, UNNEST(
+        |    GENERATE_SERIES(h0, h1)) AS h
+        |  FROM inc),
+        |sh AS (
+        |  SELECT user_id, session_id, s_us, e_us, UNNEST(
+        |    GENERATE_SERIES(s_us // 3600000000, e_us // 3600000000)) AS h
+        |  FROM sb),
+        |pr AS (
+        |  SELECT DISTINCT user_id, session_id, incident_id,
+        |    s_us, e_us, is_us, ie_us
+        |  FROM sh JOIN ih USING (h)),
+        |ag AS (
+        |  SELECT user_id, session_id, COUNT(*) AS n_incidents,
+        |    CAST(SUM(GREATEST(0, LEAST(e_us, ie_us)
+        |      - GREATEST(s_us, is_us))) AS BIGINT) AS overlap_us
+        |  FROM pr GROUP BY 1, 2)
+        |SELECT sb.user_id, sb.session_id, sb.s_us, sb.e_us,
+        |  COALESCE(ag.n_incidents, 0) AS n_incidents,
+        |  COALESCE(ag.overlap_us, 0) AS overlap_us
+        |FROM sb LEFT JOIN ag
+        |  ON ag.user_id = sb.user_id AND ag.session_id = sb.session_id
+        |ORDER BY sb.user_id, sb.session_id""".stripMargin)
 }

@@ -195,6 +195,61 @@ object GraphQueries extends QueryModule {
     // pair. Wedge centers have degree ≥ 2, so ln(deg) never hits zero;
     // the AA sum rides the scale-18 exact-decimal carry.
     "q214_link_prediction" -> { (s, dir) =>
+      linkPrediction(graft.llm.SimilarityQueries
+        .mutualKnnEdges(Tables.t(s, dir, "embeddings"), 5)
+        .select(col("label"), col("a_id"), col("b_id")))
+        .orderBy("label", "x", "y")
+    },
+
+    // Local clustering coefficient per node on the mutual-kNN graph —
+    // Watts-Strogatz C(v) = 2T(v) / (deg(v)·(deg(v)−1)): the per-node
+    // density readout that separates tight near-dup neighborhoods
+    // (C → 1: neighbors all know each other — one survivor suffices)
+    // from hub/bridge nodes (C → 0) — the node-level refinement of
+    // q147's raw triangle counts. Plan: ONE checkpointed edge list
+    // feeds both the degree aggregation (explode both endpoints, count)
+    // and the oriented-triangle join; the left join fills triangle-free
+    // nodes with 0. Scale shape inherits q147's: degree ≤ k by
+    // construction, so edges are n·k-sized and wedges n·k²-bounded —
+    // corpus-linear. The coefficient is one IEEE division of exact
+    // integers, rounded at 6 with the -0.0 fold.
+    "q225_clustering_coefficient" -> { (s, dir) =>
+      val e = graft.llm.SimilarityQueries
+        .mutualKnnEdges(Tables.t(s, dir, "embeddings"), 5)
+        .select(col("label"), col("a_id"), col("b_id"))
+        .localCheckpoint()
+      val deg = e.select(col("label"),
+          explode(array(col("a_id"), col("b_id"))).as("vec_id"))
+        .groupBy(col("label"), col("vec_id"))
+        .agg(count(lit(1)).as("degree"))
+      val tri = triangleCounts(e)
+      deg.join(tri, Seq("label", "vec_id"), "left")
+        .select(col("label"), col("vec_id"), col("degree"),
+          coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+          when(col("degree") >= 2,
+            round(lit(2.0) * coalesce(col("n_triangles"), lit(0L))
+                .cast("double") /
+              (col("degree") * (col("degree") - 1)).cast("double"), 6)
+              + lit(0.0))
+            .otherwise(lit(0.0)).as("clustering"))
+        .orderBy("label", "vec_id")
+    },
+
+    // Degree assortativity (Newman 2002) per label block: the Pearson
+    // correlation of endpoint degrees over the directed edge list — does
+    // this similarity graph wire hubs to hubs (assortative, r > 0:
+    // dense semantic cores) or hubs to leaves (disassortative, r < 0:
+    // hub-and-spoke boilerplate patterns)? One number per block, the
+    // graph-topology drift signal to monitor across corpus versions.
+    // Plan: degrees from one aggregation over the exploded adjacency,
+    // joined back onto both endpoints of each directed edge (both joins
+    // co-keyed on the node), then a single moment aggregation. All five
+    // moments are sums of bounded integer products (deg ≤ k), so the
+    // sums are exact longs and r is one double expression over them,
+    // identical bits in both engines; a zero-variance block yields NULL
+    // (no correlation is defined there), stated with the same CASE in
+    // the oracle.
+    "q230_degree_assortativity" -> { (s, dir) =>
       val e = graft.llm.SimilarityQueries
         .mutualKnnEdges(Tables.t(s, dir, "embeddings"), 5)
         .select(col("label"), col("a_id"), col("b_id"))
@@ -205,22 +260,26 @@ object GraphQueries extends QueryModule {
         .select(col("label"), col("p.src").as("src"), col("p.dst").as("dst"))
       val deg = adj.groupBy(col("label"), col("src"))
         .agg(count(lit(1)).as("deg"))
-      adj.select(col("label"), col("dst").as("x"), col("src").as("b"))
-        .join(adj.select(col("label"), col("src").as("b"),
-          col("dst").as("y")), Seq("label", "b"))
-        .filter(col("x") < col("y"))
-        .join(e.select(col("label"), col("a_id").as("x"),
-          col("b_id").as("y")), Seq("label", "x", "y"), "left_anti")
-        .join(deg.select(col("label"), col("src").as("b"), col("deg")),
-          Seq("label", "b"))
-        .groupBy(col("label"), col("x"), col("y"))
-        .agg(count(lit(1)).as("common_neighbors"),
-          Fns.dsum18(lit(1.0) / log(col("deg").cast("double"))).as("aa"))
-        .filter(col("common_neighbors") >= 2)
-        .select(col("label"), col("x"), col("y"),
-          col("common_neighbors"),
-          (round(col("aa"), 6) + lit(0.0)).as("adamic_adar"))
-        .orderBy("label", "x", "y")
+      val xy = adj
+        .join(deg.select(col("label"), col("src"), col("deg").as("dx")),
+          Seq("label", "src"))
+        .join(deg.select(col("label"), col("src").as("dst"),
+          col("deg").as("dy")), Seq("label", "dst"))
+      val m = xy.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_edges"),
+          sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+          sum(col("dx") * col("dy")).as("sxy"),
+          sum(col("dx") * col("dx")).as("sxx"),
+          sum(col("dy") * col("dy")).as("syy"))
+      val num = col("n_edges") * col("sxy") - col("sx") * col("sy")
+      val vx = col("n_edges") * col("sxx") - col("sx") * col("sx")
+      val vy = col("n_edges") * col("syy") - col("sy") * col("sy")
+      m.select(col("label"), col("n_edges"),
+          when(vx > 0 && vy > 0,
+            round(num.cast("double") /
+              sqrt(vx.cast("double") * vy.cast("double")), 6) + lit(0.0))
+            .as("assortativity"))
+        .orderBy("label")
     })
 
   /** Fixed-depth single-source BFS from the smallest node id of an
@@ -260,6 +319,36 @@ object GraphQueries extends QueryModule {
     * vec_id, n_triangles) for nodes in at least one triangle, unsorted
     * (callers add their presentation ORDER BY).
     */
+  /** Common-neighbor + Adamic-Adar scoring of non-edges over any
+    * oriented mutual edge list (label, a_id, b_id) — q214's kernel,
+    * parameterized on the edge builder so the exact (label-blocked
+    * all-pairs, oracle-checkable) and scaled-k (IVF-probed, production)
+    * kNN graphs run the identical downstream plan. */
+  def linkPrediction(edges: DataFrame): DataFrame = {
+    val e = edges.localCheckpoint()
+    val adj = e.select(col("label"), explode(array(
+        struct(col("a_id").as("src"), col("b_id").as("dst")),
+        struct(col("b_id").as("src"), col("a_id").as("dst")))).as("p"))
+      .select(col("label"), col("p.src").as("src"), col("p.dst").as("dst"))
+    val deg = adj.groupBy(col("label"), col("src"))
+      .agg(count(lit(1)).as("deg"))
+    adj.select(col("label"), col("dst").as("x"), col("src").as("b"))
+      .join(adj.select(col("label"), col("src").as("b"),
+        col("dst").as("y")), Seq("label", "b"))
+      .filter(col("x") < col("y"))
+      .join(e.select(col("label"), col("a_id").as("x"),
+        col("b_id").as("y")), Seq("label", "x", "y"), "left_anti")
+      .join(deg.select(col("label"), col("src").as("b"), col("deg")),
+        Seq("label", "b"))
+      .groupBy(col("label"), col("x"), col("y"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        Fns.dsum18(lit(1.0) / log(col("deg").cast("double"))).as("aa"))
+      .filter(col("common_neighbors") >= 2)
+      .select(col("label"), col("x"), col("y"),
+        col("common_neighbors"),
+        (round(col("aa"), 6) + lit(0.0)).as("adamic_adar"))
+  }
+
   def triangleCounts(edges: DataFrame): DataFrame = {
     val e = edges.localCheckpoint()
     val e1 = e.select(col("label"), col("a_id").as("a"),
@@ -497,5 +586,94 @@ object GraphQueries extends QueryModule {
         |SELECT label, x, y, common_neighbors,
         |  ROUND(aa, 6) + 0.0 AS adamic_adar
         |FROM sc WHERE common_neighbors >= 2
-        |ORDER BY label, x, y""".stripMargin))
+        |ORDER BY label, x, y""".stripMargin),
+
+    // q147's chain plus a degree CTE; triangle-free nodes left-join to 0
+    "q225_clustering_coefficient" ->
+      """WITH e AS (
+        |  SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
+        |    LIST_COSINE_SIMILARITY(a.v, b.v) AS cos
+        |  FROM e a JOIN e b
+        |    ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |r AS (
+        |  SELECT label, a_id, b_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY a_id
+        |                       ORDER BY cos DESC, b_id ASC) AS rnk
+        |  FROM s),
+        |knn AS (SELECT label, a_id, b_id FROM r WHERE rnk <= 5),
+        |mu AS MATERIALIZED (
+        |  SELECT k.label, k.a_id, k.b_id
+        |  FROM knn k JOIN knn m
+        |    ON k.label = m.label AND k.a_id = m.b_id AND k.b_id = m.a_id
+        |  WHERE k.a_id < k.b_id),
+        |dg AS (
+        |  SELECT label, vec_id, COUNT(*) AS degree FROM (
+        |    SELECT label, UNNEST([a_id, b_id]) AS vec_id FROM mu)
+        |  GROUP BY 1, 2),
+        |tri AS (
+        |  SELECT e1.label, e1.a_id AS a, e1.b_id AS b, e2.b_id AS c
+        |  FROM mu e1
+        |  JOIN mu e2 ON e1.label = e2.label AND e2.a_id = e1.b_id
+        |  JOIN mu e3 ON e3.label = e1.label AND e3.a_id = e1.a_id
+        |    AND e3.b_id = e2.b_id),
+        |tc AS (
+        |  SELECT label, vec_id, COUNT(*) AS n_triangles FROM (
+        |    SELECT label, UNNEST([a, b, c]) AS vec_id FROM tri)
+        |  GROUP BY 1, 2)
+        |SELECT dg.label, dg.vec_id, dg.degree,
+        |  COALESCE(tc.n_triangles, 0) AS n_triangles,
+        |  CASE WHEN dg.degree >= 2 THEN
+        |    ROUND(2.0 * CAST(COALESCE(tc.n_triangles, 0) AS DOUBLE)
+        |      / CAST(dg.degree * (dg.degree - 1) AS DOUBLE), 6) + 0.0
+        |  ELSE 0.0 END AS clustering
+        |FROM dg LEFT JOIN tc
+        |  ON tc.label = dg.label AND tc.vec_id = dg.vec_id
+        |ORDER BY dg.label, dg.vec_id""".stripMargin,
+
+    // q129's chain, degrees joined onto both endpoints, one moment agg
+    "q230_degree_assortativity" ->
+      """WITH e AS (
+        |  SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
+        |    LIST_COSINE_SIMILARITY(a.v, b.v) AS cos
+        |  FROM e a JOIN e b
+        |    ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |r AS (
+        |  SELECT label, a_id, b_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY a_id
+        |                       ORDER BY cos DESC, b_id ASC) AS rnk
+        |  FROM s),
+        |knn AS (SELECT label, a_id, b_id FROM r WHERE rnk <= 5),
+        |mu AS MATERIALIZED (
+        |  SELECT k.label, k.a_id, k.b_id
+        |  FROM knn k JOIN knn m
+        |    ON k.label = m.label AND k.a_id = m.b_id AND k.b_id = m.a_id
+        |  WHERE k.a_id < k.b_id),
+        |adj AS MATERIALIZED (
+        |  SELECT label, a_id AS src, b_id AS dst FROM mu
+        |  UNION ALL SELECT label, b_id, a_id FROM mu),
+        |dg AS (SELECT label, src, COUNT(*) AS deg FROM adj GROUP BY 1, 2),
+        |m AS (
+        |  SELECT adj.label, COUNT(*) AS n_edges,
+        |    SUM(dx.deg) AS sx, SUM(dy.deg) AS sy,
+        |    SUM(dx.deg * dy.deg) AS sxy,
+        |    SUM(dx.deg * dx.deg) AS sxx,
+        |    SUM(dy.deg * dy.deg) AS syy
+        |  FROM adj
+        |  JOIN dg dx ON dx.label = adj.label AND dx.src = adj.src
+        |  JOIN dg dy ON dy.label = adj.label AND dy.src = adj.dst
+        |  GROUP BY 1)
+        |SELECT label, n_edges,
+        |  CASE WHEN n_edges * sxx - sx * sx > 0
+        |        AND n_edges * syy - sy * sy > 0 THEN
+        |    ROUND(CAST(n_edges * sxy - sx * sy AS DOUBLE)
+        |      / SQRT(CAST(n_edges * sxx - sx * sx AS DOUBLE)
+        |           * CAST(n_edges * syy - sy * sy AS DOUBLE)), 6) + 0.0
+        |  END AS assortativity
+        |FROM m ORDER BY label""".stripMargin)
 }

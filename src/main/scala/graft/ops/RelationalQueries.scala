@@ -1153,6 +1153,80 @@ object RelationalQueries extends QueryModule {
           col("d.st").as("status_at_event"),
           col("d.since").as("since_us"))
         .orderBy("event_id")
+    },
+
+    // Weighted percentiles per group — the quantity-weighted median/p90
+    // of line price (every unit shipped votes, not every line): the
+    // correct location statistic whenever rows carry replication weights
+    // (sampled corpora with inverse-probability weights, token-weighted
+    // doc stats, unit-weighted prices). Definition: smallest value whose
+    // cumulative weight reaches p of the group total; crossings are
+    // exact integer comparisons (2·cw ≥ tw — no quantile arithmetic in
+    // doubles). Scale shape: the naive spelling is ONE cumulative
+    // window partitioned by the group key — with a LOW-CARDINALITY
+    // group (3 flags) that single-threads the whole table through 3
+    // window tasks (measured 8.5× at 10× data). This spelling is the
+    // q91 two-phase prefix sum instead: partition the cumulative work
+    // by (group, static value bucket) — parallel across ~gx55 cells —
+    // then close each bucket's offset from the tiny per-bucket totals
+    // (a #cells-row window) and broadcast it back. cw = bucket offset +
+    // within-bucket RANGE cumulative ≡ total weight of values ≤ v,
+    // because a tied value lands in exactly one bucket. Tie-safe,
+    // deterministic, and every corpus-sized stage is hash-parallel.
+    "q226_weighted_percentile" -> { (s, dir) =>
+      val li = Tables.t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          col("l_extendedprice").as("v"),
+          col("l_quantity").cast("long").as("w"))
+        .withColumn("bkt", floor(col("v") / 2000.0).cast("long"))
+      val wLoc = Window.partitionBy(col("flag"), col("bkt"))
+        .orderBy(col("v"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val bt = li.groupBy(col("flag"), col("bkt"))
+        .agg(sum(col("w")).as("bw"))
+      val wOff = Window.partitionBy(col("flag")).orderBy(col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wTot = Window.partitionBy(col("flag"))
+      val off = bt.select(col("flag"), col("bkt"),
+        coalesce(sum(col("bw")).over(wOff), lit(0L)).as("off"),
+        sum(col("bw")).over(wTot).as("tw"))
+      li.join(broadcast(off), Seq("flag", "bkt"))
+        .select(col("flag"), col("v"), col("tw"),
+          (col("off") + sum(col("w")).over(wLoc)).as("cw"))
+        .groupBy(col("flag"))
+        .agg(max(col("tw")).as("total_w"),
+          min(when(col("cw") * 2 >= col("tw"), col("v"))).as("wmedian"),
+          min(when(col("cw") * 10 >= col("tw") * 9, col("v"))).as("wp90"))
+        .orderBy("flag")
+    },
+
+    // Candidate-key discovery — the profiling question schema inference
+    // and upsert-pk selection start from (the reference REQUIRES a
+    // unique key for its ON CONFLICT merge, operations.py:348-351 adds
+    // the UNIQUE constraint; this op finds which column sets qualify):
+    // for each candidate column set, is COUNT(DISTINCT set) == COUNT(*)?
+    // Plan: one distinct-aggregate per candidate over a pruned scan
+    // (only the candidate's columns read), unioned into a #candidates-
+    // sized report — embarrassingly parallel across candidates, each a
+    // single hash aggregation; no candidate enumeration blowup (the
+    // tested set is the declared shortlist, not the powerset).
+    "q229_candidate_keys" -> { (s, dir) =>
+      val o = Tables.t(s, dir, "orders")
+      val cands: Seq[(String, Seq[String])] = Seq(
+        "o_orderkey" -> Seq("o_orderkey"),
+        "o_custkey" -> Seq("o_custkey"),
+        "o_orderdate" -> Seq("o_orderdate"),
+        "o_custkey,o_orderdate" -> Seq("o_custkey", "o_orderdate"),
+        "o_orderpriority,o_orderdate" -> Seq("o_orderpriority", "o_orderdate"))
+      cands.map { case (name, cols) =>
+        val n = o.select(cols.map(col): _*)
+        n.agg(count(lit(1)).as("n_rows"),
+            count_distinct(struct(cols.map(col): _*)).as("n_distinct"))
+          .select(lit(name).as("candidate"), col("n_rows"),
+            col("n_distinct"),
+            when(col("n_distinct") === col("n_rows"), 1)
+              .otherwise(0).as("is_key"))
+      }.reduce(_.unionByName(_)).orderBy("candidate")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -1846,5 +1920,61 @@ object RelationalQueries extends QueryModule {
         |FROM e LEFT JOIN v
         |  ON v.cust = e.user_id AND v.valid_from <= e.eus
         |  AND (v.valid_to IS NULL OR e.eus < v.valid_to)
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin,
+
+    // RANGE cumulative frame in both engines: tied values share cw, so
+    // the crossing value is deterministic; crossings are exact-integer
+    "q226_weighted_percentile" ->
+      """WITH c AS (
+        |  SELECT l_returnflag AS flag, l_extendedprice AS v,
+        |    SUM(CAST(l_quantity AS BIGINT)) OVER (
+        |      PARTITION BY l_returnflag ORDER BY l_extendedprice
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |    SUM(CAST(l_quantity AS BIGINT)) OVER (
+        |      PARTITION BY l_returnflag) AS tw
+        |  FROM lineitem)
+        |SELECT flag, MAX(tw) AS total_w,
+        |  MIN(CASE WHEN cw * 2 >= tw THEN v END) AS wmedian,
+        |  MIN(CASE WHEN cw * 10 >= tw * 9 THEN v END) AS wp90
+        |FROM c GROUP BY flag ORDER BY flag""".stripMargin,
+
+    "q229_candidate_keys" ->
+      """SELECT 'o_orderkey' AS candidate, COUNT(*) AS n_rows,
+        |  (SELECT COUNT(*) FROM (SELECT DISTINCT o_orderkey FROM orders))
+        |    AS n_distinct,
+        |  CASE WHEN (SELECT COUNT(*) FROM
+        |    (SELECT DISTINCT o_orderkey FROM orders)) = COUNT(*)
+        |    THEN 1 ELSE 0 END AS is_key
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', COUNT(*),
+        |  (SELECT COUNT(*) FROM (SELECT DISTINCT o_custkey FROM orders)),
+        |  CASE WHEN (SELECT COUNT(*) FROM
+        |    (SELECT DISTINCT o_custkey FROM orders)) = COUNT(*)
+        |    THEN 1 ELSE 0 END
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderdate', COUNT(*),
+        |  (SELECT COUNT(*) FROM (SELECT DISTINCT o_orderdate FROM orders)),
+        |  CASE WHEN (SELECT COUNT(*) FROM
+        |    (SELECT DISTINCT o_orderdate FROM orders)) = COUNT(*)
+        |    THEN 1 ELSE 0 END
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey,o_orderdate', COUNT(*),
+        |  (SELECT COUNT(*) FROM
+        |    (SELECT DISTINCT o_custkey, o_orderdate FROM orders)),
+        |  CASE WHEN (SELECT COUNT(*) FROM
+        |    (SELECT DISTINCT o_custkey, o_orderdate FROM orders))
+        |    = COUNT(*) THEN 1 ELSE 0 END
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority,o_orderdate', COUNT(*),
+        |  (SELECT COUNT(*) FROM
+        |    (SELECT DISTINCT o_orderpriority, o_orderdate FROM orders)),
+        |  CASE WHEN (SELECT COUNT(*) FROM
+        |    (SELECT DISTINCT o_orderpriority, o_orderdate FROM orders))
+        |    = COUNT(*) THEN 1 ELSE 0 END
+        |FROM orders
+        |ORDER BY candidate""".stripMargin)
 }

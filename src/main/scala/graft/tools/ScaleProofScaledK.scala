@@ -17,9 +17,14 @@ import org.apache.spark.sql.functions._
 
 object ScaleProofScaledK {
   def main(args: Array[String]): Unit = {
+    // optional section filter: q173 | q89 | q214 (solo clean-window runs
+    // — successive heavy sections interfere through JVM heap state)
+    val only: Option[String] = args.headOption
     val dirs = Seq(
       "sf0.1" -> "/root/testdata/sf0.1",
-      "sf1"   -> sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "scaledata/sf1"))
+      "sf1"   -> sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "scaledata/sf1")) ++
+      (if (new java.io.File("scaledata/sf2").isDirectory)
+        Seq("sf2" -> "scaledata/sf2") else Seq.empty)
     val spark = SparkSession.builder().master("local[32]")
       .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "32")
@@ -48,6 +53,7 @@ object ScaleProofScaledK {
       val kScaled = math.ceil(math.sqrt(n.toDouble)).toInt
 
       // fixed-k (the declared q173 configuration: label cells)
+      if (only.forall(_ == "q173")) {
       val tFixed = medianOf(() =>
         graft.SparkEntry.queries("q173_knn_eval")(spark, dir)
           .write.format("noop").mode("overwrite").save())
@@ -77,7 +83,9 @@ object ScaleProofScaledK {
       }
       println(f"${"q173 scaled-k (kmeans)"}%-26s $tag%-6s $n%8d $kScaled%5d " +
         f"$tScaled%9.2f $candScaled%12d")
+      }
 
+      if (only.forall(_ == "q89")) {
       // q89 semantic dedup, both cell structures (candidate volume for the
       // within-cell pair join is sum over cells of c*(c-1)/2)
       val tSemF = medianOf(() =>
@@ -104,6 +112,38 @@ object ScaleProofScaledK {
       }
       println(f"${"q89 scaled-k (kmeans)"}%-26s $tag%-6s $n%8d $kScaled%5d " +
         f"$tSemS%9.2f $pairsS%12d")
+      }
+
+      if (only.forall(_ == "q214")) {
+      // q214 link prediction over both kNN-graph builders. The exact
+      // builder scores label-blocked ALL-PAIRS (N²/|labels| cosines —
+      // the quadratic the 20x point exposed); the scaled-k builder's
+      // candidates come from 2 probed IVF cells (N·√N). Candidate
+      // volume = rows entering the top-k ranking.
+      val tLpF = medianOf(() =>
+        graft.SparkEntry.queries("q214_link_prediction")(spark, dir)
+          .write.format("noop").mode("overwrite").save())
+      val candLpF = n * n / 10 // label-blocked all-pairs, 10 labels
+      println(f"${"q214 exact kNN (labels)"}%-26s $tag%-6s $n%8d ${10}%5d " +
+        f"$tLpF%9.2f $candLpF%12d")
+
+      val tLpS = medianOf(() =>
+        graft.ops.GraphQueries.linkPrediction(
+          SimilarityQueries.mutualKnnEdgesScaledK(e, 5, kScaled, 2)
+            .select(col("label"), col("a_id"), col("b_id")))
+          .write.format("noop").mode("overwrite").save())
+      val candS214 = graft.Checkpoints.freeingAfter(spark) {
+        val scored = SimilarityQueries.knnScoredScaledK(e, kScaled, 2)
+        val probes = scored.groupBy(col("cell"))
+          .agg(count(lit(1)).as("probes"))
+        val posts = scored.filter(col("rnk") === 1).groupBy(col("cell"))
+          .agg(count(lit(1)).as("posts"))
+        probes.join(posts, "cell")
+          .agg(sum(col("probes") * col("posts"))).head().getLong(0)
+      }
+      println(f"${"q214 scaled-k kNN"}%-26s $tag%-6s $n%8d $kScaled%5d " +
+        f"$tLpS%9.2f ${candS214}%12d")
+      }
     }
     spark.stop()
   }

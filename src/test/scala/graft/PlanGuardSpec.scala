@@ -56,7 +56,8 @@ class PlanGuardSpec extends AnyFunSuite {
       "q212_cuped", // 1-row pooled θ/x̄ × the 2-row arm table
       "q220_abc_pareto", // 1-row revenue total × the ranked part domain
       "q221_mean_impute", // 1-row global-mean fallback × the scan
-      "q222_rolling_origin") // 1-row min-day × the daily rollup
+      "q222_rolling_origin", // 1-row min-day × the daily rollup
+      "q227_interval_join") // 1-row hour-count/total × the hourly rollup
       // (q173's centroid probe BNLJ runs inside its eager checkpoint —
       // the declared plan reads the materialized ranked frame)
 
@@ -107,6 +108,15 @@ class PlanGuardSpec extends AnyFunSuite {
                                   // grid zero-fill join + per-source agg
                                   // + sort — every frame after cnt is
                                   // dimension-sized (q166's grid shape)
+    "q227_interval_join" -> 7,    // session window+agg (user key, shared)
+                                  // + hourly agg + 1-row totals + busy
+                                  // islands + hour-key join + per-session
+                                  // pair agg + sort — incident side is
+                                  // busy-hours-sized, never corpus-sized
+    "q229_candidate_keys" -> 10,  // two-phase distinct-count aggregation
+                                  // × 5 declared candidates — each frame
+                                  // collapses to 1 row after its agg; the
+                                  // union is 5 rows
     "q148_containment_pairs" -> 10, // df-ordered postings build (dfreq agg
                                   // + rank window) feeding BOTH probe and
                                   // index branches + candidate join +

@@ -192,6 +192,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r1.map(_.toSeq).toSeq == r2.map(_.toSeq).toSeq)
   }
 
+  test("scaled-k mutual-kNN edges are oriented, mutual, and degree-bounded") {
+    val e = graft.Tables.t(spark, TestSpark.Sf, "embeddings")
+    val k = 5
+    val cells = math.ceil(math.sqrt(e.count().toDouble)).toInt
+    val edges = SimilarityQueries.mutualKnnEdgesScaledK(e, k, cells, 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // oriented: a < b, no duplicates
+    assert(edges.forall { case (a, b) => a < b })
+    assert(edges.distinct.length == edges.length)
+    // degree bound: mutuality keeps each node's degree <= k
+    val deg = edges.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).view.mapValues(_.length)
+    assert(deg.values.forall(_ <= k))
+  }
+
   test("scaled-k semantic dedup keeps the lowest id of each similar group") {
     val e = graft.Tables.t(spark, TestSpark.Sf, "embeddings")
     val n = e.count()
