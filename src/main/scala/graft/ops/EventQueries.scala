@@ -1318,6 +1318,102 @@ object EventQueries extends QueryModule {
           coalesce(col("n_incidents"), lit(0L)).as("n_incidents"),
           coalesce(col("overlap_us"), lit(0L)).as("overlap_us"))
         .orderBy("user_id", "session_id")
+    },
+
+    // Additive seasonal decomposition (STL-lite): daily volume splits
+    // into trend (centered 7-day moving average), day-of-week seasonal
+    // (mean detrended value per weekday slot), and residual — the
+    // decomposition behind q202's anomaly flags, exposed as a table so
+    // forecasting/monitoring reads each component directly. Scale
+    // shape: the ONLY corpus-sized stage is the first day rollup;
+    // every window after runs on the day-domain frame (≤ log-span
+    // rows). Trend divisions are single IEEE ops on exact longs; the
+    // seasonal mean sums detrended doubles through the scale-18 carry
+    // so weekday groups aggregate order-independently.
+    "q234_seasonal_decomposition" -> { (s, dir) =>
+      val daily = Tables.t(s, dir, "events")
+        .groupBy(expr("unix_micros(date_trunc('day', ts)) div 86400000000")
+          .as("d"))
+        .agg(count(lit(1)).as("n"))
+      val wMa = Window.orderBy(col("d")).rangeBetween(-3, 3)
+      val t = daily
+        .withColumn("trend",
+          sum(col("n")).over(wMa).cast("double") /
+            count(lit(1)).over(wMa).cast("double"))
+        .withColumn("det", col("n").cast("double") - col("trend"))
+      val seas = t.groupBy((col("d") % 7).as("dow"))
+        .agg((dsum18(col("det")) /
+          count(lit(1)).cast("double")).as("seasonal"))
+      t.join(broadcast(seas), col("d") % 7 === col("dow"))
+        .select(col("d").as("day"), col("n"),
+          (round(col("trend"), 6) + lit(0.0)).as("trend"),
+          (round(col("seasonal"), 6) + lit(0.0)).as("seasonal"),
+          (round(col("det") - col("seasonal"), 6) + lit(0.0))
+            .as("residual"))
+        .orderBy("day")
+    },
+
+    // Autocorrelation function of daily volume at lags 1..7 — is the
+    // series weekly-periodic (high ACF at 7), trending (slow decay), or
+    // noise (flat)? The one-table readout that decides whether q202's
+    // weekday model or q234's decomposition is even warranted. Scale
+    // shape: day rollup once, then a lag-spine × day-domain self-join —
+    // both sides ≤ log-span rows, every sum an exact integer product;
+    // Pearson r per lag is one double expression over the moment row.
+    "q235_autocorrelation" -> { (s, dir) =>
+      val daily = Tables.t(s, dir, "events")
+        .groupBy(expr("unix_micros(date_trunc('day', ts)) div 86400000000")
+          .as("d"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val lags = s.range(1, 8).select(col("id").as("lag"))
+      val pairs = daily.select(col("d"), col("n").as("x"))
+        .crossJoin(broadcast(lags))
+        .join(daily.select((col("d")).as("d2"), col("n").as("y")),
+          col("d") === col("d2") + col("lag"))
+      val m = pairs.groupBy(col("lag"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+      val nD = col("n_pairs").cast("double")
+      val num = nD * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")
+      val vx = nD * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double")
+      val vy = nD * col("syy").cast("double") -
+        col("sy").cast("double") * col("sy").cast("double")
+      m.select(col("lag"), col("n_pairs"),
+          when(vx > 0 && vy > 0,
+            round(num / sqrt(vx * vy), 6) + lit(0.0)).as("acf"))
+        .orderBy("lag")
+    },
+
+    // Activity-gap census — q205's complement: instead of presence
+    // streaks, the ABSENCE runs (how many gaps, how long, how much
+    // calendar time missed per user) — the churn-risk / re-engagement
+    // readout. One user-keyed window pass over the user-day distinct:
+    // gap = day minus previous active day minus 1 where positive; the
+    // per-user rollup rides the same partitioning. User cardinality is
+    // high, so the window parallelizes; all values exact integers.
+    "q237_gap_census" -> { (s, dir) =>
+      val ud = Tables.t(s, dir, "events")
+        .select(col("user_id"),
+          expr("unix_micros(date_trunc('day', ts)) div 86400000000")
+            .as("d"))
+        .distinct()
+      val wU = Window.partitionBy(col("user_id")).orderBy(col("d"))
+      ud.withColumn("gap", col("d") - lag(col("d"), 1).over(wU) - 1)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_active_days"),
+          (max(col("d")) - min(col("d")) + 1).as("span_days"),
+          sum(when(col("gap") > 0, 1L).otherwise(0L)).as("n_gaps"),
+          coalesce(max(when(col("gap") > 0, col("gap"))), lit(0L))
+            .as("longest_gap"),
+          coalesce(sum(when(col("gap") > 0, col("gap"))), lit(0L))
+            .as("days_missed"))
+        .orderBy("user_id")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -2219,5 +2315,80 @@ object EventQueries extends QueryModule {
         |  COALESCE(ag.overlap_us, 0) AS overlap_us
         |FROM sb LEFT JOIN ag
         |  ON ag.user_id = sb.user_id AND ag.session_id = sb.session_id
-        |ORDER BY sb.user_id, sb.session_id""".stripMargin)
+        |ORDER BY sb.user_id, sb.session_id""".stripMargin,
+
+    "q234_seasonal_decomposition" -> (
+      """WITH daily AS (
+        |  SELECT EPOCH_US(DATE_TRUNC('day', ts)) // 86400000000 AS d,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1),
+        |t AS (
+        |  SELECT d, n,
+        |    CAST(SUM(n) OVER w AS DOUBLE)
+        |      / CAST(COUNT(*) OVER w AS DOUBLE) AS trend
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY d RANGE BETWEEN 3 PRECEDING
+        |    AND 3 FOLLOWING)),
+        |dt AS (SELECT d, n, trend, CAST(n AS DOUBLE) - trend AS det
+        |  FROM t),
+        |se AS (
+        |  SELECT d % 7 AS dow,
+        |    """.stripMargin + dsum18Sql("det") +
+        """ / CAST(COUNT(*) AS DOUBLE) AS seasonal
+        |  FROM dt GROUP BY 1)
+        |SELECT d AS day, n,
+        |  ROUND(trend, 6) + 0.0 AS trend,
+        |  ROUND(seasonal, 6) + 0.0 AS seasonal,
+        |  ROUND(det - seasonal, 6) + 0.0 AS residual
+        |FROM dt JOIN se ON dt.d % 7 = se.dow
+        |ORDER BY day""".stripMargin),
+
+    "q235_autocorrelation" ->
+      """WITH daily AS (
+        |  SELECT EPOCH_US(DATE_TRUNC('day', ts)) // 86400000000 AS d,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1),
+        |lags AS (SELECT UNNEST(GENERATE_SERIES(1, 7)) AS lag),
+        |p AS (
+        |  SELECT l.lag, a.n AS x, b.n AS y
+        |  FROM lags l
+        |  JOIN daily a ON TRUE
+        |  JOIN daily b ON a.d = b.d + l.lag),
+        |m AS (
+        |  SELECT lag, COUNT(*) AS n_pairs,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+        |    SUM(x * x) AS sxx, SUM(y * y) AS syy
+        |  FROM p GROUP BY 1)
+        |SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+        |  CASE WHEN CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+        |    AND CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0 THEN
+        |    ROUND((CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / SQRT((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) + 0.0
+        |  END AS acf
+        |FROM m ORDER BY lag""".stripMargin,
+
+    "q237_gap_census" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |    EPOCH_US(DATE_TRUNC('day', ts)) // 86400000000 AS d
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, d,
+        |    d - LAG(d) OVER (PARTITION BY user_id ORDER BY d) - 1 AS gap
+        |  FROM ud)
+        |SELECT user_id, COUNT(*) AS n_active_days,
+        |  MAX(d) - MIN(d) + 1 AS span_days,
+        |  CAST(SUM(CASE WHEN gap > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_gaps,
+        |  COALESCE(MAX(CASE WHEN gap > 0 THEN gap END), 0)
+        |    AS longest_gap,
+        |  CAST(COALESCE(SUM(CASE WHEN gap > 0 THEN gap END), 0)
+        |    AS BIGINT) AS days_missed
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin)
 }

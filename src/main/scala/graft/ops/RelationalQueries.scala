@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   * sort); window functions shuffle once on the partition key.
   */
 object RelationalQueries extends QueryModule {
-  import Fns.{dsum, dsumSql}
+  import Fns.{dsum, dsumSql, dsum18, dsum18Sql}
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Inner equi-join chain over the fact tables + group-agg.
@@ -1227,6 +1227,123 @@ object RelationalQueries extends QueryModule {
             when(col("n_distinct") === col("n_rows"), 1)
               .otherwise(0).as("is_key"))
       }.reduce(_.unionByName(_)).orderBy("candidate")
+    },
+
+    // Grouped OLS fit — per-brand least-squares of line price on
+    // quantity with R²: the elasticity/sanity regression analysts run
+    // per segment (does price scale with volume, and how tightly?).
+    // Scale shape: ONE aggregation collapses the fact table to six
+    // moments per group (n, Σx, Σy, Σxy, Σx², Σy²) — the classic
+    // map-side-combining moment rollup; slope/intercept/R² are then
+    // closed-form arithmetic on the #groups-row frame. Determinism: x
+    // is integer-valued (exact long sums); every sum involving the
+    // double y rides the scale-18 exact-decimal carry, so the six
+    // moments are bit-identical under any partitioning and the final
+    // doubles are one shared expression, rounded at 6.
+    "q232_grouped_ols" -> { (s, dir) =>
+      val d = Tables.t(s, dir, "lineitem")
+        .join(Tables.t(s, dir, "part"),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand").as("brand"),
+          col("l_quantity").cast("long").as("x"),
+          col("l_extendedprice").as("y"))
+      val m = d.groupBy(col("brand"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"),
+          dsum18(col("y")).as("sy"),
+          dsum18(col("x").cast("double") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          dsum18(col("y") * col("y")).as("syy"))
+      val nD = col("n").cast("double")
+      val sxD = col("sx").cast("double")
+      val syD = col("sy").cast("double")
+      val num = nD * col("sxy").cast("double") - sxD * syD
+      val vx = nD * col("sxx").cast("double") - sxD * sxD
+      val vy = nD * col("syy").cast("double") - syD * syD
+      m.select(col("brand"), col("n"),
+          (round(num / vx, 6) + lit(0.0)).as("slope"),
+          (round((syD - (num / vx) * sxD) / nD, 6) + lit(0.0))
+            .as("intercept"),
+          (round(num * num / (vx * vy), 6) + lit(0.0)).as("r2"))
+        .orderBy("brand")
+    },
+
+    // Exact trimmed mean per group — the robust location statistic
+    // beside q104's winsorize (winsorize CLAMPS the tails; the trim
+    // DROPS them): mean of the middle 90% of rows per group, tails cut
+    // by exact row count. Scale shape: the global per-group rank uses
+    // the q220/q226 two-phase spelling — local row_number within
+    // (group, static value bucket) + bucket-count offsets closed on a
+    // tiny frame and broadcast back — because ranking by a 3-value
+    // group key directly would single-thread the table. The trim
+    // bounds are exact integer arithmetic on the group count; the kept
+    // rows' mean rides the exact-decimal carry. Ties order by the
+    // unique line key, identically in both engines.
+    "q233_trimmed_mean" -> { (s, dir) =>
+      val li = Tables.t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          col("l_extendedprice").as("v"),
+          col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
+        .withColumn("bkt", floor(col("v") / 2000.0).cast("long"))
+      val wLoc = Window.partitionBy(col("flag"), col("bkt"))
+        .orderBy(col("v"), col("ok"), col("ln"))
+      val bt = li.groupBy(col("flag"), col("bkt"))
+        .agg(count(lit(1)).as("bn"))
+      val wOff = Window.partitionBy(col("flag")).orderBy(col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wTot = Window.partitionBy(col("flag"))
+      val off = bt.select(col("flag"), col("bkt"),
+        coalesce(sum(col("bn")).over(wOff), lit(0L)).as("off"),
+        sum(col("bn")).over(wTot).as("tn"))
+      li.join(broadcast(off), Seq("flag", "bkt"))
+        .withColumn("rn", col("off") + row_number().over(wLoc))
+        .withColumn("cut", floor(col("tn") * 5 / 100))
+        .filter(col("rn") > col("cut") && col("rn") <= col("tn") - col("cut"))
+        .groupBy(col("flag"))
+        .agg(count(lit(1)).as("n_kept"),
+          (round(dsum(col("v")) / count(lit(1)).cast("double"), 6)
+            + lit(0.0)).as("trimmed_mean"))
+        .orderBy("flag")
+    },
+
+    // Interval coalescing — merge each supplier's overlapping/adjacent
+    // shipping windows into maximal covered spans (the gaps-and-islands
+    // generalization from points to INTERVALS): the utilization /
+    // busy-time primitive behind q218's concurrency sweep, stated as a
+    // reusable merge. Windows derive deterministically from the fixture
+    // (ship day + quantity-scaled duration). Plan: one supplier-keyed
+    // window pass — running max of interval end over strictly-previous
+    // rows marks island starts (an island breaks where a start exceeds
+    // every previous end), the island id is a running sum, and per-
+    // island bounds collapse in the same keyed aggregation. Supplier
+    // cardinality is high, so the window parallelizes; ties order by
+    // the unique line key in both engines.
+    "q236_interval_coalesce" -> { (s, dir) =>
+      val iv = Tables.t(s, dir, "lineitem")
+        .select(col("l_suppkey").as("supp"),
+          expr("unix_micros(l_shipdate) div 86400000000").as("s0"),
+          col("l_quantity").cast("long").as("q"),
+          col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
+        .select(col("supp"), col("s0").as("s"),
+          (col("s0") + expr("q div 5") + 1).as("e"), col("ok"), col("ln"))
+      val wOrd = Window.partitionBy(col("supp"))
+        .orderBy(col("s"), col("e"), col("ok"), col("ln"))
+      val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      iv.withColumn("pmax", max(col("e")).over(wPrev))
+        .withColumn("is_new",
+          when(col("pmax").isNull || col("s") > col("pmax"), 1L)
+            .otherwise(0L))
+        .withColumn("isl", sum(col("is_new")).over(wRun))
+        .groupBy(col("supp"), col("isl"))
+        .agg(count(lit(1)).as("nraw"),
+          min(col("s")).as("is_"), max(col("e")).as("ie"))
+        .groupBy(col("supp"))
+        .agg(sum(col("nraw")).as("n_raw"),
+          count(lit(1)).as("n_merged"),
+          sum(col("ie") - col("is_") + 1).as("covered_days"),
+          max(col("ie") - col("is_") + 1).as("max_span_days"))
+        .orderBy("supp")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -1976,5 +2093,85 @@ object RelationalQueries extends QueryModule {
         |    (SELECT DISTINCT o_orderpriority, o_orderdate FROM orders))
         |    = COUNT(*) THEN 1 ELSE 0 END
         |FROM orders
-        |ORDER BY candidate""".stripMargin)
+        |ORDER BY candidate""".stripMargin,
+
+    "q232_grouped_ols" -> (
+      """WITH d AS (
+        |  SELECT p_brand AS brand,
+        |    CAST(l_quantity AS BIGINT) AS x, l_extendedprice AS y
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |m AS (
+        |  SELECT brand, COUNT(*) AS n,
+        |    SUM(x) AS sx,
+        |    """.stripMargin + dsum18Sql("y") + """ AS sy,
+        |    """.stripMargin +
+        dsum18Sql("CAST(x AS DOUBLE) * y") + """ AS sxy,
+        |    SUM(x * x) AS sxx,
+        |    """.stripMargin + dsum18Sql("y * y") + """ AS syy
+        |  FROM d GROUP BY 1)
+        |SELECT brand, n,
+        |  ROUND((CAST(n AS DOUBLE) * sxy
+        |      - CAST(sx AS DOUBLE) * sy)
+        |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) + 0.0
+        |    AS slope,
+        |  ROUND((sy - ((CAST(n AS DOUBLE) * sxy
+        |      - CAST(sx AS DOUBLE) * sy)
+        |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+        |      * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) + 0.0
+        |    AS intercept,
+        |  ROUND(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |      * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))
+        |    / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) + 0.0 AS r2
+        |FROM m ORDER BY brand""".stripMargin),
+
+    "q233_trimmed_mean" -> (
+      """WITH r AS (
+        |  SELECT l_returnflag AS flag, l_extendedprice AS v,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS tn
+        |  FROM lineitem),
+        |k AS (
+        |  SELECT flag, v FROM r
+        |  WHERE rn > tn * 5 // 100 AND rn <= tn - tn * 5 // 100)
+        |SELECT flag, COUNT(*) AS n_kept,
+        |  ROUND(""".stripMargin + dsumSql("v") +
+        """ / CAST(COUNT(*) AS DOUBLE), 6) + 0.0 AS trimmed_mean
+        |FROM k GROUP BY flag ORDER BY flag""".stripMargin),
+
+    "q236_interval_coalesce" ->
+      """WITH iv AS (
+        |  SELECT l_suppkey AS supp,
+        |    EPOCH_US(l_shipdate) // 86400000000 AS s,
+        |    EPOCH_US(l_shipdate) // 86400000000
+        |      + CAST(l_quantity AS BIGINT) // 5 + 1 AS e,
+        |    l_orderkey AS ok, l_linenumber AS ln
+        |  FROM lineitem),
+        |mk AS (
+        |  SELECT supp, s, e, ok, ln,
+        |    MAX(e) OVER (PARTITION BY supp ORDER BY s, e, ok, ln
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM iv),
+        |fl AS (
+        |  SELECT supp, s, e, ok, ln,
+        |    CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS nw
+        |  FROM mk),
+        |isl AS (
+        |  SELECT supp, s, e,
+        |    CAST(SUM(nw) OVER (PARTITION BY supp ORDER BY s, e, ok, ln
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS isl
+        |  FROM fl),
+        |g AS (
+        |  SELECT supp, isl, COUNT(*) AS nraw, MIN(s) AS is_, MAX(e) AS ie
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT supp, CAST(SUM(nraw) AS BIGINT) AS n_raw,
+        |  COUNT(*) AS n_merged,
+        |  CAST(SUM(ie - is_ + 1) AS BIGINT) AS covered_days,
+        |  MAX(ie - is_ + 1) AS max_span_days
+        |FROM g GROUP BY supp ORDER BY supp""".stripMargin)
 }

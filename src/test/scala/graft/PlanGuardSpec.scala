@@ -57,7 +57,8 @@ class PlanGuardSpec extends AnyFunSuite {
       "q220_abc_pareto", // 1-row revenue total × the ranked part domain
       "q221_mean_impute", // 1-row global-mean fallback × the scan
       "q222_rolling_origin", // 1-row min-day × the daily rollup
-      "q227_interval_join") // 1-row hour-count/total × the hourly rollup
+      "q227_interval_join", // 1-row hour-count/total × the hourly rollup
+      "q235_autocorrelation") // 7-row lag spine × the day-domain rollup
       // (q173's centroid probe BNLJ runs inside its eager checkpoint —
       // the declared plan reads the materialized ranked frame)
 
