@@ -1462,6 +1462,61 @@ object CorpusQueries extends QueryModule {
           round(col("n_docs").cast("double") /
             sum(col("n_docs")).over(wAll).cast("double"), 10) + lit(0.0))
         .orderBy("reason")
+    },
+
+    // Boilerplate sentence census — the C4/CCNet cleaning signal at
+    // SENTENCE grain (q96's span dedup works at document spans; this
+    // finds the cookie banners / nav footers / license blurbs that
+    // repeat across many documents): split every document on terminal
+    // punctuation, normalize, and census sentences appearing in ≥ 3
+    // distinct documents. Scale shape: sentence explode is scan-local;
+    // ONE sentence-keyed aggregation carries (n_docs, n_total) — hot
+    // boilerplate concentrates on few keys but the census is exactly
+    // the skewed-key readout wanted, and the output is filtered to the
+    // repeated tail. Sentences travel as (hash-groupable) strings; at
+    // 100 TB the key would be a 128-bit hash with the text attached by
+    // a later join of the tiny result.
+    "q239_boilerplate_sentences" -> { (s, dir) =>
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(col("text"), "[.!?]+")).as("s0"))
+        .select(col("doc_id"), trim(col("s0")).as("sent"))
+        .filter(length(col("sent")) >= 20)
+        .groupBy(col("sent"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_total"))
+        .filter(col("n_docs") >= 3)
+        .orderBy(col("n_docs").desc, col("sent"))
+    },
+
+    // Per-document boilerplate share — q239 turned around: what
+    // fraction of each document's sentences are corpus boilerplate?
+    // High share = templated page worth dropping even if its body text
+    // passes quality gates. The sentence frame builds once per query;
+    // the boilerplate set (a LEFT SEMI-joinable key set) is the q239
+    // census reused as a derived table — a sentence-keyed join, never
+    // doc×doc. Output is one row per document with exact counts and
+    // one share division.
+    "q240_boilerplate_share" -> { (s, dir) =>
+      val sents = Tables.t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(col("text"), "[.!?]+")).as("s0"))
+        .select(col("doc_id"), trim(col("s0")).as("sent"))
+        .filter(length(col("sent")) >= 20)
+      val boiler = sents.groupBy(col("sent"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 3)
+        .select(col("sent"))
+      sents.join(boiler, Seq("sent"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler"))
+        .join(sents.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_sents")), Seq("doc_id"), "right")
+        .select(col("doc_id"), col("n_sents"),
+          coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+          (round(coalesce(col("n_boiler"), lit(0L)).cast("double") /
+            col("n_sents").cast("double"), 10) + lit(0.0))
+            .as("boiler_share"))
+        .orderBy("doc_id")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -2423,5 +2478,38 @@ object CorpusQueries extends QueryModule {
         |SELECT reason, n_docs,
         |  ROUND(CAST(n_docs AS DOUBLE)
         |    / CAST(SUM(n_docs) OVER () AS DOUBLE), 10) + 0.0 AS share
-        |FROM g ORDER BY reason""".stripMargin)
+        |FROM g ORDER BY reason""".stripMargin,
+
+    "q239_boilerplate_sentences" ->
+      """WITH s AS (
+        |  SELECT doc_id, TRIM(x.s) AS sent
+        |  FROM documents,
+        |    UNNEST(STRING_SPLIT_REGEX(text, '[.!?]+')) AS x(s)),
+        |f AS (SELECT doc_id, sent FROM s WHERE LEN(sent) >= 20)
+        |SELECT sent, COUNT(DISTINCT doc_id) AS n_docs,
+        |  COUNT(*) AS n_total
+        |FROM f GROUP BY sent
+        |HAVING COUNT(DISTINCT doc_id) >= 3
+        |ORDER BY n_docs DESC, sent""".stripMargin,
+
+    "q240_boilerplate_share" ->
+      """WITH s AS (
+        |  SELECT doc_id, TRIM(x.s) AS sent
+        |  FROM documents,
+        |    UNNEST(STRING_SPLIT_REGEX(text, '[.!?]+')) AS x(s)),
+        |f AS (SELECT doc_id, sent FROM s WHERE LEN(sent) >= 20),
+        |b AS (
+        |  SELECT sent FROM f GROUP BY sent
+        |  HAVING COUNT(DISTINCT doc_id) >= 3),
+        |nb AS (
+        |  SELECT f.doc_id, COUNT(*) AS n_boiler
+        |  FROM f WHERE f.sent IN (SELECT sent FROM b)
+        |  GROUP BY 1),
+        |ns AS (SELECT doc_id, COUNT(*) AS n_sents FROM f GROUP BY 1)
+        |SELECT ns.doc_id, ns.n_sents,
+        |  COALESCE(nb.n_boiler, 0) AS n_boiler,
+        |  ROUND(CAST(COALESCE(nb.n_boiler, 0) AS DOUBLE)
+        |    / CAST(ns.n_sents AS DOUBLE), 10) + 0.0 AS boiler_share
+        |FROM ns LEFT JOIN nb ON ns.doc_id = nb.doc_id
+        |ORDER BY ns.doc_id""".stripMargin)
 }

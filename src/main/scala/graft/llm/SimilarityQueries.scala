@@ -817,6 +817,37 @@ object SimilarityQueries extends QueryModule {
             transform(col("v"), (x: Column) => x / col("nrm")).as("u"),
             col("rnk"))
           .localCheckpoint())
+    },
+
+    // Per-source embedding drift — did a new crawl/source land in the
+    // same region of embedding space as the rest of the corpus? Each
+    // source collapses to its mean vector (one (source, dim) exact-
+    // decimal aggregation — the only corpus-sized stage) plus a mean
+    // vector NORM readout; sources then compare pairwise by cosine of
+    // mean vectors — a #sources² table of metadata rows. Low pairwise
+    // cosine = the source occupies a different region (distribution
+    // shift worth a curation look); mean-norm near zero = the source's
+    // vectors cancel (isotropic/noisy). Deterministic: per-dim means
+    // are exact decimal ÷ exact count; the cosine runs over the
+    // identically-reconstructed mean arrays in both engines.
+    "q238_embedding_drift" -> { (s, dir) =>
+      val m = Tables.t(s, dir, "embeddings")
+        .select(col("label").as("source"),
+          posexplode(asDouble(col("embedding"))).as(Seq("dim", "x")))
+        .groupBy(col("source"), col("dim"))
+        .agg((graft.Fns.dsum18(col("x")) /
+          count(lit(1)).cast("double")).as("mu"))
+        .groupBy(col("source"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("mu"))))
+          .as("dm"))
+        .select(col("source"), expr("transform(dm, s -> s.mu)").as("mv"))
+      val a = m.select(col("source").as("src_a"), col("mv").as("va"))
+      val b = m.select(col("source").as("src_b"), col("mv").as("vb"))
+      a.join(broadcast(b), col("src_a") < col("src_b"))
+        .select(col("src_a"), col("src_b"),
+          (round(cosine(col("va"), col("vb")), 6) + lit(0.0))
+            .as("mean_cosine"))
+        .orderBy("src_a", "src_b")
     })
 
   /** The probe/argmax/accuracy half of q173 over a ranked, unit-
@@ -1378,5 +1409,25 @@ object SimilarityQueries extends QueryModule {
          |  CAST(CAST(SUM(CASE WHEN q_lbl = c_lbl THEN 1 ELSE 0 END)
          |        AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
          |    AS accuracy
-         |FROM nn WHERE r = 1 GROUP BY q_lbl ORDER BY label""".stripMargin)
+         |FROM nn WHERE r = 1 GROUP BY q_lbl ORDER BY label""".stripMargin,
+
+    "q238_embedding_drift" -> (
+      """WITH e AS (
+        |  SELECT label AS source, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |x AS (
+        |  SELECT source, g.i AS dim, v[g.i] AS x
+        |  FROM e, UNNEST(GENERATE_SERIES(1, LEN(v))) AS g(i)),
+        |mu AS (
+        |  SELECT source, dim,
+        |    """.stripMargin + graft.Fns.dsum18Sql("x") +
+        """ / CAST(COUNT(*) AS DOUBLE) AS mu
+        |  FROM x GROUP BY 1, 2),
+        |m AS (
+        |  SELECT source, LIST(mu ORDER BY dim) AS mv FROM mu GROUP BY 1)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  ROUND(LIST_COSINE_SIMILARITY(a.mv, b.mv), 6) + 0.0
+        |    AS mean_cosine
+        |FROM m a JOIN m b ON a.source < b.source
+        |ORDER BY src_a, src_b""".stripMargin))
 }

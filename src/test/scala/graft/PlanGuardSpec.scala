@@ -58,7 +58,8 @@ class PlanGuardSpec extends AnyFunSuite {
       "q221_mean_impute", // 1-row global-mean fallback × the scan
       "q222_rolling_origin", // 1-row min-day × the daily rollup
       "q227_interval_join", // 1-row hour-count/total × the hourly rollup
-      "q235_autocorrelation") // 7-row lag spine × the day-domain rollup
+      "q235_autocorrelation", // 7-row lag spine × the day-domain rollup
+      "q238_embedding_drift") // #sources-row mean vectors × themselves
       // (q173's centroid probe BNLJ runs inside its eager checkpoint —
       // the declared plan reads the materialized ranked frame)
 
@@ -114,6 +115,10 @@ class PlanGuardSpec extends AnyFunSuite {
                                   // islands + hour-key join + per-session
                                   // pair agg + sort — incident side is
                                   // busy-hours-sized, never corpus-sized
+    "q225_clustering_coefficient" -> 7, // kNN window + mutual join +
+                                  // degree explode agg + triangle joins
+                                  // + left join + sort — all off ONE
+                                  // checkpointed n·k edge list
     "q229_candidate_keys" -> 10,  // two-phase distinct-count aggregation
                                   // × 5 declared candidates — each frame
                                   // collapses to 1 row after its agg; the
