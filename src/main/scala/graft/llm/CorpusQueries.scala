@@ -1464,57 +1464,61 @@ object CorpusQueries extends QueryModule {
         .orderBy("reason")
     },
 
-    // Boilerplate sentence census — the C4/CCNet cleaning signal at
-    // SENTENCE grain (q96's span dedup works at document spans; this
-    // finds the cookie banners / nav footers / license blurbs that
-    // repeat across many documents): split every document on terminal
-    // punctuation, normalize, and census sentences appearing in ≥ 3
-    // distinct documents. Scale shape: sentence explode is scan-local;
-    // ONE sentence-keyed aggregation carries (n_docs, n_total) — hot
-    // boilerplate concentrates on few keys but the census is exactly
-    // the skewed-key readout wanted, and the output is filtered to the
-    // repeated tail. Sentences travel as (hash-groupable) strings; at
-    // 100 TB the key would be a 128-bit hash with the text attached by
-    // a later join of the tiny result.
-    "q239_boilerplate_sentences" -> { (s, dir) =>
+    // Boilerplate span census — the C4/CCNet cleaning signal at
+    // SLIDING-window grain (q96's span dedup rewrites CHUNKED 20-token
+    // spans; this CENSUSES every overlapping 8-token run to find the
+    // nav-footer / license-blurb runs that repeat across many
+    // documents — sliding, because boilerplate does not align to chunk
+    // boundaries): any 8-token run appearing in ≥ 3 distinct documents
+    // is boilerplate. Scale shape: the shingle explode is scan-local
+    // (≤ |doc| shingles per doc); ONE shingle-keyed aggregation
+    // carries (n_docs, n_total) — hot boilerplate concentrates on few
+    // keys but that skewed tail IS the wanted readout, and the output
+    // is filtered to it. At 100 TB the key becomes a 128-bit hash with
+    // text re-attached to the tiny result by one join.
+    "q239_boilerplate_spans" -> { (s, dir) =>
+      val tok = split(col("text"), " ")
       Tables.t(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(split(col("text"), "[.!?]+")).as("s0"))
-        .select(col("doc_id"), trim(col("s0")).as("sent"))
-        .filter(length(col("sent")) >= 20)
-        .groupBy(col("sent"))
+        .select(col("doc_id"), tok.as("tok"))
+        .filter(size(col("tok")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(tok) - 7), " +
+            "i -> array_join(slice(tok, i, 8), ' '))")).as("sh"))
+        .groupBy(col("sh"))
         .agg(countDistinct(col("doc_id")).as("n_docs"),
           count(lit(1)).as("n_total"))
         .filter(col("n_docs") >= 3)
-        .orderBy(col("n_docs").desc, col("sent"))
+        .orderBy(col("n_docs").desc, col("sh"))
     },
 
     // Per-document boilerplate share — q239 turned around: what
-    // fraction of each document's sentences are corpus boilerplate?
+    // fraction of each document's 8-token runs are corpus boilerplate?
     // High share = templated page worth dropping even if its body text
-    // passes quality gates. The sentence frame builds once per query;
+    // passes quality gates. The shingle frame builds once per query;
     // the boilerplate set (a LEFT SEMI-joinable key set) is the q239
-    // census reused as a derived table — a sentence-keyed join, never
+    // census reused as a derived table — a shingle-keyed join, never
     // doc×doc. Output is one row per document with exact counts and
     // one share division.
     "q240_boilerplate_share" -> { (s, dir) =>
-      val sents = Tables.t(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(split(col("text"), "[.!?]+")).as("s0"))
-        .select(col("doc_id"), trim(col("s0")).as("sent"))
-        .filter(length(col("sent")) >= 20)
-      val boiler = sents.groupBy(col("sent"))
+      val tok = split(col("text"), " ")
+      val sh = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), tok.as("tok"))
+        .filter(size(col("tok")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(tok) - 7), " +
+            "i -> array_join(slice(tok, i, 8), ' '))")).as("sh"))
+      val boiler = sh.groupBy(col("sh"))
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") >= 3)
-        .select(col("sent"))
-      sents.join(boiler, Seq("sent"), "left_semi")
+        .select(col("sh"))
+      sh.join(boiler, Seq("sh"), "left_semi")
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler"))
-        .join(sents.groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_sents")), Seq("doc_id"), "right")
-        .select(col("doc_id"), col("n_sents"),
+        .join(sh.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_spans")), Seq("doc_id"), "right")
+        .select(col("doc_id"), col("n_spans"),
           coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
           (round(coalesce(col("n_boiler"), lit(0L)).cast("double") /
-            col("n_sents").cast("double"), 10) + lit(0.0))
+            col("n_spans").cast("double"), 10) + lit(0.0))
             .as("boiler_share"))
         .orderBy("doc_id")
     })
@@ -2480,36 +2484,38 @@ object CorpusQueries extends QueryModule {
         |    / CAST(SUM(n_docs) OVER () AS DOUBLE), 10) + 0.0 AS share
         |FROM g ORDER BY reason""".stripMargin,
 
-    "q239_boilerplate_sentences" ->
-      """WITH s AS (
-        |  SELECT doc_id, TRIM(x.s) AS sent
-        |  FROM documents,
-        |    UNNEST(STRING_SPLIT_REGEX(text, '[.!?]+')) AS x(s)),
-        |f AS (SELECT doc_id, sent FROM s WHERE LEN(sent) >= 20)
-        |SELECT sent, COUNT(DISTINCT doc_id) AS n_docs,
+    "q239_boilerplate_spans" ->
+      """WITH d AS (
+        |  SELECT doc_id, STRING_SPLIT(text, ' ') AS tok FROM documents
+        |  WHERE LEN(STRING_SPLIT(text, ' ')) >= 8),
+        |f AS (
+        |  SELECT doc_id, ARRAY_TO_STRING(tok[g.i:g.i+7], ' ') AS sh
+        |  FROM d, UNNEST(GENERATE_SERIES(1, LEN(tok) - 7)) AS g(i))
+        |SELECT sh, COUNT(DISTINCT doc_id) AS n_docs,
         |  COUNT(*) AS n_total
-        |FROM f GROUP BY sent
+        |FROM f GROUP BY sh
         |HAVING COUNT(DISTINCT doc_id) >= 3
-        |ORDER BY n_docs DESC, sent""".stripMargin,
+        |ORDER BY n_docs DESC, sh""".stripMargin,
 
     "q240_boilerplate_share" ->
-      """WITH s AS (
-        |  SELECT doc_id, TRIM(x.s) AS sent
-        |  FROM documents,
-        |    UNNEST(STRING_SPLIT_REGEX(text, '[.!?]+')) AS x(s)),
-        |f AS (SELECT doc_id, sent FROM s WHERE LEN(sent) >= 20),
+      """WITH d AS (
+        |  SELECT doc_id, STRING_SPLIT(text, ' ') AS tok FROM documents
+        |  WHERE LEN(STRING_SPLIT(text, ' ')) >= 8),
+        |f AS (
+        |  SELECT doc_id, ARRAY_TO_STRING(tok[g.i:g.i+7], ' ') AS sh
+        |  FROM d, UNNEST(GENERATE_SERIES(1, LEN(tok) - 7)) AS g(i)),
         |b AS (
-        |  SELECT sent FROM f GROUP BY sent
+        |  SELECT sh FROM f GROUP BY sh
         |  HAVING COUNT(DISTINCT doc_id) >= 3),
         |nb AS (
         |  SELECT f.doc_id, COUNT(*) AS n_boiler
-        |  FROM f WHERE f.sent IN (SELECT sent FROM b)
+        |  FROM f WHERE f.sh IN (SELECT sh FROM b)
         |  GROUP BY 1),
-        |ns AS (SELECT doc_id, COUNT(*) AS n_sents FROM f GROUP BY 1)
-        |SELECT ns.doc_id, ns.n_sents,
+        |ns AS (SELECT doc_id, COUNT(*) AS n_spans FROM f GROUP BY 1)
+        |SELECT ns.doc_id, ns.n_spans,
         |  COALESCE(nb.n_boiler, 0) AS n_boiler,
         |  ROUND(CAST(COALESCE(nb.n_boiler, 0) AS DOUBLE)
-        |    / CAST(ns.n_sents AS DOUBLE), 10) + 0.0 AS boiler_share
+        |    / CAST(ns.n_spans AS DOUBLE), 10) + 0.0 AS boiler_share
         |FROM ns LEFT JOIN nb ON ns.doc_id = nb.doc_id
         |ORDER BY ns.doc_id""".stripMargin)
 }

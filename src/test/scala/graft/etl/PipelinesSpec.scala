@@ -387,10 +387,15 @@ class PipelinesSpec extends AnyFunSuite {
       secretName = "db_password",
       secrets = MapSecretProvider(Map("db_password" -> "hunter2")),
       partitionColumn = Some("event_id"),
+      lowerBound = Some(0L), upperBound = Some(1000000L),
       readReplica = Some("jdbc:postgresql://replica.invalid:5432/db"))
     // construction + option resolution must work offline; load() would need
     // a live endpoint
     src.configure(spark)
+    // a partition column WITHOUT the stride bounds is refused loudly —
+    // the bug the Derby round-trip surfaced (Spark rejects it at load)
+    assertThrows[IllegalArgumentException](
+      src.copy(lowerBound = None, upperBound = None).configure(spark))
   }
 
   test("bigquery source configures the full option bundle without connecting") {
