@@ -1125,6 +1125,36 @@ object TextQueries extends QueryModule {
               / col("n_words").cast("double"), 4) + lit(0.0))
             .as("flesch"))
         .orderBy("doc_id")
+    },
+
+    // Per-document character entropy — the compressibility proxy
+    // quality filters use (Gopher-style: highly compressible text =
+    // repeated boilerplate/spam; incompressible = binary junk/noise —
+    // clean prose sits in a band): H = ln(n)/ln 2 − Σc·ln(c)/(n·ln 2)
+    // over the doc's character histogram. Scale shape: the char explode
+    // is scan-local and the ONE aggregation keys on (doc, char) —
+    // bounded by doc length × alphabet; the per-doc entropy closes on a
+    // ≤|alphabet|-row group. Determinism: counts are exact longs, the
+    // c·ln(c) sum rides the scale-18 carry, and both engines state the
+    // same LN-based expression (no LOG2 builtin, whose libm can differ
+    // in the last bit), rounded at 6.
+    "q242_char_entropy" -> { (s, dir) =>
+      val chars = Tables.t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(regexp_extract_all(col("text"), lit("."), lit(0)))
+            .as("ch"))
+      val cnt = chars.groupBy(col("doc_id"), col("ch"))
+        .agg(count(lit(1)).as("c"))
+      cnt.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_chars"),
+          count(lit(1)).as("n_distinct_chars"),
+          graft.Fns.dsum18(col("c").cast("double") *
+            log(col("c").cast("double"))).as("sclnc"))
+        .select(col("doc_id"), col("n_chars"), col("n_distinct_chars"),
+          (round((log(col("n_chars").cast("double")) -
+            col("sclnc") / col("n_chars").cast("double")) /
+            log(lit(2.0)), 6) + lit(0.0)).as("entropy_bits"))
+        .orderBy("doc_id")
     })
 
   /** The q34 exact-Jaccard oracle, hoisted so composite oracles (q71,
@@ -1770,5 +1800,24 @@ object TextQueries extends QueryModule {
         |      / CAST(n_sentences AS DOUBLE)
         |    - 84.6 * CAST(n_syllables AS DOUBLE)
         |      / CAST(n_words AS DOUBLE), 4) + 0.0 AS flesch
-        |FROM c ORDER BY doc_id""".stripMargin)
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q242_char_entropy" -> (
+      """WITH ch AS (
+        |  SELECT doc_id, UNNEST(REGEXP_EXTRACT_ALL(text, '.')) AS ch
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY 1, 2),
+        |m AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chars,
+        |    COUNT(*) AS n_distinct_chars,
+        |    """.stripMargin +
+        graft.Fns.dsum18Sql("CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE))") +
+        """ AS sclnc
+        |  FROM c GROUP BY 1)
+        |SELECT doc_id, n_chars, n_distinct_chars,
+        |  ROUND((LN(CAST(n_chars AS DOUBLE))
+        |    - sclnc / CAST(n_chars AS DOUBLE)) / LN(2.0), 6) + 0.0
+        |    AS entropy_bits
+        |FROM m ORDER BY doc_id""".stripMargin))
 }

@@ -1344,6 +1344,39 @@ object RelationalQueries extends QueryModule {
           sum(col("ie") - col("is_") + 1).as("covered_days"),
           max(col("ie") - col("is_") + 1).as("max_span_days"))
         .orderBy("supp")
+    },
+
+    // Equi-depth histogram — the optimizer-statistics primitive (every
+    // cost-based planner keeps one per column; q111's histogram is
+    // equi-WIDTH — fixed value bins, wildly uneven counts on skewed
+    // data; equi-depth puts the same ROW COUNT in every bucket so bin
+    // boundaries track the distribution): 16 buckets over line price,
+    // each reporting its exact row count and [lo, hi] value bounds.
+    // Scale shape: the global rank is the q220/q226 two-phase spelling
+    // (local row_number per static value bucket + tiny offset closure
+    // broadcast back — a PARTITIONLESS global window would single-
+    // thread the table); bucket assignment is exact integer arithmetic
+    // on (rank, n); the per-bucket rollup is 16 rows.
+    "q241_equidepth_histogram" -> { (s, dir) =>
+      val li = Tables.t(s, dir, "lineitem")
+        .select(col("l_extendedprice").as("v"),
+          col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
+        .withColumn("bkt", floor(col("v") / 2000.0).cast("long"))
+      val wLoc = Window.partitionBy(col("bkt"))
+        .orderBy(col("v"), col("ok"), col("ln"))
+      val bt = li.groupBy(col("bkt")).agg(count(lit(1)).as("bn"))
+      val wOff = Window.orderBy(col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val off = bt.select(col("bkt"),
+        coalesce(sum(col("bn")).over(wOff), lit(0L)).as("off"),
+        sum(col("bn")).over(Window.partitionBy(lit(0))).as("tn"))
+      li.join(broadcast(off), Seq("bkt"))
+        .withColumn("rn", col("off") + row_number().over(wLoc))
+        .withColumn("b", expr("((rn - 1) * 16) div tn + 1"))
+        .groupBy(col("b").cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("v")).as("lo"), max(col("v")).as("hi"))
+        .orderBy("bucket")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -2173,5 +2206,16 @@ object RelationalQueries extends QueryModule {
         |  COUNT(*) AS n_merged,
         |  CAST(SUM(ie - is_ + 1) AS BIGINT) AS covered_days,
         |  MAX(ie - is_ + 1) AS max_span_days
-        |FROM g GROUP BY supp ORDER BY supp""".stripMargin)
+        |FROM g GROUP BY supp ORDER BY supp""".stripMargin,
+
+    "q241_equidepth_histogram" ->
+      """WITH r AS (
+        |  SELECT l_extendedprice AS v,
+        |    ROW_NUMBER() OVER (ORDER BY l_extendedprice, l_orderkey,
+        |      l_linenumber) AS rn,
+        |    COUNT(*) OVER () AS tn
+        |  FROM lineitem)
+        |SELECT CAST((rn - 1) * 16 // tn + 1 AS BIGINT) AS bucket,
+        |  COUNT(*) AS n_rows, MIN(v) AS lo, MAX(v) AS hi
+        |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin)
 }
