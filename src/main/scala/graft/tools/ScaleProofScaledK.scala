@@ -1,14 +1,16 @@
-// Dev scratch: the scaled-k IVF scale proof (VERDICT r7 directive #2).
-// q173/q89 confine their quadratic term to IVF cells; with the harness's
-// FIXED label centroids the per-cell population grows linearly with the
-// corpus, so probed-candidate volume grows ~quadratically (q173 measured
-// 4.8x at 10x data). The documented production fix is k ∝ √N cells
-// (train more centroids as the corpus grows — the q90 trainer). This run
-// measures BOTH configurations at sf0.1 and the 10x fixture and reports:
+// Dev scratch: the scaled-k IVF scale proof (VERDICT r7 directive #2 +
+// the q214 20x finding). q173/q89 confine their quadratic term to IVF
+// cells and q214's mutual-kNN build scores label-blocked all-pairs; with
+// FIXED cells the candidate volume grows ~quadratically. The production
+// fix is k ∝ √N cells (the q90 trainer). This run measures BOTH
+// configurations at sf0.1, the 10x fixture, and (when present) the 20x
+// fixture, reporting:
 //   - wall-clock medians (3 passes) per configuration,
-//   - probed-candidate volume (the structural metric: rows surviving the
-//     probes-join-cells equi-join) per configuration.
-// Run: sbt "runMain graft.tools.ScaleProofScaledK"
+//   - candidate volume (the structural, deterministic metric).
+// Run: sbt "runMain graft.tools.ScaleProofScaledK [q173|q89|q214]"
+// — pass a section name for a SOLO clean-window run: successive heavy
+// sections interfere through JVM heap state (documented in
+// SCALE_PROOF.md), so 20x conclusions come from solo runs only.
 package graft.tools
 
 import graft.llm.SimilarityQueries
