@@ -1397,6 +1397,40 @@ object EventQueries extends QueryModule {
     // gap = day minus previous active day minus 1 where positive; the
     // per-user rollup rides the same partitioning. User cardinality is
     // high, so the window parallelizes; all values exact integers.
+    // Audience-overlap matrix — exact Jaccard between the USER SETS of
+    // every event-type pair (do viewers buy? do error-hitters click?):
+    // the segment-overlap readout growth teams pull before targeting,
+    // and the same shape as comparing any two behavioral cohorts. Scale
+    // shape: one distinct collapses the log to (type, user) pairs; the
+    // pair counts come from a user-co-keyed self-join of that collapsed
+    // frame (each user contributes deg² ≤ |types|² rows — bounded by
+    // the FIXED type vocabulary, never corpus-quadratic); set sizes
+    // join on from a |types|-row aggregate, and Jaccard is one IEEE
+    // division of exact longs via inclusion-exclusion.
+    "q243_audience_overlap" -> { (s, dir) =>
+      val tu = Tables.t(s, dir, "events")
+        .select(col("event_type"), col("user_id")).distinct()
+      val sz = tu.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val both = tu.select(col("event_type").as("type_a"), col("user_id"))
+        .join(tu.select(col("event_type").as("type_b"), col("user_id")),
+          "user_id")
+        .filter(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_both"))
+      both
+        .join(broadcast(sz.select(col("event_type").as("type_a"),
+          col("n").as("n_a"))), "type_a")
+        .join(broadcast(sz.select(col("event_type").as("type_b"),
+          col("n").as("n_b"))), "type_b")
+        .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+          col("n_both"),
+          (round(col("n_both").cast("double") /
+            (col("n_a") + col("n_b") - col("n_both")).cast("double"), 6)
+            + lit(0.0)).as("jaccard"))
+        .orderBy("type_a", "type_b")
+    },
+
     "q237_gap_census" -> { (s, dir) =>
       val ud = Tables.t(s, dir, "events")
         .select(col("user_id"),
@@ -2372,6 +2406,24 @@ object EventQueries extends QueryModule {
         |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) + 0.0
         |  END AS acf
         |FROM m ORDER BY lag""".stripMargin,
+
+    "q243_audience_overlap" ->
+      """WITH tu AS (
+        |  SELECT DISTINCT event_type, user_id FROM events),
+        |sz AS (SELECT event_type, COUNT(*) AS n FROM tu GROUP BY 1),
+        |b AS (
+        |  SELECT a.event_type AS type_a, c.event_type AS type_b,
+        |    COUNT(*) AS n_both
+        |  FROM tu a JOIN tu c ON a.user_id = c.user_id
+        |    AND a.event_type < c.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_both,
+        |  ROUND(CAST(n_both AS DOUBLE)
+        |    / CAST(sa.n + sb.n - n_both AS DOUBLE), 6) + 0.0 AS jaccard
+        |FROM b
+        |JOIN sz sa ON sa.event_type = b.type_a
+        |JOIN sz sb ON sb.event_type = b.type_b
+        |ORDER BY type_a, type_b""".stripMargin,
 
     "q237_gap_census" ->
       """WITH ud AS (
