@@ -1544,7 +1544,8 @@ object CorpusQueries extends QueryModule {
         |    ROW_NUMBER() OVER (PARTITION BY source
         |                       ORDER BY score DESC, t ASC) AS rnk
         |  FROM sc)
-        |SELECT source, t AS term, c_st, ROUND(score, 4) AS log_odds, rnk
+        |SELECT source, t AS term, c_st, ROUND(score, 4) AS log_odds,
+        |  CAST(rnk AS INTEGER) AS rnk
         |FROM r WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
 
     // quality spelled exactly as q33's oracle; the accept test reuses
@@ -2187,7 +2188,8 @@ object CorpusQueries extends QueryModule {
         |    ROW_NUMBER() OVER (PARTITION BY source
         |                       ORDER BY key, doc_id) AS rk
         |  FROM k)
-        |SELECT doc_id, source, ROUND(w, 4) AS w, ROUND(key, 6) AS key, rk
+        |SELECT doc_id, source, ROUND(w, 4) AS w, ROUND(key, 6) AS key,
+        |  CAST(rk AS INTEGER) AS rk
         |FROM r WHERE rk <= 20 ORDER BY source, rk""".stripMargin,
 
     "q166_ks_drift" ->

@@ -309,7 +309,70 @@ object Multimodal extends QueryModule {
       .distinct()
   }
 
+  /** Deterministic synthetic PNG corpus for the declared perceptual-hash
+    * dedup query: the parquet fixtures carry no image bytes, so each
+    * doc_id renders to a REAL 32×32 PNG (JDK ImageIO encode — the decode
+    * half of the pipeline then exercises the production ImageIO path, not
+    * a stub). The pattern is an 8×8 block grid keyed by doc_id / 8 (a
+    * splitmix-mixed bit per block) with ONE block flipped by doc_id % 64:
+    * docs in the same group of 8 are visual near-dups at Hamming
+    * distance exactly 2, groups differ in ~32 bits — a planted
+    * ground-truth the spec checks recall against. Blocks are 4×4 uniform
+    * pixels, so the 32→8 bilinear downsample samples strictly inside one
+    * block per aHash cell (dst center i maps to src 4i+1.5) and the
+    * bimodal lumas (25/230) sit far from the grid mean: the planted
+    * geometry survives the decode bit-exactly on any JVM.
+    */
+  def syntheticPngCorpus(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def mix64(z0: Long): Long = { // splitmix64 finalizer — scan-local
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val group = id / 8
+        val flip = (id % 64).toInt
+        val img = new java.awt.image.BufferedImage(
+          32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var cell = 0
+        while (cell < 64) {
+          val bit = ((mix64(group * 64 + cell) & 1L) == 1L) ^ (cell == flip)
+          val l = if (bit) 230 else 25
+          val rgb = (l << 16) | (l << 8) | l
+          val bx = (cell % 8) * 4; val by = (cell / 8) * 4
+          var y = by
+          while (y < by + 4) {
+            var x = bx
+            while (x < bx + 4) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          cell += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        MediaIn(id, bos.toByteArray)
+      }
+    }.toDF()
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Perceptual-hash image dedup, declared end-to-end (no oracle —
+    // DuckDB has no ImageIO; MultimodalSpec pins the planted ground
+    // truth): synthesize PNGs, aHash each through the real decode,
+    // banded-Hamming join at maxDist 3. Output is the near-dup pair
+    // list. Scale shape: hash is scan-local; candidates come from the
+    // 4×16-bit band buckets (pigeonhole-complete recall), never an
+    // all-pairs join; planted dup groups are size-8, so output stays
+    // corpus-linear.
+    "q245_phash_dedup" -> { (s, dir) =>
+      val media = syntheticPngCorpus(Tables.t(s, dir, "documents"))
+      nearDupByHamming(perceptualHash(media), 3)
+        .orderBy("a_id", "b_id")
+    },
     // Byte-level content features through the batch path — real features
     // (histogram stats), oracle-checkable since DuckDB can state the same
     // arithmetic over the text bytes.

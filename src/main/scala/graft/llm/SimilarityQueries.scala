@@ -53,6 +53,13 @@ object SimilarityQueries extends QueryModule {
     * one row per undirected edge (a_id < b_id) with the unrounded cosine
     * (the fused CosineSimilarity expression accumulates in DuckDB
     * LIST_COSINE_SIMILARITY's order, so both engines rank identically).
+    *
+    * This is the EXACT twin — label-blocked all-pairs scoring, N²/|labels|
+    * cosines, declared as q129 for its oracle-checkable semantics. The
+    * PRODUCTION build at scale is [[mutualKnnEdgesScaledK]] (k-means
+    * cells, k ∝ √N, N^1.5 candidates), itself declared + oracle-checked
+    * as q244; at 100 TB you run THAT and keep this as the small-sample
+    * ground-truth for recall audits.
     */
   def mutualKnnEdges(embeddings: DataFrame, k: Int): DataFrame = {
     val e = embeddings
@@ -848,6 +855,26 @@ object SimilarityQueries extends QueryModule {
           (round(cosine(col("va"), col("vb")), 6) + lit(0.0))
             .as("mean_cosine"))
         .orderBy("src_a", "src_b")
+    },
+
+    // The PRODUCTION kNN-graph build, declared: mutual-kNN edges over
+    // scaled-k k-means cells (cells = ⌈√N⌉, 2 Lloyd rounds, 2 probes)
+    // — the N^1.5 configuration SCALE_PROOF.md measures, now with its
+    // own oracle row instead of living only in specs. q129 is the
+    // label-blocked EXACT twin (oracle-checkable all-pairs semantics);
+    // this is the plan you'd actually run at 100 TB. Deterministic end
+    // to end: k from an exact count, centroid init from the k lowest
+    // vec_ids, every rank tie broken by id, and the cosines ride the
+    // fused dot over unit vectors — bit-identical to DuckDB's
+    // LIST_DOT_PRODUCT over LIST_TRANSFORM-normalized lists (the q173
+    // precedent), so both engines keep identical top-5 sets.
+    "q244_knn_scaledk" -> { (s, dir) =>
+      val e = Tables.t(s, dir, "embeddings")
+      val cells = math.ceil(math.sqrt(e.count().toDouble)).toInt
+      mutualKnnEdgesScaledK(e, 5, cells, 2)
+        .select(col("label"), col("a_id"), col("b_id"),
+          round(col("cos"), 4).as("cosine"))
+        .orderBy("label", "a_id", "b_id")
     })
 
   /** The probe/argmax/accuracy half of q173 over a ranked, unit-
@@ -928,7 +955,7 @@ object SimilarityQueries extends QueryModule {
         |                       ORDER BY cos DESC, vec_id ASC) AS rnk
         |  FROM s)
         |SELECT query_id, q_label, vec_id AS neg_id, label AS neg_label,
-        |  ROUND(cos, 4) AS cosine, rnk
+        |  ROUND(cos, 4) AS cosine, CAST(rnk AS INTEGER) AS rnk
         |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
 
     // the q90 recipe at subspace granularity: the single Lloyd iteration
@@ -1161,7 +1188,8 @@ object SimilarityQueries extends QueryModule {
         |    ROW_NUMBER() OVER (PARTITION BY query_id
         |                       ORDER BY cos DESC, vec_id ASC) AS rnk
         |  FROM s)
-        |SELECT query_id, vec_id, ROUND(cos, 4) AS cosine, rnk
+        |SELECT query_id, vec_id, ROUND(cos, 4) AS cosine,
+        |  CAST(rnk AS INTEGER) AS rnk
         |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
 
     "q49_embedding_neardup" ->
@@ -1429,5 +1457,86 @@ object SimilarityQueries extends QueryModule {
         |  ROUND(LIST_COSINE_SIMILARITY(a.mv, b.mv), 6) + 0.0
         |    AS mean_cosine
         |FROM m a JOIN m b ON a.source < b.source
-        |ORDER BY src_a, src_b""".stripMargin))
+        |ORDER BY src_a, src_b""".stripMargin),
+
+    // the scaled-k pipeline end to end: dynamic k = ⌈√N⌉, q90's two
+    // unrolled Lloyd rounds, q173's unit-normalization + dot ranking,
+    // q129's mutuality join — each stage the SQL spelling its green
+    // sibling already pinned
+    "q244_knn_scaledk" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |kk AS (
+         |  SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS k FROM v),
+         |c0 AS (
+         |  SELECT vec_id AS cid, v AS cv FROM v
+         |  WHERE vec_id < (SELECT k FROM kk)),
+         |s1 AS (
+         |  SELECT v.vec_id, v.v, c0.cid,
+         |    LIST_COSINE_SIMILARITY(v.v, c0.cv) AS cos
+         |  FROM v CROSS JOIN c0),
+         |a1 AS (
+         |  SELECT vec_id, v, cid FROM (
+         |    SELECT vec_id, v, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                         ORDER BY cos DESC, cid ASC) AS rnk
+         |    FROM s1) WHERE rnk = 1),
+         |d1 AS (
+         |  SELECT cid, GENERATE_SUBSCRIPTS(v, 1) AS dim, UNNEST(v) AS x
+         |  FROM a1),
+         |m1 AS (
+         |  SELECT cid, dim, ${graft.Fns.davgSql("x")} AS c
+         |  FROM d1 GROUP BY cid, dim),
+         |c1 AS (
+         |  SELECT cid, LIST(c ORDER BY dim) AS cv FROM m1 GROUP BY cid),
+         |s2 AS (
+         |  SELECT v.vec_id, v.v, c1.cid,
+         |    LIST_COSINE_SIMILARITY(v.v, c1.cv) AS cos
+         |  FROM v CROSS JOIN c1),
+         |a2 AS (
+         |  SELECT vec_id, v, cid FROM (
+         |    SELECT vec_id, v, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                         ORDER BY cos DESC, cid ASC) AS rnk
+         |    FROM s2) WHERE rnk = 1),
+         |d2 AS (
+         |  SELECT cid, GENERATE_SUBSCRIPTS(v, 1) AS dim, UNNEST(v) AS x
+         |  FROM a2),
+         |m2 AS (
+         |  SELECT cid, dim, ${graft.Fns.davgSql("x")} AS c
+         |  FROM d2 GROUP BY cid, dim),
+         |c2 AS (
+         |  SELECT cid, LIST(c ORDER BY dim) AS cv FROM m2 GROUP BY cid),
+         |sc AS (
+         |  SELECT vec_id, label, v, cid,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                       ORDER BY cos DESC, cid ASC) AS rnk
+         |  FROM (
+         |    SELECT v.vec_id, v.label, v.v, c2.cid,
+         |      LIST_COSINE_SIMILARITY(v.v, c2.cv) AS cos
+         |    FROM v CROSS JOIN c2)),
+         |u AS (
+         |  SELECT vec_id, label, cid, rnk,
+         |    LIST_TRANSFORM(v, x -> x / SQRT(LIST_DOT_PRODUCT(v, v)))
+         |      AS u
+         |  FROM sc WHERE rnk <= 2),
+         |cands AS (
+         |  SELECT cid, vec_id AS b_id, u AS bu FROM u WHERE rnk = 1),
+         |probes AS (
+         |  SELECT cid, vec_id AS a_id, label, u AS au FROM u),
+         |knn AS (
+         |  SELECT label, a_id, b_id, cos FROM (
+         |    SELECT p.label, p.a_id, c.b_id,
+         |      LIST_DOT_PRODUCT(p.au, c.bu) AS cos,
+         |      ROW_NUMBER() OVER (PARTITION BY p.a_id
+         |        ORDER BY LIST_DOT_PRODUCT(p.au, c.bu) DESC, c.b_id ASC)
+         |        AS rnk
+         |    FROM probes p JOIN cands c USING (cid)
+         |    WHERE p.a_id <> c.b_id) WHERE rnk <= 5)
+         |SELECT k.label, k.a_id, k.b_id, ROUND(k.cos, 4) AS cosine
+         |FROM knn k JOIN knn m
+         |  ON k.a_id = m.b_id AND k.b_id = m.a_id
+         |WHERE k.a_id < k.b_id
+         |ORDER BY k.label, k.a_id, k.b_id""".stripMargin)
 }

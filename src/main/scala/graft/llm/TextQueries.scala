@@ -1270,7 +1270,7 @@ object TextQueries extends QueryModule {
         |    p_name
         |  FROM part)
         |SELECT a.p_brand, a.p_partkey AS a_key, b.p_partkey AS b_key,
-        |  LEVENSHTEIN(a.p_name, b.p_name) AS edit_dist
+        |  CAST(LEVENSHTEIN(a.p_name, b.p_name) AS INTEGER) AS edit_dist
         |FROM p a JOIN p b
         |  ON a.p_brand = b.p_brand AND a.blk = b.blk
         |  AND a.p_partkey < b.p_partkey
@@ -1523,7 +1523,8 @@ object TextQueries extends QueryModule {
         |    ROW_NUMBER() OVER (PARTITION BY doc_id
         |                       ORDER BY tfidf DESC, token ASC) AS rnk
         |  FROM sc)
-        |SELECT doc_id, rnk, token, ROUND(tfidf, 4) AS tfidf
+        |SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, token,
+        |  ROUND(tfidf, 4) AS tfidf
         |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
 
     "q142_conditional_entropy" ->

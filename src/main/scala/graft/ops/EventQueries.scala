@@ -760,9 +760,14 @@ object EventQueries extends QueryModule {
     // events. The exact spelling re-touches every event for every
     // window it falls in (×7 fan-out); the sketch path fans out
     // day-sized sketches only — this mergeability is why engines
-    // precompute daily sketches at all (no oracle: sketch estimates are
-    // engine-specific; ApproxBoundsSpec bounds both estimates against
-    // q176's exact counts).
+    // precompute daily sketches at all. ORACLE-CHECKED via the exact
+    // twin (r9): the output carries q176's exact counts next to a
+    // per-day |est − exact|/exact ≤ 10% verdict on BOTH estimates; the
+    // oracle computes the exact side and states the verdicts TRUE, so a
+    // sketch that drifts out of bound turns the driver row red — the
+    // accuracy contract is now driver-verified, not just
+    // ApproxBoundsSpec-verified. (The estimates themselves stay out of
+    // the hashed columns: their exact doubles are engine-specific.)
     "q192_hll_rolling" -> { (s, dir) =>
       val ev = Tables.t(s, dir, "events")
         .select(expr("unix_micros(date_trunc('day', ts)) div 86400000000")
@@ -770,16 +775,31 @@ object EventQueries extends QueryModule {
       val daily = ev.groupBy(col("d"))
         .agg(expr("hll_sketch_agg(user_id)").as("sk"))
       val obs = ev.select(col("d")).distinct()
-      val fan = daily
+      val skFan = daily
         .select(col("d"), col("sk"), explode(expr("sequence(0L, 6L)"))
           .as("i"))
         .select((col("d") + col("i")).as("w"), col("sk"))
-      fan.join(obs.withColumnRenamed("d", "w"), Seq("w"))
+      val est = skFan.join(obs.withColumnRenamed("d", "w"), Seq("w"))
         .groupBy(col("w").as("day_idx"))
         .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("wau7_est"))
         .join(daily.select(col("d").as("day_idx"),
           expr("hll_sketch_estimate(sk)").as("dau_est")), "day_idx")
-        .select(col("day_idx"), col("dau_est"), col("wau7_est"))
+      val exFan = ev.select(col("user_id"),
+          explode(expr("sequence(0L, 6L)")).as("i"), col("d"))
+        .select(col("user_id"), (col("d") + col("i")).as("w"),
+          (col("i") === 0).as("is_day"))
+      val exact = exFan.join(obs.withColumnRenamed("d", "w"), Seq("w"))
+        .groupBy(col("w").as("day_idx"), col("user_id"))
+        .agg(max(col("is_day")).as("active_today"))
+        .groupBy(col("day_idx"))
+        .agg(sum(when(col("active_today"), 1L).otherwise(0L)).as("dau"),
+          count(lit(1)).as("wau7"))
+      exact.join(est, "day_idx")
+        .select(col("day_idx"), col("dau"), col("wau7"),
+          (abs(col("dau_est") - col("dau").cast("double")) <=
+            col("dau").cast("double") * 0.1).as("dau_within_10pct"),
+          (abs(col("wau7_est") - col("wau7").cast("double")) <=
+            col("wau7").cast("double") * 0.1).as("wau7_within_10pct"))
         .orderBy("day_idx")
     },
 
@@ -1390,13 +1410,6 @@ object EventQueries extends QueryModule {
         .orderBy("lag")
     },
 
-    // Activity-gap census — q205's complement: instead of presence
-    // streaks, the ABSENCE runs (how many gaps, how long, how much
-    // calendar time missed per user) — the churn-risk / re-engagement
-    // readout. One user-keyed window pass over the user-day distinct:
-    // gap = day minus previous active day minus 1 where positive; the
-    // per-user rollup rides the same partitioning. User cardinality is
-    // high, so the window parallelizes; all values exact integers.
     // Audience-overlap matrix — exact Jaccard between the USER SETS of
     // every event-type pair (do viewers buy? do error-hitters click?):
     // the segment-overlap readout growth teams pull before targeting,
@@ -1431,6 +1444,13 @@ object EventQueries extends QueryModule {
         .orderBy("type_a", "type_b")
     },
 
+    // Activity-gap census — q205's complement: instead of presence
+    // streaks, the ABSENCE runs (how many gaps, how long, how much
+    // calendar time missed per user) — the churn-risk / re-engagement
+    // readout. One user-keyed window pass over the user-day distinct:
+    // gap = day minus previous active day minus 1 where positive; the
+    // per-user rollup rides the same partitioning. User cardinality is
+    // high, so the window parallelizes; all values exact integers.
     "q237_gap_census" -> { (s, dir) =>
       val ud = Tables.t(s, dir, "events")
         .select(col("user_id"),
@@ -1854,6 +1874,31 @@ object EventQueries extends QueryModule {
         |  CAST(SUM(CASE WHEN active_today THEN 1 ELSE 0 END) AS BIGINT)
         |    AS dau,
         |  COUNT(*) AS wau7
+        |FROM pu GROUP BY 1 ORDER BY day_idx""".stripMargin,
+
+    // the exact twin states the sketch's accuracy CONTRACT: exact counts
+    // (q176's spelling) + verdicts asserted TRUE — a >10% HLL drift on
+    // any day hash-fails the row
+    "q192_hll_rolling" ->
+      """WITH ev AS (
+        |  SELECT EPOCH_US(DATE_TRUNC('day', ts)) // 86400000000 AS d,
+        |    user_id
+        |  FROM events),
+        |fan AS (
+        |  SELECT user_id, d + i AS w, i = 0 AS is_day
+        |  FROM ev, UNNEST(GENERATE_SERIES(0, 6)) AS g(i)),
+        |obs AS (SELECT DISTINCT d FROM ev),
+        |pu AS (
+        |  SELECT f.w AS day_idx, f.user_id,
+        |    MAX(f.is_day) AS active_today
+        |  FROM fan f JOIN obs ON obs.d = f.w
+        |  GROUP BY 1, 2)
+        |SELECT day_idx,
+        |  CAST(SUM(CASE WHEN active_today THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS dau,
+        |  COUNT(*) AS wau7,
+        |  TRUE AS dau_within_10pct,
+        |  TRUE AS wau7_within_10pct
         |FROM pu GROUP BY 1 ORDER BY day_idx""".stripMargin,
 
     "q178_holdout_ztest" ->

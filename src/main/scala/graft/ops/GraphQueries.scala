@@ -280,6 +280,52 @@ object GraphQueries extends QueryModule {
               sqrt(vx.cast("double") * vy.cast("double")), 6) + lit(0.0))
             .as("assortativity"))
         .orderBy("label")
+    },
+
+    // HITS hubs/authorities (Kleinberg 1999, two mutually-recursive
+    // power iterations) on the directed customer→part purchase
+    // bipartite graph — the "which buyers are tastemakers / which
+    // products anchor the catalog" readout, and on a crawl graph the
+    // classic page-quality prior next to q107's PageRank. Two full
+    // h←Σa / a←Σh rounds, each side L1-normalized through a broadcast
+    // 1-row total so the scores are scale-free. Plan shape: rank state
+    // is nodes-sized, each half-step is ONE edges×state join + one
+    // aggregation on the edge key (the q107 shape); normalization
+    // totals ride [[Fns.dsum18]] exact-decimal sums so both engines
+    // divide identical doubles and the oracle unrolls the same CTEs.
+    // Fixed two iterations keeps the plan tree bounded without
+    // checkpoint rolls.
+    "q246_hits" -> { (s, dir) =>
+      val e = Tables.t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"), col("l_partkey").as("dst"))
+        .distinct()
+        .localCheckpoint()
+      def normalized(raw: DataFrame): DataFrame = {
+        val tot = raw.agg(Fns.dsum18(col("raw")).as("tot"))
+        raw.crossJoin(broadcast(tot))
+          .select(col("node"), (col("raw") / col("tot")).as("score"))
+      }
+      def hubStep(auth: DataFrame): DataFrame = normalized(
+        e.join(auth.withColumnRenamed("node", "dst"), "dst")
+          .groupBy(col("src").as("node"))
+          .agg(Fns.dsum18(col("score")).as("raw")))
+      def authStep(hub: DataFrame): DataFrame = normalized(
+        e.join(hub.withColumnRenamed("node", "src"), "src")
+          .groupBy(col("dst").as("node"))
+          .agg(Fns.dsum18(col("score")).as("raw")))
+      val a0 = e.select(col("dst").as("node")).distinct()
+        .select(col("node"), lit(1.0).as("score"))
+      val h1 = hubStep(a0); val a1 = authStep(h1)
+      val h2 = hubStep(a1); val a2 = authStep(h2)
+      h2.select(lit("hub").as("kind"), col("node"),
+          (round(col("score"), 6) + lit(0.0)).as("score"))
+        .unionAll(a2.select(lit("auth").as("kind"), col("node"),
+          (round(col("score"), 6) + lit(0.0)).as("score")))
+        .orderBy("kind", "node")
     })
 
   /** Fixed-depth single-source BFS from the smallest node id of an
@@ -675,5 +721,45 @@ object GraphQueries extends QueryModule {
         |      / SQRT(CAST(n_edges * sxx - sx * sx AS DOUBLE)
         |           * CAST(n_edges * syy - sy * sy AS DOUBLE)), 6) + 0.0
         |  END AS assortativity
-        |FROM m ORDER BY label""".stripMargin)
+        |FROM m ORDER BY label""".stripMargin,
+
+    // the two HITS rounds unrolled (the q107 recipe): every half-step
+    // is the same join+group shape, every normalization the same
+    // exact-decimal total
+    "q246_hits" ->
+      s"""WITH e AS (
+         |  SELECT DISTINCT o_custkey AS src, l_partkey AS dst
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |a0 AS (SELECT DISTINCT dst AS node, 1.0 AS score FROM e),
+         |h1r AS (
+         |  SELECT e.src AS node, ${Fns.dsum18Sql("a0.score")} AS raw
+         |  FROM e JOIN a0 ON a0.node = e.dst GROUP BY e.src),
+         |h1t AS (SELECT ${Fns.dsum18Sql("raw")} AS tot FROM h1r),
+         |h1 AS (SELECT node, raw / tot AS score
+         |       FROM h1r CROSS JOIN h1t),
+         |a1r AS (
+         |  SELECT e.dst AS node, ${Fns.dsum18Sql("h1.score")} AS raw
+         |  FROM e JOIN h1 ON h1.node = e.src GROUP BY e.dst),
+         |a1t AS (SELECT ${Fns.dsum18Sql("raw")} AS tot FROM a1r),
+         |a1 AS (SELECT node, raw / tot AS score
+         |       FROM a1r CROSS JOIN a1t),
+         |h2r AS (
+         |  SELECT e.src AS node, ${Fns.dsum18Sql("a1.score")} AS raw
+         |  FROM e JOIN a1 ON a1.node = e.dst GROUP BY e.src),
+         |h2t AS (SELECT ${Fns.dsum18Sql("raw")} AS tot FROM h2r),
+         |h2 AS (SELECT node, raw / tot AS score
+         |       FROM h2r CROSS JOIN h2t),
+         |a2r AS (
+         |  SELECT e.dst AS node, ${Fns.dsum18Sql("h2.score")} AS raw
+         |  FROM e JOIN h2 ON h2.node = e.src GROUP BY e.dst),
+         |a2t AS (SELECT ${Fns.dsum18Sql("raw")} AS tot FROM a2r),
+         |a2 AS (SELECT node, raw / tot AS score
+         |       FROM a2r CROSS JOIN a2t)
+         |SELECT kind, node, score FROM (
+         |  SELECT 'hub' AS kind, node, ROUND(score, 6) + 0.0 AS score
+         |  FROM h2
+         |  UNION ALL
+         |  SELECT 'auth' AS kind, node, ROUND(score, 6) + 0.0 AS score
+         |  FROM a2)
+         |ORDER BY kind, node""".stripMargin)
 }

