@@ -268,6 +268,46 @@ object EtlQueries extends QueryModule {
             col("n_a") === col("n_b") && col("d_a") === col("d_b"), 1)
             .otherwise(0).as("is_match"))
         .orderBy("bucket")
+    },
+
+    // Bucketed co-located join — THE 100 TB fact-to-fact join lever: both
+    // sides written once CLUSTERED BY the join key into the same bucket
+    // count, so every subsequent join between them is exchange-free (each
+    // bucket pair joins in place; no corpus-sized shuffle, ever). The
+    // layout write is the declared query's first half (the Seed family's
+    // bucketed variant, persisted through the catalog so the reader SEES
+    // bucket metadata — a plain parquet read wouldn't); the second half
+    // is the revenue-per-priority join the layout pays for. PlanGuardSpec
+    // asserts the join subtree has ZERO shuffle exchanges under the join
+    // and that both scans report the bucket spec; the oracle checks the
+    // ANSWER equals the plain join's (layout must never change results).
+    // At 1000 executors: bucket count becomes O(cluster cores), the
+    // write is the one-time cost, and every downstream join/groupBy on
+    // the key rides the same co-location.
+    "q248_bucketed_join" -> { (s, dir) =>
+      val wh = "/tmp/graft_bucketed_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      def seedBucketed(df: DataFrame, key: String, table: String): Unit = {
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        df.write.mode("overwrite").format("parquet")
+          .bucketBy(8, key).sortBy(key)
+          .option("path", s"$wh/$table").saveAsTable(table)
+      }
+      seedBucketed(Tables.t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority")),
+        "o_orderkey", "graft_b_orders")
+      seedBucketed(Tables.t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount")),
+        "l_orderkey", "graft_b_lineitem")
+      s.table("graft_b_orders")
+        .join(s.table("graft_b_lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+        .orderBy("o_orderpriority")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -470,5 +510,14 @@ object EtlQueries extends QueryModule {
         |  CASE WHEN n_a IS NOT NULL AND n_b IS NOT NULL
         |        AND n_a = n_b AND d_a = d_b THEN 1 ELSE 0 END AS is_match
         |FROM da FULL OUTER JOIN db ON da.bucket = db.bucket
-        |ORDER BY bucket""".stripMargin)
+        |ORDER BY bucket""".stripMargin,
+
+    // the oracle is the PLAIN join — physical layout must be invisible
+    // in the answer
+    "q248_bucketed_join" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_items,
+         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)
 }

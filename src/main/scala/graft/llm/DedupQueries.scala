@@ -427,6 +427,45 @@ object DedupQueries extends QueryModule {
       simhash(Tables.t(s, dir, "documents")).orderBy("doc_id")
     },
 
+    // MinHash-LSH accuracy contract, declared (r9, the q192 pattern):
+    // q36's pair list is hash-dependent so it can't hash-match DuckDB,
+    // but its two quality guarantees CAN — per source, the exact
+    // near-dup pair count (oracle: the q34 SQL), a no-invented-pairs
+    // verdict (precision 1: every LSH candidate is exact-verified
+    // in-query) and a recall ≥ 0.8 verdict vs the exact pairs. The
+    // oracle asserts both verdicts TRUE, so LSH recall drifting under
+    // its contract turns the driver row red — DedupSpec's bound now has
+    // a driver-checked twin. Scale shape: the exact side is q34's
+    // df-ordered prefix-filter pipeline (never all-pairs), the LSH side
+    // q36's banded buckets; the comparison joins two pair lists that
+    // are both near-dup-density-sized.
+    "q250_minhash_recall" -> { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+      val d = docs.select(
+        col("doc_id"), col("source"),
+        array_sort(array_distinct(transform(split(col("text"), " "),
+          (t: Column) => xxhash64(t)))).as("tok"))
+      val exact = TextQueries
+        .prefixJaccardPairs(d, 0.6, presentationSort = false)
+        .select(col("source"), col("a_id"), col("b_id"))
+      val lsh = minhashPairs(docs, 0.6)
+        .select(col("source"), col("a_id"), col("b_id"))
+      val caught = exact.join(lsh.withColumn("hit", lit(1)),
+        Seq("source", "a_id", "b_id"), "left")
+      val invented = lsh.join(exact,
+          Seq("source", "a_id", "b_id"), "left_anti")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_inv"))
+      caught.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_true_pairs"),
+          sum(coalesce(col("hit"), lit(0))).as("n_caught"))
+        .join(invented, Seq("source"), "left")
+        .select(col("source"), col("n_true_pairs"),
+          (coalesce(col("n_inv"), lit(0L)) === 0L).as("no_invented_pairs"),
+          (col("n_caught").cast("double") >=
+            col("n_true_pairs").cast("double") * 0.8).as("recall_ge_80"))
+        .orderBy("source")
+    },
+
     // Near-dup clustering: connected components over the exact Jaccard
     // pairs (same pair semantics as q34), labeling each involved doc with
     // its component's minimum doc_id; is_canonical marks the survivor per
@@ -747,6 +786,16 @@ object DedupQueries extends QueryModule {
     })
 
   override def oracles: Map[String, String] = Map(
+    // the LSH contract's exact side is q34's own SQL; the verdicts are
+    // asserted TRUE (precision is structural, recall is the LSH design
+    // bound — a drift under either hash-fails the row)
+    "q250_minhash_recall" ->
+      s"""WITH x AS (
+         |${TextQueries.Q34OracleSql})
+         |SELECT source, COUNT(*) AS n_true_pairs,
+         |  TRUE AS no_invented_pairs, TRUE AS recall_ge_80
+         |FROM x GROUP BY 1 ORDER BY source""".stripMargin,
+
     // reachability fixpoint: every node's cluster is the min id that can
     // reach it through the symmetric pair edges
     "q71_dedup_clusters" ->

@@ -875,6 +875,47 @@ object SimilarityQueries extends QueryModule {
         .select(col("label"), col("a_id"), col("b_id"),
           round(col("cos"), 4).as("cosine"))
         .orderBy("label", "a_id", "b_id")
+    },
+
+    // Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) — the
+    // hybrid-retrieval combiner: two rankings of the same corpus for the
+    // same query (here cosine vs Euclidean, which genuinely disagree on
+    // unnormalized vectors) fuse by Σ 1/(60+rank) — rank-space fusion
+    // needs no score calibration between metrics, which is why RRF is
+    // the default hybrid (dense+sparse) merge in production retrieval.
+    // ONE scored pass computes both metrics (the L2 rides the SAME
+    // fused dot via |a|²+|b|²−2a·b, so both engines rank identical
+    // doubles); both rank windows and the fusion window share the
+    // query_id partitioning — one shuffle, three window passes, never a
+    // second scoring join. RRF scores are rational arithmetic on small
+    // integer ranks: bit-identical across engines before the round.
+    "q249_rrf_fusion" -> { (s, dir) =>
+      val e = Tables.t(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          cosine(col("v"), col("qv")).as("cos"),
+          (dot(col("v"), col("v")) + dot(col("qv"), col("qv")) -
+            lit(2.0) * dot(col("v"), col("qv"))).as("d2"))
+      val byQ = Window.partitionBy(col("query_id"))
+      val ranked = scored.select(col("query_id"), col("vec_id"),
+        row_number().over(byQ.orderBy(col("cos").desc, col("vec_id").asc))
+          .as("rank_cos"),
+        row_number().over(byQ.orderBy(col("d2").asc, col("vec_id").asc))
+          .as("rank_l2"))
+      val rrf = lit(1.0) / (lit(60) + col("rank_cos")) +
+        lit(1.0) / (lit(60) + col("rank_l2"))
+      ranked.select(col("query_id"), col("vec_id"), col("rank_cos"),
+          col("rank_l2"), rrf.as("rrf"),
+          row_number().over(byQ.orderBy(rrf.desc, col("vec_id").asc))
+            .as("rnk"))
+        .filter(col("rnk") <= 10)
+        .select(col("query_id"), col("vec_id"),
+          (round(col("rrf"), 6) + lit(0.0)).as("rrf"),
+          col("rnk"), col("rank_cos"), col("rank_l2"))
+        .orderBy("query_id", "rnk")
     })
 
   /** The probe/argmax/accuracy half of q173 over a ranked, unit-
@@ -1538,5 +1579,41 @@ object SimilarityQueries extends QueryModule {
          |FROM knn k JOIN knn m
          |  ON k.a_id = m.b_id AND k.b_id = m.a_id
          |WHERE k.a_id < k.b_id
-         |ORDER BY k.label, k.a_id, k.b_id""".stripMargin)
+         |ORDER BY k.label, k.a_id, k.b_id""".stripMargin,
+
+    // the L2 spelled through the same dot products ((a+b) − 2*c, same
+    // associativity), RRF through CAST(1.0 AS DOUBLE) so DuckDB divides
+    // doubles, not decimals
+    "q249_rrf_fusion" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM v
+        |      WHERE vec_id < 5),
+        |s AS (
+        |  SELECT q.query_id, v.vec_id,
+        |    LIST_COSINE_SIMILARITY(v.v, q.qv) AS cos,
+        |    LIST_DOT_PRODUCT(v.v, v.v) + LIST_DOT_PRODUCT(q.qv, q.qv)
+        |      - 2.0 * LIST_DOT_PRODUCT(v.v, q.qv) AS d2
+        |  FROM v JOIN q ON v.vec_id <> q.query_id),
+        |r AS (
+        |  SELECT query_id, vec_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank_cos,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY d2 ASC, vec_id ASC) AS INTEGER) AS rank_l2
+        |  FROM s),
+        |f AS (
+        |  SELECT query_id, vec_id, rank_cos, rank_l2,
+        |    CAST(1.0 AS DOUBLE) / (60 + rank_cos)
+        |      + CAST(1.0 AS DOUBLE) / (60 + rank_l2) AS rrf
+        |  FROM r),
+        |t AS (
+        |  SELECT query_id, vec_id, rrf, rank_cos, rank_l2,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY rrf DESC, vec_id ASC) AS INTEGER) AS rnk
+        |  FROM f)
+        |SELECT query_id, vec_id, ROUND(rrf, 6) + 0.0 AS rrf, rnk,
+        |  rank_cos, rank_l2
+        |FROM t WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin)
 }

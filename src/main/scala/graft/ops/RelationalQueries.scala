@@ -287,14 +287,24 @@ object RelationalQueries extends QueryModule {
         .orderBy("returnflag", "linestatus")
     },
 
-    // Approximate distinct (HLL++). No oracle — sketch internals are
-    // engine-specific; ScalaTest bounds the error against the exact count.
+    // Approximate distinct (HLL++). ORACLE-CHECKED via the exact twin
+    // (r9, the q192 pattern): the sketch estimate itself is
+    // engine-specific and stays out of the hashed columns; the output
+    // carries the exact count next to a |est − exact|/exact ≤ 5%
+    // verdict (HLL++ default rsd 0.05), which the oracle asserts TRUE —
+    // an estimator drifting out of its own error contract turns the
+    // driver row red.
     "q44_approx_distinct" -> { (s, dir) =>
       Tables.t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts").cast("double") -
+            col("exact_parts").cast("double")) <=
+            col("exact_parts").cast("double") * 0.05)
+            .as("within_5pct"))
         .orderBy("l_returnflag")
     },
 
@@ -315,17 +325,28 @@ object RelationalQueries extends QueryModule {
 
     // Approximate percentiles — the 100 TB path for q56: a mergeable
     // quantile sketch (GK-style) aggregates in one pass with bounded state,
-    // where exact `percentile` sorts every group. No oracle (sketch
-    // internals are engine-specific); ScalaTest bounds the error against
-    // the exact interpolated values.
+    // where exact `percentile` sorts every group. ORACLE-CHECKED via the
+    // exact twin (r9, the q192 pattern): the sketch values are
+    // engine-specific and stay out of the hashed columns; each estimate
+    // must land inside the exact ±1%-RANK band (accuracy 10000 ⇒ rank
+    // error ≤ 1e-4·n, two orders under the band), and the oracle asserts
+    // those verdicts TRUE.
     "q63_approx_percentiles" -> { (s, dir) =>
+      def within(est: String, vcol: String, p: Double) = {
+        val lo = expr(s"percentile($vcol, ${p - 0.01})")
+        val hi = expr(s"percentile($vcol, ${p + 0.01})")
+        (expr(est) >= lo && expr(est) <= hi)
+      }
       Tables.t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          expr("approx_percentile(l_quantity, 0.5, 10000)").as("median_qty"),
-          expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("p90_price"),
-          expr("approx_percentile(l_discount, 0.25, 10000)").as("p25_disc"),
-          count(lit(1)).as("n"))
+          count(lit(1)).as("n"),
+          within("approx_percentile(l_quantity, 0.5, 10000)",
+            "l_quantity", 0.5).as("median_qty_in_band"),
+          within("approx_percentile(l_extendedprice, 0.9, 10000)",
+            "l_extendedprice", 0.9).as("p90_price_in_band"),
+          within("approx_percentile(l_discount, 0.25, 10000)",
+            "l_discount", 0.25).as("p25_disc_in_band"))
         .orderBy("l_returnflag")
     },
 
@@ -1707,6 +1728,22 @@ object RelationalQueries extends QueryModule {
          |FROM lineitem
          |GROUP BY CUBE(l_returnflag, l_linestatus)
          |ORDER BY returnflag, linestatus""".stripMargin,
+
+    // exact-twin accuracy contracts (the q192 pattern): the oracle
+    // computes the exact side and asserts the in-bound verdicts TRUE;
+    // the engine-specific estimates never reach the hashed columns
+    "q44_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS within_5pct
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "q63_approx_percentiles" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  TRUE AS median_qty_in_band,
+        |  TRUE AS p90_price_in_band,
+        |  TRUE AS p25_disc_in_band
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
 
     "q56_percentiles" ->
       """SELECT l_returnflag,

@@ -60,8 +60,9 @@ class PlanGuardSpec extends AnyFunSuite {
       "q227_interval_join", // 1-row hour-count/total × the hourly rollup
       "q235_autocorrelation", // 7-row lag spine × the day-domain rollup
       "q238_embedding_drift", // #sources-row mean vectors × themselves
-      "q246_hits") // 1-row L1-total × the nodes-sized rank state, ×4
+      "q246_hits", // 1-row L1-total × the nodes-sized rank state, ×4
                    // normalizations (one per HITS half-step)
+      "q249_rrf_fusion") // q38's shape: 5-row broadcast query set × corpus
       // (q173's centroid probe BNLJ runs inside its eager checkpoint —
       // the declared plan reads the materialized ranked frame)
 
@@ -147,6 +148,11 @@ class PlanGuardSpec extends AnyFunSuite {
                                   // sketch path's day-keyed aggs — every
                                   // frame after the fan-out is day- or
                                   // user-day-sized
+    "q250_minhash_recall" -> 8,   // q34's exact pair pipeline (5) + the
+                                  // LSH band buckets + the caught/invented
+                                  // comparison joins — both pair lists are
+                                  // near-dup-density-sized, the rollup is
+                                  // #sources rows
     "q246_hits" -> 17)            // 4 HITS half-steps × (state join +
                                   // edge-key agg + 1-row L1 total) over
                                   // the once-checkpointed bipartite edge
@@ -255,5 +261,19 @@ class PlanGuardSpec extends AnyFunSuite {
       s"q48 regressed to a non-equi join:\n$p")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin"), s"q48 has no equi-join:\n$p")
+  }
+
+  test("the bucketed co-located join shuffles NEITHER side (q248)") {
+    // the whole point of the layout: both scans expose the bucket spec
+    // and the join runs on co-located buckets — the only exchanges in
+    // the final plan are the post-join 5-row aggregation and sort, so a
+    // shuffle count of 2 proves the corpus-sized join moved zero rows.
+    val p = plans("q248_bucketed_join")
+    assert("SelectedBucketsCount".r.findAllIn(p
+        .split("== Initial Plan ==")(0)).size >= 2,
+      s"q248's scans lost their bucket spec:\n$p")
+    val n = countShuffles(p)
+    assert(n <= 2,
+      s"q248's join shuffled a side ($n exchanges, expected ≤2):\n$p")
   }
 }

@@ -16,40 +16,46 @@ class ApproxBoundsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
   test("q44 approx distinct within 5% of exact per group") {
+    // r9: q44 now carries its accuracy contract as query output (the
+    // q192 pattern — exact count + within-bound verdict, both
+    // oracle-checked). The spec independently recomputes the raw
+    // estimate and checks the verdict column agrees with it.
     val rows = graft.SparkEntry.queries("q44_approx_distinct")(
       spark, TestSpark.Sf).collect()
     assert(rows.nonEmpty)
+    val raw = graft.Tables.t(spark, TestSpark.Sf, "lineitem")
+      .groupBy(org.apache.spark.sql.functions.col("l_returnflag"))
+      .agg(org.apache.spark.sql.functions
+        .approx_count_distinct(org.apache.spark.sql.functions
+          .col("l_partkey")).as("a"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     rows.foreach { r =>
-      val approx = r.getAs[Long]("approx_parts").toDouble
       val exact = r.getAs[Long]("exact_parts").toDouble
       assert(exact > 0)
+      val approx = raw(r.getString(0)).toDouble
       val relErr = math.abs(approx - exact) / exact
       assert(relErr <= 0.05,
         s"group ${r.get(0)}: approx=$approx exact=$exact relErr=$relErr")
+      assert(r.getAs[Boolean]("within_5pct") == (relErr <= 0.05),
+        s"group ${r.get(0)}: verdict disagrees with recomputed error")
     }
   }
 
-  test("q63 approx percentiles within 5% of q56 exact per group") {
+  test("q63 approx percentiles land in the exact ±1%-rank band") {
+    // r9: q63's output is now the accuracy contract itself — each
+    // estimate must sit between the exact (p−1%) and (p+1%) percentiles
+    // (accuracy 10000 ⇒ rank error ≤ 1e-4·n, two orders under the
+    // band). The spec checks every verdict TRUE and that n matches the
+    // q56 exact twin on the same fixture.
     def byFlag(q: String) = graft.SparkEntry.queries(q)(spark, TestSpark.Sf)
       .collect().map(r => r.getString(0) -> r).toMap
     val exact = byFlag("q56_percentiles")
     val approx = byFlag("q63_approx_percentiles")
     assert(exact.keySet == approx.keySet && exact.nonEmpty)
-    // column pairs share names across the twins. The sketch returns a
-    // REAL data value at bounded rank error while exact interpolates
-    // between grid points, so the tolerance is 5% relative OR one data
-    // grid step (quantity integers, discount hundredths), whichever is
-    // larger — a 0.025 interpolated discount vs the nearest real 0.02 is
-    // sketch-perfect, not 20% error.
-    val gridStep = Map("median_qty" -> 1.0, "p90_price" -> 1.0,
-      "p25_disc" -> 0.011)
-    for (flag <- exact.keys; c <- Seq("median_qty", "p90_price", "p25_disc")) {
-      val e = exact(flag).getAs[Double](c)
-      val a = approx(flag).getAs[Double](c)
-      val tol = math.max(0.05 * math.abs(e), gridStep(c))
-      assert(math.abs(a - e) <= tol,
-        s"$flag.$c: approx=$a exact=$e tol=$tol")
-    }
+    for (flag <- approx.keys;
+         c <- Seq("median_qty_in_band", "p90_price_in_band",
+           "p25_disc_in_band"))
+      assert(approx(flag).getAs[Boolean](c), s"$flag.$c out of band")
     for (flag <- exact.keys)
       assert(exact(flag).getAs[Long]("n") == approx(flag).getAs[Long]("n"))
   }
