@@ -548,6 +548,41 @@ object EventQueries extends QueryModule {
         .orderBy("event_type")
     },
 
+    // Exponentially-weighted moving average of daily value per event
+    // type (α = 0.5, calendar-decayed) — the monitoring smoother next
+    // to q174's trend and q175's changepoint: EWMA_t =
+    // Σ 0.5^(t−i)·x_i / Σ 0.5^(t−i). The recursion is rewritten
+    // associatively: weight w_i = 0.5^(dmax − d_i) attaches scan-local
+    // (one broadcast 1-row max), the common 0.5^(dmax−t) factor cancels
+    // in the ratio, and both cumulative sums ride exact-decimal window
+    // sums — order-independent, so the smoother is bit-identical in
+    // both engines despite being "sequential" on paper. α = 0.5 keeps
+    // every power exactly dyadic (no libm pow divergence). Windows run
+    // over the daily rollup only (days × |types| rows — the corpus
+    // never sees a window), decayed mass below 1e-18 rounds identically
+    // under the dsum18 half-boundary argument.
+    "q251_ewma" -> { (s, dir) =>
+      val daily = Tables.t(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("unix_micros(date_trunc('day', ts)) div 86400000000")
+            .as("d"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("v"))
+      val mx = daily.agg(max(col("d")).as("dmax"))
+      val w = daily.crossJoin(broadcast(mx))
+        .select(col("event_type"), col("d"), col("n"), col("v"),
+          pow(lit(0.5), (col("dmax") - col("d")).cast("double")).as("w"))
+      val win = Window.partitionBy(col("event_type")).orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      w.select(col("event_type"), col("d").as("day_idx"), col("n"),
+          (round(col("v"), 4) + lit(0.0)).as("day_value"),
+          (round(
+            sum((col("w") * col("v")).cast("decimal(38,18)")).over(win)
+              .cast("double") /
+            sum(col("w").cast("decimal(38,18)")).over(win)
+              .cast("double"), 6) + lit(0.0)).as("ewma"))
+        .orderBy("event_type", "day_idx")
+    },
+
     // CUSUM changepoint per event type: the day where the cumulative
     // deviation of daily counts from the type's mean peaks — WHERE the
     // level shifted, where q174 says whether it trends and q162 when a
@@ -1827,6 +1862,31 @@ object EventQueries extends QueryModule {
         |  CAST(np * sxy - sx * sy AS DOUBLE)
         |    / CAST(np * sxx - sx * sx AS DOUBLE) AS slope_per_day
         |FROM m ORDER BY event_type""".stripMargin,
+
+    // the associative EWMA rewrite spelled identically: scan-local
+    // dyadic weights, exact-decimal cumulative window sums, one IEEE
+    // division
+    "q251_ewma" ->
+      s"""WITH daily AS (
+         |  SELECT event_type,
+         |    EPOCH_US(DATE_TRUNC('day', ts)) // 86400000000 AS d,
+         |    COUNT(*) AS n, ${dsumSql("value")} AS v
+         |  FROM events GROUP BY 1, 2),
+         |mx AS (SELECT MAX(d) AS dmax FROM daily),
+         |w AS (
+         |  SELECT event_type, d, n, v,
+         |    POWER(0.5, CAST(dmax - d AS DOUBLE)) AS w
+         |  FROM daily CROSS JOIN mx)
+         |SELECT event_type, d AS day_idx, n,
+         |  ROUND(v, 4) + 0.0 AS day_value,
+         |  ROUND(
+         |    CAST(SUM(CAST(w * v AS DECIMAL(38,18))) OVER win AS DOUBLE)
+         |    / CAST(SUM(CAST(w AS DECIMAL(38,18))) OVER win AS DOUBLE),
+         |    6) + 0.0 AS ewma
+         |FROM w
+         |WINDOW win AS (PARTITION BY event_type ORDER BY d
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |ORDER BY event_type, day_idx""".stripMargin,
 
     "q175_cusum_changepoint" ->
       """WITH daily AS (

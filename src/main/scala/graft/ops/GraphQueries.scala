@@ -250,36 +250,25 @@ object GraphQueries extends QueryModule {
     // (no correlation is defined there), stated with the same CASE in
     // the oracle.
     "q230_degree_assortativity" -> { (s, dir) =>
-      val e = graft.llm.SimilarityQueries
+      assortativityOf(graft.llm.SimilarityQueries
         .mutualKnnEdges(Tables.t(s, dir, "embeddings"), 5)
         .select(col("label"), col("a_id"), col("b_id"))
-        .localCheckpoint()
-      val adj = e.select(col("label"), explode(array(
-          struct(col("a_id").as("src"), col("b_id").as("dst")),
-          struct(col("b_id").as("src"), col("a_id").as("dst")))).as("p"))
-        .select(col("label"), col("p.src").as("src"), col("p.dst").as("dst"))
-      val deg = adj.groupBy(col("label"), col("src"))
-        .agg(count(lit(1)).as("deg"))
-      val xy = adj
-        .join(deg.select(col("label"), col("src"), col("deg").as("dx")),
-          Seq("label", "src"))
-        .join(deg.select(col("label"), col("src").as("dst"),
-          col("deg").as("dy")), Seq("label", "dst"))
-      val m = xy.groupBy(col("label"))
-        .agg(count(lit(1)).as("n_edges"),
-          sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
-          sum(col("dx") * col("dy")).as("sxy"),
-          sum(col("dx") * col("dx")).as("sxx"),
-          sum(col("dy") * col("dy")).as("syy"))
-      val num = col("n_edges") * col("sxy") - col("sx") * col("sy")
-      val vx = col("n_edges") * col("sxx") - col("sx") * col("sx")
-      val vy = col("n_edges") * col("syy") - col("sy") * col("sy")
-      m.select(col("label"), col("n_edges"),
-          when(vx > 0 && vy > 0,
-            round(num.cast("double") /
-              sqrt(vx.cast("double") * vy.cast("double")), 6) + lit(0.0))
-            .as("assortativity"))
-        .orderBy("label")
+        .localCheckpoint())
+    },
+
+    // The PRODUCTION assortativity: identical moments, but the edge
+    // frame comes from the declared scaled-k build (q244's k=⌈√N⌉
+    // k-means cells — N^1.5 candidates) instead of the exact all-pairs
+    // twin whose 20× point measures 30× (SCALE_PROOF.md). This is the
+    // consumer-takes-the-edge-frame contract exercised END TO END with
+    // an oracle: at 100 TB the q230 readout runs on exactly this plan.
+    "q252_assortativity_scaledk" -> { (s, dir) =>
+      val emb = Tables.t(s, dir, "embeddings")
+      val cells = math.ceil(math.sqrt(emb.count().toDouble)).toInt
+      assortativityOf(graft.llm.SimilarityQueries
+        .mutualKnnEdgesScaledK(emb, 5, cells, 2)
+        .select(col("label"), col("a_id"), col("b_id"))
+        .localCheckpoint())
     },
 
     // HITS hubs/authorities (Kleinberg 1999, two mutually-recursive
@@ -336,6 +325,44 @@ object GraphQueries extends QueryModule {
     * rolls per round, the edge list materializes once — the q107/q71
     * iterative shape.
     */
+  /** Newman degree assortativity per label block over an undirected edge
+    * list (label, a_id, b_id) — the consumer half shared by q230 (exact
+    * edge twin) and q252 (scaled-k production edges). Degrees from one
+    * aggregation over the exploded adjacency, joined back onto both
+    * endpoints (both joins node-co-keyed), one moment aggregation; all
+    * five moments are exact-long sums of bounded integer products
+    * (deg ≤ k), so r is one double expression with identical bits in
+    * both engines. Zero-variance blocks yield NULL.
+    */
+  def assortativityOf(e: DataFrame): DataFrame = {
+    val adj = e.select(col("label"), explode(array(
+        struct(col("a_id").as("src"), col("b_id").as("dst")),
+        struct(col("b_id").as("src"), col("a_id").as("dst")))).as("p"))
+      .select(col("label"), col("p.src").as("src"), col("p.dst").as("dst"))
+    val deg = adj.groupBy(col("label"), col("src"))
+      .agg(count(lit(1)).as("deg"))
+    val xy = adj
+      .join(deg.select(col("label"), col("src"), col("deg").as("dx")),
+        Seq("label", "src"))
+      .join(deg.select(col("label"), col("src").as("dst"),
+        col("deg").as("dy")), Seq("label", "dst"))
+    val m = xy.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+    val num = col("n_edges") * col("sxy") - col("sx") * col("sy")
+    val vx = col("n_edges") * col("sxx") - col("sx") * col("sx")
+    val vy = col("n_edges") * col("syy") - col("sy") * col("sy")
+    m.select(col("label"), col("n_edges"),
+        when(vx > 0 && vy > 0,
+          round(num.cast("double") /
+            sqrt(vx.cast("double") * vy.cast("double")), 6) + lit(0.0))
+          .as("assortativity"))
+      .orderBy("label")
+  }
+
   def bfsHops(edges: DataFrame, maxHops: Int): DataFrame = {
     val e = edges.repartition(col("src")).localCheckpoint(true,
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
@@ -680,6 +707,34 @@ object GraphQueries extends QueryModule {
         |ORDER BY dg.label, dg.vec_id""".stripMargin,
 
     // q129's chain, degrees joined onto both endpoints, one moment agg
+    // the scaled-k edge list is q244's own oracle verbatim as a CTE;
+    // the moments on top are q230's spelling
+    "q252_assortativity_scaledk" ->
+      s"""WITH mu AS MATERIALIZED (
+         |${graft.llm.SimilarityQueries.oracles("q244_knn_scaledk")}),
+         |adj AS MATERIALIZED (
+         |  SELECT label, a_id AS src, b_id AS dst FROM mu
+         |  UNION ALL SELECT label, b_id, a_id FROM mu),
+         |dg AS (SELECT label, src, COUNT(*) AS deg FROM adj GROUP BY 1, 2),
+         |m AS (
+         |  SELECT adj.label, COUNT(*) AS n_edges,
+         |    SUM(dx.deg) AS sx, SUM(dy.deg) AS sy,
+         |    SUM(dx.deg * dy.deg) AS sxy,
+         |    SUM(dx.deg * dx.deg) AS sxx,
+         |    SUM(dy.deg * dy.deg) AS syy
+         |  FROM adj
+         |  JOIN dg dx ON dx.label = adj.label AND dx.src = adj.src
+         |  JOIN dg dy ON dy.label = adj.label AND dy.src = adj.dst
+         |  GROUP BY 1)
+         |SELECT label, n_edges,
+         |  CASE WHEN n_edges * sxx - sx * sx > 0
+         |        AND n_edges * syy - sy * sy > 0 THEN
+         |    ROUND(CAST(n_edges * sxy - sx * sy AS DOUBLE)
+         |      / SQRT(CAST(n_edges * sxx - sx * sx AS DOUBLE)
+         |           * CAST(n_edges * syy - sy * sy AS DOUBLE)), 6) + 0.0
+         |  END AS assortativity
+         |FROM m ORDER BY label""".stripMargin,
+
     "q230_degree_assortativity" ->
       """WITH e AS (
         |  SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -62,7 +62,8 @@ class PlanGuardSpec extends AnyFunSuite {
       "q238_embedding_drift", // #sources-row mean vectors × themselves
       "q246_hits", // 1-row L1-total × the nodes-sized rank state, ×4
                    // normalizations (one per HITS half-step)
-      "q249_rrf_fusion") // q38's shape: 5-row broadcast query set × corpus
+      "q249_rrf_fusion", // q38's shape: 5-row broadcast query set × corpus
+      "q251_ewma") // 1-row global max-day × the daily rollup
       // (q173's centroid probe BNLJ runs inside its eager checkpoint —
       // the declared plan reads the materialized ranked frame)
 
