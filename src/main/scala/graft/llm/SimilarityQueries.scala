@@ -468,29 +468,40 @@ object SimilarityQueries extends QueryModule {
     * never whole vectors — identical posture to [[kmeans]]. Encoding is
     * one broadcast join + per-row window over m·k candidate rows.
     */
-  def pqEncode(embeddings: DataFrame, m: Int, subDim: Int, k: Int): DataFrame = {
-    val v = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    // materialize v with the generator; slice in the NEXT projection
-    // (slicing inside a lambda re-evaluates the cast per subspace)
-    val sub = v
+  /** Subspace squared-L2 — sequential index-order accumulation, matching
+    * DuckDB's `LIST_SUM(LIST_TRANSFORM(...))` bit for bit (the q99
+    * precedent). */
+  private def subL2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x: Column, y: Column) => (x - y) * (x - y)),
+      lit(0.0), (acc: Column, z: Column) => acc + z)
+
+  /** Per-vector subspace slices: (vec_id, sub, sv). */
+  private def pqSubspaces(embeddings: DataFrame, m: Int,
+                          subDim: Int): DataFrame =
+    embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      // materialize v with the generator; slice in the NEXT projection
+      // (slicing inside a lambda re-evaluates the cast per subspace)
       .select(col("vec_id"), col("v"),
         explode(sequence(lit(0), lit(m - 1))).as("sub"))
       .select(col("vec_id"), col("sub"),
         slice(col("v"), col("sub") * subDim + 1, lit(subDim)).as("sv"))
-    def l2(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x: Column, y: Column) => (x - y) * (x - y)),
-        lit(0.0), (acc: Column, z: Column) => acc + z)
-    def assign(cents: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("vec_id"), col("sub"))
-        .orderBy(col("d").asc, col("cid").asc)
-      sub.join(broadcast(cents), Seq("sub"))
-        .withColumn("d", l2(col("sv"), col("cv")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-    }
+
+  private def pqNearest(sub: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("d").asc, col("cid").asc)
+    sub.join(broadcast(cents), Seq("sub"))
+      .withColumn("d", subL2(col("sv"), col("cv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+  }
+
+  /** PQ codebooks (q99's one-Lloyd-round training): (sub, cid, cv). */
+  def pqCodebooks(embeddings: DataFrame, m: Int, subDim: Int,
+                  k: Int): DataFrame = {
+    val sub = pqSubspaces(embeddings, m, subDim)
     val seeds = sub.filter(col("vec_id") < k)
       .select(col("sub"), col("vec_id").as("cid"), col("sv").as("cv"))
-    val trained = assign(seeds)
+    pqNearest(sub, seeds)
       .select(col("sub"), col("cid"),
         posexplode(col("sv")).as(Seq("dim", "x")))
       .groupBy(col("sub"), col("cid"), col("dim"))
@@ -498,11 +509,18 @@ object SimilarityQueries extends QueryModule {
       .groupBy(col("sub"), col("cid"))
       .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("dc"))
       .select(col("sub"), col("cid"), expr("transform(dc, s -> s.c)").as("cv"))
-    assign(trained)
+  }
+
+  /** Encode every vector against trained codebooks: (vec_id, sub, code). */
+  def pqAssign(embeddings: DataFrame, codebooks: DataFrame, m: Int,
+               subDim: Int): DataFrame =
+    pqNearest(pqSubspaces(embeddings, m, subDim), codebooks)
       .select(col("vec_id"), col("sub").cast("long").as("sub"),
         col("cid").cast("long").as("code"))
+
+  def pqEncode(embeddings: DataFrame, m: Int, subDim: Int, k: Int): DataFrame =
+    pqAssign(embeddings, pqCodebooks(embeddings, m, subDim, k), m, subDim)
       .orderBy("vec_id", "sub")
-  }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Product-quantization codebook train + encode: 4 subspaces × 16
@@ -915,6 +933,63 @@ object SimilarityQueries extends QueryModule {
         .select(col("query_id"), col("vec_id"),
           (round(col("rrf"), 6) + lit(0.0)).as("rrf"),
           col("rnk"), col("rank_cos"), col("rank_l2"))
+        .orderBy("query_id", "rnk")
+    },
+
+    // IVF-PQ search, end to end — THE production ANN stack at 100 TB
+    // (FAISS's IndexIVFPQ shape): coarse IVF cells prune the corpus to
+    // 2 probed postings lists, PQ codes (4 subspaces × 16 centroids →
+    // 4 small ints per vector, a 32× memory cut) rank candidates by
+    // asymmetric distance (per-query 64-row lookup table, one join —
+    // never a full-vector scan), and only the top-10 survivors get an
+    // exact full-vector rerank. Every stage is a declared sibling's
+    // kernel: cells/probes = q70/q84's centroid scoring, codebooks/codes
+    // = q99's training, rerank = q38's fused cosine. Determinism: the
+    // ADC sum over 4 subspace lookups rides an exact-decimal sum, and
+    // each lookup is the LIST_SUM/LIST_TRANSFORM-matching subL2 — both
+    // engines rank identical values, ties by vec_id. Scale shape: the
+    // dtable is 3×4×16 rows (broadcast), candidates are postings-sized,
+    // the rerank touches ≤10 full vectors per query.
+    "q253_ivfpq_search" -> { (s, dir) =>
+      val emb = Tables.t(s, dir, "embeddings")
+      val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val scored = ivfScored(emb).localCheckpoint()
+      val posting = scored.filter(col("rnk") === 1)
+        .select(col("vec_id"), col("c_label").as("cell"))
+      val probes = scored
+        .filter(col("vec_id") < 3 && col("rnk") <= 2)
+        .select(col("vec_id").as("query_id"), col("c_label").as("cell"))
+      val cb = pqCodebooks(emb, 4, 16, 16)
+      val codes = pqAssign(emb, cb, 4, 16)
+      val dt = pqSubspaces(emb.filter(col("vec_id") < 3), 4, 16)
+        .select(col("vec_id").as("query_id"), col("sub"), col("sv"))
+        .join(broadcast(cb), Seq("sub"))
+        .select(col("query_id"), col("sub"), col("cid").as("code"),
+          subL2(col("sv"), col("cv")).as("dt"))
+      val cand = posting.join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"))
+      val adc = cand.join(codes, Seq("vec_id"))
+        .join(broadcast(dt), Seq("query_id", "sub", "code"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(graft.Fns.dsum18(col("dt")).as("adc"))
+      val short = adc.withColumn("rn", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("adc").asc, col("vec_id").asc)))
+        .filter(col("rn") <= 10)
+      short
+        .join(v, "vec_id")
+        .join(broadcast(v.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"))),
+          Seq("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          (round(col("adc"), 6) + lit(0.0)).as("adc"),
+          cosine(col("v"), col("qv")).as("cos"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("cos").desc, col("vec_id").asc)))
+        .select(col("query_id"), col("vec_id"), col("adc"),
+          round(col("cos"), 4).as("cosine"), col("rnk"))
         .orderBy("query_id", "rnk")
     })
 
@@ -1615,5 +1690,106 @@ object SimilarityQueries extends QueryModule {
         |  FROM f)
         |SELECT query_id, vec_id, ROUND(rrf, 6) + 0.0 AS rrf, rnk,
         |  rank_cos, rank_l2
-        |FROM t WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin)
+        |FROM t WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+
+    // the whole IVF-PQ stack as CTEs: q99's codebook/code CTEs verbatim,
+    // q70's centroid CTEs for the coarse index, then the ADC lookup sum
+    // (exact decimal) and the q38-style cosine rerank on the survivors
+    "q253_ivfpq_search" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |sub AS (
+         |  SELECT vec_id, s.sub,
+         |    LIST_SLICE(v, s.sub * 16 + 1, s.sub * 16 + 16) AS sv
+         |  FROM v CROSS JOIN (SELECT UNNEST(RANGE(0, 4)) AS sub) s),
+         |c0 AS (
+         |  SELECT sub, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < 16),
+         |s1 AS (
+         |  SELECT a.vec_id, a.sub, a.sv, c.cid,
+         |    LIST_SUM(LIST_TRANSFORM(RANGE(1, 17),
+         |      i -> (a.sv[i] - c.cv[i]) * (a.sv[i] - c.cv[i]))) AS d
+         |  FROM sub a JOIN c0 c ON a.sub = c.sub),
+         |a1 AS (
+         |  SELECT vec_id, sub, sv, cid FROM (
+         |    SELECT vec_id, sub, sv, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+         |                         ORDER BY d ASC, cid ASC) AS rn
+         |    FROM s1) WHERE rn = 1),
+         |d1 AS (
+         |  SELECT sub, cid, GENERATE_SUBSCRIPTS(sv, 1) AS dim, UNNEST(sv) AS x
+         |  FROM a1),
+         |m1 AS (
+         |  SELECT sub, cid, dim, ${graft.Fns.davgSql("x")} AS c
+         |  FROM d1 GROUP BY sub, cid, dim),
+         |c1 AS (
+         |  SELECT sub, cid, LIST(c ORDER BY dim) AS cv
+         |  FROM m1 GROUP BY sub, cid),
+         |s2 AS (
+         |  SELECT a.vec_id, a.sub, c.cid,
+         |    LIST_SUM(LIST_TRANSFORM(RANGE(1, 17),
+         |      i -> (a.sv[i] - c.cv[i]) * (a.sv[i] - c.cv[i]))) AS d
+         |  FROM sub a JOIN c1 c ON a.sub = c.sub),
+         |codes AS (
+         |  SELECT vec_id, sub, cid AS code FROM (
+         |    SELECT vec_id, sub, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+         |                         ORDER BY d ASC, cid ASC) AS rn
+         |    FROM s2) WHERE rn = 1),
+         |dd AS (
+         |  SELECT label,
+         |    UNNEST(CAST(embedding AS DOUBLE[])) AS x,
+         |    GENERATE_SUBSCRIPTS(embedding, 1) AS dim
+         |  FROM embeddings),
+         |cent AS (
+         |  SELECT label AS c_label, dim, ${graft.Fns.davgSql("x")} AS c
+         |  FROM dd GROUP BY label, dim),
+         |carr AS (
+         |  SELECT c_label, LIST(c ORDER BY dim) AS cv
+         |  FROM cent GROUP BY c_label),
+         |sc AS (
+         |  SELECT v.vec_id, carr.c_label,
+         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |      ORDER BY LIST_COSINE_SIMILARITY(v.v, carr.cv) DESC,
+         |               carr.c_label ASC) AS rnk
+         |  FROM v CROSS JOIN carr),
+         |posting AS (SELECT vec_id, c_label AS cell FROM sc WHERE rnk = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, c_label AS cell
+         |  FROM sc WHERE vec_id < 3 AND rnk <= 2),
+         |qsub AS (
+         |  SELECT vec_id AS query_id, sub, sv FROM sub WHERE vec_id < 3),
+         |dtab AS (
+         |  SELECT q.query_id, q.sub, c.cid AS code,
+         |    LIST_SUM(LIST_TRANSFORM(RANGE(1, 17),
+         |      i -> (q.sv[i] - c.cv[i]) * (q.sv[i] - c.cv[i]))) AS dt
+         |  FROM qsub q JOIN c1 c ON q.sub = c.sub),
+         |cand AS (
+         |  SELECT p.query_id, po.vec_id
+         |  FROM posting po JOIN probes p ON po.cell = p.cell
+         |  WHERE po.vec_id <> p.query_id),
+         |adc AS (
+         |  SELECT c.query_id, c.vec_id,
+         |    CAST(SUM(CAST(dtab.dt AS DECIMAL(38,18))) AS DOUBLE) AS adc
+         |  FROM cand c
+         |  JOIN codes k ON k.vec_id = c.vec_id
+         |  JOIN dtab ON dtab.query_id = c.query_id AND dtab.sub = k.sub
+         |    AND dtab.code = k.code
+         |  GROUP BY 1, 2),
+         |short AS (
+         |  SELECT query_id, vec_id, adc FROM (
+         |    SELECT query_id, vec_id, adc,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |                         ORDER BY adc ASC, vec_id ASC) AS rn
+         |    FROM adc) WHERE rn <= 10),
+         |re AS (
+         |  SELECT s.query_id, s.vec_id, s.adc,
+         |    LIST_COSINE_SIMILARITY(cv.v, qv.v) AS cos
+         |  FROM short s
+         |  JOIN v cv ON cv.vec_id = s.vec_id
+         |  JOIN v qv ON qv.vec_id = s.query_id)
+         |SELECT query_id, vec_id, ROUND(adc, 6) + 0.0 AS adc,
+         |  ROUND(cos, 4) AS cosine,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rnk
+         |FROM re ORDER BY query_id, rnk""".stripMargin)
 }
