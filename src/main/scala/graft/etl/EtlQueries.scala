@@ -308,6 +308,34 @@ object EtlQueries extends QueryModule {
           dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
             .as("revenue"))
         .orderBy("o_orderpriority")
+    },
+
+    // ORC round-trip — the second columnar format the engine writes and
+    // reads (the reference's BaseWriter dispatches over pluggable
+    // destination types, operations.py:98-118; ORC is the Spark-native
+    // second destination format, zero extra deps). The
+    // write is Hive-style PARTITIONED BY the returnflag so the read-back
+    // filter prunes whole directories before any IO, and the quantity
+    // predicate pushes into the ORC stripe reader (min/max stripe stats
+    // — OrcScanSpec pins both in the plan). The answer must be identical
+    // to computing over the original parquet — the oracle IS the plain
+    // parquet aggregation, so the row proves write→read fidelity
+    // (values, types, partition-column round-trip) not just mechanics.
+    "q257_orc_roundtrip" -> { (s, dir) =>
+      val path = "/tmp/graft_orc_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      Tables.t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_returnflag"))
+        .write.mode("overwrite").partitionBy("l_returnflag").orc(path)
+      s.read.orc(path)
+        .filter(col("l_returnflag") =!= "N")   // partition pruning
+        .filter(col("l_quantity") > 10.0)      // ORC predicate pushdown
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+        .orderBy("l_returnflag")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -519,5 +547,15 @@ object EtlQueries extends QueryModule {
          |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
          |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)
+         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    // the oracle is the plain PARQUET aggregation — the ORC write/read
+    // must be value-invisible
+    "q257_orc_roundtrip" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n_items,
+         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem
+         |WHERE l_returnflag <> 'N' AND l_quantity > 10.0
+         |GROUP BY 1 ORDER BY l_returnflag""".stripMargin)
 }

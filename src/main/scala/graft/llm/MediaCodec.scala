@@ -34,6 +34,11 @@ object MediaCodec {
       .map(v => Sniffed("avi", v.width, v.height)).getOrElse(Bin)
     else if (isMp4(b)) demuxMp4(b)
       .map(v => Sniffed("mp4", v.width, v.height)).getOrElse(Bin)
+    // audio has no pixel dims; width/height carry rate/channels (the two
+    // numbers an audio triage filter drops on), documented at [[Wav]]
+    else if (isWav(b)) demuxWav(b)
+      .map(v => Sniffed("wav", v.sampleRate.toLong, v.channels.toLong))
+      .getOrElse(Bin)
     else Bin
 
   /** A demuxed uncompressed Y4M (YUV4MPEG2) video: raw planar frames at
@@ -156,6 +161,83 @@ object MediaCodec {
     }
     walk(12, math.min(b.length, 8 + le32(b, 4)).toInt max 12, 0)
     Some(Avi(width, height, codec, offs.result(), sizes.result()))
+  }
+
+  /** A demuxed WAV (RIFF/WAVE) audio clip: PCM sample format plus the
+    * `data` chunk's payload byte range. Like Y4M for video, linear-PCM WAV
+    * is the one audio container that needs NO codec — sample extraction is
+    * header parsing plus offset arithmetic, so a pipeline transcodes
+    * compressed audio to PCM upstream once and every downstream feature
+    * pass is pure byte reads. In [[Sniffed]] terms width carries
+    * `sampleRate` and height `channels`. */
+  final case class Wav(channels: Int, sampleRate: Int, bitsPerSample: Int,
+                       dataOffset: Int, dataLen: Int) {
+    /** Per-channel sample frames that FULLY fit in the payload. */
+    def nSamples: Int = {
+      val bytesPerFrame = channels * (bitsPerSample / 8)
+      if (bytesPerFrame <= 0) 0 else dataLen / bytesPerFrame
+    }
+  }
+
+  private def isWav(b: Array[Byte]): Boolean =
+    b.length >= 12 && fourcc(b, 0) == "RIFF" && fourcc(b, 8) == "WAVE"
+
+  /** Pure-JVM RIFF/WAVE walk: `fmt ` carries the PCM format (audio format
+    * tag at data offset 0 — only 1 = integer linear PCM is accepted;
+    * compressed tags stay behind the codec seam), channels at 2, sample
+    * rate at 4, bits-per-sample at 14; the first `data` chunk is the
+    * sample payload. Chunks are word-aligned (odd sizes pad one byte). A
+    * truncated `data` chunk is CLAMPED to the bytes actually present
+    * (the fully-fitting sample frames survive, [[Wav.nSamples]]) — never
+    * an exception: malformed media must not kill a 100 TB scan.
+    */
+  def demuxWav(b: Array[Byte]): Option[Wav] = {
+    if (!isWav(b)) return None
+    var channels = 0; var rate = 0; var bits = 0; var fmtOk = false
+    var dataOff = -1; var dataLen = 0
+    var i = 12
+    var ok = true
+    while (ok && i + 8 <= b.length) {
+      val id = fourcc(b, i)
+      val sz = le32(b, i + 4)
+      if (sz < 0 || sz > Int.MaxValue - 16) ok = false
+      else {
+        val dataStart = i + 8
+        id match {
+          case "fmt " if sz >= 16 && dataStart + 16 <= b.length =>
+            val tag = le16(b, dataStart).toInt
+            channels = le16(b, dataStart + 2).toInt
+            rate = le32(b, dataStart + 4).toInt
+            bits = le16(b, dataStart + 14).toInt
+            fmtOk = tag == 1 && channels > 0 && rate > 0 &&
+              (bits == 8 || bits == 16 || bits == 24 || bits == 32)
+          case "data" if dataOff < 0 =>
+            dataOff = dataStart
+            dataLen = math.min(sz, (b.length - dataStart).toLong).toInt
+          case _ => () // LIST/fact/cue/junk: skip
+        }
+        i = dataStart + sz.toInt + (sz.toInt & 1)
+      }
+    }
+    if (fmtOk && dataOff >= 0) Some(Wav(channels, rate, bits, dataOff, dataLen))
+    else None
+  }
+
+  /** Channel-0 PCM samples as signed ints (16-bit little-endian path —
+    * the transcode-target format). Offset arithmetic only; other depths
+    * stay behind the seam ([[demuxWav]] validates they exist). */
+  def pcm16Samples(b: Array[Byte], w: Wav): Array[Int] = {
+    if (w.bitsPerSample != 16) return Array.emptyIntArray
+    val stride = w.channels * 2
+    val n = w.nSamples
+    val out = new Array[Int](n)
+    var k = 0
+    while (k < n) {
+      val off = w.dataOffset + k * stride
+      out(k) = ((b(off + 1).toInt << 8) | (b(off) & 0xff)).toShort.toInt
+      k += 1
+    }
+    out
   }
 
   /** A demuxed MP4 (ISO BMFF) video: per-sample payload offsets/sizes of

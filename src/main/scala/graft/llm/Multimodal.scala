@@ -359,7 +359,154 @@ object Multimodal extends QueryModule {
     }.toDF()
   }
 
+  case class AudioFeatures(doc_id: Long, sample_rate: Long, n_channels: Long,
+                           n_samples: Long, peak_abs: Long, n_zero_cross: Long,
+                           energy_sum: Long, active_frames: Long)
+
+  /** Deterministic synthetic WAV corpus for the declared audio-features
+    * query: the parquet fixtures carry no audio bytes, so each doc_id
+    * renders to a REAL RIFF/WAVE payload (canonical 44-byte header +
+    * 16-bit little-endian PCM) — the decode half of the pipeline then
+    * exercises the production chunk walker and sample reader, not a stub.
+    * The waveform is integer-exact (a square wave never touches floats):
+    * 800 mono samples at 8 kHz, `sil = (id%4)·100` leading silent
+    * samples, then amplitude `amp = 8000 + (id%7)·1000` alternating sign
+    * every `hp = 10 + (id%5)·5` samples. Every feature the kernel
+    * extracts from the BYTES therefore has a closed form in doc_id — the
+    * DuckDB oracle states that closed form, so the full
+    * render→encode→demux→decode→feature chain is hash-checked: any
+    * byte-layout or parser bug turns the driver row red.
+    */
+  def syntheticWavCorpus(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val n = 800
+        val amp = (8000 + (id % 7) * 1000).toInt
+        val hp = (10 + (id % 5) * 5).toInt
+        val sil = ((id % 4) * 100).toInt
+        val dataLen = n * 2
+        val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+          .put("WAVE".getBytes("US-ASCII"))
+          .put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1).putShort(1)        // PCM, mono
+          .putInt(8000).putInt(16000)     // rate, byte rate
+          .putShort(2).putShort(16)       // block align, bits
+          .put("data".getBytes("US-ASCII")).putInt(dataLen)
+        var s = 0
+        while (s < n) {
+          val x =
+            if (s < sil) 0
+            else if (((s - sil) / hp) % 2 == 0) amp
+            else -amp
+          bb.putShort(x.toShort)
+          s += 1
+        }
+        MediaIn(id, bb.array())
+      }
+    }.toDF()
+  }
+
+  /** Audio feature extraction over real WAV bytes — the audio analog of
+    * [[extractFeatures]]: demux the RIFF chunks, read channel-0 PCM16
+    * samples, and compute the triage features an audio corpus filters on
+    * (peak for clipping/silence, zero-crossing count as the pitch proxy,
+    * exact energy, count of non-silent fixed-size frames). All integer
+    * arithmetic — no float drift anywhere. Same per-partition batch
+    * shape as the image paths; payloads that don't demux as PCM WAV drop
+    * out (never an exception). Scan-local per row — zero shuffles.
+    */
+  def audioFeatures(media: DataFrame, frameSize: Int = 200): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaIn].mapPartitions { it =>
+      it.flatMap { m =>
+        MediaCodec.demuxWav(m.payload).map { w =>
+          val xs = MediaCodec.pcm16Samples(m.payload, w)
+          var peak = 0L; var zc = 0L; var energy = 0L
+          var frames = 0L; var frameEnergy = 0L
+          var i = 0
+          while (i < xs.length) {
+            val x = xs(i).toLong
+            val ax = math.abs(x)
+            if (ax > peak) peak = ax
+            if (i > 0 && xs(i - 1).toLong * x < 0) zc += 1
+            energy += x * x
+            frameEnergy += x * x
+            if ((i + 1) % frameSize == 0 || i == xs.length - 1) {
+              if (frameEnergy > 0) frames += 1
+              frameEnergy = 0
+            }
+            i += 1
+          }
+          AudioFeatures(m.doc_id, w.sampleRate.toLong, w.channels.toLong,
+            xs.length.toLong, peak, zc, energy, frames)
+        }
+      }
+    }.toDF()
+  }
+
+  /** Audio content hash — exact dedup at SAMPLE grain, not file grain: a
+    * 64-bit FNV-1a over the PCM payload bytes only, so the same recording
+    * re-wrapped in a different container (extra LIST/INFO chunks, other
+    * header layout) still collapses to one key where a file-level SHA
+    * would not. Scan-local per row; the hash is the shuffle key for any
+    * downstream dedup. Non-PCM payloads drop out (the seam rule).
+    */
+  def audioContentHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaIn].mapPartitions { it =>
+      it.flatMap { m =>
+        MediaCodec.demuxWav(m.payload).map { w =>
+          val end = w.dataOffset +
+            w.nSamples * w.channels * (w.bitsPerSample / 8)
+          var h = 0xcbf29ce484222325L // FNV-1a offset basis
+          var i = w.dataOffset
+          while (i < end) {
+            h = (h ^ (m.payload(i) & 0xff)) * 0x100000001b3L
+            i += 1
+          }
+          (m.doc_id, h)
+        }
+      }
+    }.toDF("doc_id", "fp")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Audio exact-dedup census at sample grain, WITH an oracle: the
+    // synthetic waveform is a function of (doc_id%7, doc_id%5, doc_id%4),
+    // so the sample-content equivalence classes have a closed form the
+    // oracle groups by directly — while the engine groups by the REAL
+    // byte-level FNV of each clip's PCM payload. The row is green only if
+    // the hash respects exactly those classes: a collision (classes
+    // merged) or a render/demux instability (classes split) turns it
+    // red. The hash itself stays out of the output (engine-specific, the
+    // q44 sketch convention); each class reports its min-doc_id survivor
+    // and size — the q122 survivor-pick shape for audio.
+    "q259_audio_dedup_census" -> { (s, dir) =>
+      audioContentHash(syntheticWavCorpus(Tables.t(s, dir, "documents")))
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("rep_doc_id"),
+          count(lit(1)).as("n_clips"))
+        .select(col("rep_doc_id"), col("n_clips"))
+        .orderBy("rep_doc_id")
+    },
+
+    // Audio features end to end, WITH an oracle: synthesize PCM16 WAVs,
+    // demux + decode + featurize through the real byte kernel, and check
+    // against the closed form of the planted waveform (the q257 fidelity
+    // argument — the container must be value-invisible). Scale shape:
+    // render and featurize are both scan-local mapPartitions; the only
+    // exchange is the output sort.
+    "q258_audio_features" -> { (s, dir) =>
+      audioFeatures(syntheticWavCorpus(Tables.t(s, dir, "documents")))
+        .orderBy("doc_id")
+    },
+
     // Perceptual-hash image dedup, declared end-to-end (no oracle —
     // DuckDB has no ImageIO; MultimodalSpec pins the planted ground
     // truth): synthesize PNGs, aHash each through the real decode,
@@ -399,6 +546,38 @@ object Multimodal extends QueryModule {
     })
 
   override def oracles: Map[String, String] = Map(
+    // the planted waveform is injective in (amp, hp, sil) — distinct
+    // parameter triples give distinct PCM byte strings — so the
+    // sample-content classes ARE the doc_id residue classes
+    "q259_audio_dedup_census" ->
+      """SELECT MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_clips
+        |FROM documents
+        |GROUP BY doc_id % 7, doc_id % 5, doc_id % 4
+        |ORDER BY rep_doc_id""".stripMargin,
+
+    // the closed form of the planted square wave: m = 800 − sil active
+    // samples ⇒ peak = amp, energy = m·amp², one crossing at every hp
+    // boundary inside the active run (silence→signal is 0·amp, not a
+    // sign flip), and a 200-sample frame is silent iff wholly inside
+    // the leading silence
+    "q258_audio_features" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    8000 + (doc_id % 7) * 1000 AS amp,
+        |    10 + (doc_id % 5) * 5 AS hp,
+        |    (doc_id % 4) * 100 AS sil
+        |  FROM documents),
+        |m AS (SELECT doc_id, amp, hp, sil, 800 - sil AS act FROM p)
+        |SELECT doc_id,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS n_channels,
+        |  CAST(800 AS BIGINT) AS n_samples,
+        |  CAST(amp AS BIGINT) AS peak_abs,
+        |  CAST((act - 1) // hp AS BIGINT) AS n_zero_cross,
+        |  CAST(act * amp * amp AS BIGINT) AS energy_sum,
+        |  CAST(4 - sil // 200 AS BIGINT) AS active_frames
+        |FROM m ORDER BY doc_id""".stripMargin,
+
     // fixture text is ASCII, so char codes == payload bytes. mean/ratio are
     // exact integer arithmetic; the entropy sum is 30-odd double terms with
     // ~1e-15 spread — far inside the ROUND(.,4) grid (same argument as the

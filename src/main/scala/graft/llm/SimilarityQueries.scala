@@ -991,6 +991,45 @@ object SimilarityQueries extends QueryModule {
         .select(col("query_id"), col("vec_id"), col("adc"),
           round(col("cos"), 4).as("cosine"), col("rnk"))
         .orderBy("query_id", "rnk")
+    },
+
+    // Int8 scalar-quantization audit (the FAISS-SQ8 analog) — the OTHER
+    // embedding compression lever: where PQ (q99/q253) trades dimensions
+    // for codebook indices, SQ8 keeps every dimension at 1 byte via a
+    // per-vector symmetric scale s = max|x|, q = floor(x·127/s + 0.5) —
+    // a 4× memory/bandwidth cut that leaves distances almost intact.
+    // This query quantizes, dequantizes, and reports the per-label error
+    // profile (mean MSE, worst absolute error) — the audit that decides
+    // whether the index can run on SQ8. Scan-local per row (the ideal
+    // 100 TB shape), one label-keyed rollup. Determinism: float→double
+    // is exact, the per-element chain is the identical left-assoc IEEE
+    // tree in both engines, FLOOR never sits on a boundary dyadics can't
+    // express, per-row sums fold the same 64 elements in order, and the
+    // label rollup rides the scale-18 carry.
+    "q261_int8_quant" -> { (s, dir) =>
+      val v = Tables.t(s, dir, "embeddings")
+        .select(col("label"), col("vec_id"),
+          asDouble(col("embedding")).as("v"))
+        .withColumn("sc",
+          array_max(transform(col("v"), (x: Column) => abs(x))))
+        .withColumn("err", transform(col("v"), (x: Column) =>
+          x - floor(x * lit(127.0) / col("sc") + lit(0.5)) *
+            col("sc") / lit(127.0)))
+        .select(col("label"),
+          when(col("sc") > 0,
+            aggregate(col("err"), lit(0.0),
+              (acc: Column, e: Column) => acc + e * e) /
+              size(col("v")).cast("double"))
+            .otherwise(lit(0.0)).as("mse"),
+          when(col("sc") > 0,
+            array_max(transform(col("err"), (e: Column) => abs(e))))
+            .otherwise(lit(0.0)).as("maxe"))
+      v.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          (round(graft.Fns.dsum18(col("mse")) /
+            count(lit(1)).cast("double"), 10) + lit(0.0)).as("avg_mse"),
+          (round(max(col("maxe")), 10) + lit(0.0)).as("max_abs_err"))
+        .orderBy("label")
     })
 
   /** The probe/argmax/accuracy half of q173 over a ranked, unit-
@@ -1791,5 +1830,37 @@ object SimilarityQueries extends QueryModule {
          |  ROUND(cos, 4) AS cosine,
          |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
          |    ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rnk
-         |FROM re ORDER BY query_id, rnk""".stripMargin)
+         |FROM re ORDER BY query_id, rnk""".stripMargin,
+
+    // the identical left-assoc quantize/dequantize chain per element,
+    // the same in-order 64-element fold, the same scale-18 label carry
+    "q261_int8_quant" -> (
+      """WITH p AS (
+        |  SELECT label, vec_id,
+        |    LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |sct AS (
+        |  SELECT label, vec_id, v,
+        |    LIST_MAX(LIST_TRANSFORM(v, x -> ABS(x))) AS sc
+        |  FROM p),
+        |e AS (
+        |  SELECT label, vec_id, sc, LEN(v) AS d,
+        |    LIST_TRANSFORM(v, x ->
+        |      x - FLOOR(x * 127.0 / sc + 0.5) * sc / 127.0) AS err
+        |  FROM sct),
+        |m AS (
+        |  SELECT label,
+        |    CASE WHEN sc > 0 THEN
+        |      LIST_SUM(LIST_TRANSFORM(err, x -> x * x)) / CAST(d AS DOUBLE)
+        |      ELSE 0.0 END AS mse,
+        |    CASE WHEN sc > 0 THEN
+        |      LIST_MAX(LIST_TRANSFORM(err, x -> ABS(x)))
+        |      ELSE 0.0 END AS maxe
+        |  FROM e)
+        |SELECT label, COUNT(*) AS n_vecs,
+        |  ROUND(""".stripMargin +
+        graft.Fns.dsum18Sql("mse") +
+        """ / CAST(COUNT(*) AS DOUBLE), 10) + 0.0 AS avg_mse,
+        |  ROUND(MAX(maxe), 10) + 0.0 AS max_abs_err
+        |FROM m GROUP BY label ORDER BY label""".stripMargin))
 }

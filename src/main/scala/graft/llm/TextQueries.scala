@@ -1155,6 +1155,47 @@ object TextQueries extends QueryModule {
             col("sclnc") / col("n_chars").cast("double")) /
             log(lit(2.0)), 6) + lit(0.0)).as("entropy_bits"))
         .orderBy("doc_id")
+    },
+
+    // Unigram-LM cross-entropy scoring — the CCNet/Wenzek-style quality
+    // filter: score every document by how surprising it is under the
+    // CORPUS's own unigram language model (add-1 smoothed). q135 scores
+    // each source's distribution against itself (entropy); this is the
+    // per-DOCUMENT readout against the shared model — the ranked
+    // keep/drop signal a pretraining pipeline thresholds on. Scale
+    // shape: token counts per (doc, token) are scan-local explodes; the
+    // LM is one vocabulary-sized table that BROADCASTS onto the per-doc
+    // counts (vocab ≪ corpus); per-doc CE closes on the doc key and the
+    // per-source rollup is sources-sized. Determinism: p(w) is one IEEE
+    // division of exact longs, ln per row, scale-18 carry for the doc
+    // sum, one division per doc, scale-18 carry for the source mean.
+    "q256_unigram_ce" -> { (s, dir) =>
+      val dt = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("doc_id"), col("source"), col("w"))
+        .agg(count(lit(1)).as("c"))
+      val vocab = dt.groupBy(col("w")).agg(sum(col("c")).as("cw"))
+      val stats = vocab.agg(sum(col("cw")).as("n_tok"),
+        count(lit(1)).as("v"))
+      val lm = vocab.crossJoin(broadcast(stats))
+        .select(col("w"), log((col("cw") + lit(1L)).cast("double") /
+          (col("n_tok") + col("v")).cast("double")).as("lnp"))
+      val docCe = dt.join(broadcast(lm), Seq("w"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(sum(col("c")).as("len"),
+          graft.Fns.dsum18(-col("c").cast("double") * col("lnp"))
+            .as("nll"))
+        .select(col("doc_id"), col("source"), col("len"),
+          (col("nll") / col("len").cast("double")).as("ce"))
+      docCe.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          (round(graft.Fns.dsum18(col("ce")) /
+            count(lit(1)).cast("double"), 6) + lit(0.0)).as("avg_ce"),
+          (round(min(col("ce")), 6) + lit(0.0)).as("min_ce"),
+          (round(max(col("ce")), 6) + lit(0.0)).as("max_ce"))
+        .orderBy("source")
     })
 
   /** The q34 exact-Jaccard oracle, hoisted so composite oracles (q71,
@@ -1820,5 +1861,40 @@ object TextQueries extends QueryModule {
         |  ROUND((LN(CAST(n_chars AS DOUBLE))
         |    - sclnc / CAST(n_chars AS DOUBLE)) / LN(2.0), 6) + 0.0
         |    AS entropy_bits
-        |FROM m ORDER BY doc_id""".stripMargin))
+        |FROM m ORDER BY doc_id""".stripMargin),
+
+    // same exact-long LM (add-1 over the shared vocab), same per-row
+    // ln(p), same scale-18 carries at doc and source grain
+    "q256_unigram_ce" -> (
+      """WITH dt AS (
+        |  SELECT doc_id, source, w, COUNT(*) AS c
+        |  FROM (SELECT doc_id, source,
+        |          UNNEST(STRING_SPLIT(text, ' ')) AS w
+        |        FROM documents)
+        |  WHERE LEN(w) > 0 GROUP BY 1, 2, 3),
+        |vocab AS (
+        |  SELECT w, CAST(SUM(c) AS BIGINT) AS cw FROM dt GROUP BY 1),
+        |stats AS (
+        |  SELECT CAST(SUM(cw) AS BIGINT) AS n_tok, COUNT(*) AS v
+        |  FROM vocab),
+        |lm AS (
+        |  SELECT w, LN(CAST(cw + 1 AS DOUBLE) /
+        |    CAST(n_tok + v AS DOUBLE)) AS lnp
+        |  FROM vocab, stats),
+        |docce AS (
+        |  SELECT doc_id, source, CAST(SUM(c) AS BIGINT) AS len,
+        |    """.stripMargin +
+        graft.Fns.dsum18Sql("-CAST(c AS DOUBLE) * lnp") +
+        """ AS nll
+        |  FROM dt JOIN lm USING (w) GROUP BY 1, 2),
+        |ce AS (
+        |  SELECT doc_id, source, nll / CAST(len AS DOUBLE) AS ce
+        |  FROM docce)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  ROUND(""".stripMargin +
+        graft.Fns.dsum18Sql("ce") +
+        """ / CAST(COUNT(*) AS DOUBLE), 6) + 0.0 AS avg_ce,
+        |  ROUND(MIN(ce), 6) + 0.0 AS min_ce,
+        |  ROUND(MAX(ce), 6) + 0.0 AS max_ce
+        |FROM ce GROUP BY 1 ORDER BY source""".stripMargin))
 }

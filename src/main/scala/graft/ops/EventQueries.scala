@@ -1503,6 +1503,55 @@ object EventQueries extends QueryModule {
           coalesce(sum(when(col("gap") > 0, col("gap"))), lit(0L))
             .as("days_missed"))
         .orderBy("user_id")
+    },
+
+    // Time-weighted average (TWAP) per event type — the irregular-
+    // sampling mean: each observation holds until the next one, so its
+    // weight is its holding interval, not 1. The plain AVG over-counts
+    // burst periods (many short-lived samples) exactly where monitoring
+    // data is densest; q251's EWMA decays by age, q157 decays by recency
+    // — TWAP is the third, integral-weighted, member of the family.
+    // Scale shape: event_type is a LOW-cardinality key, so a per-type
+    // lead() window would single-thread each type's whole stream — the
+    // q91/q184/q218 two-phase spelling applies instead: in-day intervals
+    // come from a (type, day)-keyed window (high cardinality,
+    // parallelizes), and the day-BOUNDARY interval (last observation of
+    // a day holding until the next observed day's first) closes on the
+    // tiny types×days rollup. Union of the two = exactly the consecutive
+    // pairs of the type's global (ts, event_id) order. Determinism:
+    // intervals are exact microsecond longs, v·Δt is one IEEE product
+    // per row riding the scale-18 carry, tie order pinned by the unique
+    // (ts, event_id).
+    "q260_twap" -> { (s, dir) =>
+      val ev = Tables.t(s, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("t"), col("value"))
+        .withColumn("d", expr("t div 86400000000"))
+      val wD = Window.partitionBy(col("event_type"), col("d"))
+        .orderBy(col("t"), col("event_id"))
+      val inDay = ev
+        .withColumn("dt_us", lead(col("t"), 1).over(wD) - col("t"))
+        .filter(col("dt_us").isNotNull)
+        .select(col("event_type"), col("value"), col("dt_us"))
+      // types×days rollup: each day's first instant and its last
+      // observation (struct-max over the unique (t, event_id) order)
+      val days = ev.groupBy(col("event_type"), col("d"))
+        .agg(min(col("t")).as("first_t"),
+          max(struct(col("t"), col("event_id"), col("value"))).as("last"))
+      val wT = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      val boundary = days // types×days rows — the window input is tiny
+        .withColumn("next_first_t", lead(col("first_t"), 1).over(wT))
+        .filter(col("next_first_t").isNotNull)
+        .select(col("event_type"), col("last.value").as("value"),
+          (col("next_first_t") - col("last.t")).as("dt_us"))
+      inDay.unionByName(boundary)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("dt_us")).as("span_us"),
+          (round(graft.Fns.dsum18(col("value") * col("dt_us")
+            .cast("double")) / sum(col("dt_us")).cast("double"), 6)
+            + lit(0.0)).as("twap"))
+        .orderBy("event_type")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -2547,5 +2596,21 @@ object EventQueries extends QueryModule {
         |    AS longest_gap,
         |  CAST(COALESCE(SUM(CASE WHEN gap > 0 THEN gap END), 0)
         |    AS BIGINT) AS days_missed
-        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin)
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // same (ts, event_id) tie order, same exact-µs intervals, same
+    // scale-18 carry for the v·Δt mass
+    "q260_twap" -> (
+      """WITH iv AS (
+        |  SELECT event_type, value,
+        |    EPOCH_US(LEAD(ts, 1) OVER (PARTITION BY event_type
+        |      ORDER BY ts, event_id)) - EPOCH_US(ts) AS dt_us
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n_intervals,
+        |  CAST(SUM(dt_us) AS BIGINT) AS span_us,
+        |  ROUND(""".stripMargin +
+        dsum18Sql("value * CAST(dt_us AS DOUBLE)") +
+        """ / CAST(SUM(dt_us) AS DOUBLE), 6) + 0.0 AS twap
+        |FROM iv WHERE dt_us IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin))
 }

@@ -1438,6 +1438,108 @@ object RelationalQueries extends QueryModule {
         .select(col("rnk"), col("l_partkey"), col("n_items"),
           col("n_kept"), (round(col("w"), 6) + lit(0.0)).as("wilson_lb"))
         .orderBy("rnk")
+    },
+
+    // Count-min sketch heavy hitters — the MERGEABLE frequency sketch
+    // (Cormode & Muthukrishnan 2005): d=4 hash rows × w=1024 buckets,
+    // fixed 4096-counter state regardless of N, so at 100 TB each
+    // executor folds its partition into a local sketch and the merge is
+    // a 4096-row sum (map-side combinable; contrast q197's Misra-Gries,
+    // which keeps keys). Estimate = min over rows of the hashed bucket
+    // count — NEVER an underestimate (every bucket holds the key's true
+    // count plus nonneg collision mass). Spelled from the per-key exact
+    // frequency table (identical bucket sums, and the exact counts are
+    // needed for the contract anyway): both the sketch (≤4096 rows) and
+    // the verdicts are oracle-checked — est ≥ exact structurally, and
+    // the top-20 overcounts stay under the 4·N/w Markov envelope.
+    // Hashes are md5-hex (q178's idiom) so both engines agree bit-wise.
+    "q254_cms_heavy_hitters" -> { (s, dir) =>
+      val W = 1024L
+      def bucket(key: org.apache.spark.sql.Column, i: Int) =
+        conv(substring(md5(concat(key.cast("string"), lit("#" + i))
+          .cast("binary")), 1, 5), 16, 10).cast("long") % W
+      // one lineitem aggregation feeds sketch, probe AND total: checkpoint
+      // so the corpus-sized shuffle runs once, not three times
+      val exact = Tables.t(s, dir, "lineitem")
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("exact_n"))
+        .localCheckpoint()
+      val hb = exact.select(col("l_partkey"), col("exact_n"),
+        explode(array((0 until 4).map(i =>
+          struct(lit(i).as("h"), bucket(col("l_partkey"), i).as("b"))): _*))
+          .as("hb"))
+        .select(col("l_partkey"), col("exact_n"),
+          col("hb.h").as("h"), col("hb.b").as("b"))
+      val sketch = hb.groupBy(col("h"), col("b"))
+        .agg(sum(col("exact_n")).as("bn"))
+      val tot = exact.agg(sum(col("exact_n")).as("n_tot"))
+      hb.join(broadcast(sketch), Seq("h", "b"))
+        .groupBy(col("l_partkey"), col("exact_n"))
+        .agg(min(col("bn")).as("cms_est"))
+        .crossJoin(broadcast(tot))
+        .select(col("l_partkey"), col("exact_n"), col("cms_est"),
+          (col("cms_est") - col("exact_n")).as("overcount"),
+          (col("cms_est") >= col("exact_n")).as("never_under"),
+          ((col("cms_est") - col("exact_n")) * lit(W) <= lit(4L) *
+            col("n_tot")).as("within_markov"))
+        .orderBy(col("exact_n").desc, col("l_partkey")).limit(20)
+    },
+
+    // Bloom-filter-pruned semi-join — the 100 TB join-pruning lever
+    // (runtime row-level filtering spelled explicitly): the build side's
+    // keys hash (k=3, md5 rows) into an m=65536-position set that is
+    // FIXED-SIZE regardless of build cardinality, broadcasts to every
+    // executor, and prunes the probe side map-side BEFORE any shuffle —
+    // three broadcast left-semi probes, zero exchanges until the final
+    // 3-row rollup. The exact semi-join runs beside it to grade the
+    // filter: a Bloom filter can never drop a true match (all k
+    // positions of a build key are in the set by construction — the
+    // no_false_neg verdict), and its false-positive rate among true
+    // negatives must sit under the fill-factor envelope fill^k × 1.5,
+    // SELF-CALIBRATING across scales (at sf1 the filter saturates and
+    // the bound rises with it; sizing m ∝ n is the production knob this
+    // fixed-m declaration documents). Oracle recomputes filter + truth.
+    "q255_bloom_semijoin" -> { (s, dir) =>
+      val M = 65536L
+      def pos(key: org.apache.spark.sql.Column, i: Int) =
+        conv(substring(md5(concat(key.cast("string"), lit("!" + i))
+          .cast("binary")), 1, 6), 16, 10).cast("long") % M
+      val build = Tables.t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val posSet = build.select(explode(array((0 until 3).map(i =>
+        pos(col("o_orderkey"), i)): _*)).as("p")).distinct()
+      val nPos = posSet.agg(count(lit(1)).as("n_pos"))
+      // ONE probe pass: each position check is a broadcast left join
+      // against the (distinct, so multiplicity-1) position set adding a
+      // hit marker; the exact truth marker is a broadcast left join on
+      // the build keys (unique — orders pk). All four joins are map-side;
+      // candidacy, truth and the probe total then close in a single
+      // 3-row rollup — the probe side is scanned ONCE. (At cluster scale
+      // the truth join outgrows broadcast and AQE shuffles it — the
+      // Bloom filter itself never does: its position set is ≤ m rows by
+      // construction.)
+      val marked = (0 until 3).foldLeft(
+        Tables.t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_returnflag"))) { (df, i) =>
+        df.join(broadcast(posSet.select(col("p").as(s"p$i"))),
+            pos(col("l_orderkey"), i) === col(s"p$i"), "left")
+      }.join(broadcast(build.withColumn("hit", lit(1))),
+          col("l_orderkey") === col("o_orderkey"), "left")
+      val g = marked.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_probe"),
+          sum(when(col("p0").isNotNull && col("p1").isNotNull &&
+            col("p2").isNotNull, 1L).otherwise(0L)).as("n_cand"),
+          sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_true"))
+        .crossJoin(broadcast(nPos))
+      val fill = col("n_pos").cast("double") / lit(M.toDouble)
+      val fpRate = (col("n_cand") - col("n_true")).cast("double") /
+        (col("n_probe") - col("n_true")).cast("double")
+      g.select(col("l_returnflag"), col("n_probe"), col("n_cand"),
+          col("n_true"), (col("n_cand") - col("n_true")).as("n_false_pos"),
+          (round(fpRate, 6) + lit(0.0)).as("fp_rate"),
+          (col("n_cand") >= col("n_true")).as("no_false_neg"),
+          (fpRate <= fill * fill * fill * lit(1.5)).as("fp_within_bound"))
+        .orderBy("l_returnflag")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -2319,5 +2421,72 @@ object RelationalQueries extends QueryModule {
         |  FROM w)
         |SELECT CAST(rnk AS INTEGER) AS rnk, l_partkey, n_items, n_kept,
         |  ROUND(w, 6) + 0.0 AS wilson_lb
-        |FROM r WHERE rnk <= 25 ORDER BY rnk""".stripMargin)
+        |FROM r WHERE rnk <= 25 ORDER BY rnk""".stripMargin,
+
+    // same md5-derived buckets, same sketch sums, same min-over-rows
+    // estimate, same 4N/w envelope — bit-identical integers throughout
+    "q254_cms_heavy_hitters" ->
+      """WITH exact_t AS (
+        |  SELECT l_partkey, COUNT(*) AS exact_n FROM lineitem GROUP BY 1),
+        |hb AS (
+        |  SELECT l_partkey, exact_n, i,
+        |    CAST(('0x' || SUBSTRING(MD5(CAST(l_partkey AS VARCHAR) ||
+        |      '#' || CAST(i AS VARCHAR)), 1, 5)) AS BIGINT) % 1024 AS b
+        |  FROM exact_t, (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS i)),
+        |sk AS (
+        |  SELECT i, b, CAST(SUM(exact_n) AS BIGINT) AS bn
+        |  FROM hb GROUP BY 1, 2),
+        |est AS (
+        |  SELECT hb.l_partkey, hb.exact_n, MIN(sk.bn) AS cms_est
+        |  FROM hb JOIN sk ON sk.i = hb.i AND sk.b = hb.b
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT COUNT(*) AS n_tot FROM lineitem)
+        |SELECT l_partkey, exact_n, cms_est,
+        |  cms_est - exact_n AS overcount,
+        |  cms_est >= exact_n AS never_under,
+        |  (cms_est - exact_n) * 1024 <= 4 * n_tot AS within_markov
+        |FROM est, tot
+        |ORDER BY exact_n DESC, l_partkey LIMIT 20""".stripMargin,
+
+    // filter membership = all 3 positions present; truth = exact
+    // semi-join; identical fill-factor envelope arithmetic
+    "q255_bloom_semijoin" ->
+      """WITH build AS (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'),
+        |pos AS (
+        |  SELECT DISTINCT
+        |    CAST(('0x' || SUBSTRING(MD5(CAST(o_orderkey AS VARCHAR) ||
+        |      '!' || CAST(i AS VARCHAR)), 1, 6)) AS BIGINT) % 65536 AS p
+        |  FROM build, (SELECT UNNEST(GENERATE_SERIES(0, 2)) AS i)),
+        |np AS (SELECT COUNT(*) AS n_pos FROM pos),
+        |li AS (
+        |  SELECT l_orderkey, l_returnflag,
+        |    CAST(('0x' || SUBSTRING(MD5(CAST(l_orderkey AS VARCHAR) ||
+        |      '!0'), 1, 6)) AS BIGINT) % 65536 AS p0,
+        |    CAST(('0x' || SUBSTRING(MD5(CAST(l_orderkey AS VARCHAR) ||
+        |      '!1'), 1, 6)) AS BIGINT) % 65536 AS p1,
+        |    CAST(('0x' || SUBSTRING(MD5(CAST(l_orderkey AS VARCHAR) ||
+        |      '!2'), 1, 6)) AS BIGINT) % 65536 AS p2
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT l_returnflag, COUNT(*) AS n_probe,
+        |    CAST(SUM(CASE WHEN p0 IN (SELECT p FROM pos)
+        |      AND p1 IN (SELECT p FROM pos)
+        |      AND p2 IN (SELECT p FROM pos) THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_cand,
+        |    CAST(SUM(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM build)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_true
+        |  FROM li GROUP BY 1)
+        |SELECT l_returnflag, n_probe, n_cand, n_true,
+        |  n_cand - n_true AS n_false_pos,
+        |  ROUND(CAST(n_cand - n_true AS DOUBLE) /
+        |    CAST(n_probe - n_true AS DOUBLE), 6) + 0.0 AS fp_rate,
+        |  n_cand >= n_true AS no_false_neg,
+        |  CAST(n_cand - n_true AS DOUBLE) /
+        |    CAST(n_probe - n_true AS DOUBLE) <=
+        |    (CAST(n_pos AS DOUBLE) / 65536.0) *
+        |    (CAST(n_pos AS DOUBLE) / 65536.0) *
+        |    (CAST(n_pos AS DOUBLE) / 65536.0) * 1.5 AS fp_within_bound
+        |FROM g, np ORDER BY l_returnflag""".stripMargin)
 }

@@ -63,7 +63,10 @@ class PlanGuardSpec extends AnyFunSuite {
       "q246_hits", // 1-row L1-total × the nodes-sized rank state, ×4
                    // normalizations (one per HITS half-step)
       "q249_rrf_fusion", // q38's shape: 5-row broadcast query set × corpus
-      "q251_ewma") // 1-row global max-day × the daily rollup
+      "q251_ewma", // 1-row global max-day × the daily rollup
+      "q254_cms_heavy_hitters", // 1-row corpus total × the ≤20 hitter rows
+      "q255_bloom_semijoin", // 1-row fill-factor count × the 3-flag rollup
+      "q256_unigram_ce") // 1-row (N, V) LM denominator × the vocab table
       // (q173's centroid probe BNLJ runs inside its eager checkpoint —
       // the declared plan reads the materialized ranked frame)
 

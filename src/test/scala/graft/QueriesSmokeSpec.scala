@@ -43,30 +43,26 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((1L, 1L, 0L, 1L), (2L, 1L, 0L, 0L)))
   }
 
-  test("approx_percentile tracks the exact percentiles (q63 vs q56)") {
-    val approx = SparkEntry.queries("q63_approx_percentiles")(spark, TestSpark.Sf)
-      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
-      .toMap
-    val exact = SparkEntry.queries("q56_percentiles")(spark, TestSpark.Sf)
-      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
-      .toMap
-    exact.foreach { case (flag, (med, p90)) =>
-      val (aMed, aP90) = approx(flag)
-      // approx returns a real data point; exact interpolates — allow the
-      // gap of one observation at this accuracy
-      assert(math.abs(aMed - med) / math.max(med, 1.0) < 0.05,
-        s"$flag median: $aMed vs $med")
-      assert(math.abs(aP90 - p90) / math.max(p90, 1.0) < 0.05,
-        s"$flag p90: $aP90 vs $p90")
-    }
+  // q44/q63 are declared as accuracy CONTRACTS (r9): the sketch estimate
+  // stays out of the hashed columns and the output carries per-group
+  // verdict booleans against the exact twin. The spec asserts every
+  // declared verdict holds at this SF too (the driver checks sf0.01).
+  test("approx_percentile verdicts hold against the exact bands (q63)") {
+    SparkEntry.queries("q63_approx_percentiles")(spark, TestSpark.Sf)
+      .collect().foreach { r =>
+        Seq("median_qty_in_band", "p90_price_in_band", "p25_disc_in_band")
+          .foreach { c =>
+            assert(r.getAs[Boolean](c),
+              s"${r.getString(0)}: $c is false at sf0.001")
+          }
+      }
   }
 
-  test("approx_count_distinct is within 10% of exact (q44)") {
+  test("approx_count_distinct verdicts hold against the exact twin (q44)") {
     SparkEntry.queries("q44_approx_distinct")(spark, TestSpark.Sf)
       .collect().foreach { r =>
-        val (approx, exact) = (r.getLong(1), r.getLong(2))
-        assert(math.abs(approx - exact).toDouble / exact < 0.1,
-          s"approx $approx vs exact $exact")
+        assert(r.getAs[Boolean]("within_5pct"),
+          s"${r.getString(0)}: HLL++ drifted past its 5% rsd at sf0.001")
       }
   }
 }

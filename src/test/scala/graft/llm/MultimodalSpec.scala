@@ -437,4 +437,78 @@ class MultimodalSpec extends AnyFunSuite {
       "pair set must equal the planted same-group pairs")
     assert(out.forall(_._3 == 2), "planted pairs sit at Hamming exactly 2")
   }
+
+  // hand-built WAV: canonical header, optional extra chunks before data
+  private def wav(samples: Array[Short], rate: Int = 8000,
+                  channels: Short = 1,
+                  extraChunks: Array[Byte] = Array.emptyByteArray)
+      : Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer
+      .allocate(44 + extraChunks.length + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII"))
+      .putInt(36 + extraChunks.length + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels)
+      .putInt(rate).putInt(rate * channels * 2)
+      .putShort((channels * 2).toShort).putShort(16)
+      .put(extraChunks)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  test("WAV demux: fmt parse, chunk skip, sample round-trip, sniff") {
+    val xs = Array[Short](0, 100, -100, 32767, -32768, 7)
+    // a LIST metadata chunk between fmt and data must be skipped
+    val list = java.nio.ByteBuffer.allocate(14)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("LIST".getBytes("US-ASCII")).putInt(6)
+      .put("INFOxy".getBytes("US-ASCII")).array()
+    val b = wav(xs, rate = 44100, extraChunks = list)
+    val w = MediaCodec.demuxWav(b).get
+    assert(w.sampleRate == 44100 && w.channels == 1 && w.bitsPerSample == 16)
+    assert(w.nSamples == xs.length)
+    assert(MediaCodec.pcm16Samples(b, w).toSeq == xs.map(_.toInt).toSeq)
+    assert(MediaCodec.sniff(b) == MediaCodec.Sniffed("wav", 44100L, 1L))
+  }
+
+  test("WAV demux: stereo stride, torn data clamped to whole frames") {
+    // stereo: channel 0 is every other sample
+    val inter = Array[Short](10, -10, 20, -20, 30, -30) // 3 frames, 2 ch
+    val b = wav(inter, channels = 2)
+    val w = MediaCodec.demuxWav(b).get
+    assert(w.channels == 2 && w.nSamples == 3)
+    assert(MediaCodec.pcm16Samples(b, w).toSeq == Seq(10, 20, 30))
+    // tearing mid-frame keeps only the fully-present frames — no throw
+    val torn = java.util.Arrays.copyOf(b, b.length - 3)
+    val wt = MediaCodec.demuxWav(torn).get
+    assert(wt.nSamples == 2)
+    assert(MediaCodec.pcm16Samples(torn, wt).toSeq == Seq(10, 20))
+    // non-PCM format tag (0x0003 = IEEE float) stays behind the seam
+    val f32 = b.clone(); f32(20) = 3
+    assert(MediaCodec.demuxWav(f32).isEmpty)
+  }
+
+  test("q258 features match the planted waveform's closed form") {
+    val out = graft.SparkEntry.queries("q258_audio_features")(
+      spark, graft.TestSpark.Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val amp = 8000 + (id % 7) * 1000
+      val hp = 10 + (id % 5) * 5
+      val sil = (id % 4) * 100
+      val act = 800 - sil
+      assert(r.getAs[Long]("sample_rate") == 8000L)
+      assert(r.getAs[Long]("n_channels") == 1L)
+      assert(r.getAs[Long]("n_samples") == 800L)
+      assert(r.getAs[Long]("peak_abs") == amp)
+      assert(r.getAs[Long]("n_zero_cross") == (act - 1) / hp)
+      assert(r.getAs[Long]("energy_sum") == act * amp * amp)
+      assert(r.getAs[Long]("active_frames") == 4 - sil / 200)
+    }
+  }
 }
