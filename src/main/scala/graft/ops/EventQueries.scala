@@ -1552,6 +1552,59 @@ object EventQueries extends QueryModule {
             .cast("double")) / sum(col("dt_us")).cast("double"), 6)
             + lit(0.0)).as("twap"))
         .orderBy("event_type")
+    },
+
+    // Sketch-based audience overlap — q243's SCALABLE twin: instead of
+    // the exact user-co-keyed self-join, each type's user set collapses
+    // to ONE Datasketches HLL (hll_sketch_agg — mergeable, map-side
+    // combinable, fixed 2^12-register size at any cardinality), pair
+    // unions come from hll_union over the |types|-row sketch table, and
+    // Jaccard falls out of inclusion-exclusion on the estimates. At
+    // 100 TB the exact twin's distinct is the expensive stage; the
+    // sketch path never materializes (type, user) at all. Declared on
+    // the q44/q192 contract pattern: the engine-specific estimates stay
+    // OUT of the hashed columns — the output carries the exact counts
+    // plus verdicts that the sketch union landed within 5% and the
+    // estimated Jaccard within 0.05 absolute, which the oracle asserts
+    // TRUE (an estimator leaving its envelope turns the driver row red).
+    "q262_sketch_overlap" -> { (s, dir) =>
+      val ev = Tables.t(s, dir, "events")
+        .select(col("event_type"), col("user_id"))
+      val tu = ev.distinct()
+      val sz = tu.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val both = tu.select(col("event_type").as("type_a"), col("user_id"))
+        .join(tu.select(col("event_type").as("type_b"), col("user_id")),
+          "user_id")
+        .filter(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_both"))
+      val sk = ev.groupBy(col("event_type"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"),
+          hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+      val pairs = both
+        .join(broadcast(sz.select(col("event_type").as("type_a"),
+          col("n").as("n_a"))), "type_a")
+        .join(broadcast(sz.select(col("event_type").as("type_b"),
+          col("n").as("n_b"))), "type_b")
+        .join(broadcast(sk.select(col("event_type").as("type_a"),
+          col("sk").as("sk_a"), col("est").as("est_a"))), "type_a")
+        .join(broadcast(sk.select(col("event_type").as("type_b"),
+          col("sk").as("sk_b"), col("est").as("est_b"))), "type_b")
+        .withColumn("est_union",
+          hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))))
+      val exactUnion = (col("n_a") + col("n_b") - col("n_both"))
+        .cast("double")
+      val exactJ = col("n_both").cast("double") / exactUnion
+      val estJ = (col("est_a") + col("est_b") - col("est_union")) /
+        col("est_union")
+      pairs.select(col("type_a"), col("type_b"),
+          col("n_a"), col("n_b"), col("n_both"),
+          (round(exactJ, 6) + lit(0.0)).as("jaccard"),
+          (abs(col("est_union") - exactUnion) <= exactUnion * 0.05)
+            .as("union_within_5pct"),
+          (abs(estJ - exactJ) <= lit(0.05)).as("jaccard_within_005"))
+        .orderBy("type_a", "type_b")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -2597,6 +2650,26 @@ object EventQueries extends QueryModule {
         |  CAST(COALESCE(SUM(CASE WHEN gap > 0 THEN gap END), 0)
         |    AS BIGINT) AS days_missed
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // exact counts recomputed; the sketch verdicts asserted TRUE — an
+    // HLL leaving its 5%/0.05 envelope hash-fails the row
+    "q262_sketch_overlap" ->
+      """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+        |sz AS (SELECT event_type, COUNT(*) AS n FROM tu GROUP BY 1),
+        |b AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    COUNT(*) AS n_both
+        |  FROM tu a JOIN tu b ON a.user_id = b.user_id
+        |   AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_both,
+        |  ROUND(CAST(n_both AS DOUBLE) /
+        |    CAST(sa.n + sb.n - n_both AS DOUBLE), 6) + 0.0 AS jaccard,
+        |  TRUE AS union_within_5pct,
+        |  TRUE AS jaccard_within_005
+        |FROM b JOIN sz sa ON sa.event_type = b.type_a
+        |       JOIN sz sb ON sb.event_type = b.type_b
+        |ORDER BY type_a, type_b""".stripMargin,
 
     // same (ts, event_id) tie order, same exact-µs intervals, same
     // scale-18 carry for the v·Δt mass
