@@ -154,10 +154,12 @@ object Multimodal extends QueryModule {
     * Up to `n` evenly spaced actual frames come back with their true
     * frame numbers, the way a training pipeline samples stills.
     * MP4 is demuxed for real too (ISO BMFF sample tables — true frame
-    * byte ranges and indices); its sampled payloads are codec bitstream
-    * (H.264 access units), so PIXEL decode of inter-coded codecs still
-    * needs external libraries — that decode step is the remaining seam,
-    * not the container. Payloads no demuxer recognizes fall back to the
+    * byte ranges and indices); a motion-JPEG MP4 (sample entry 'jpeg')
+    * therefore decodes to PIXELS end to end with the same JDK codec
+    * (MultimodalSpec pins it), while inter-coded payloads (avc1 …) are
+    * codec bitstream whose pixel decode still needs external libraries —
+    * that decode step is the remaining seam, and it is codec-shaped,
+    * not container-shaped. Payloads no demuxer recognizes fall back to the
     * deterministic byte-range slice into `n` equal chunks, clearly
     * distinguishable by its contiguous 0..n-1 frame indices. Either way
     * the shape is the one-to-many typed flatMap — one input row fanning

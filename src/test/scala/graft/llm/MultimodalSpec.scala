@@ -244,7 +244,8 @@ class MultimodalSpec extends AnyFunSuite {
     * offset; stco values are resolved by a two-pass build (moov's LENGTH
     * doesn't depend on them).
     */
-  private def mp4(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+  private def mp4(w: Int, h: Int, frames: Seq[Array[Byte]],
+                  codec: String = "avc1"): Array[Byte] = {
     def be16(v: Int) = Array((v >> 8) & 0xff, v & 0xff).map(_.toByte)
     def be32(v: Int) = Array((v >> 24) & 0xff, (v >> 16) & 0xff,
       (v >> 8) & 0xff, v & 0xff).map(_.toByte)
@@ -254,7 +255,7 @@ class MultimodalSpec extends AnyFunSuite {
     }
     // VisualSampleEntry: 8 hdr + 6 reserved + 2 dri + 16 predefined +
     // w + h + 46 trailing (resolution, frame_count, compressorname, depth)
-    val entry = be32(86) ++ "avc1".getBytes("US-ASCII") ++
+    val entry = be32(86) ++ codec.getBytes("US-ASCII") ++
       new Array[Byte](8) ++ new Array[Byte](16) ++
       be16(w) ++ be16(h) ++ new Array[Byte](46)
     val hdlr = box("hdlr", be32(0), be32(0),
@@ -438,6 +439,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.forall(_._3 == 2), "planted pairs sit at Hamming exactly 2")
   }
 
+  test("MP4 with motion-JPEG samples decodes to pixels end to end") {
+    import spark.implicits._
+    // 'jpeg' is the BMFF/QuickTime sample entry for motion JPEG: each
+    // sample is a complete JPEG, so the MP4 path covers a compressed
+    // container to PIXELS with the JDK codec — the remaining seam is
+    // inter-coded codecs (avc1 etc.), not the container
+    val frames = (0 until 4).map(_ => realImage(40, 24, "jpg"))
+    val media = Seq(Multimodal.MediaIn(17L, mp4(40, 24, frames, "jpeg")))
+      .toDS().toDF()
+    assert(MediaCodec.demuxMp4(mp4(40, 24, frames, "jpeg")).get
+      .codec == "jpeg")
+    val out = Multimodal.sampleFrames(media, 2).orderBy("frame_idx")
+      .collect().map(r => (r.getInt(1), r.getAs[Array[Byte]](2)))
+    assert(out.map(_._1).toSeq == Seq(0, 2))
+    out.foreach { case (_, bytes) =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(img != null && img.getWidth == 40 && img.getHeight == 24)
+    }
+  }
+
   // hand-built WAV: canonical header, optional extra chunks before data
   private def wav(samples: Array[Short], rate: Int = 8000,
                   channels: Short = 1,
@@ -490,6 +512,30 @@ class MultimodalSpec extends AnyFunSuite {
     // non-PCM format tag (0x0003 = IEEE float) stays behind the seam
     val f32 = b.clone(); f32(20) = 3
     assert(MediaCodec.demuxWav(f32).isEmpty)
+  }
+
+  test("audio content hash ignores container wrapping (q259's key claim)") {
+    import spark.implicits._
+    val xs = Array.tabulate[Short](400)(i => ((i % 7) * 1000 - 3000).toShort)
+    val list = java.nio.ByteBuffer.allocate(16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("LIST".getBytes("US-ASCII")).putInt(8)
+      .put("INFOmeta".getBytes("US-ASCII")).array()
+    val plain   = wav(xs)
+    val wrapped = wav(xs, extraChunks = list) // same PCM, different bytes
+    assert(!java.util.Arrays.equals(plain, wrapped))
+    val fps = Multimodal.audioContentHash(
+        Seq(Multimodal.MediaIn(1L, plain), Multimodal.MediaIn(2L, wrapped))
+          .toDS().toDF())
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a file-level hash would split these; the sample-grain hash must not
+    assert(fps(1L) == fps(2L))
+    // and different PCM must split
+    val other = wav(xs.map(x => (x + 1).toShort))
+    val fp3 = Multimodal.audioContentHash(
+        Seq(Multimodal.MediaIn(3L, other)).toDS().toDF())
+      .collect().head.getLong(1)
+    assert(fp3 != fps(1L))
   }
 
   test("q258 features match the planted waveform's closed form") {
