@@ -1521,6 +1521,54 @@ object CorpusQueries extends QueryModule {
             col("n_spans").cast("double"), 10) + lit(0.0))
             .as("boiler_share"))
         .orderBy("doc_id")
+    },
+
+    // DSIR importance weights (Xie et al. 2023, "Data Selection for
+    // Language Models via Importance Resampling") — THE principled
+    // domain-targeting selector: score every raw-pool document by the
+    // log-likelihood ratio of a TARGET-domain hashed-bigram LM over a
+    // RAW-pool one, then resample the raw pool by those weights. Here
+    // the target is sources src0-src3, the raw pool everything else,
+    // bigrams hash into 4096 buckets (DSIR's hashed n-gram trick: the
+    // LMs are FIXED-size however large the corpora), both LMs are add-1
+    // smoothed exact-integer counts, and the output is the top-25 raw
+    // docs the resampler would pull first. Scale shape: ONE bigram
+    // explode feeds both LM counts and the per-doc scoring join; the
+    // 4096-row log-ratio table broadcasts; per-doc weights close on the
+    // doc key with a scale-18 carry. Determinism: counts exact, one ln
+    // per bucket, ties broken by doc_id.
+    "q263_dsir_weights" -> { (s, dir) =>
+      val B = 4096L
+      val tgt = Seq("src0", "src1", "src2", "src3")
+      val bg = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          split(col("text"), " ").as("tok"))
+        .filter(size(col("tok")) >= 2)
+        .select(col("doc_id"), col("source"), explode(expr(
+          "transform(sequence(1, size(tok) - 1), " +
+            "i -> concat(element_at(tok, i), ' ', element_at(tok, i + 1)))"))
+          .as("g"))
+        .withColumn("b", conv(substring(md5(col("g").cast("binary")), 1, 4),
+          16, 10).cast("long") % B)
+      val isT = col("source").isin(tgt: _*)
+      val counts = bg.groupBy(col("b"))
+        .agg(sum(when(isT, 1L).otherwise(0L)).as("ct"),
+          sum(when(!isT, 1L).otherwise(0L)).as("cr"))
+      val tot = counts.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+      val lnr = counts.crossJoin(broadcast(tot))
+        .select(col("b"),
+          (log((col("ct") + lit(1L)).cast("double") /
+            (col("nt") + lit(B)).cast("double")) -
+            log((col("cr") + lit(1L)).cast("double") /
+              (col("nr") + lit(B)).cast("double"))).as("lnr"))
+      bg.filter(!isT)
+        .join(broadcast(lnr), Seq("b"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          graft.Fns.dsum18(col("lnr")).as("w"))
+        .select(col("doc_id"), col("source"), col("n_bigrams"),
+          (round(col("w"), 6) + lit(0.0)).as("dsir_weight"))
+        .orderBy(col("dsir_weight").desc, col("doc_id")).limit(25)
     })
 
   override def oracles: Map[String, String] = Map(
@@ -2519,5 +2567,45 @@ object CorpusQueries extends QueryModule {
         |  ROUND(CAST(COALESCE(nb.n_boiler, 0) AS DOUBLE)
         |    / CAST(ns.n_spans AS DOUBLE), 10) + 0.0 AS boiler_share
         |FROM ns LEFT JOIN nb ON ns.doc_id = nb.doc_id
-        |ORDER BY ns.doc_id""".stripMargin)
+        |ORDER BY ns.doc_id""".stripMargin,
+
+    // same hashed buckets (md5 prefix % 4096), same add-1 LMs over exact
+    // integer counts, same per-bucket ln ratio, same scale-18 doc carry
+    "q263_dsir_weights" -> (
+      """WITH bg AS (
+        |  SELECT doc_id, source, tok[i] || ' ' || tok[i + 1] AS g
+        |  FROM (SELECT doc_id, source, STRING_SPLIT(text, ' ') AS tok
+        |        FROM documents
+        |        WHERE LEN(STRING_SPLIT(text, ' ')) >= 2),
+        |       UNNEST(GENERATE_SERIES(1, LEN(tok) - 1)) AS u(i)),
+        |hb AS (
+        |  SELECT doc_id, source,
+        |    CAST(('0x' || SUBSTRING(MD5(g), 1, 4)) AS BIGINT) % 4096 AS b
+        |  FROM bg),
+        |c AS (
+        |  SELECT b,
+        |    CAST(SUM(CASE WHEN source IN ('src0','src1','src2','src3')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+        |    CAST(SUM(CASE WHEN source IN ('src0','src1','src2','src3')
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS cr
+        |  FROM hb GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(SUM(ct) AS BIGINT) AS nt,
+        |    CAST(SUM(cr) AS BIGINT) AS nr FROM c),
+        |l AS (
+        |  SELECT b,
+        |    LN(CAST(ct + 1 AS DOUBLE) / CAST(nt + 4096 AS DOUBLE)) -
+        |    LN(CAST(cr + 1 AS DOUBLE) / CAST(nr + 4096 AS DOUBLE)) AS lnr
+        |  FROM c, t),
+        |w AS (
+        |  SELECT hb.doc_id, hb.source, COUNT(*) AS n_bigrams,
+        |    """.stripMargin +
+        graft.Fns.dsum18Sql("lnr") +
+        """ AS w
+        |  FROM hb JOIN l USING (b)
+        |  WHERE hb.source NOT IN ('src0','src1','src2','src3')
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, source, n_bigrams,
+        |  ROUND(w, 6) + 0.0 AS dsir_weight
+        |FROM w ORDER BY dsir_weight DESC, doc_id LIMIT 25""".stripMargin))
 }
