@@ -1548,8 +1548,11 @@ object EventQueries extends QueryModule {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_intervals"),
           sum(col("dt_us")).as("span_us"),
-          (round(graft.Fns.dsum18(col("value") * col("dt_us")
-            .cast("double")) / sum(col("dt_us")).cast("double"), 6)
+          // q230/q235 convention: a stream whose observations are all
+          // simultaneous spans zero time — NULL, never 0/0
+          (round(when(sum(col("dt_us")) > 0,
+            graft.Fns.dsum18(col("value") * col("dt_us").cast("double")) /
+              sum(col("dt_us")).cast("double")), 6)
             + lit(0.0)).as("twap"))
         .orderBy("event_type")
     },
@@ -2681,9 +2684,9 @@ object EventQueries extends QueryModule {
         |  FROM events)
         |SELECT event_type, COUNT(*) AS n_intervals,
         |  CAST(SUM(dt_us) AS BIGINT) AS span_us,
-        |  ROUND(""".stripMargin +
+        |  ROUND(CASE WHEN SUM(dt_us) > 0 THEN """.stripMargin +
         dsum18Sql("value * CAST(dt_us AS DOUBLE)") +
-        """ / CAST(SUM(dt_us) AS DOUBLE), 6) + 0.0 AS twap
+        """ / CAST(SUM(dt_us) AS DOUBLE) END, 6) + 0.0 AS twap
         |FROM iv WHERE dt_us IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin))
 }

@@ -1532,13 +1532,17 @@ object RelationalQueries extends QueryModule {
           sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_true"))
         .crossJoin(broadcast(nPos))
       val fill = col("n_pos").cast("double") / lit(M.toDouble)
-      val fpRate = (col("n_cand") - col("n_true")).cast("double") /
-        (col("n_probe") - col("n_true")).cast("double")
+      // q230/q235 convention: a flag whose probes are ALL true matches
+      // has no true negatives to rate — NULL, never 0/0
+      val fpRate = when(col("n_probe") > col("n_true"),
+        (col("n_cand") - col("n_true")).cast("double") /
+          (col("n_probe") - col("n_true")).cast("double"))
       g.select(col("l_returnflag"), col("n_probe"), col("n_cand"),
           col("n_true"), (col("n_cand") - col("n_true")).as("n_false_pos"),
           (round(fpRate, 6) + lit(0.0)).as("fp_rate"),
           (col("n_cand") >= col("n_true")).as("no_false_neg"),
-          (fpRate <= fill * fill * fill * lit(1.5)).as("fp_within_bound"))
+          coalesce(fpRate <= fill * fill * fill * lit(1.5), lit(true))
+            .as("fp_within_bound"))
         .orderBy("l_returnflag")
     })
 
@@ -2480,13 +2484,16 @@ object RelationalQueries extends QueryModule {
         |  FROM li GROUP BY 1)
         |SELECT l_returnflag, n_probe, n_cand, n_true,
         |  n_cand - n_true AS n_false_pos,
-        |  ROUND(CAST(n_cand - n_true AS DOUBLE) /
-        |    CAST(n_probe - n_true AS DOUBLE), 6) + 0.0 AS fp_rate,
+        |  ROUND(CASE WHEN n_probe > n_true THEN
+        |    CAST(n_cand - n_true AS DOUBLE) /
+        |    CAST(n_probe - n_true AS DOUBLE) END, 6) + 0.0 AS fp_rate,
         |  n_cand >= n_true AS no_false_neg,
-        |  CAST(n_cand - n_true AS DOUBLE) /
-        |    CAST(n_probe - n_true AS DOUBLE) <=
+        |  COALESCE(CASE WHEN n_probe > n_true THEN
+        |    CAST(n_cand - n_true AS DOUBLE) /
+        |    CAST(n_probe - n_true AS DOUBLE) END <=
         |    (CAST(n_pos AS DOUBLE) / 65536.0) *
         |    (CAST(n_pos AS DOUBLE) / 65536.0) *
-        |    (CAST(n_pos AS DOUBLE) / 65536.0) * 1.5 AS fp_within_bound
+        |    (CAST(n_pos AS DOUBLE) / 65536.0) * 1.5, TRUE)
+        |    AS fp_within_bound
         |FROM g, np ORDER BY l_returnflag""".stripMargin)
 }
