@@ -1196,6 +1196,50 @@ object TextQueries extends QueryModule {
           (round(min(col("ce")), 6) + lit(0.0)).as("min_ce"),
           (round(max(col("ce")), 6) + lit(0.0)).as("max_ce"))
         .orderBy("source")
+    },
+
+    // Corpus keyness — Dunning's log-likelihood ratio G² (Dunning 1993,
+    // the corpus-linguistics standard for "which words characterize
+    // THIS corpus vs that one"): per token, the G² statistic of its
+    // target-corpus count a vs rest-count b against the pooled
+    // expectation. Distinct from q102's PMI (word-word association)
+    // and q149's KL (whole-distribution drift): keyness is per-token
+    // SIGNIFICANCE, robust at low counts where PMI explodes — the
+    // domain-vocabulary readout a mixture designer reads before
+    // reweighting. Scale shape: one token aggregation (map-side
+    // combinable), the (nt, nr) totals broadcast onto the vocab-sized
+    // frame, top-20 via TakeOrderedAndProject. Determinism: counts
+    // exact, expectations one IEEE chain, direction by exact integer
+    // cross-multiplication (the q223 trick — no rate division).
+    "q265_keyness" -> { (s, dir) =>
+      val tgt = Seq("src0", "src1", "src2", "src3")
+      val isT = col("source").isin(tgt: _*)
+      val counts = Tables.t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("t"))
+        .filter(length(col("t")) > 0)
+        .groupBy(col("t"))
+        .agg(sum(when(isT, 1L).otherwise(0L)).as("a"),
+          sum(when(!isT, 1L).otherwise(0L)).as("b"))
+      val tot = counts.agg(sum(col("a")).as("nt"), sum(col("b")).as("nr"))
+      val ea = col("nt").cast("double") *
+        (col("a") + col("b")).cast("double") /
+        (col("nt") + col("nr")).cast("double")
+      val eb = col("nr").cast("double") *
+        (col("a") + col("b")).cast("double") /
+        (col("nt") + col("nr")).cast("double")
+      val g2 = lit(2.0) * (
+        when(col("a") > 0,
+          col("a").cast("double") * log(col("a").cast("double") / ea))
+          .otherwise(lit(0.0)) +
+        when(col("b") > 0,
+          col("b").cast("double") * log(col("b").cast("double") / eb))
+          .otherwise(lit(0.0)))
+      counts.crossJoin(broadcast(tot))
+        .select(col("t"), col("a"), col("b"),
+          (round(g2, 6) + lit(0.0)).as("g2"),
+          when(col("a") * col("nr") > col("b") * col("nt"), lit("target"))
+            .otherwise(lit("rest")).as("leans"))
+        .orderBy(col("g2").desc, col("t")).limit(20)
     })
 
   /** The q34 exact-Jaccard oracle, hoisted so composite oracles (q71,
@@ -1896,5 +1940,38 @@ object TextQueries extends QueryModule {
         """ / CAST(COUNT(*) AS DOUBLE), 6) + 0.0 AS avg_ce,
         |  ROUND(MIN(ce), 6) + 0.0 AS min_ce,
         |  ROUND(MAX(ce), 6) + 0.0 AS max_ce
-        |FROM ce GROUP BY 1 ORDER BY source""".stripMargin))
+        |FROM ce GROUP BY 1 ORDER BY source""".stripMargin),
+
+    // identical pooled expectations and x·ln(x/E) terms on exact longs;
+    // direction by the same integer cross-multiplication
+    "q265_keyness" ->
+      """WITH tk AS (
+        |  SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT t,
+        |    CAST(SUM(CASE WHEN source IN ('src0','src1','src2','src3')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(SUM(CASE WHEN source IN ('src0','src1','src2','src3')
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS b
+        |  FROM tk WHERE LEN(t) > 0 GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(a) AS BIGINT) AS nt,
+        |    CAST(SUM(b) AS BIGINT) AS nr FROM c),
+        |g AS (
+        |  SELECT t, a, b,
+        |    2.0 * (
+        |      (CASE WHEN a > 0 THEN CAST(a AS DOUBLE) *
+        |        LN(CAST(a AS DOUBLE) /
+        |          (CAST(nt AS DOUBLE) * CAST(a + b AS DOUBLE) /
+        |           CAST(nt + nr AS DOUBLE))) ELSE 0.0 END) +
+        |      (CASE WHEN b > 0 THEN CAST(b AS DOUBLE) *
+        |        LN(CAST(b AS DOUBLE) /
+        |          (CAST(nr AS DOUBLE) * CAST(a + b AS DOUBLE) /
+        |           CAST(nt + nr AS DOUBLE))) ELSE 0.0 END)) AS g2,
+        |    CASE WHEN a * nr > b * nt THEN 'target' ELSE 'rest' END
+        |      AS leans
+        |  FROM c, tot)
+        |SELECT t, a, b, ROUND(g2, 6) + 0.0 AS g2, leans
+        |FROM g ORDER BY g2 DESC, t LIMIT 20""".stripMargin)
 }

@@ -1608,6 +1608,41 @@ object EventQueries extends QueryModule {
             .as("union_within_5pct"),
           (abs(estJ - exactJ) <= lit(0.05)).as("jaccard_within_005"))
         .orderBy("type_a", "type_b")
+    },
+
+    // Behavioral pattern matching (CEP-lite, the MATCH_RECOGNIZE /
+    // Flink-CEP primitive): each user-day's event stream collapses to
+    // an ORDERED code string (first letter of the type — unique across
+    // this vocabulary: c,e,p,s,v), and sequence patterns become plain
+    // regexes over it — "viewed then clicked then bought" is v.*c.*p,
+    // "hit an error and never bought after" is e ∧ ¬e.*p, "bought
+    // first thing" is ^p. q108's funnel counts ONE fixed 3-step shape
+    // with time bounds; this is the general ordered-pattern engine.
+    // Scale shape: the collect is (user, day)-keyed and bounded by a
+    // user-day's event count (the q110 argument); the regex pass is
+    // scan-local over session-sized strings; the rollup is day-keyed.
+    // Determinism: the struct sort orders by the unique (ts, event_id),
+    // identical to the oracle's STRING_AGG ORDER BY; patterns are
+    // RE2-safe.
+    "q264_session_patterns" -> { (s, dir) =>
+      val ev = Tables.t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          substring(col("event_type"), 1, 1).as("code"))
+        .withColumn("d",
+          expr("unix_micros(date_trunc('day', ts)) div 86400000000"))
+      ev.groupBy(col("user_id"), col("d"))
+        .agg(array_join(expr("transform(array_sort(" +
+          "collect_list(struct(ts, event_id, code))), x -> x.code)"), "")
+          .as("p"))
+        .groupBy(col("d").as("day_idx"))
+        .agg(count(lit(1)).as("n_user_days"),
+          sum(when(col("p").rlike("v.*c.*p"), 1L).otherwise(0L))
+            .as("n_browse_buy"),
+          sum(when(col("p").rlike("e") && !col("p").rlike("e.*p"), 1L)
+            .otherwise(0L)).as("n_error_no_buy"),
+          sum(when(col("p").rlike("^p"), 1L).otherwise(0L))
+            .as("n_instant_buy"))
+        .orderBy("day_idx")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -2653,6 +2688,28 @@ object EventQueries extends QueryModule {
         |  CAST(COALESCE(SUM(CASE WHEN gap > 0 THEN gap END), 0)
         |    AS BIGINT) AS days_missed
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // same code strings (STRING_AGG over the unique (ts, event_id)
+    // order), same RE2 patterns, exact-integer rollup
+    "q264_session_patterns" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, ts,
+        |    EPOCH_US(DATE_TRUNC('day', ts)) // 86400000000 AS d,
+        |    SUBSTRING(event_type, 1, 1) AS code
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, d,
+        |    STRING_AGG(code, '' ORDER BY ts, event_id) AS p
+        |  FROM ev GROUP BY 1, 2)
+        |SELECT d AS day_idx, COUNT(*) AS n_user_days,
+        |  CAST(SUM(CASE WHEN REGEXP_MATCHES(p, 'v.*c.*p')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_browse_buy,
+        |  CAST(SUM(CASE WHEN REGEXP_MATCHES(p, 'e')
+        |    AND NOT REGEXP_MATCHES(p, 'e.*p')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_error_no_buy,
+        |  CAST(SUM(CASE WHEN REGEXP_MATCHES(p, '^p')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_instant_buy
+        |FROM p GROUP BY 1 ORDER BY day_idx""".stripMargin,
 
     // exact counts recomputed; the sketch verdicts asserted TRUE — an
     // HLL leaving its 5%/0.05 envelope hash-fails the row
