@@ -2,6 +2,7 @@ package graft.llm
 
 import graft.{QueryModule, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Probabilistic near-dedup operators (north-star extension set, SURVEY.md
@@ -466,6 +467,63 @@ object DedupQueries extends QueryModule {
         .orderBy("source")
     },
 
+    // SimHash separation contract (r9, the q250/q192 pattern): q37's
+    // fingerprints are xxhash64-specific so the VALUES can't cross an
+    // engine boundary, but the property that makes SimHash a dedup key
+    // CAN — true near-dup pairs (q34's exact Jaccard ≥ 0.6) must sit
+    // MUCH closer in Hamming space than a deterministic non-dup
+    // baseline (each doc paired with its same-source doc_id successor,
+    // exact pairs excluded). Output: the two pair counts (exact,
+    // oracle-recomputed) plus two verdicts the oracle asserts TRUE —
+    // mean dup Hamming ≤ 14 bits and baseline mean at least 4 bits
+    // above it (measured 11.2 vs 17.8-18.3 at sf0.001/0.01/0.1 —
+    // ProbeSimhash; the narrow ~40-word fixture vocabulary compresses
+    // all distances, so the margin is set from the measured floor, not
+    // the random-64-bit ideal). A hash-mixing or bit-vote regression
+    // collapses the separation toward zero and turns the driver
+    // row red instead of only failing DedupSpec. Both pair lists are
+    // near-dup-density / corpus-sized — never all-pairs.
+    "q266_simhash_contract" -> { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+      val d = docs.select(
+        col("doc_id"), col("source"),
+        array_sort(array_distinct(transform(split(col("text"), " "),
+          (t: Column) => xxhash64(t)))).as("tok"))
+      val exact = TextQueries
+        .prefixJaccardPairs(d, 0.6, presentationSort = false)
+        .select(col("source"), col("a_id"), col("b_id"))
+        .localCheckpoint()
+      val sh = simhash(docs).localCheckpoint()
+      def withHamming(pairs: DataFrame): DataFrame = pairs
+        .join(sh.select(col("doc_id").as("a_id"),
+          col("simhash").as("ha")), "a_id")
+        .join(sh.select(col("doc_id").as("b_id"),
+          col("simhash").as("hb")), "b_id")
+        .withColumn("hd", hammingDistance(col("ha"), col("hb"))
+          .cast("long"))
+      val wS = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      val base = docs.select(col("source"), col("doc_id"))
+        .withColumn("b_id", lead(col("doc_id"), 1).over(wS))
+        .filter(col("b_id").isNotNull)
+        .select(col("source"), col("doc_id").as("a_id"), col("b_id"))
+        .join(exact, Seq("source", "a_id", "b_id"), "left_anti")
+      val dup = withHamming(exact)
+        .agg(count(lit(1)).as("n_dup_pairs"),
+          sum(col("hd")).as("sd"))
+      val bas = withHamming(base)
+        .agg(count(lit(1)).as("n_base_pairs"),
+          sum(col("hd")).as("sb"))
+      val dupMean = col("sd").cast("double") /
+        col("n_dup_pairs").cast("double")
+      val baseMean = col("sb").cast("double") /
+        col("n_base_pairs").cast("double")
+      dup.crossJoin(broadcast(bas))
+        .select(col("n_dup_pairs"), col("n_base_pairs"),
+          coalesce(dupMean <= 14.0, lit(true)).as("dup_mean_le_14"),
+          coalesce(baseMean - dupMean >= 4.0, lit(true))
+            .as("separation_ge_4"))
+    },
+
     // Near-dup clustering: connected components over the exact Jaccard
     // pairs (same pair semantics as q34), labeling each involved doc with
     // its component's minimum doc_id; is_canonical marks the survivor per
@@ -795,6 +853,26 @@ object DedupQueries extends QueryModule {
          |SELECT source, COUNT(*) AS n_true_pairs,
          |  TRUE AS no_invented_pairs, TRUE AS recall_ge_80
          |FROM x GROUP BY 1 ORDER BY source""".stripMargin,
+
+    // both pair counts exact (the q34 CTE + the successor baseline);
+    // the Hamming-separation verdicts asserted TRUE
+    "q266_simhash_contract" ->
+      s"""WITH ex AS (
+         |${TextQueries.Q34OracleSql}),
+         |nx AS (
+         |  SELECT source, doc_id AS a_id,
+         |    LEAD(doc_id) OVER (PARTITION BY source ORDER BY doc_id)
+         |      AS b_id
+         |  FROM documents),
+         |base AS (
+         |  SELECT nx.source, nx.a_id, nx.b_id FROM nx
+         |  WHERE b_id IS NOT NULL AND NOT EXISTS (
+         |    SELECT 1 FROM ex WHERE ex.source = nx.source
+         |      AND ex.a_id = nx.a_id AND ex.b_id = nx.b_id))
+         |SELECT (SELECT COUNT(*) FROM ex) AS n_dup_pairs,
+         |  (SELECT COUNT(*) FROM base) AS n_base_pairs,
+         |  TRUE AS dup_mean_le_14,
+         |  TRUE AS separation_ge_4""".stripMargin,
 
     // reachability fixpoint: every node's cluster is the min id that can
     // reach it through the symmetric pair edges

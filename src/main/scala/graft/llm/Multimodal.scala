@@ -509,14 +509,19 @@ object Multimodal extends QueryModule {
         .orderBy("doc_id")
     },
 
-    // Perceptual-hash image dedup, declared end-to-end (no oracle —
-    // DuckDB has no ImageIO; MultimodalSpec pins the planted ground
-    // truth): synthesize PNGs, aHash each through the real decode,
-    // banded-Hamming join at maxDist 3. Output is the near-dup pair
-    // list. Scale shape: hash is scan-local; candidates come from the
-    // 4×16-bit band buckets (pigeonhole-complete recall), never an
-    // all-pairs join; planted dup groups are size-8, so output stays
-    // corpus-linear.
+    // Perceptual-hash image dedup, declared end-to-end WITH an oracle
+    // (r9 — the q258 closed-form argument): DuckDB has no ImageIO, but
+    // the planted geometry does not need one — syntheticPngCorpus puts
+    // each group of 8 consecutive doc_ids at pairwise Hamming exactly 2
+    // and distinct groups ~32 bits apart (mix64-keyed), so the full
+    // render→PNG-encode→ImageIO-decode→aHash→banded-join chain must
+    // reproduce exactly the same-group pair set at distance 2 — which
+    // the oracle states directly in doc_id arithmetic. Any decoder,
+    // hash, or banding bug turns the row red (MultimodalSpec pins the
+    // same truth in-process). Scale shape: hash is scan-local;
+    // candidates come from the 4×16-bit band buckets
+    // (pigeonhole-complete recall), never an all-pairs join; planted
+    // dup groups are size-8, so output stays corpus-linear.
     "q245_phash_dedup" -> { (s, dir) =>
       val media = syntheticPngCorpus(Tables.t(s, dir, "documents"))
       nearDupByHamming(perceptualHash(media), 3)
@@ -548,6 +553,16 @@ object Multimodal extends QueryModule {
     })
 
   override def oracles: Map[String, String] = Map(
+    // the planted image geometry in doc_id arithmetic: same-8-group
+    // pairs at Hamming exactly 2, nothing across groups (patterns are
+    // mix64-keyed, ~32 bits apart — far outside maxDist 3)
+    "q245_phash_dedup" ->
+      """SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(2 AS INTEGER) AS hamming
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id // 8 = b.doc_id // 8 AND a.doc_id < b.doc_id
+        |ORDER BY a_id, b_id""".stripMargin,
+
     // the planted waveform is injective in (amp, hp, sil) — distinct
     // parameter triples give distinct PCM byte strings — so the
     // sample-content classes ARE the doc_id residue classes

@@ -68,7 +68,8 @@ class PlanGuardSpec extends AnyFunSuite {
       "q255_bloom_semijoin", // 1-row fill-factor count × the 3-flag rollup
       "q256_unigram_ce", // 1-row (N, V) LM denominator × the vocab table
       "q263_dsir_weights", // 1-row (nt, nr) LM totals × the 4096 buckets
-      "q265_keyness") // 1-row (nt, nr) totals × the vocab-sized frame
+      "q265_keyness", // 1-row (nt, nr) totals × the vocab-sized frame
+      "q266_simhash_contract") // 1-row dup stats × 1-row baseline stats
       // (q173's centroid probe BNLJ runs inside its eager checkpoint —
       // the declared plan reads the materialized ranked frame)
 
