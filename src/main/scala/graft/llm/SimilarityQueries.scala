@@ -137,8 +137,7 @@ object SimilarityQueries extends QueryModule {
   /** Random-hyperplane LSH: bucket = sign bits of dot(v, plane_j). Planes
     * are deterministic pseudo-random (fixed-seed), embedded as literals.
     * Neighbor candidates share the bucket -> join on bucket id, then exact
-    * cosine re-rank inside the bucket. Probing the query's bucket only
-    * (single-probe) — the recall/latency trade is documented in the spec.
+    * cosine re-rank inside the bucket.
     */
   def lshBuckets(e: DataFrame, nPlanes: Int, seed: Long): DataFrame = {
     val rnd = new scala.util.Random(seed)
@@ -150,17 +149,58 @@ object SimilarityQueries extends QueryModule {
     e.withColumn("bucket", bucketBits.reduce((a, b) => a.bitwiseOR(b)))
   }
 
+  /** [[lshBuckets]] over L independent tables: one (table, bucket) row per
+    * vector per table (the classic L× index-size trade). A single sign-bit
+    * table has miss probability (1 − p^b) that is close to 1 for realistic
+    * neighbor angles — measured recall@10 on the fixture was ~0 — while L
+    * tables miss only (1 − p^b)^L: the union of bucket-mates restores
+    * recall without touching latency shape (every join stays equi-keyed on
+    * (table, bucket)).
+    */
+  def lshBucketsMulti(e: DataFrame, nPlanes: Int, tables: Int,
+                      seed: Long): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val tb = (0 until tables).map { t =>
+      val planes =
+        Array.fill(nPlanes)(Array.fill(Dim)(rnd.nextGaussian()))
+      val bits = (0 until nPlanes).map { j =>
+        val p = typedlit(planes(j).toSeq)
+        when(dot(col("v"), p) >= 0, lit(1L << j)).otherwise(lit(0L))
+      }
+      struct(lit(t).as("tbl"), bits.reduce(_.bitwiseOR(_)).as("bucket"))
+    }
+    e.select(col("*"), explode(array(tb: _*)).as("tb"))
+      .select(e.columns.map(col) :+ col("tb.tbl").as("tbl") :+
+        col("tb.bucket").as("bucket"): _*)
+  }
+
+  /** ANN top-k via multi-table hyperplane LSH (16 tables × 6 sign bits by
+    * default): candidates are the UNION of each table's bucket-mates
+    * (deduped), then the exact fused cosine reranks and keeps k. The
+    * single-table configuration this replaced had measured recall@10 ≈ 0
+    * at every fixture scale (ProbeAnn) — a correct-but-useless index;
+    * q267 declares the multi-table configuration's measured recall floor
+    * as a driver-checked contract. Scale shape: the index is L rows per
+    * vector (the documented LSH memory trade), every join equi-keyed,
+    * queries broadcast.
+    */
   def annTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
-              nPlanes: Int = 8, seed: Long = 42L): DataFrame = {
-    val e = lshBuckets(
+              nPlanes: Int = 6, tables: Int = 16,
+              seed: Long = 42L): DataFrame = {
+    val e = lshBucketsMulti(
       embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v")),
-      nPlanes, seed)
-    val q = lshBuckets(
+      nPlanes, tables, seed)
+    val q = lshBucketsMulti(
       queries.select(col("vec_id"), asDouble(col("embedding")).as("v")),
-      nPlanes, seed)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"))
-    val scored = e.join(broadcast(q), Seq("bucket"))
+      nPlanes, tables, seed)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("tbl"),
+        col("bucket"))
+    val scored = e.join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("v"), col("qv"))
+      // union of tables: each candidate scored once (v/qv are functionally
+      // determined by the ids, so the pick is deterministic)
+      .dropDuplicates("query_id", "vec_id")
       .withColumn("cos", cosine(col("v"), col("qv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
@@ -553,6 +593,32 @@ object SimilarityQueries extends QueryModule {
     "q39_ann_topk" -> { (s, dir) =>
       val e = Tables.t(s, dir, "embeddings")
       annTopK(e, e.filter(col("vec_id") < 5), 10)
+    },
+
+    // ANN recall contract (r9, the q250/q266 pattern): q39's pair list
+    // is plane-seed-specific, but its recall against q38's exact top-10
+    // is the property that makes the index USABLE — and this round's
+    // measurement found the original single-table configuration at
+    // recall ≈ 0 (ProbeAnn), a correct-but-useless index that only this
+    // kind of declared contract catches. The multi-table replacement
+    // measures ≥ 0.4 per query at sf0.001/0.01/0.1; the declared verdict
+    // is ≥ 0.3 (floor minus margin), asserted TRUE by the oracle — an
+    // LSH regression (seed drift, table loss, bucket-join bug) turns
+    // the driver row red.
+    "q267_ann_recall" -> { (s, dir) =>
+      val e = Tables.t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+      val exact = topK(e, q, 10).select(col("query_id"), col("vec_id"))
+      val ann = annTopK(e, q, 10)
+        .select(col("query_id"), col("vec_id")).withColumn("hit", lit(1))
+      exact.join(ann, Seq("query_id", "vec_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0))).as("n_caught"))
+        .select(col("query_id"), col("n_exact"),
+          (col("n_caught").cast("double") >=
+            col("n_exact").cast("double") * 0.3).as("recall_ge_30"))
+        .orderBy("query_id")
     },
 
     // Strongest pair per label group.
@@ -1093,6 +1159,12 @@ object SimilarityQueries extends QueryModule {
     knnEvalFromScored(knnScoredScaledK(embeddings, k, iters))
 
   override def oracles: Map[String, String] = Map(
+    // five query rows, exact top-10 always fills, recall verdict TRUE
+    "q267_ann_recall" ->
+      """SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_exact,
+        |  TRUE AS recall_ge_30
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+
     "q101_hard_negatives" ->
       """WITH e AS (
         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v

@@ -69,7 +69,8 @@ class PlanGuardSpec extends AnyFunSuite {
       "q256_unigram_ce", // 1-row (N, V) LM denominator × the vocab table
       "q263_dsir_weights", // 1-row (nt, nr) LM totals × the 4096 buckets
       "q265_keyness", // 1-row (nt, nr) totals × the vocab-sized frame
-      "q266_simhash_contract") // 1-row dup stats × 1-row baseline stats
+      "q266_simhash_contract", // 1-row dup stats × 1-row baseline stats
+      "q267_ann_recall") // q38's shape: 5-row broadcast query set × corpus
       // (q173's centroid probe BNLJ runs inside its eager checkpoint —
       // the declared plan reads the materialized ranked frame)
 
