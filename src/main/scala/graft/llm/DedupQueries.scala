@@ -616,6 +616,38 @@ object DedupQueries extends QueryModule {
         .orderBy("cluster_id")
     },
 
+    // Winnowing GUARANTEE contract (r9, the q250/q266/q267 pattern):
+    // the Schleimer/Wilkerson/Aiken theorem says two texts sharing a
+    // verbatim run of ≥ window + k − 1 = 6 tokens MUST share at least
+    // one fingerprint — that, not bag similarity, is what winnowing
+    // detects (measured: token-Jaccard near-dups share ~0 fingerprints
+    // on this fixture because they share words, not RUNS — ProbeWinnow).
+    // The contract plants the run deterministically: every ≥10-token doc
+    // is paired with itself minus its first two tokens (shared suffix
+    // run ≥ 8 ≥ 6), and the verdict asserts every such pair shares a
+    // fingerprint. A shingle/window/hash regression breaks the theorem
+    // and turns the driver row red. Scan-local fingerprints, one
+    // doc-keyed join, sources-sized rollup.
+    "q268_winnow_contract" -> { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+        .filter(size(split(col("text"), " ")) >= 10)
+      val derived = docs.select(col("doc_id"),
+        array_join(slice(split(col("text"), " "), 3, 1000000), " ")
+          .as("text"))
+      val fa = winnowFingerprints(docs)
+        .select(col("doc_id"), array_sort(col("fingerprints")).as("fa"))
+      val fb = winnowFingerprints(derived)
+        .select(col("doc_id"), array_sort(col("fingerprints")).as("fb"))
+      docs.select(col("doc_id"), col("source"))
+        .join(fa, "doc_id").join(fb, "doc_id")
+        .withColumn("shared", graft.functions.SortedIntersectCount
+          .sortedIntersectCount(col("fa"), col("fb")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          (min(col("shared")) >= 1).as("guarantee_holds"))
+        .orderBy("source")
+    },
+
     // Winnowing rolling-window fingerprints (no oracle — hash-valued;
     // invariants ScalaTest-checked). The declared output serializes the
     // fingerprint set to a sorted CSV string: the harness row-hashes results
@@ -873,6 +905,14 @@ object DedupQueries extends QueryModule {
          |  (SELECT COUNT(*) FROM base) AS n_base_pairs,
          |  TRUE AS dup_mean_le_14,
          |  TRUE AS separation_ge_4""".stripMargin,
+
+    // per-source count of the ≥10-token docs the planted-run pairing
+    // covers; the theorem verdict asserted TRUE
+    "q268_winnow_contract" ->
+      """SELECT source, COUNT(*) AS n_docs, TRUE AS guarantee_holds
+        |FROM documents
+        |WHERE LEN(STRING_SPLIT(text, ' ')) >= 10
+        |GROUP BY 1 ORDER BY source""".stripMargin,
 
     // reachability fixpoint: every node's cluster is the min id that can
     // reach it through the symmetric pair edges
