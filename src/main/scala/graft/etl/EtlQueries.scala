@@ -336,6 +336,48 @@ object EtlQueries extends QueryModule {
           dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
             .as("revenue"))
         .orderBy("l_returnflag")
+    },
+
+    // Format-migration verification — the sign-off step of a 100 TB
+    // parquet→ORC migration: prove the copy is row-identical WITHOUT a
+    // row-level join, by comparing q228's order-independent bucket
+    // digests (exact-integer row fingerprint over every carried column
+    // including the timestamp, DECIMAL(38,0) sums + counts, 64 buckets)
+    // computed from the source and from the migrated copy read back.
+    // Two scans and a 64-row compare, at any table size; a single
+    // flipped value, lost row, or type-coerced column lands in exactly
+    // one bucket's mismatch. The oracle states the expected report —
+    // every bucket matching with the source's counts — so a silent
+    // round-trip corruption turns the driver row red.
+    "q270_format_migration" -> { (s, dir) =>
+      val path = "/tmp/graft_orcmig_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val src = Tables.t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_shipdate"))
+      src.write.mode("overwrite").orc(path)
+      val back = s.read.orc(path)
+      def digest(df: DataFrame, side: String): DataFrame = df
+        .select(
+          ((col("l_orderkey") * 8 + col("l_linenumber")) % 64).as("bucket"),
+          (col("l_orderkey") * lit(1000003L) +
+            col("l_linenumber").cast("long") * lit(7919L) +
+            (round(col("l_quantity") * 100, 0).cast("long") % 999983L) +
+            (round(col("l_extendedprice") * 100, 0).cast("long")
+              % 999983L) +
+            (unix_micros(col("l_shipdate")) % 999999937L))
+            .cast("decimal(38,0)").as("fp"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as(s"n_$side"), sum(col("fp")).as(s"d_$side"))
+      digest(src, "parquet")
+        .join(digest(back, "orc"), Seq("bucket"), "full_outer")
+        .select(col("bucket").cast("long").as("bucket"),
+          coalesce(col("n_parquet"), lit(0L)).as("n_parquet"),
+          coalesce(col("n_orc"), lit(0L)).as("n_orc"),
+          when(col("n_parquet").isNotNull && col("n_orc").isNotNull &&
+            col("n_parquet") === col("n_orc") &&
+            col("d_parquet") === col("d_orc"), 1).otherwise(0)
+            .as("is_match"))
+        .orderBy("bucket")
     })
 
   override def oracles: Map[String, String] = Map(
@@ -557,5 +599,15 @@ object EtlQueries extends QueryModule {
          |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
          |FROM lineitem
          |WHERE l_returnflag <> 'N' AND l_quantity > 10.0
-         |GROUP BY 1 ORDER BY l_returnflag""".stripMargin)
+         |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    // the expected migration report: every bucket present, counts from
+    // the source, all matching — the digest equality itself is the
+    // Spark-side check the verdict column carries
+    "q270_format_migration" ->
+      """SELECT (l_orderkey * 8 + CAST(l_linenumber AS BIGINT)) % 64
+        |    AS bucket,
+        |  COUNT(*) AS n_parquet, COUNT(*) AS n_orc,
+        |  CAST(1 AS INTEGER) AS is_match
+        |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin)
 }
