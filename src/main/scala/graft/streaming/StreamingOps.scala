@@ -209,6 +209,60 @@ object StreamingOps {
       }
   }
 
+  case class CodedItem(ts_us: Long, event_id: Long, code: String)
+  case class PatternBuf(items: Seq[CodedItem])
+  case class SessionPattern(user_id: Long, day_idx: Long, path: String,
+                            browse_buy: Boolean, error_no_buy: Boolean,
+                            instant_buy: Boolean)
+
+  /** Streaming CEP — the continuous twin of q264's session pattern
+    * matching (the MATCH_RECOGNIZE / Flink-CEP niche): per (user, day),
+    * buffer the arriving type codes with their (ts, event_id) order keys,
+    * and when the EVENT-TIME watermark passes the day's end the state
+    * times out, the buffer sorts into the definitive code string, the
+    * sequence regexes evaluate, and ONE verdict row per user-day emits —
+    * identical to the batch kernel on the same rows regardless of
+    * arrival order or micro-batch boundaries (the sort at finalization
+    * is what buys out-of-order tolerance; an emit-per-batch design would
+    * have to retract). State per key is the day's events for that user —
+    * the q110 per-user-day bound — and is REMOVED at emission, so live
+    * state is one open day per active user, watermark-evicted. The
+    * timeout timestamp is the day end; the 1-hour watermark delay is the
+    * late-data allowance (the reference's `data_interval_hours` made
+    * event-time-exact).
+    */
+  def sessionPatternStream(events: Dataset[TypedEvent])
+      : Dataset[SessionPattern] = {
+    import events.sparkSession.implicits._
+    val DayUs = 86400000000L
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(e => (e.user_id, e.ts.getTime * 1000 / DayUs))
+      .flatMapGroupsWithState[PatternBuf, SessionPattern](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((uid, day), rows, state) =>
+          if (state.hasTimedOut) {
+            val buf = state.get
+            state.remove()
+            val path = buf.items
+              .sortBy(i => (i.ts_us, i.event_id)).map(_.code).mkString
+            Iterator.single(SessionPattern(uid, day, path,
+              "v.*c.*p".r.findFirstIn(path).isDefined,
+              path.contains("e") &&
+                "e.*p".r.findFirstIn(path).isEmpty,
+              path.startsWith("p")))
+          } else {
+            val prev = state.getOption.getOrElse(PatternBuf(Nil))
+            val add = rows.map(e => CodedItem(e.ts.getTime * 1000,
+              e.event_id, e.event_type.take(1))).toSeq
+            state.update(PatternBuf(prev.items ++ add))
+            // finalize when the watermark passes this day's end
+            state.setTimeoutTimestamp((day + 1) * 86400000L)
+            Iterator.empty
+          }
+      }
+  }
+
   /** The corpus-prep pipeline (q85's batch composition) as a continuous
     * stream: clean → quality gate → near-arrival dedup → context-length
     * chunking, over a stream of `(doc_id, ts, text)` — the shape of a

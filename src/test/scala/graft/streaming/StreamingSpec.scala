@@ -222,6 +222,45 @@ class StreamingSpec extends AnyFunSuite {
       (3L, false), (4L, true)))
   }
 
+  test("streaming CEP finalizes user-day patterns on the event-time watermark") {
+    import StreamingOps.TypedEvent
+    def ev(uid: Long, tp: String, t: String, id: Long) =
+      TypedEvent(uid, tp, ts(t), id)
+    val ms = MemoryStream[TypedEvent](spark)
+    // batch 1: user 1's view and PURCHASE (the later event arrives FIRST
+    // relative to the click below), user 2's error
+    ms.addData(
+      ev(1, "view", "2024-01-01 10:00:00", 1),
+      ev(1, "purchase", "2024-01-01 10:30:00", 3),
+      ev(2, "error", "2024-01-01 11:00:00", 4))
+    val q = StreamingOps.sessionPatternStream(ms.toDS())
+      .writeStream.format("memory").queryName("cep")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    assert(spark.table("cep").count() == 0) // day still open
+    // batch 2: the out-of-order click lands BETWEEN already-buffered
+    // events; user 2 gets a trailing view
+    ms.addData(
+      ev(1, "click", "2024-01-01 10:20:00", 2),
+      ev(2, "view", "2024-01-01 11:10:00", 5))
+    q.processAllAvailable()
+    // batch 3+4: an event past day end + 1h pushes the watermark over
+    // the timeout; timeouts fire on the batch AFTER the watermark moves
+    ms.addData(ev(3, "view", "2024-01-02 02:00:00", 6))
+    q.processAllAvailable()
+    ms.addData(ev(3, "view", "2024-01-02 02:00:01", 7))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("cep").orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getBoolean(3),
+        r.getBoolean(4), r.getBoolean(5)))
+    // the finalization sort restores event order despite arrival order
+    assert(rows.toSeq == Seq(
+      (1L, "vcp", true, false, false),
+      (2L, "ev", false, true, false)))
+    // user 3's day is still open — no premature emission
+    assert(!rows.exists(_._1 == 3L))
+  }
+
   test("stateful aggregation runs on the RocksDB state store (SCALE.md posture)") {
     // the production state-store configuration from SCALE.md, exercised
     // for real: same results as the default in-memory provider
