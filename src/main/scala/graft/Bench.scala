@@ -20,10 +20,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional subset (comma-separated names): lets a dev measure a
+    // handful of queries (e.g. the round-over-round comparable tail)
+    // without paying the full ~40 min suite
+    val only = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // JIT/codegen warm-up outside the timed region: run the whole query set
     // once at the smallest fixture so the timed pass measures steady-state
     // execution, not first-call compilation.
-    SparkEntry.queries.foreach { case (name, fn) =>
+    ordered.foreach { case (name, fn) =>
       try Checkpoints.freeingAfter(spark) {
         fn(spark, "/root/testdata/sf0.001")
           .write.format("noop").mode("overwrite").save()
@@ -49,9 +56,31 @@ object Bench {
     // queries with >3x pass spread at 3): two burst-hit passes out of 5
     // leave the median on an uncontended sample, where 2-of-3 corrupt it.
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt max 1
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
+    // Between-query state sweep, OUTSIDE the timed region. freeingAfter
+    // unpersists the delta of persistent RDDs, but broadcast blocks and
+    // shuffle files are only reclaimed when the GC collects their driver
+    // references and the async ContextCleaner notices — across 266
+    // queries × 5 passes in one JVM that dead weight accumulates until
+    // heap pressure lands multi-second GC stalls INSIDE later queries'
+    // timed regions (r9: in-batch medians ~2× floors on the comparable
+    // tail while solo floors stayed flat). A periodic explicit GC flushes
+    // the cleaner's queue at a moment nothing is being timed; every query
+    // would cost ~20 min of full GCs per suite, every 16th bounds the
+    // accumulation at negligible wall cost.
+    val gcEvery = sys.env.getOrElse("SPARK_GRAFT_BENCH_GC", "16").toInt max 0
+    var sinceGc = 0
+    def sweep(): Unit = if (gcEvery > 0) {
+      sinceGc += 1
+      if (sinceGc >= gcEvery) {
+        sinceGc = 0
+        System.gc()
+        // the cleaner works an async queue; give the reference-processing
+        // thread a beat so block removal overlaps the next query's plan
+        Thread.sleep(50)
+      }
+    }
     for (_ <- 1 to nRuns; (name, fn) <- ordered) {
       // freeingAfter releases each pass's stranded final checkpoints
       // (q71/q90/q99/q107) OUTSIDE the timed region — 440 executions in
@@ -65,6 +94,7 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         }
       }
+      sweep()
     }
     val results = ordered.map { case (name, _) => (name, samples(name)) }
     def median(xs: Seq[Double]): Double = {

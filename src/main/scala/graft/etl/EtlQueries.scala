@@ -322,7 +322,10 @@ object EtlQueries extends QueryModule {
     // parquet aggregation, so the row proves write→read fidelity
     // (values, types, partition-column round-trip) not just mechanics.
     "q257_orc_roundtrip" -> { (s, dir) =>
-      val path = "/tmp/graft_orc_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      // per-run token in the scratch path — two harness processes over
+      // the same fixture dir must not race overwrite-vs-read on /tmp
+      val path = "/tmp/graft_orc_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+        "_" + s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
       Tables.t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
           col("l_extendedprice"), col("l_discount"), col("l_returnflag"))
@@ -350,7 +353,9 @@ object EtlQueries extends QueryModule {
     // every bucket matching with the source's counts — so a silent
     // round-trip corruption turns the driver row red.
     "q270_format_migration" -> { (s, dir) =>
-      val path = "/tmp/graft_orcmig_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = "/tmp/graft_orcmig_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+        s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
       val src = Tables.t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           col("l_extendedprice"), col("l_shipdate"))

@@ -216,7 +216,13 @@ object MediaCodec {
             dataLen = math.min(sz, (b.length - dataStart).toLong).toInt
           case _ => () // LIST/fact/cue/junk: skip
         }
-        i = dataStart + sz.toInt + (sz.toInt & 1)
+        // next offset in Long — dataStart + sz can pass Int.MaxValue for
+        // a corrupt near-2^31 declared size, and a negative Int here
+        // would slip past the loop guard into fourcc/le32 (the demuxAvi
+        // walker guards the same way); the data-chunk clamp above still
+        // keeps the fully-fitting frames of a truncated final chunk
+        val next = dataStart.toLong + sz + (sz & 1L)
+        if (next > b.length) ok = false else i = next.toInt
       }
     }
     if (fmtOk && dataOff >= 0) Some(Wav(channels, rate, bits, dataOff, dataLen))

@@ -478,6 +478,119 @@ object Multimodal extends QueryModule {
     }.toDF("doc_id", "fp")
   }
 
+  /** Fuzzy audio fingerprint — the Haitsma-Kalker (2002) shape in pure
+    * integer arithmetic, completing the audio family the way q245's
+    * aHash completes images: q259's sample-grain FNV is EXACT (one
+    * flipped byte splits the class), this is ROBUST — bit f is the sign
+    * of the consecutive frame-ENERGY difference E(f+1) > E(f) over 65
+    * frames of 12 samples, so any uniform gain change (volume
+    * normalization, the most common audio re-encode) scales every frame
+    * energy by the same factor and leaves all 64 comparison bits — the
+    * whole fingerprint — untouched, where the exact hash sees a
+    * different recording. Energies are exact integer Σx² (≤ 12·2³⁰ per
+    * frame, no Long overflow), computed scan-local per clip off the same
+    * demuxWav→pcm16Samples path q258/q259 ride. Output columns match
+    * [[perceptualHash]] so [[nearDupByHamming]]'s pigeonhole-banded
+    * join is the shared downstream; undecodable payloads report
+    * decoded=false and drop there (the seam rule).
+    */
+  def audioFingerprint(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaIn].mapPartitions { it =>
+      it.map { m =>
+        MediaCodec.demuxWav(m.payload) match {
+          case Some(w) if w.bitsPerSample == 16 && w.channels == 1 =>
+            val xs = MediaCodec.pcm16Samples(m.payload, w)
+            val frame = 12
+            val nFrames = math.min(xs.length / frame, 65)
+            if (nFrames < 2) (m.doc_id, 0L, false)
+            else {
+              val e = new Array[Long](nFrames)
+              var i = 0
+              while (i < nFrames * frame) {
+                e(i / frame) += xs(i).toLong * xs(i)
+                i += 1
+              }
+              var fp = 0L
+              var f = 0
+              while (f < nFrames - 1) {
+                if (e(f + 1) > e(f)) fp |= (1L << f)
+                f += 1
+              }
+              (m.doc_id, fp, true)
+            }
+          case _ => (m.doc_id, 0L, false)
+        }
+      }
+    }.toDF("doc_id", "phash", "decoded")
+  }
+
+  /** Planted-geometry WAV corpus for the fuzzy-fingerprint contract —
+    * the q245 recipe at audio grain. Each doc renders 65 frames × 12
+    * samples of square wave whose per-frame amplitude follows a ±1 walk
+    * r(f) driven by a 64-bit pattern: bit f of the pattern IS the sign
+    * of the energy difference [[audioFingerprint]] recovers (E = 12a²,
+    * a(f) strictly monotone in r(f)). Groups of 8 consecutive doc_ids
+    * share a mix64-keyed base pattern; member m flips bit (id%64), so
+    * same-group fingerprints sit at Hamming EXACTLY 2 and distinct
+    * groups ~32 bits apart — the closed form the oracle states in
+    * doc_id arithmetic. Each clip also carries a per-doc volume factor
+    * (×4..×6, exact integer product): same-group members have DIFFERENT
+    * gains and different PCM bytes — q259's exact hash splits them, the
+    * robust fingerprint must still collapse them, which is the entire
+    * point of the operator.
+    */
+  def syntheticWavFpCorpus(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def mix64(z0: Long): Long = { // splitmix64 finalizer — scan-local
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val group = id / 8
+        val flip = (id % 64).toInt
+        val vol = (4 + (id % 3)).toInt // gain ×4..×6 — fingerprint-invisible
+        val nFrames = 65; val frame = 12
+        val n = nFrames * frame
+        val dataLen = n * 2
+        val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+          .put("WAVE".getBytes("US-ASCII"))
+          .put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1).putShort(1)        // PCM, mono
+          .putInt(8000).putInt(16000)     // rate, byte rate
+          .putShort(2).putShort(16)       // block align, bits
+          .put("data".getBytes("US-ASCII")).putInt(dataLen)
+        // amplitude walk: r ∈ [0, 128] (start 64, 64 ±1 steps), so
+        // a = (250 + 40r)·vol ≤ (250 + 5120)·6 = 32220 < 2¹⁵ — never
+        // clips, and a is strictly monotone in r at any fixed vol
+        var r = 64
+        var f = 0
+        while (f < nFrames) {
+          val a = (250 + 40 * r) * vol
+          var s = 0
+          while (s < frame) {
+            val x = if (((f * frame + s) / 3) % 2 == 0) a else -a
+            bb.putShort(x.toShort)
+            s += 1
+          }
+          if (f < nFrames - 1) {
+            val bit = ((mix64(group * 64 + f) & 1L) == 1L) ^ (f == flip)
+            r = if (bit) r + 1 else r - 1
+          }
+          f += 1
+        }
+        MediaIn(id, bb.array())
+      }
+    }.toDF()
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Audio exact-dedup census at sample grain, WITH an oracle: the
     // synthetic waveform is a function of (doc_id%7, doc_id%5, doc_id%4),

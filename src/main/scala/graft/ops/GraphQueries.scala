@@ -271,6 +271,35 @@ object GraphQueries extends QueryModule {
         .localCheckpoint())
     },
 
+    // The PRODUCTION k-core: q170's peel, but the edge frame is q244's
+    // scaled-k build (k=⌈√N⌉ k-means cells — N^1.5 candidates) instead
+    // of the exact all-pairs twin (30× at 20×, SCALE_PROOF.md). With
+    // q252/q272 this retires the last weak-for-scale flag: every
+    // declared graph consumer now runs on the edge plan you'd run at
+    // 100×. Same unique-fixpoint argument as q170, so the oracle
+    // unrolls the peel over q244's own oracle CTE.
+    "q271_kcore_scaledk" -> { (s, dir) =>
+      val emb = Tables.t(s, dir, "embeddings")
+      val cells = math.ceil(math.sqrt(emb.count().toDouble)).toInt
+      kCore(graft.llm.SimilarityQueries
+        .mutualKnnEdgesScaledK(emb, 5, cells, 2)
+        .select(col("label"), col("a_id"), col("b_id")), 3)
+        .orderBy("label", "vec_id")
+    },
+
+    // The PRODUCTION link prediction: q214's common-neighbor +
+    // Adamic-Adar kernel over q244's scaled-k edges — the heaviest
+    // graph consumer (k² wedge fan-out) exercised end to end on the
+    // plan that survives 100× instead of the exact quadratic build.
+    "q272_linkpred_scaledk" -> { (s, dir) =>
+      val emb = Tables.t(s, dir, "embeddings")
+      val cells = math.ceil(math.sqrt(emb.count().toDouble)).toInt
+      linkPrediction(graft.llm.SimilarityQueries
+        .mutualKnnEdgesScaledK(emb, 5, cells, 2)
+        .select(col("label"), col("a_id"), col("b_id")))
+        .orderBy("label", "x", "y")
+    },
+
     // HITS hubs/authorities (Kleinberg 1999, two mutually-recursive
     // power iterations) on the directed customer→part purchase
     // bipartite graph — the "which buyers are tastemakers / which
@@ -734,6 +763,61 @@ object GraphQueries extends QueryModule {
          |           * CAST(n_edges * syy - sy * sy AS DOUBLE)), 6) + 0.0
          |  END AS assortativity
          |FROM m ORDER BY label""".stripMargin,
+
+    // q170's unrolled peel (unique fixpoint, MATERIALIZED rounds) with
+    // the edge CTE swapped for q244's scaled-k oracle verbatim
+    "q271_kcore_scaledk" -> {
+      val rounds = (0 until 10).map { i =>
+        s"""d$i AS MATERIALIZED (
+           |  SELECT label, src FROM e$i GROUP BY label, src
+           |  HAVING COUNT(*) >= 3),
+           |e${i + 1} AS MATERIALIZED (
+           |  SELECT e.label, e.src, e.dst FROM e$i e
+           |  JOIN d$i a ON a.label = e.label AND a.src = e.src
+           |  JOIN d$i b ON b.label = e.label AND b.src = e.dst)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH mu AS MATERIALIZED (
+         |${graft.llm.SimilarityQueries.oracles("q244_knn_scaledk")}),
+         |e0 AS MATERIALIZED (
+         |  SELECT label, a_id AS src, b_id AS dst FROM mu
+         |  UNION ALL SELECT label, b_id, a_id FROM mu),
+         |$rounds
+         |SELECT label, src AS vec_id, COUNT(*) AS core_deg
+         |FROM e10 GROUP BY 1, 2 ORDER BY label, vec_id""".stripMargin
+    },
+
+    // q214's wedge/anti-join/AA spelling over q244's scaled-k edge CTE
+    "q272_linkpred_scaledk" ->
+      s"""WITH mu AS MATERIALIZED (
+         |${graft.llm.SimilarityQueries.oracles("q244_knn_scaledk")}),
+         |adj AS MATERIALIZED (
+         |  SELECT label, a_id AS src, b_id AS dst FROM mu
+         |  UNION ALL SELECT label, b_id, a_id FROM mu),
+         |dg AS (SELECT label, src, COUNT(*) AS deg FROM adj
+         |  GROUP BY 1, 2),
+         |wdg AS (
+         |  SELECT a1.label, a1.dst AS x, a1.src AS b, a2.dst AS y
+         |  FROM adj a1 JOIN adj a2
+         |    ON a1.label = a2.label AND a1.src = a2.src
+         |  WHERE a1.dst < a2.dst),
+         |cand AS (
+         |  SELECT w.label, w.x, w.b, w.y
+         |  FROM wdg w LEFT JOIN mu
+         |    ON mu.label = w.label AND mu.a_id = w.x AND mu.b_id = w.y
+         |  WHERE mu.a_id IS NULL),
+         |sc AS (
+         |  SELECT c.label, c.x, c.y,
+         |    COUNT(*) AS common_neighbors,
+         |    ${graft.Fns.dsum18Sql("1.0 / LN(CAST(dg.deg AS DOUBLE))")}
+         |      AS aa
+         |  FROM cand c JOIN dg
+         |    ON dg.label = c.label AND dg.src = c.b
+         |  GROUP BY 1, 2, 3)
+         |SELECT label, x, y, common_neighbors,
+         |  ROUND(aa, 6) + 0.0 AS adamic_adar
+         |FROM sc WHERE common_neighbors >= 2
+         |ORDER BY label, x, y""".stripMargin,
 
     "q230_degree_assortativity" ->
       """WITH e AS (

@@ -235,9 +235,16 @@ object StreamingOps {
       : Dataset[SessionPattern] = {
     import events.sparkSession.implicits._
     val DayUs = 86400000000L
+    // exact micros from the Timestamp — getTime*1000 truncates to the
+    // millisecond and two events inside one millisecond could then sort
+    // differently than the batch kernel's unix_micros order; floorDiv
+    // (not /) keeps the day key a FLOOR for pre-epoch timestamps, the
+    // same day date_trunc('day') assigns in the batch twin
+    def micros(ts: java.sql.Timestamp): Long =
+      Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000
     events
       .withWatermark("ts", "1 hour")
-      .groupByKey(e => (e.user_id, e.ts.getTime * 1000 / DayUs))
+      .groupByKey(e => (e.user_id, Math.floorDiv(micros(e.ts), DayUs)))
       .flatMapGroupsWithState[PatternBuf, SessionPattern](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case ((uid, day), rows, state) =>
@@ -253,7 +260,7 @@ object StreamingOps {
               path.startsWith("p")))
           } else {
             val prev = state.getOption.getOrElse(PatternBuf(Nil))
-            val add = rows.map(e => CodedItem(e.ts.getTime * 1000,
+            val add = rows.map(e => CodedItem(micros(e.ts),
               e.event_id, e.event_type.take(1))).toSeq
             state.update(PatternBuf(prev.items ++ add))
             // finalize when the watermark passes this day's end

@@ -99,4 +99,59 @@ class GraphQueriesSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(got == want)
   }
+
+  /** The scaled-k edge list at fixture scale, collected once for the
+    * production-path consumer checks (q271/q272 mirror q170/q214 on
+    * exactly this frame).
+    */
+  private lazy val scaledKEdges: Map[Int, Seq[(Long, Long)]] = {
+    val emb = graft.Tables.t(spark, TestSpark.Sf, "embeddings")
+    val cells = math.ceil(math.sqrt(emb.count().toDouble)).toInt
+    graft.llm.SimilarityQueries.mutualKnnEdgesScaledK(emb, 5, cells, 2)
+      .select(col("label"), col("a_id"), col("b_id"))
+      .collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+  }
+
+  test("q271 equals the sequential peel of the scaled-k edges") {
+    val want = scaledKEdges.toSeq.flatMap { case (lbl, es) =>
+      peel(es, 3).map { case (n, d) => (lbl, n) -> d.toLong }
+    }.toMap
+    val got = graft.SparkEntry.queries("q271_kcore_scaledk")(
+        spark, TestSpark.Sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == want)
+  }
+
+  test("q272 equals sequential common-neighbor/Adamic-Adar scoring") {
+    // sequential reference: per label, adjacency sets, open wedges
+    // x-b-y with x<y and (x,y) not an edge, CN = |N(x) ∩ N(y)|,
+    // AA = Σ 1/ln(deg b); keep CN >= 2 (the kernel's floor)
+    val want = scaledKEdges.toSeq.flatMap { case (lbl, es) =>
+      val adj = es.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val edgeSet = es.map(e =>
+        (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+      val cands = for {
+        (b, ns) <- adj.toSeq
+        x <- ns; y <- ns
+        if x < y && !edgeSet((x, y))
+      } yield ((x, y), b)
+      cands.groupBy(_._1).collect {
+        case ((x, y), bs) if bs.size >= 2 =>
+          val aa = bs.map(c => 1.0 / math.log(adj(c._2).size)).sum
+          (lbl, x, y) -> (bs.size.toLong, aa)
+      }
+    }.toMap
+    val got = graft.SparkEntry.queries("q272_linkpred_scaledk")(
+        spark, TestSpark.Sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)) ->
+        (r.getLong(3), r.getDouble(4))).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, (cn, aa)) =>
+      assert(cn == want(k)._1, s"common_neighbors at $k")
+      assert(math.abs(aa - want(k)._2) < 1e-6, s"adamic_adar at $k")
+    }
+  }
 }
