@@ -640,6 +640,26 @@ object Multimodal extends QueryModule {
       nearDupByHamming(perceptualHash(media), 3)
         .orderBy("a_id", "b_id")
     },
+
+    // Fuzzy audio fingerprint dedup, declared end-to-end WITH an oracle
+    // (r10 — the q245 argument at audio grain): the planted amplitude
+    // walk puts each group of 8 consecutive doc_ids at fingerprint
+    // Hamming EXACTLY 2 and distinct groups ~32 bits apart, so the full
+    // render→RIFF-demux→PCM-decode→frame-energy-sign→banded-join chain
+    // must reproduce exactly the same-group pair set — stated by the
+    // oracle in doc_id arithmetic. Same-group members carry DIFFERENT
+    // volume gains (different PCM bytes — q259's exact hash splits
+    // them); the energy-difference signs are gain-invariant, which is
+    // the robustness the operator exists for. Scale shape: fingerprint
+    // is scan-local; candidates come from the 4×16-bit band buckets
+    // (pigeonhole-complete recall at maxDist 3), never an all-pairs
+    // join; planted dup groups are size-8, so output stays
+    // corpus-linear.
+    "q273_audio_fp_neardup" -> { (s, dir) =>
+      val media = syntheticWavFpCorpus(Tables.t(s, dir, "documents"))
+      nearDupByHamming(audioFingerprint(media), 3)
+        .orderBy("a_id", "b_id")
+    },
     // Byte-level content features through the batch path — real features
     // (histogram stats), oracle-checkable since DuckDB can state the same
     // arithmetic over the text bytes.
@@ -670,6 +690,18 @@ object Multimodal extends QueryModule {
     // pairs at Hamming exactly 2, nothing across groups (patterns are
     // mix64-keyed, ~32 bits apart — far outside maxDist 3)
     "q245_phash_dedup" ->
+      """SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(2 AS INTEGER) AS hamming
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id // 8 = b.doc_id // 8 AND a.doc_id < b.doc_id
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // the planted audio geometry in doc_id arithmetic: same-8-group
+    // pairs at fingerprint Hamming exactly 2 (each member flips its own
+    // walk bit), nothing across groups (mix64-keyed patterns, ~32 bits
+    // apart — far outside maxDist 3); gain differences are invisible to
+    // the energy-difference signs by construction
+    "q273_audio_fp_neardup" ->
       """SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |  CAST(2 AS INTEGER) AS hamming
         |FROM documents a JOIN documents b

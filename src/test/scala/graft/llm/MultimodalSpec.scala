@@ -538,6 +538,56 @@ class MultimodalSpec extends AnyFunSuite {
     assert(fp3 != fps(1L))
   }
 
+  test("q273 recovers the planted audio near-dup groups; gain-invariant") {
+    import spark.implicits._
+    // the declared query's ground truth (the q245 assertion at audio
+    // grain): syntheticWavFpCorpus plants groups of 8 consecutive
+    // doc_ids at fingerprint Hamming exactly 2, across DIFFERENT
+    // per-doc volume gains
+    val out = graft.SparkEntry.queries("q273_audio_fp_neardup")(
+      spark, graft.TestSpark.Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val ids = graft.Tables.t(spark, graft.TestSpark.Sf, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"))
+      .collect().map(_.getLong(0))
+    val expected = ids.groupBy(_ / 8).values.flatMap { g =>
+      val s = g.sorted
+      for (i <- s.indices; j <- i + 1 until s.length) yield (s(i), s(j))
+    }.toSet
+    assert(out.map(p => (p._1, p._2)).toSet == expected,
+      "pair set must equal the planted same-group pairs")
+    assert(out.forall(_._3 == 2), "planted pairs sit at Hamming exactly 2")
+    // gain invariance, directly: the same clip re-rendered at ×1.5
+    // volume (exact on doc 0's multiple-of-4 amplitudes; walk max
+    // 21480 × 3/2 = 32220 < 2¹⁵, so no clipping) must produce the
+    // IDENTICAL fingerprint — where the exact sample-grain hash
+    // (q259's kernel) must split the pair
+    val corpus = Multimodal.syntheticWavFpCorpus(Seq(0L).toDF("doc_id"))
+    val base = corpus.collect().head.getAs[Array[Byte]]("payload")
+    val w = graft.llm.MediaCodec.demuxWav(base).get
+    val louder = base.clone()
+    var k = 0
+    while (k < w.nSamples) {
+      val off = w.dataOffset + k * 2
+      val x0 = ((louder(off + 1).toInt << 8) |
+        (louder(off) & 0xff)).toShort.toInt
+      val x = (x0 * 3 / 2).toShort
+      louder(off) = (x & 0xff).toByte
+      louder(off + 1) = ((x >> 8) & 0xff).toByte
+      k += 1
+    }
+    val fps = Multimodal.audioFingerprint(Seq(
+        Multimodal.MediaIn(1L, base), Multimodal.MediaIn(2L, louder))
+        .toDS().toDF())
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L), "fingerprint is gain-invariant")
+    val exact = Multimodal.audioContentHash(Seq(
+        Multimodal.MediaIn(1L, base), Multimodal.MediaIn(2L, louder))
+        .toDS().toDF())
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact(1L) != exact(2L), "the exact hash splits the gain pair")
+  }
+
   test("q258 features match the planted waveform's closed form") {
     val out = graft.SparkEntry.queries("q258_audio_features")(
       spark, graft.TestSpark.Sf).collect()
