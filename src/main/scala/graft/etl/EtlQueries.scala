@@ -16,6 +16,10 @@ object EtlQueries extends QueryModule {
   private val T      = "TIMESTAMP '2024-01-20 00:00:00'"
   private val InsT   = "TIMESTAMP '2024-01-25 00:00:00'"
 
+  // the Avro provider class — see [[graft.sources.AvroSource]] for why
+  // the shortname "avro" does not resolve in this distribution
+  private val AvroSource = graft.sources.AvroSource.Provider
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Flagship: TPC-H-Q1-style pricing summary — scan, filter, projection,
     // hash-agg (partial+final, map-side combine free from Catalyst), sort.
@@ -341,6 +345,38 @@ object EtlQueries extends QueryModule {
         .orderBy("l_returnflag")
     },
 
+    // Avro round-trip — the ROW-major interchange format beside the two
+    // columnar ones (parquet native, ORC q257): Spark 4 bundles the
+    // avro datasource in spark-sql, so the engine writes and reads it
+    // with zero extra deps. Avro is the Kafka/schema-registry wire
+    // format — the shape a streaming ingest lands in before compaction
+    // to parquet — so the fidelity proof matters even though the format
+    // offers no stripe statistics: the write is Hive-partitioned by the
+    // returnflag (directory pruning still applies — the PartitionFilters
+    // line survives; the quantity predicate correctly does NOT push into
+    // a row format and evaluates post-scan). The oracle is the plain
+    // PARQUET aggregation, so the row proves values, types, and the
+    // partition column survive the Avro encode/decode — the q257
+    // argument for the row-major seam.
+    "q274_avro_roundtrip" -> { (s, dir) =>
+      val path = "/tmp/graft_avro_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+        "_" + s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+      Tables.t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_returnflag"))
+        .write.mode("overwrite").partitionBy("l_returnflag")
+        .format(AvroSource).save(path)
+      s.read.format(AvroSource).load(path)
+        .filter(col("l_returnflag") =!= "N")   // partition pruning
+        .filter(col("l_quantity") > 10.0)      // post-scan (row format)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+        .orderBy("l_returnflag")
+    },
+
     // Format-migration verification — the sign-off step of a 100 TB
     // parquet→ORC migration: prove the copy is row-identical WITHOUT a
     // row-level join, by comparing q228's order-independent bucket
@@ -599,6 +635,16 @@ object EtlQueries extends QueryModule {
     // the oracle is the plain PARQUET aggregation — the ORC write/read
     // must be value-invisible
     "q257_orc_roundtrip" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n_items,
+         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem
+         |WHERE l_returnflag <> 'N' AND l_quantity > 10.0
+         |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    // the oracle is the plain PARQUET aggregation — the Avro write/read
+    // must be value-invisible (the q257 argument, row-major seam)
+    "q274_avro_roundtrip" ->
       s"""SELECT l_returnflag, COUNT(*) AS n_items,
          |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
          |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue

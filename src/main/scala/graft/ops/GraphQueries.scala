@@ -276,14 +276,19 @@ object GraphQueries extends QueryModule {
     // of the exact all-pairs twin (30× at 20×, SCALE_PROOF.md). With
     // q252/q272 this retires the last weak-for-scale flag: every
     // declared graph consumer now runs on the edge plan you'd run at
-    // 100×. Same unique-fixpoint argument as q170, so the oracle
+    // 100×. Core order 2, not q170's 3: the IVF-probed mutual graph is
+    // sparser than the exact twin and its 3-core is EMPTY at sf0.01/0.1
+    // (ProbeKcoreRounds measured 0 survivors) — a vacuously-green
+    // contract; the 2-core survives at every scale (28 @ sf0.01 …
+    // 52963 @ 20×, fixpoint ≤ 7 rounds, inside the oracle's 10-round
+    // unroll). Same unique-fixpoint argument as q170, so the oracle
     // unrolls the peel over q244's own oracle CTE.
     "q271_kcore_scaledk" -> { (s, dir) =>
       val emb = Tables.t(s, dir, "embeddings")
       val cells = math.ceil(math.sqrt(emb.count().toDouble)).toInt
       kCore(graft.llm.SimilarityQueries
         .mutualKnnEdgesScaledK(emb, 5, cells, 2)
-        .select(col("label"), col("a_id"), col("b_id")), 3)
+        .select(col("label"), col("a_id"), col("b_id")), 2)
         .orderBy("label", "vec_id")
     },
 
@@ -765,12 +770,14 @@ object GraphQueries extends QueryModule {
          |FROM m ORDER BY label""".stripMargin,
 
     // q170's unrolled peel (unique fixpoint, MATERIALIZED rounds) with
-    // the edge CTE swapped for q244's scaled-k oracle verbatim
+    // the edge CTE swapped for q244's scaled-k oracle verbatim; core
+    // order 2 (the sparser probed graph's non-vacuous core — see the
+    // query comment), fixpoint ≤ 7 rounds measured at every scale
     "q271_kcore_scaledk" -> {
       val rounds = (0 until 10).map { i =>
         s"""d$i AS MATERIALIZED (
            |  SELECT label, src FROM e$i GROUP BY label, src
-           |  HAVING COUNT(*) >= 3),
+           |  HAVING COUNT(*) >= 2),
            |e${i + 1} AS MATERIALIZED (
            |  SELECT e.label, e.src, e.dst FROM e$i e
            |  JOIN d$i a ON a.label = e.label AND a.src = e.src

@@ -330,23 +330,29 @@ object RelationalQueries extends QueryModule {
     // engine-specific and stay out of the hashed columns; each estimate
     // must land inside the exact ±1%-RANK band (accuracy 10000 ⇒ rank
     // error ≤ 1e-4·n, two orders under the band), and the oracle asserts
-    // those verdicts TRUE.
+    // those verdicts TRUE. The contract necessarily carries an exact
+    // pass beside the sketch (the contract IS the comparison), but both
+    // band edges of each column come from ONE percentile buffer
+    // (array percentages share the value-count map), not two — the r9
+    // spelling paid a second histogram per column for nothing.
     "q63_approx_percentiles" -> { (s, dir) =>
-      def within(est: String, vcol: String, p: Double) = {
-        val lo = expr(s"percentile($vcol, ${p - 0.01})")
-        val hi = expr(s"percentile($vcol, ${p + 0.01})")
-        (expr(est) >= lo && expr(est) <= hi)
-      }
       Tables.t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
           count(lit(1)).as("n"),
-          within("approx_percentile(l_quantity, 0.5, 10000)",
-            "l_quantity", 0.5).as("median_qty_in_band"),
-          within("approx_percentile(l_extendedprice, 0.9, 10000)",
-            "l_extendedprice", 0.9).as("p90_price_in_band"),
-          within("approx_percentile(l_discount, 0.25, 10000)",
-            "l_discount", 0.25).as("p25_disc_in_band"))
+          expr("percentile(l_quantity, array(0.49, 0.51))").as("qb"),
+          expr("percentile(l_extendedprice, array(0.89, 0.91))").as("pb"),
+          expr("percentile(l_discount, array(0.24, 0.26))").as("db"),
+          expr("approx_percentile(l_quantity, 0.5, 10000)").as("aq"),
+          expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("ap"),
+          expr("approx_percentile(l_discount, 0.25, 10000)").as("ad"))
+        .select(col("l_returnflag"), col("n"),
+          (col("aq") >= col("qb")(0) && col("aq") <= col("qb")(1))
+            .as("median_qty_in_band"),
+          (col("ap") >= col("pb")(0) && col("ap") <= col("pb")(1))
+            .as("p90_price_in_band"),
+          (col("ad") >= col("db")(0) && col("ad") <= col("db")(1))
+            .as("p25_disc_in_band"))
         .orderBy("l_returnflag")
     },
 

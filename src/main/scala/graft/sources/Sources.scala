@@ -57,6 +57,23 @@ final case class OrcSource(path: String) extends Source {
   def read(spark: SparkSession): DataFrame = spark.read.orc(path)
 }
 
+/** Avro landing path — the ROW-major interchange format (the
+  * Kafka/schema-registry wire shape a streaming ingest lands in before
+  * compaction to a columnar lake). Spark 4 bundles the Avro datasource
+  * classes inside spark-sql but this distribution's services file does
+  * not register the "avro" shortname, so the provider loads by class
+  * name — the same `DataSource.lookupDataSource` path, no extra
+  * dependency. Directory partition pruning still applies on read; row
+  * formats carry no column statistics, so value predicates evaluate
+  * post-scan (q274 documents both in its plan). */
+final case class AvroSource(path: String) extends Source {
+  def read(spark: SparkSession): DataFrame =
+    spark.read.format(AvroSource.Provider).load(path)
+}
+object AvroSource {
+  val Provider = "org.apache.spark.sql.avro.AvroFileFormat"
+}
+
 /** Whole-file binary source — the multimodal ingest edge: each matched
   * file becomes one row of (path, modificationTime, length, content),
   * feeding payloads straight into the `Multimodal` decode/resize/feature

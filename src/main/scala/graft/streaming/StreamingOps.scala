@@ -91,6 +91,25 @@ object StreamingOps {
         .misraGries(col("event_type"), k).as("trending"))
       .select(col("window.start").as("win_start"), col("trending"))
 
+  /** Count-min counting per event-time window — the counting complement
+    * to [[trendingStream]]'s Misra-Gries candidates (MG says WHICH keys
+    * are frequent, CMS says roughly HOW frequent any key is), and the
+    * streaming twin of q254's relational sketch contract. State per
+    * window is the FIXED d×w counter array regardless of the key domain,
+    * and the sketch's elementwise-sum merge is exactly associative, so
+    * any micro-batch split of the stream folds to the identical array a
+    * single batch pass produces — StreamingSpec asserts the arrays are
+    * equal bit for bit and that estimates carry the never-under /
+    * Markov-envelope guarantees across batch boundaries.
+    */
+  def cmsStream(events: DataFrame, d: Int = 4, w: Int = 1024): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.functions.CountMinSketchAgg
+        .cms(col("event_type"), d, w).as("cms"))
+      .select(col("window.start").as("win_start"), col("cms"))
+
   /** Stateful stream dedup bounded by the watermark (batch twin: q30). */
   def dedupWithinWatermark(events: DataFrame): DataFrame =
     events

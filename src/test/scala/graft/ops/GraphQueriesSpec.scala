@@ -115,8 +115,10 @@ class GraphQueriesSpec extends AnyFunSuite {
   }
 
   test("q271 equals the sequential peel of the scaled-k edges") {
+    // core order 2 — the probed graph's 3-core is empty at small SFs
+    // (a vacuous contract); the 2-core is non-empty at every scale
     val want = scaledKEdges.toSeq.flatMap { case (lbl, es) =>
-      peel(es, 3).map { case (n, d) => (lbl, n) -> d.toLong }
+      peel(es, 2).map { case (n, d) => (lbl, n) -> d.toLong }
     }.toMap
     val got = graft.SparkEntry.queries("q271_kcore_scaledk")(
         spark, TestSpark.Sf)

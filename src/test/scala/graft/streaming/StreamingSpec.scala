@@ -48,6 +48,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq.sorted == want)
   }
 
+  test("streaming CMS sketch merges across micro-batches to the batch array") {
+    import graft.functions.CountMinSketchAgg
+    val (d, w) = (4, 64)
+    // stream in three micro-batches, deliberately splitting windows
+    // across batch boundaries
+    val ms = MemoryStream[Ev](spark)
+    val q = StreamingOps.cmsStream(ms.toDF(), d, w).writeStream
+      .format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    ms.addData(fixture.take(2): _*)
+    q.processAllAvailable()
+    ms.addData(fixture.slice(2, 4): _*)
+    q.processAllAvailable()
+    ms.addData(fixture.drop(4): _*)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("cms_stream").orderBy("win_start").collect()
+      .map(r => r.getTimestamp(0).toString -> r.getSeq[Long](1)).toMap
+    // the batch twin over the same rows in ONE pass: elementwise-sum
+    // merge is exactly associative, so the arrays must be identical
+    // regardless of how the stream was micro-batched
+    val batch = fixture.toDF()
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(CountMinSketchAgg.cms(col("event_type"), d, w).as("cms"))
+      .select(col("window.start").as("h"), col("cms"))
+      .collect().map(r => r.getTimestamp(0).toString -> r.getSeq[Long](1))
+      .toMap
+    assert(got.keySet == batch.keySet)
+    got.foreach { case (h, arr) =>
+      assert(arr == batch(h), s"sketch arrays diverge in window $h")
+    }
+    // guarantees across the batch boundary: never-under + the 4n/w
+    // Markov envelope for every true (window, type) count
+    val truth = fixture.groupBy(e =>
+        (e.ts.toLocalDateTime.withMinute(0).withSecond(0), e.event_type))
+      .map { case ((h, t), es) =>
+        (java.sql.Timestamp.valueOf(h).toString, t, es.size.toLong) }
+    truth.foreach { case (h, t, n) =>
+      val windowN = fixture.count(e =>
+        java.sql.Timestamp.valueOf(
+          e.ts.toLocalDateTime.withMinute(0).withSecond(0)).toString == h)
+      val est = CountMinSketchAgg.estimate(got(h).toIndexedSeq, t, d, w)
+      assert(est >= n, s"CMS under-counted $t in $h")
+      assert(est - n <= 4L * windowN / w + 1,
+        s"CMS overcount outside the envelope for $t in $h")
+    }
+  }
+
   test("streaming sliding windows assign each event to two windows") {
     val ms = MemoryStream[Ev](spark)
     ms.addData(fixture: _*)
