@@ -1011,6 +1011,47 @@ object SimilarityQueries extends QueryModule {
     // query_id partitioning — one shuffle, three window passes, never a
     // second scoring join. RRF scores are rational arithmetic on small
     // integer ranks: bit-identical across engines before the round.
+    // Matryoshka truncation audit (Kusupati et al. 2022 — MRL
+    // embeddings): how much retrieval quality survives truncating the
+    // 64-dim vectors to their first 16 dims (a 4× memory/IO cut on the
+    // ANN index, the production question before shipping a truncated
+    // index)? For each probe query, rank all candidates by full-dim and
+    // by 16-dim cosine, report top-10 overlap and the exact Spearman ρ
+    // between the two rankings. One scored pass computes both cosines
+    // (broadcast 5-query side); both rank windows and the final rollup
+    // share the query_id partitioning — one shuffle. Ranks are integers
+    // (ties by vec_id over bit-identical cosines), so ρ is rational
+    // arithmetic — identical in both engines before the round.
+    "q277_matryoshka_audit" -> { (s, dir) =>
+      val e = Tables.t(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          cosine(col("v"), col("qv")).as("cos_full"),
+          cosine(slice(col("v"), 1, 16), slice(col("qv"), 1, 16))
+            .as("cos_16"))
+      val byQ = Window.partitionBy(col("query_id"))
+      scored.select(col("query_id"), col("vec_id"),
+          row_number().over(byQ.orderBy(col("cos_full").desc,
+            col("vec_id").asc)).as("r_full"),
+          row_number().over(byQ.orderBy(col("cos_16").desc,
+            col("vec_id").asc)).as("r_16"))
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("r_full") <= 10 && col("r_16") <= 10, 1L)
+            .otherwise(0L)).as("top10_overlap"),
+          sum(((col("r_full") - col("r_16")) *
+            (col("r_full") - col("r_16"))).cast("long")).as("d2"))
+        .select(col("query_id"), col("n"), col("top10_overlap"),
+          (round(lit(1.0) - lit(6.0) * col("d2").cast("double") /
+            (col("n").cast("double") *
+              (col("n") * col("n") - 1).cast("double")), 6) + lit(0.0))
+            .as("spearman"))
+        .orderBy("query_id")
+    },
+
     "q249_rrf_fusion" -> { (s, dir) =>
       val e = Tables.t(s, dir, "embeddings")
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
@@ -1811,6 +1852,38 @@ object SimilarityQueries extends QueryModule {
          |  ON k.a_id = m.b_id AND k.b_id = m.a_id
          |WHERE k.a_id < k.b_id
          |ORDER BY k.label, k.a_id, k.b_id""".stripMargin,
+
+    // both cosines through LIST_COSINE_SIMILARITY (full and the 1-based
+    // inclusive 16-slice), integer ranks, ρ in the same double shapes
+    "q277_matryoshka_audit" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM v
+        |      WHERE vec_id < 5),
+        |s AS (
+        |  SELECT q.query_id, v.vec_id,
+        |    LIST_COSINE_SIMILARITY(v.v, q.qv) AS cos_full,
+        |    LIST_COSINE_SIMILARITY(v.v[1:16], q.qv[1:16]) AS cos_16
+        |  FROM v JOIN q ON v.vec_id <> q.query_id),
+        |r AS (
+        |  SELECT query_id, vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cos_full DESC, vec_id ASC) AS r_full,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cos_16 DESC, vec_id ASC) AS r_16
+        |  FROM s),
+        |m AS (
+        |  SELECT query_id, COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN r_full <= 10 AND r_16 <= 10
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS top10_overlap,
+        |    CAST(SUM((r_full - r_16) * (r_full - r_16)) AS BIGINT) AS d2
+        |  FROM r GROUP BY 1)
+        |SELECT query_id, n, top10_overlap,
+        |  ROUND(1.0 - 6.0 * CAST(d2 AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * CAST(n * n - 1 AS DOUBLE)), 6) + 0.0
+        |    AS spearman
+        |FROM m ORDER BY query_id""".stripMargin,
 
     // the L2 spelled through the same dot products ((a+b) − 2*c, same
     // associativity), RRF through CAST(1.0 AS DOUBLE) so DuckDB divides

@@ -898,6 +898,32 @@ object TextQueries extends QueryModule {
     // (source, n, gram) aggregation, the census is one vocabulary-sized
     // rollup to #sources×2 rows. Shares are single IEEE divisions of
     // exact longs.
+    // Chao1 unseen-vocabulary estimate (Chao 1984, bias-corrected form):
+    // V̂ = V + F1(F1−1)/(2(F2+1)) from the hapax (F1) and dis legomena
+    // (F2) counts — the capture-recapture answer to "has this source's
+    // vocabulary SATURATED, or does more crawl buy new tokens?" The
+    // coverage ratio V/V̂ is the per-source stop-crawling signal q128's
+    // raw hapax share only hints at. One token aggregation (q128's
+    // counts — map-side combinable, vocabulary-sized shuffle), integer
+    // F1/F2, one double expression identical in both engines.
+    "q276_chao1_vocab" -> { (s, dir) =>
+      val chao1 = col("v_obs").cast("double") +
+        (col("f1") * (col("f1") - lit(1L))).cast("double") /
+          (lit(2.0) * (col("f2") + lit(1L)).cast("double"))
+      Tables.t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("t"))
+        .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("v_obs"),
+          count(when(col("c") === 1, 1)).as("f1"),
+          count(when(col("c") === 2, 1)).as("f2"))
+        .select(col("source"), col("v_obs"), col("f1"), col("f2"),
+          (round(chao1, 4) + lit(0.0)).as("chao1"),
+          (round(col("v_obs").cast("double") / chao1, 4) + lit(0.0))
+            .as("coverage"))
+        .orderBy("source")
+    },
+
     "q168_hapax_census" -> { (s, dir) =>
       // IF guards short docs: sequence(1, 0) DESCENDS in Spark, which
       // would probe element_at(tok, 0) and throw
@@ -1717,6 +1743,27 @@ object TextQueries extends QueryModule {
         |  CAST(n AS DOUBLE)
         |    / CAST(SUM(n) OVER (PARTITION BY lang) AS DOUBLE) AS share
         |FROM g ORDER BY lang, pred_lang""".stripMargin,
+
+    // the same CAST shapes as Spark's expression tree: F1(F1−1) exact in
+    // BIGINT then one divide and one add in DOUBLE
+    "q276_chao1_vocab" ->
+      """WITH c AS (
+        |  SELECT source, t, COUNT(*) AS c
+        |  FROM (SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS t
+        |        FROM documents)
+        |  GROUP BY source, t),
+        |m AS (
+        |  SELECT source, COUNT(*) AS v_obs,
+        |    COUNT(CASE WHEN c = 1 THEN 1 END) AS f1,
+        |    COUNT(CASE WHEN c = 2 THEN 1 END) AS f2
+        |  FROM c GROUP BY source)
+        |SELECT source, v_obs, f1, f2,
+        |  ROUND(CAST(v_obs AS DOUBLE) + CAST(f1 * (f1 - 1) AS DOUBLE)
+        |    / (2.0 * CAST(f2 + 1 AS DOUBLE)), 4) + 0.0 AS chao1,
+        |  ROUND(CAST(v_obs AS DOUBLE) / (CAST(v_obs AS DOUBLE)
+        |    + CAST(f1 * (f1 - 1) AS DOUBLE)
+        |    / (2.0 * CAST(f2 + 1 AS DOUBLE))), 4) + 0.0 AS coverage
+        |FROM m ORDER BY source""".stripMargin,
 
     "q168_hapax_census" ->
       """WITH d AS (

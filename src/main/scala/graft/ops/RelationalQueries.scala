@@ -1490,6 +1490,57 @@ object RelationalQueries extends QueryModule {
         .orderBy(col("exact_n").desc, col("l_partkey")).limit(20)
     },
 
+    // Join-SIZE estimation from two count-min sketches (Cormode &
+    // Muthukrishnan 2005 §4.2, the AGMS lineage): |A ⋈ B| = Σ_k
+    // f_A(k)·f_B(k) estimates as min over rows of the two sketches' row
+    // inner products — the optimizer-style cardinality question ("how
+    // big would this join be?") answered WITHOUT running the join. At
+    // 100 TB this is the decision input for salting/broadcast choices:
+    // each side folds to a fixed 4×1024 counter array (map-side, q254's
+    // state bound), the two arrays meet on one node, and the estimate
+    // costs a 4096-element dot — the row-level join never executes.
+    // Contract (the q254 pattern): the estimate is structurally never
+    // UNDER the true size (collisions only add cross terms), and the
+    // overcount obeys the Markov envelope 4·N_A·N_B/w per row; the
+    // oracle recomputes the identical sketch from exact per-key counts
+    // and asserts both verdicts TRUE. Exact size for the grade comes
+    // from the COUNT TABLES' equi-join (key-domain-sized), not the
+    // row-level join.
+    "q275_cms_join_size" -> { (s, dir) =>
+      val W = 1024L
+      def bucket(key: org.apache.spark.sql.Column, i: Int) =
+        conv(substring(md5(concat(key.cast("string"), lit("#" + i))
+          .cast("binary")), 1, 5), 16, 10).cast("long") % W
+      def side(df: DataFrame, key: String): (DataFrame, DataFrame) = {
+        val cnt = df.groupBy(col(key).as("k"))
+          .agg(count(lit(1)).as("f")).localCheckpoint()
+        val sk = cnt.select(col("k"), col("f"),
+            explode(array((0 until 4).map(i => struct(lit(i).as("h"),
+              bucket(col("k"), i).as("b"))): _*)).as("hb"))
+          .select(col("hb.h").as("h"), col("hb.b").as("b"), col("f"))
+          .groupBy(col("h"), col("b")).agg(sum(col("f")).as("fn"))
+        (cnt, sk)
+      }
+      val (ca, sa) = side(Tables.t(s, dir, "events"), "user_id")
+      val (cb, sb) = side(Tables.t(s, dir, "orders"), "o_custkey")
+      val est = sa.join(sb.withColumnRenamed("fn", "gn"), Seq("h", "b"))
+        .groupBy(col("h"))
+        .agg(sum(col("fn") * col("gn")).as("ip"))
+        .agg(min(col("ip")).as("cms_est"))
+      val exact = ca.join(cb.withColumnRenamed("k", "k2")
+          .withColumnRenamed("f", "g"), col("k") === col("k2"))
+        .agg(sum(col("f") * col("g")).as("exact_join_size"))
+      val na = ca.agg(sum(col("f")).as("n_a"))
+      val nb = cb.agg(sum(col("f")).as("n_b"))
+      exact.crossJoin(broadcast(est))
+        .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+        .select(col("exact_join_size"), col("cms_est"),
+          (col("cms_est") - col("exact_join_size")).as("overcount"),
+          (col("cms_est") >= col("exact_join_size")).as("never_under"),
+          ((col("cms_est") - col("exact_join_size")) * lit(W) <=
+            lit(4L) * col("n_a") * col("n_b")).as("within_envelope"))
+    },
+
     // Bloom-filter-pruned semi-join — the 100 TB join-pruning lever
     // (runtime row-level filtering spelled explicitly): the build side's
     // keys hash (k=3, md5 rows) into an m=65536-position set that is
@@ -2457,6 +2508,43 @@ object RelationalQueries extends QueryModule {
         |  (cms_est - exact_n) * 1024 <= 4 * n_tot AS within_markov
         |FROM est, tot
         |ORDER BY exact_n DESC, l_partkey LIMIT 20""".stripMargin,
+
+    // identical sketch recomputed from exact per-key counts; exact join
+    // size from the count tables' equi-join — the row join never runs
+    "q275_cms_join_size" ->
+      """WITH fa AS (
+        |  SELECT user_id AS k, COUNT(*) AS f FROM events GROUP BY 1),
+        |fb AS (
+        |  SELECT o_custkey AS k, COUNT(*) AS f FROM orders GROUP BY 1),
+        |sa AS (
+        |  SELECT i AS h,
+        |    CAST(('0x' || SUBSTRING(MD5(CAST(k AS VARCHAR) ||
+        |      '#' || CAST(i AS VARCHAR)), 1, 5)) AS BIGINT) % 1024 AS b,
+        |    CAST(SUM(f) AS BIGINT) AS fn
+        |  FROM fa, (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS i)
+        |  GROUP BY 1, 2),
+        |sb AS (
+        |  SELECT i AS h,
+        |    CAST(('0x' || SUBSTRING(MD5(CAST(k AS VARCHAR) ||
+        |      '#' || CAST(i AS VARCHAR)), 1, 5)) AS BIGINT) % 1024 AS b,
+        |    CAST(SUM(f) AS BIGINT) AS gn
+        |  FROM fb, (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS i)
+        |  GROUP BY 1, 2),
+        |ip AS (
+        |  SELECT sa.h, CAST(SUM(fn * gn) AS BIGINT) AS ip
+        |  FROM sa JOIN sb ON sa.h = sb.h AND sa.b = sb.b GROUP BY 1),
+        |est AS (SELECT CAST(MIN(ip) AS BIGINT) AS cms_est FROM ip),
+        |ex AS (
+        |  SELECT CAST(SUM(fa.f * fb.f) AS BIGINT) AS exact_join_size
+        |  FROM fa JOIN fb ON fa.k = fb.k),
+        |na AS (SELECT CAST(SUM(f) AS BIGINT) AS n_a FROM fa),
+        |nb AS (SELECT CAST(SUM(f) AS BIGINT) AS n_b FROM fb)
+        |SELECT exact_join_size, cms_est,
+        |  cms_est - exact_join_size AS overcount,
+        |  cms_est >= exact_join_size AS never_under,
+        |  (cms_est - exact_join_size) * 1024 <= 4 * n_a * n_b
+        |    AS within_envelope
+        |FROM ex, est, na, nb""".stripMargin,
 
     // filter membership = all 3 positions present; truth = exact
     // semi-join; identical fill-factor envelope arithmetic
