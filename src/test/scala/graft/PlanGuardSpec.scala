@@ -70,7 +70,9 @@ class PlanGuardSpec extends AnyFunSuite {
       "q263_dsir_weights", // 1-row (nt, nr) LM totals × the 4096 buckets
       "q265_keyness", // 1-row (nt, nr) totals × the vocab-sized frame
       "q266_simhash_contract", // 1-row dup stats × 1-row baseline stats
-      "q267_ann_recall") // q38's shape: 5-row broadcast query set × corpus
+      "q267_ann_recall", // q38's shape: 5-row broadcast query set × corpus
+      "q275_cms_join_size", // 1-row est × 1-row exact × two 1-row totals
+      "q277_matryoshka_audit") // q38's shape: 5-row query set × corpus
       // (q173's centroid probe BNLJ runs inside its eager checkpoint —
       // the declared plan reads the materialized ranked frame)
 
@@ -161,6 +163,13 @@ class PlanGuardSpec extends AnyFunSuite {
                                   // comparison joins — both pair lists are
                                   // near-dup-density-sized, the rollup is
                                   // #sources rows
+    "q275_cms_join_size" -> 7,    // two key-count aggs (the only
+                                  // corpus-row shuffles; one rides a
+                                  // checkpoint) + two 4096-row sketch
+                                  // aggs + the (h,b) inner-product join
+                                  // + count-table equi-join + 1-row
+                                  // rollups — everything after the count
+                                  // aggs is sketch- or key-domain-sized
     "q246_hits" -> 17)            // 4 HITS half-steps × (state join +
                                   // edge-key agg + 1-row L1 total) over
                                   // the once-checkpointed bipartite edge
