@@ -119,6 +119,62 @@ object EventQueries extends QueryModule {
         .orderBy("d", "event_type")
     },
 
+    // Time-series LINEAR interpolation — the value counterpart of q79's
+    // zero-fill: q79 materializes missing grid cells as zeros (right for
+    // counts), but a gauge metric (daily mean value) needs the gap
+    // bridged between its neighbors, the standard sensor/metric backfill
+    // before feature assembly (q203) or decomposition (q234). An outage
+    // is SIMULATED deterministically (daily points on days ≡ 1 mod 3
+    // are dropped — stated identically in the oracle), then each gap
+    // day takes v_prev + (v_next − v_prev)·Δd/Δspan from the nearest
+    // observed neighbors via IGNORE-NULLS running windows; edge gaps
+    // (no neighbor on one side) stay null and are labeled. Scale shape:
+    // the windows run over the SPINE grid (days × types — dimension-
+    // sized at any corpus scale, the q79 argument), never the event
+    // scan; the only corpus-sized work is the daily aggregation.
+    // Determinism: daily means ride the exact-decimal davg, the
+    // interpolation is ONE double expression with the same shape in
+    // both engines, rounded at 6.
+    "q279_linear_interpolation" -> { (s, dir) =>
+      val ev = Tables.t(s, dir, "events")
+        .select(to_date(col("ts")).as("d"), col("event_type"), col("value"))
+      val spine = ev.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("d"))
+      val types = ev.select(col("event_type")).distinct()
+      val epoch = to_date(lit("1970-01-01"))
+      val daily = ev.groupBy(col("d"), col("event_type"))
+        .agg(Fns.davg(col("value")).as("v"))
+        .filter(datediff(col("d"), epoch) % 3 =!= 1) // simulated outage
+      val grid = spine.crossJoin(types)
+        .join(daily, Seq("d", "event_type"), "left")
+        .withColumn("dd", datediff(col("d"), epoch).cast("long"))
+      val wPrev = Window.partitionBy(col("event_type")).orderBy(col("dd"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wNext = Window.partitionBy(col("event_type")).orderBy(col("dd"))
+        .rowsBetween(0, Window.unboundedFollowing)
+      val vp  = last(col("v"), ignoreNulls = true).over(wPrev)
+      val ddp = last(when(col("v").isNotNull, col("dd")),
+        ignoreNulls = true).over(wPrev)
+      val vn  = first(col("v"), ignoreNulls = true).over(wNext)
+      val ddn = first(when(col("v").isNotNull, col("dd")),
+        ignoreNulls = true).over(wNext)
+      grid.select(col("d"), col("event_type"), col("v"),
+          vp.as("vp"), ddp.as("ddp"), vn.as("vn"), ddn.as("ddn"),
+          col("dd"))
+        .select(col("d"), col("event_type"),
+          when(col("v").isNotNull, lit("observed"))
+            .when(col("vp").isNotNull && col("vn").isNotNull,
+              lit("interpolated"))
+            .otherwise(lit("edge")).as("kind"),
+          (round(
+            when(col("v").isNotNull, col("v"))
+              .otherwise(col("vp") + (col("vn") - col("vp")) *
+                ((col("dd") - col("ddp")).cast("double") /
+                  (col("ddn") - col("ddp")).cast("double"))), 6) + lit(0.0))
+            .as("value_filled"))
+        .orderBy("event_type", "d")
+    },
+
     // Deterministic first-event dedup (streaming:
     // dropDuplicatesWithinWatermark) — row_number is also the reference's
     // upsert dedup kernel shape (SURVEY.md §2.1 W14).
@@ -1769,6 +1825,49 @@ object EventQueries extends QueryModule {
          |FROM spine s CROSS JOIN types t
          |LEFT JOIN daily ON daily.d = s.d AND daily.event_type = t.event_type
          |ORDER BY s.d, t.event_type""".stripMargin,
+
+    // the same simulated-outage predicate, IGNORE-NULLS running
+    // windows, and the identical one-expression interpolation shape
+    "q279_linear_interpolation" ->
+      s"""WITH ev AS (
+         |  SELECT CAST(ts AS DATE) AS d, event_type, value FROM events),
+         |span AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM ev),
+         |spine AS (
+         |  SELECT CAST(UNNEST(GENERATE_SERIES(d0, d1, INTERVAL 1 DAY))
+         |    AS DATE) AS d
+         |  FROM span),
+         |types AS (SELECT DISTINCT event_type FROM ev),
+         |daily AS (
+         |  SELECT d, event_type, ${Fns.davgSql("value")} AS v
+         |  FROM ev GROUP BY d, event_type
+         |  HAVING (d - DATE '1970-01-01') % 3 <> 1),
+         |grid AS (
+         |  SELECT s.d, t.event_type, daily.v,
+         |    CAST(s.d - DATE '1970-01-01' AS BIGINT) AS dd
+         |  FROM spine s CROSS JOIN types t
+         |  LEFT JOIN daily
+         |    ON daily.d = s.d AND daily.event_type = t.event_type),
+         |w AS (
+         |  SELECT d, event_type, v, dd,
+         |    LAST_VALUE(v IGNORE NULLS) OVER wp AS vp,
+         |    LAST_VALUE(CASE WHEN v IS NOT NULL THEN dd END IGNORE NULLS)
+         |      OVER wp AS ddp,
+         |    FIRST_VALUE(v IGNORE NULLS) OVER wn AS vn,
+         |    FIRST_VALUE(CASE WHEN v IS NOT NULL THEN dd END IGNORE NULLS)
+         |      OVER wn AS ddn
+         |  FROM grid
+         |  WINDOW wp AS (PARTITION BY event_type ORDER BY dd
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |  wn AS (PARTITION BY event_type ORDER BY dd
+         |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT d, event_type,
+         |  CASE WHEN v IS NOT NULL THEN 'observed'
+         |       WHEN vp IS NOT NULL AND vn IS NOT NULL THEN 'interpolated'
+         |       ELSE 'edge' END AS kind,
+         |  ROUND(CASE WHEN v IS NOT NULL THEN v
+         |    ELSE vp + (vn - vp) * (CAST(dd - ddp AS DOUBLE)
+         |      / CAST(ddn - ddp AS DOUBLE)) END, 6) + 0.0 AS value_filled
+         |FROM w ORDER BY event_type, d""".stripMargin,
 
     "q28_events_hourly" ->
       s"""SELECT DATE_TRUNC('hour', ts) AS hour, event_type,

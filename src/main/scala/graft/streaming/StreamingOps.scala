@@ -110,6 +110,25 @@ object StreamingOps {
         .cms(col("event_type"), d, w).as("cms"))
       .select(col("window.start").as("win_start"), col("cms"))
 
+  /** Distinct users per event-time window through a mergeable
+    * Datasketches HLL (the q262 batch sketch under Structured
+    * Streaming) — the third bounded-state streaming sketch beside
+    * [[trendingStream]] (MG candidates) and [[cmsStream]] (CMS counts):
+    * an exact per-window `approx == distinct` needs per-key state, the
+    * HLL keeps one fixed-size sketch per window no matter how many
+    * users arrive, and its union-merge is associative across
+    * micro-batches. StreamingSpec splits the stream across batches and
+    * asserts the estimates match the batch twin exactly (identical
+    * sketches) and sit within the 5% band of the true distinct counts.
+    */
+  def distinctStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))")
+        .as("approx_users"))
+      .select(col("window.start").as("win_start"), col("approx_users"))
+
   /** Stateful stream dedup bounded by the watermark (batch twin: q30). */
   def dedupWithinWatermark(events: DataFrame): DataFrame =
     events

@@ -72,7 +72,8 @@ class PlanGuardSpec extends AnyFunSuite {
       "q266_simhash_contract", // 1-row dup stats × 1-row baseline stats
       "q267_ann_recall", // q38's shape: 5-row broadcast query set × corpus
       "q275_cms_join_size", // 1-row est × 1-row exact × two 1-row totals
-      "q277_matryoshka_audit") // q38's shape: 5-row query set × corpus
+      "q277_matryoshka_audit", // q38's shape: 5-row query set × corpus
+      "q279_linear_interpolation") // q79's shape: day spine × type values
       // (q173's centroid probe BNLJ runs inside its eager checkpoint —
       // the declared plan reads the materialized ranked frame)
 

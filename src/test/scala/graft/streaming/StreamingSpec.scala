@@ -95,6 +95,36 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming HLL distinct merges across micro-batches like the batch twin") {
+    val ms = MemoryStream[Ev](spark)
+    val q = StreamingOps.distinctStream(ms.toDF()).writeStream
+      .format("memory").queryName("hll_stream")
+      .outputMode("complete").start()
+    ms.addData(fixture.take(2): _*)
+    q.processAllAvailable()
+    ms.addData(fixture.drop(2): _*)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("hll_stream").collect()
+      .map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+    // batch twin over the same rows in one pass — union-merge is
+    // associative, so the sketches (and hence estimates) are identical
+    val batch = fixture.toDF()
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("a"))
+      .select(col("window.start").as("h"), col("a"))
+      .collect().map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+    assert(got == batch)
+    // and the estimates hold the 5% band against true distincts
+    val truth = fixture.groupBy(e =>
+        java.sql.Timestamp.valueOf(
+          e.ts.toLocalDateTime.withMinute(0).withSecond(0)).toString)
+      .map { case (h, es) => h -> es.map(_.user_id).distinct.size.toLong }
+    truth.foreach { case (h, n) =>
+      assert(math.abs(got(h) - n) <= math.max(1L, n / 20),
+        s"HLL estimate off in $h: got ${got(h)}, true $n")
+    }
+  }
+
   test("streaming sliding windows assign each event to two windows") {
     val ms = MemoryStream[Ev](spark)
     ms.addData(fixture: _*)
