@@ -175,6 +175,56 @@ object EventQueries extends QueryModule {
         .orderBy("event_type", "d")
     },
 
+    // Mutual information between event type and day-of-week — the
+    // feature-dependence audit (does WHEN predict WHAT?) completing the
+    // info-theory family: q135/q242 entropy, q142 conditional entropy,
+    // q149 KL, q265 keyness measure distributions one at a time; MI is
+    // the PAIRWISE dependence readout feature selection and leakage
+    // hunts run before training on a column pair. I(T;W) = Σ p(t,w)
+    // ln(p(t,w)/(p(t)p(w))) from exact counts, plus both marginal
+    // entropies and the uncertainty coefficient U = I/H(T) (Theil's U —
+    // the normalized "how much of T does W explain"). Scale shape: ONE
+    // corpus aggregation to the |types|×7 grid (checkpointed so margins
+    // don't re-scan), margins and totals are grid-sized broadcasts, the
+    // ratio inside ln is a product of exact longs — identical doubles
+    // in both engines. Weekday is calendar-function-free (q202's
+    // epoch-mod-7) so both engines bucket identically.
+    "q280_mutual_information" -> { (s, dir) =>
+      val epoch = to_date(lit("1970-01-01"))
+      val ev = Tables.t(s, dir, "events")
+        .select(col("event_type").as("t"),
+          pmod(datediff(to_date(col("ts")), epoch), lit(7)).as("w"))
+      val ctw = ev.groupBy(col("t"), col("w"))
+        .agg(count(lit(1)).as("c_tw")).localCheckpoint()
+      val ct = ctw.groupBy(col("t")).agg(sum(col("c_tw")).as("c_t"))
+      val cw = ctw.groupBy(col("w")).agg(sum(col("c_tw")).as("c_w"))
+      val n = ctw.agg(sum(col("c_tw")).as("n"))
+      val nD = col("n").cast("double")
+      val mi = ctw.join(broadcast(ct), "t").join(broadcast(cw), "w")
+        .crossJoin(broadcast(n))
+        .select(col("n"),
+          ((col("c_tw").cast("double") / nD) *
+            log((col("c_tw") * col("n")).cast("double") /
+              (col("c_t") * col("c_w")).cast("double"))).as("mi_s"))
+        .groupBy(col("n"))
+        .agg(Fns.dsum18(col("mi_s")).as("mi_nats"))
+      val ht = ct.crossJoin(broadcast(n))
+        .select((-(col("c_t").cast("double") / nD) *
+          log(col("c_t").cast("double") / nD)).as("h_s"))
+        .agg(Fns.dsum18(col("h_s")).as("h_type"))
+      val hw = cw.crossJoin(broadcast(n))
+        .select((-(col("c_w").cast("double") / nD) *
+          log(col("c_w").cast("double") / nD)).as("h_s"))
+        .agg(Fns.dsum18(col("h_s")).as("h_dow"))
+      mi.crossJoin(broadcast(ht)).crossJoin(broadcast(hw))
+        .select(col("n").as("n_events"),
+          (round(col("mi_nats"), 6) + lit(0.0)).as("mi_nats"),
+          (round(col("h_type"), 6) + lit(0.0)).as("h_type"),
+          (round(col("h_dow"), 6) + lit(0.0)).as("h_dow"),
+          (round(col("mi_nats") / col("h_type"), 6) + lit(0.0))
+            .as("uncertainty_coeff"))
+    },
+
     // Deterministic first-event dedup (streaming:
     // dropDuplicatesWithinWatermark) — row_number is also the reference's
     // upsert dedup kernel shape (SURVEY.md §2.1 W14).
@@ -1825,6 +1875,44 @@ object EventQueries extends QueryModule {
          |FROM spine s CROSS JOIN types t
          |LEFT JOIN daily ON daily.d = s.d AND daily.event_type = t.event_type
          |ORDER BY s.d, t.event_type""".stripMargin,
+
+    // same epoch-mod-7 weekday, the ratio inside ln as a product of
+    // exact BIGINTs, the same double shapes
+    "q280_mutual_information" ->
+      s"""WITH ev AS (
+         |  SELECT event_type AS t,
+         |    (CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS w
+         |  FROM events),
+         |ctw AS (
+         |  SELECT t, w, COUNT(*) AS c_tw FROM ev GROUP BY 1, 2),
+         |ct AS (SELECT t, CAST(SUM(c_tw) AS BIGINT) AS c_t
+         |       FROM ctw GROUP BY 1),
+         |cw AS (SELECT w, CAST(SUM(c_tw) AS BIGINT) AS c_w
+         |       FROM ctw GROUP BY 1),
+         |nn AS (SELECT CAST(SUM(c_tw) AS BIGINT) AS n FROM ctw),
+         |mi AS (
+         |  SELECT n, ${Fns.dsum18Sql(
+               "(CAST(c_tw AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+               "LN(CAST(c_tw * n AS DOUBLE) / CAST(c_t * c_w AS DOUBLE))")}
+         |    AS mi_nats
+         |  FROM ctw JOIN ct USING (t) JOIN cw USING (w) CROSS JOIN nn
+         |  GROUP BY n),
+         |ht AS (
+         |  SELECT ${Fns.dsum18Sql(
+               "-(CAST(c_t AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+               "LN(CAST(c_t AS DOUBLE) / CAST(n AS DOUBLE))")} AS h_type
+         |  FROM ct CROSS JOIN nn),
+         |hw AS (
+         |  SELECT ${Fns.dsum18Sql(
+               "-(CAST(c_w AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+               "LN(CAST(c_w AS DOUBLE) / CAST(n AS DOUBLE))")} AS h_dow
+         |  FROM cw CROSS JOIN nn)
+         |SELECT n AS n_events,
+         |  ROUND(mi_nats, 6) + 0.0 AS mi_nats,
+         |  ROUND(h_type, 6) + 0.0 AS h_type,
+         |  ROUND(h_dow, 6) + 0.0 AS h_dow,
+         |  ROUND(mi_nats / h_type, 6) + 0.0 AS uncertainty_coeff
+         |FROM mi CROSS JOIN ht CROSS JOIN hw""".stripMargin,
 
     // the same simulated-outage predicate, IGNORE-NULLS running
     // windows, and the identical one-expression interpolation shape

@@ -73,7 +73,8 @@ class PlanGuardSpec extends AnyFunSuite {
       "q267_ann_recall", // q38's shape: 5-row broadcast query set × corpus
       "q275_cms_join_size", // 1-row est × 1-row exact × two 1-row totals
       "q277_matryoshka_audit", // q38's shape: 5-row query set × corpus
-      "q279_linear_interpolation") // q79's shape: day spine × type values
+      "q279_linear_interpolation", // q79's shape: day spine × type values
+      "q280_mutual_information") // 1-row total/entropy frames crossed in
       // (q173's centroid probe BNLJ runs inside its eager checkpoint —
       // the declared plan reads the materialized ranked frame)
 
@@ -164,6 +165,12 @@ class PlanGuardSpec extends AnyFunSuite {
                                   // comparison joins — both pair lists are
                                   // near-dup-density-sized, the rollup is
                                   // #sources rows
+    "q280_mutual_information" -> 8, // ONE corpus agg to the checkpointed
+                                  // |types|×7 grid; margins (2), total,
+                                  // entropy frames and the MI rollup are
+                                  // all grid-sized or 1-row — the count
+                                  // prices the many tiny frames, not
+                                  // corpus movement
     "q275_cms_join_size" -> 7,    // two key-count aggs (the only
                                   // corpus-row shuffles; one rides a
                                   // checkpoint) + two 4096-row sketch
