@@ -280,6 +280,82 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // Calibration / reliability table (Murphy 1973's decomposition
+    // inputs) — the model-eval readout missing beside the data audits:
+    // treat q33's quality score as a PREDICTOR of "long document"
+    // (n_tokens ≥ the fixture median 56) and report, per predicted-score
+    // decile, the count, exact mean prediction, observed positive rate,
+    // and the bin's Brier contribution Σ(p−y)²/n_b. A well-calibrated
+    // score has mean_p ≈ frac_pos per bin; the drift between them is
+    // exactly the reliability term a scorer recalibration (q150) would
+    // remove. Scale shape: one scan computes p and y row-local, one
+    // 10-key aggregation; means ride exact-decimal sums over identical
+    // doubles (p is exact-integer-ratio arithmetic in both engines).
+    "q281_calibration_table" -> { (s, dir) =>
+      val tok  = split(col("text"), " ")
+      val nTok = size(tok).cast("double")
+      val nStop = size(filter(tok, (t: Column) =>
+        t.isInCollection(Stopwords))).cast("double")
+      val nDist = size(array_distinct(tok)).cast("double")
+      val p = nDist / nTok * lit(0.5) +
+        (lit(1.0) - nStop / nTok) * lit(0.5)
+      Tables.t(s, dir, "documents")
+        .select(p.as("p"),
+          when(size(tok) >= 56, 1L).otherwise(0L).as("y"))
+        .withColumn("bin", least(floor(col("p") * 10), lit(9L)))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          Fns.dsum18(col("p")).as("sp"),
+          sum(col("y")).as("ny"),
+          Fns.dsum18((col("p") - col("y").cast("double")) *
+            (col("p") - col("y").cast("double"))).as("sb"))
+        .select(col("bin"), col("n"),
+          (round(col("sp") / col("n").cast("double"), 6) + lit(0.0))
+            .as("mean_p"),
+          (round(col("ny").cast("double") / col("n").cast("double"), 6)
+            + lit(0.0)).as("frac_pos"),
+          (round(col("sb") / col("n").cast("double"), 6) + lit(0.0))
+            .as("bin_brier"))
+        .orderBy("bin")
+    },
+
+    // Cohen's kappa (1960) between two rule annotators — the
+    // inter-annotator agreement readout a labeling pipeline computes
+    // before trusting ANY quality rule as ground truth: chance-corrected
+    // agreement κ = (p_o − p_e)/(1 − p_e) from the exact 2×2 confusion
+    // counts. Annotator A is the corpus-prep gate's composite-quality
+    // rule (q85's threshold), annotator B an independent stopword-only
+    // rule (stop_ratio ≤ the fixture median 0.06); raw agreement alone
+    // would overstate their consistency — κ is the honest number.
+    // One scan labels row-local, one aggregation; p_o/p_e/κ are a few
+    // IEEE ops on exact longs, identical in both engines.
+    "q282_cohens_kappa" -> { (s, dir) =>
+      val tok  = split(col("text"), " ")
+      val nTok = size(tok).cast("double")
+      val nStop = size(filter(tok, (t: Column) =>
+        t.isInCollection(Stopwords))).cast("double")
+      val nDist = size(array_distinct(tok)).cast("double")
+      val q = nDist / nTok * lit(0.5) +
+        (lit(1.0) - nStop / nTok) * lit(0.5)
+      val m = Tables.t(s, dir, "documents")
+        .select(when(q >= 0.72, 1L).otherwise(0L).as("a"),
+          when(nStop / nTok <= 0.06, 1L).otherwise(0L).as("b"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("a") * col("b")).as("n11"),
+          sum(col("a") * (lit(1L) - col("b"))).as("n10"),
+          sum((lit(1L) - col("a")) * col("b")).as("n01"),
+          sum((lit(1L) - col("a")) * (lit(1L) - col("b"))).as("n00"))
+      val nD = col("n").cast("double")
+      val po = (col("n11") + col("n00")).cast("double") / nD
+      val pe = ((col("n11") + col("n10")) * (col("n11") + col("n01")) +
+        (col("n01") + col("n00")) * (col("n10") + col("n00")))
+        .cast("double") / (nD * nD)
+      m.select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        (round(po, 6) + lit(0.0)).as("p_observed"),
+        (round(pe, 6) + lit(0.0)).as("p_expected"),
+        (round((po - pe) / (lit(1.0) - pe), 6) + lit(0.0)).as("kappa"))
+    },
+
     // Document fingerprint: canonical form (lowercase, collapsed whitespace)
     // -> md5; short prefix as a shard/bucket key. Whitespace as the
     // explicit [ \t\n\f\r] class — \s diverges on U+000B between Java
@@ -1422,6 +1498,73 @@ object TextQueries extends QueryModule {
         |  distinct_ratio,
         |  distinct_ratio * 0.5 + (1.0 - stopword_ratio) * 0.5 AS quality
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // the same row-local p/y, bin floor, and exact-sum means
+    "q281_calibration_table" ->
+      s"""WITH d AS (
+         |  SELECT STRING_SPLIT(text, ' ') AS tok FROM documents),
+         |m AS (
+         |  SELECT
+         |    CAST(LEN(LIST_DISTINCT(tok)) AS DOUBLE) / LEN(tok) * 0.5
+         |      + (1.0 - CAST(LEN(LIST_FILTER(tok,
+         |          t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+         |          / LEN(tok)) * 0.5 AS p,
+         |    CASE WHEN LEN(tok) >= 56 THEN 1 ELSE 0 END AS y
+         |  FROM d),
+         |b AS (
+         |  SELECT LEAST(CAST(FLOOR(p * 10) AS BIGINT), 9) AS bin, p, y
+         |  FROM m),
+         |g AS (
+         |  SELECT bin, COUNT(*) AS n,
+         |    ${Fns.dsum18Sql("p")} AS sp,
+         |    CAST(SUM(y) AS BIGINT) AS ny,
+         |    ${Fns.dsum18Sql(
+               "(p - CAST(y AS DOUBLE)) * (p - CAST(y AS DOUBLE))")} AS sb
+         |  FROM b GROUP BY bin)
+         |SELECT bin, n,
+         |  ROUND(sp / CAST(n AS DOUBLE), 6) + 0.0 AS mean_p,
+         |  ROUND(CAST(ny AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0
+         |    AS frac_pos,
+         |  ROUND(sb / CAST(n AS DOUBLE), 6) + 0.0 AS bin_brier
+         |FROM g ORDER BY bin""".stripMargin,
+
+    // the same rule annotators and exact-count kappa arithmetic
+    "q282_cohens_kappa" ->
+      """WITH d AS (
+        |  SELECT STRING_SPLIT(text, ' ') AS tok FROM documents),
+        |r AS (
+        |  SELECT
+        |    CASE WHEN CAST(LEN(LIST_DISTINCT(tok)) AS DOUBLE) / LEN(tok)
+        |        * 0.5 + (1.0 - CAST(LEN(LIST_FILTER(tok,
+        |          t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+        |          / LEN(tok)) * 0.5 >= 0.72 THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN CAST(LEN(LIST_FILTER(tok,
+        |        t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+        |        / LEN(tok) <= 0.06 THEN 1 ELSE 0 END AS b
+        |  FROM d),
+        |m AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(a * b) AS BIGINT) AS n11,
+        |    CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+        |    CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+        |    CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+        |  FROM r)
+        |SELECT n, n11, n10, n01, n00,
+        |  ROUND(CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0
+        |    AS p_observed,
+        |  ROUND(CAST((n11 + n10) * (n11 + n01)
+        |      + (n01 + n00) * (n10 + n00) AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) + 0.0
+        |    AS p_expected,
+        |  ROUND((CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)
+        |    - CAST((n11 + n10) * (n11 + n01)
+        |        + (n01 + n00) * (n10 + n00) AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+        |    / (1.0 - CAST((n11 + n10) * (n11 + n01)
+        |        + (n01 + n00) * (n10 + n00) AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6) + 0.0
+        |    AS kappa
+        |FROM m""".stripMargin,
 
     "q35_fingerprint" ->
       """WITH n AS (
