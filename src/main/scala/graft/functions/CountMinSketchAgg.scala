@@ -91,6 +91,12 @@ case class CountMinSketchAgg(
   }
 
   override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    // fail loudly on a truncated or foreign buffer (e.g. a sketch
+    // serialized with different d/w) instead of surfacing as an
+    // EOFException deep inside DataInputStream
+    require(bytes.length == d * w * 8,
+      s"cms_sketch buffer is ${bytes.length} bytes, expected ${d * w * 8} " +
+        s"(d=$d, w=$w) — was this sketch serialized with different d/w?")
     val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
     val buf = new Array[Long](d * w)
     var i = 0

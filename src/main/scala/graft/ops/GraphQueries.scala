@@ -593,7 +593,12 @@ object GraphQueries extends QueryModule {
     // scans — where materialization keeps it linear, mirroring the
     // engine's per-round checkpoint.
     "q170_kcore" -> {
-      val rounds = (0 until 10).map { i =>
+      // 11 rounds unrolled, result read at e10: the trailing e11 round is
+      // the convergence guard — the WHERE below compares |e10| to |e11|,
+      // so data that needs >10 peel rounds yields ZERO rows (a loud
+      // rowcount/hash failure at the gate) instead of silently returning
+      // a mid-peel superset that happens to match nothing
+      val rounds = (0 until 11).map { i =>
         s"""d$i AS MATERIALIZED (
            |  SELECT label, src FROM e$i GROUP BY label, src
            |  HAVING COUNT(*) >= 3),
@@ -627,7 +632,9 @@ object GraphQueries extends QueryModule {
          |  UNION ALL SELECT label, b_id, a_id FROM mu),
          |$rounds
          |SELECT label, src AS vec_id, COUNT(*) AS core_deg
-         |FROM e10 GROUP BY 1, 2 ORDER BY label, vec_id""".stripMargin
+         |FROM e10
+         |WHERE (SELECT COUNT(*) FROM e10) = (SELECT COUNT(*) FROM e11)
+         |GROUP BY 1, 2 ORDER BY label, vec_id""".stripMargin
     },
 
     "q201_bfs_hops" ->
@@ -774,7 +781,10 @@ object GraphQueries extends QueryModule {
     // order 2 (the sparser probed graph's non-vacuous core — see the
     // query comment), fixpoint ≤ 7 rounds measured at every scale
     "q271_kcore_scaledk" -> {
-      val rounds = (0 until 10).map { i =>
+      // q170's convergence-guard recipe: round 11 exists only so the
+      // WHERE can assert the peel reached fixpoint by e10 — an
+      // insufficient unroll fails loudly (0 rows) instead of drifting
+      val rounds = (0 until 11).map { i =>
         s"""d$i AS MATERIALIZED (
            |  SELECT label, src FROM e$i GROUP BY label, src
            |  HAVING COUNT(*) >= 2),
@@ -791,7 +801,9 @@ object GraphQueries extends QueryModule {
          |  UNION ALL SELECT label, b_id, a_id FROM mu),
          |$rounds
          |SELECT label, src AS vec_id, COUNT(*) AS core_deg
-         |FROM e10 GROUP BY 1, 2 ORDER BY label, vec_id""".stripMargin
+         |FROM e10
+         |WHERE (SELECT COUNT(*) FROM e10) = (SELECT COUNT(*) FROM e11)
+         |GROUP BY 1, 2 ORDER BY label, vec_id""".stripMargin
     },
 
     // q214's wedge/anti-join/AA spelling over q244's scaled-k edge CTE

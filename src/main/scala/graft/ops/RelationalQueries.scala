@@ -135,10 +135,18 @@ object RelationalQueries extends QueryModule {
     },
 
     // Left-anti join == NOT EXISTS (the reference's delete detection,
-    // operations.py:556-574).
+    // operations.py:556-574). Customers with no FILLED ('F') order: the
+    // unfiltered "customers without any order" spelling returned 0 rows
+    // at every gate SF (this fixture's order generator covers every
+    // custkey) — a vacuously-green contract (the r10 q271 lesson); the
+    // status predicate has survivors at every scale (5 @ sf0.001,
+    // 71 @ sf0.01, 511 @ sf0.1) so the anti-join's semantics are
+    // actually exercised, and the pushed filter on the build side is
+    // plan-checkable.
     "q14_anti_join" -> { (s, dir) =>
       val c = Tables.t(s, dir, "customer")
       val o = Tables.t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
         .orderBy("c_custkey")
@@ -1832,7 +1840,9 @@ object RelationalQueries extends QueryModule {
 
     "q14_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderstatus = 'F')
         |ORDER BY c_custkey""".stripMargin,
 
     "q15_asof_join" ->

@@ -154,6 +154,21 @@ class PlanGuardSpec extends AnyFunSuite {
                                   // cohort window + sort — everything
                                   // past the user-keyed steps is
                                   // cohort×age-sized
+    "q214_link_prediction" -> 8,  // baseline 6, slack +2 for ONE
+                                  // borderline broadcast: the kernel's
+                                  // joins read a localCheckpointed edge
+                                  // frame whose size statistics come from
+                                  // LIVE block sizes, which depend on the
+                                  // shared session's storage state (a
+                                  // full-suite run measured 7 where solo
+                                  // runs measure 6 — r10 judge, flaky).
+                                  // Both plan variants are edge-frame-
+                                  // sized and scale-safe; a real
+                                  // regression (new corpus-keyed
+                                  // exchange) still trips the ceiling
+    "q272_linkpred_scaledk" -> 8, // same kernel, same checkpointed-stats
+                                  // borderline — pinned for the same
+                                  // reason as q214
     "q192_hll_rolling" -> 7,      // r9: the exact twin rides along as the
                                   // accuracy contract (fan-out join +
                                   // (day,user) agg + day agg) next to the

@@ -576,10 +576,15 @@ class MultimodalSpec extends AnyFunSuite {
       louder(off + 1) = ((x >> 8) & 0xff).toByte
       k += 1
     }
-    val fps = Multimodal.audioFingerprint(Seq(
+    val fpRows = Multimodal.audioFingerprint(Seq(
         Multimodal.MediaIn(1L, base), Multimodal.MediaIn(2L, louder))
         .toDS().toDF())
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    // both renders must actually decode — otherwise both fingerprints
+    // would be 0L and the invariance assertion below passes vacuously
+    assert(fpRows(1L)._2 && fpRows(2L)._2, "both renders must decode")
+    val fps = fpRows.map { case (k, (fp, _)) => k -> fp }
     assert(fps(1L) == fps(2L), "fingerprint is gain-invariant")
     val exact = Multimodal.audioContentHash(Seq(
         Multimodal.MediaIn(1L, base), Multimodal.MediaIn(2L, louder))

@@ -113,6 +113,12 @@ def main():
         if len(srows) != len(drows):
             results[name] = f"ROWCOUNT spark={len(srows)} duck={len(drows)}"
             continue
+        # the r10 vacuity lesson (q271's empty 3-core, q14's orphan-free
+        # fixture): a declared query that returns 0 rows at the gate SF is
+        # "green" without ever exercising its own semantics — fail it
+        if len(srows) == 0:
+            results[name] = "VACUOUS (0 rows at the gate SF)"
+            continue
         bad = None
         for i, (sr, dr) in enumerate(zip(srows, drows)):
             if not all(eq(a, b) for a, b in zip(sr, dr)):
