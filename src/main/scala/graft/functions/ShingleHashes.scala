@@ -83,4 +83,64 @@ case class ShingleHashes(child: Expression, k: Int)
 object ShingleHashes {
   def shingleHashes(text: Column, k: Int): Column =
     ExprBridge.column(ShingleHashes(ExprBridge.expression(text), k))
+
+  def positionalShingleHashes(text: Column, k: Int): Column =
+    ExprBridge.column(
+      PositionalShingleHashes(ExprBridge.expression(text), k))
+}
+
+/** [[ShingleHashes]] WITH positions: one hash per start offset, in
+  * document order, duplicates kept — element i (0-based) is the hash of
+  * the k-token shingle starting at token i+1. The substring-grain dedup
+  * (q285) needs the offset of every occurrence to mark removal
+  * intervals, which the distinct-sorted set form erases. Hashing is
+  * bit-identical to [[ShingleHashes]] (same split / join / seed-42
+  * xxhash64 — asserted in FusedExprPropertiesSpec), so the two forms
+  * agree on WHICH shingles a document contains.
+  */
+case class PositionalShingleHashes(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  require(k >= 1, "shingle width must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"expected string input, got ${child.dataType}")
+
+  def shingles(u: UTF8String): GenericArrayData = {
+    val parts = u.toString.split(" ", -1)
+    val n = parts.length - k + 1
+    if (n <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](n)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(parts(i + j))
+        j += 1
+      }
+      out(i) = XxHash64Function.hash(
+        UTF8String.fromString(sb.toString), StringType, 42L)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    shingles(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("posShingleHashes", this,
+      classOf[PositionalShingleHashes].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.shingles($c);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PositionalShingleHashes = copy(child = newChild)
 }

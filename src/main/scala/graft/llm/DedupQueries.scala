@@ -415,11 +415,94 @@ object DedupQueries extends QueryModule {
       .select(col("source"), col("a_id"), col("b_id"), col("containment"))
   }
 
+  /** The 25-token boilerplate run q285 plants (no apostrophes — it is
+    * interpolated into single-quoted SQL verbatim). */
+  val PlantedRun: String =
+    "terms of service apply to all content on this page and may change " +
+      "at any time without notice please review the policy carefully " +
+      "before proceeding"
+
+  /** Substring-grain duplicate-RUN removal (the ExactSubstr niche of
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better"): any token RUN of length >= L that occurs more than once
+    * across the WHOLE corpus — at ARBITRARY offsets, the grain q96's
+    * chunked spans, q125's prefixes, and q148's containment all miss —
+    * keeps only its first occurrence (lowest doc_id, then offset); every
+    * other occurrence's tokens are removed and each document is rebuilt
+    * from its surviving tokens.
+    *
+    * Spark-first re-expression of the paper's suffix-array pass: a RUN
+    * of length >= L duplicates iff all its length-L subruns duplicate,
+    * so marking every non-canonical occurrence of a duplicated L-gram
+    * and taking the per-doc interval UNION removes exactly the
+    * duplicated-run cover. Plan: L-gram postings come from the fused
+    * scan-local [[graft.functions.ShingleHashes]] (fixed-width 64-bit
+    * shuffle keys — the q96/q87 idiom; the oracle partitions by the gram
+    * STRING), first-occurrence ranking is one hash-keyed window,
+    * interval coalescing is q236's per-doc sweep (running max-end), and
+    * the rebuild is a scan-local higher-order filter over the token
+    * array — shingle-keyed and doc-keyed shuffles only, never doc×doc.
+    */
+  def substringDedup(docs: DataFrame, minRun: Int): DataFrame = {
+    val tok = split(col("text"), " ")
+    val grams = docs.select(col("doc_id"),
+        posexplode(graft.functions.ShingleHashes
+          .positionalShingleHashes(col("text"), minRun)).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("st"), col("h"))
+    val wFirst = Window.partitionBy(col("h"))
+      .orderBy(col("doc_id").asc, col("st").asc)
+    val marked = grams.withColumn("rn", row_number().over(wFirst))
+      .filter(col("rn") > 1)
+      .select(col("doc_id"), col("st").as("s"),
+        (col("st") + minRun - 1).as("e"))
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ivs = marked
+      .withColumn("pmax", max(col("e")).over(wPrev))
+      .withColumn("is_new",
+        when(col("pmax").isNull || col("s") > col("pmax"), 1L).otherwise(0L))
+      .withColumn("isl", sum(col("is_new")).over(wRun))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("s"), col("e"))).as("ivs"))
+    docs.select(col("doc_id"), tok.as("tok"))
+      .join(ivs, Seq("doc_id"), "left")
+      .withColumn("ivs",
+        coalesce(col("ivs"),
+          expr("cast(array() as array<struct<s:bigint,e:bigint>>)")))
+      .withColumn("kept", filter(col("tok"), (x: Column, i: Column) =>
+        !exists(col("ivs"), iv =>
+          i + 1 >= iv.getField("s") && i + 1 <= iv.getField("e"))))
+      .select(col("doc_id"),
+        size(col("tok")).cast("long").as("n_tokens"),
+        (size(col("tok")) - size(col("kept"))).cast("long").as("n_removed"),
+        array_join(col("kept"), " ").as("clean_text"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // MinHash-LSH near-dup pairs (no oracle — hash-dependent candidates;
     // ScalaTest asserts recall vs q34's exact pairs).
     "q36_minhash_pairs" -> { (s, dir) =>
       minhashPairs(Tables.t(s, dir, "documents"), 0.6)
+    },
+
+    // Substring-grain duplicate-RUN removal over the fixture corpus with
+    // a deterministically PLANTED boilerplate run (the q67/q268 planting
+    // recipe): every doc_id ≡ 0 (mod 7) carries the same appended
+    // 25-token run, so the canonical copy (the lowest planted doc_id)
+    // keeps it and every other planted doc loses exactly those tokens —
+    // plus whatever >= 12-token runs duplicate natively (both engines
+    // state the identical relational semantics, so native runs agree
+    // too). Non-vacuous at every SF: ~1/7 of the corpus is planted.
+    "q285_substring_dedup" -> { (s, dir) =>
+      val planted = Tables.t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" " + PlantedRun)))
+            .otherwise(col("text")).as("text"))
+      substringDedup(planted, 12).orderBy("doc_id")
     },
 
     // SimHash fingerprints (no oracle — Spark-specific xxhash64; ScalaTest
@@ -876,6 +959,58 @@ object DedupQueries extends QueryModule {
     })
 
   override def oracles: Map[String, String] = Map(
+    // the same relational semantics over gram STRINGS (the engine's
+    // xxhash64 keys are hash-invariant grouping, the q96 argument):
+    // plant, mark non-canonical occurrences of duplicated 12-grams,
+    // coalesce intervals per doc (q236's sweep), rebuild from the
+    // surviving positions
+    "q285_substring_dedup" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0 THEN text || ' $PlantedRun'
+         |         ELSE text END AS text
+         |  FROM documents),
+         |t AS MATERIALIZED (
+         |  SELECT doc_id, STR_SPLIT(text, ' ') AS tok FROM d),
+         |g AS (
+         |  SELECT doc_id, st,
+         |    ARRAY_TO_STRING(LIST_SLICE(tok, st, st + 11), ' ') AS gram
+         |  FROM t, UNNEST(RANGE(1, LEN(tok) - 10)) AS u(st)),
+         |m AS (
+         |  SELECT doc_id, st AS s, st + 11 AS e FROM (
+         |    SELECT doc_id, st,
+         |      ROW_NUMBER() OVER (PARTITION BY gram
+         |                         ORDER BY doc_id, st) AS rn
+         |    FROM g) WHERE rn > 1),
+         |c AS (
+         |  SELECT doc_id, s, e,
+         |    CASE WHEN MAX(e) OVER w IS NULL OR s > MAX(e) OVER w
+         |      THEN 1 ELSE 0 END AS is_new
+         |  FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY s
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         |i AS (
+         |  SELECT doc_id, isl, MIN(s) AS s, MAX(e) AS e FROM (
+         |    SELECT doc_id, s, e,
+         |      SUM(is_new) OVER (PARTITION BY doc_id ORDER BY s
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+         |    FROM c) GROUP BY doc_id, isl),
+         |p AS (
+         |  SELECT doc_id, UNNEST(tok) AS tk,
+         |    GENERATE_SUBSCRIPTS(tok, 1) AS pos FROM t),
+         |k AS (
+         |  SELECT p.doc_id, p.pos, p.tk
+         |  FROM p LEFT JOIN i
+         |    ON i.doc_id = p.doc_id AND p.pos BETWEEN i.s AND i.e
+         |  WHERE i.doc_id IS NULL)
+         |SELECT t.doc_id,
+         |  CAST(LEN(t.tok) AS BIGINT) AS n_tokens,
+         |  CAST(LEN(t.tok) - COUNT(k.pos) AS BIGINT) AS n_removed,
+         |  COALESCE(ARRAY_TO_STRING(LIST(k.tk ORDER BY k.pos)
+         |    FILTER (WHERE k.pos IS NOT NULL), ' '), '') AS clean_text
+         |FROM t LEFT JOIN k ON k.doc_id = t.doc_id
+         |GROUP BY t.doc_id, LEN(t.tok)
+         |ORDER BY t.doc_id""".stripMargin,
+
     // the LSH contract's exact side is q34's own SQL; the verdicts are
     // asserted TRUE (precision is structural, recall is the LSH design
     // bound — a drift under either hash-fails the row)

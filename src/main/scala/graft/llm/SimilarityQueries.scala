@@ -1138,6 +1138,68 @@ object SimilarityQueries extends QueryModule {
         .orderBy("query_id", "rnk")
     },
 
+    // The ANN index as a PERSISTED, VERSIONED table artifact — how a
+    // production vector store actually composes with the etl layer:
+    // q253 rebuilds centroids/postings/codes per run; here the index
+    // rows (coarse cell + 4 PQ codes per vector) are trained ONCE on
+    // the base corpus (vec_id % 8 ≠ 7), committed crash-atomically via
+    // [[graft.etl.Snapshot.commit]], and the remaining vectors arrive
+    // as an INCREMENTAL batch — assigned into the EXISTING structure
+    // (no retrain: the cells/codebooks are the frozen artifact) and
+    // landed with [[graft.etl.Snapshot.commitDelta]] (merge-on-read by
+    // vec_id). The declared result reads the committed snapshot back —
+    // so the oracle, which restates the same assignment relationally
+    // (base-trained centroids/codebooks applied to every vector),
+    // verifies the whole write→delta→merge→read path lands the exact
+    // index a from-scratch build of the same semantics produces. Scale
+    // shape: train/assign are q70/q99's broadcast-probe plans, the
+    // snapshot write is a partitioned parquet commit, and the delta
+    // path touches ONLY the new vectors — the 100 TB property that
+    // makes nightly index refreshes affordable.
+    "q286_ann_index_snapshot" -> { (s, dir) =>
+      val emb = Tables.t(s, dir, "embeddings")
+      val base = emb.filter(col("vec_id") % 8 =!= 7)
+      val delta = emb.filter(col("vec_id") % 8 === 7)
+      // frozen artifacts: coarse cells (label centroids) + PQ codebooks,
+      // both trained on the base only, materialized once and reused by
+      // both the base build and the delta assignment
+      val cArr = labelCentroids(base)
+        .groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("centroid"))))
+          .as("dc"))
+        .select(col("label").as("c_label"),
+          expr("transform(dc, s -> s.centroid)").as("cv"))
+        .localCheckpoint()
+      val cb = pqCodebooks(base, 4, 16, 16).localCheckpoint()
+      def indexRows(part: DataFrame): DataFrame = {
+        val v = part.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("cos").desc, col("c_label").asc)
+        val cells = v.crossJoin(broadcast(cArr))
+          .withColumn("cos", cosine(col("v"), col("cv")))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") === 1)
+          .select(col("vec_id"), col("c_label").as("cell"))
+        val codes = pqAssign(part, cb, 4, 16)
+          .groupBy(col("vec_id"))
+          .agg(max(when(col("sub") === 0, col("code"))).as("code_0"),
+            max(when(col("sub") === 1, col("code"))).as("code_1"),
+            max(when(col("sub") === 2, col("code"))).as("code_2"),
+            max(when(col("sub") === 3, col("code"))).as("code_3"))
+        cells.join(codes, Seq("vec_id"))
+      }
+      // per-run scratch root (the q257 token: two harness processes over
+      // the same fixture must not race on /tmp)
+      val root = "/tmp/graft_annidx_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+        "_" + s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+      graft.etl.Snapshot.commit(indexRows(base), root)
+      graft.etl.Snapshot.commitDelta(indexRows(delta), root, "vec_id")
+      graft.etl.Snapshot.read(s, root)
+        .select(col("vec_id"), col("cell"), col("code_0"), col("code_1"),
+          col("code_2"), col("code_3"))
+        .orderBy("vec_id")
+    },
+
     // Int8 scalar-quantization audit (the FAISS-SQ8 analog) — the OTHER
     // embedding compression lever: where PQ (q99/q253) trades dimensions
     // for codebook indices, SQ8 keeps every dimension at 1 byte via a
@@ -1274,6 +1336,84 @@ object SimilarityQueries extends QueryModule {
     // the q90 recipe at subspace granularity: the single Lloyd iteration
     // unrolled as CTE pairs, uniformly over the `sub` grouping column (L2
     // distances restated as LIST_SUM over the same squared differences)
+    // the rebuilt-from-scratch restatement of the committed index:
+    // label centroids + PQ codebooks trained on the base slice
+    // (vec_id % 8 ≠ 7: q70's cent/carr + q99's seed/assign/average
+    // spellings over the filtered CTEs), then EVERY vector — base and
+    // delta alike — assigned against the frozen artifacts; equality
+    // with the engine's snapshot read-back proves commit → delta →
+    // merge-on-read → read lands exactly this table
+    "q286_ann_index_snapshot" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |vb AS (SELECT * FROM v WHERE vec_id % 8 <> 7),
+         |d AS (
+         |  SELECT label, UNNEST(v) AS x, GENERATE_SUBSCRIPTS(v, 1) AS dim
+         |  FROM vb),
+         |cent AS (
+         |  SELECT label AS c_label, dim, ${graft.Fns.davgSql("x")} AS c
+         |  FROM d GROUP BY label, dim),
+         |carr AS (
+         |  SELECT c_label, LIST(c ORDER BY dim) AS cv
+         |  FROM cent GROUP BY c_label),
+         |cel AS (
+         |  SELECT vec_id, c_label AS cell FROM (
+         |    SELECT v.vec_id, carr.c_label,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |        ORDER BY LIST_COSINE_SIMILARITY(v.v, carr.cv) DESC,
+         |                 carr.c_label ASC) AS rnk
+         |    FROM v CROSS JOIN carr) WHERE rnk = 1),
+         |sub AS (
+         |  SELECT vec_id, s.sub,
+         |    LIST_SLICE(v, s.sub * 16 + 1, s.sub * 16 + 16) AS sv
+         |  FROM v CROSS JOIN (SELECT UNNEST(RANGE(0, 4)) AS sub) s),
+         |subb AS (SELECT * FROM sub WHERE vec_id % 8 <> 7),
+         |sd0 AS (
+         |  SELECT sub, vec_id AS cid, sv AS cv FROM subb WHERE vec_id < 16),
+         |s1 AS (
+         |  SELECT a.vec_id, a.sub, a.sv, c.cid,
+         |    LIST_SUM(LIST_TRANSFORM(RANGE(1, 17),
+         |      i -> (a.sv[i] - c.cv[i]) * (a.sv[i] - c.cv[i]))) AS d
+         |  FROM subb a JOIN sd0 c ON a.sub = c.sub),
+         |a1 AS (
+         |  SELECT vec_id, sub, sv, cid FROM (
+         |    SELECT vec_id, sub, sv, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+         |                         ORDER BY d ASC, cid ASC) AS rn
+         |    FROM s1) WHERE rn = 1),
+         |d1 AS (
+         |  SELECT sub, cid, GENERATE_SUBSCRIPTS(sv, 1) AS dim, UNNEST(sv) AS x
+         |  FROM a1),
+         |m1 AS (
+         |  SELECT sub, cid, dim, ${graft.Fns.davgSql("x")} AS c
+         |  FROM d1 GROUP BY sub, cid, dim),
+         |c1 AS (
+         |  SELECT sub, cid, LIST(c ORDER BY dim) AS cv
+         |  FROM m1 GROUP BY sub, cid),
+         |s2 AS (
+         |  SELECT a.vec_id, a.sub, c.cid,
+         |    LIST_SUM(LIST_TRANSFORM(RANGE(1, 17),
+         |      i -> (a.sv[i] - c.cv[i]) * (a.sv[i] - c.cv[i]))) AS d
+         |  FROM sub a JOIN c1 c ON a.sub = c.sub),
+         |codes AS (
+         |  SELECT vec_id, sub, cid FROM (
+         |    SELECT vec_id, sub, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+         |                         ORDER BY d ASC, cid ASC) AS rn
+         |    FROM s2) WHERE rn = 1),
+         |pc AS (
+         |  SELECT vec_id,
+         |    CAST(MAX(CASE WHEN sub = 0 THEN cid END) AS BIGINT) AS code_0,
+         |    CAST(MAX(CASE WHEN sub = 1 THEN cid END) AS BIGINT) AS code_1,
+         |    CAST(MAX(CASE WHEN sub = 2 THEN cid END) AS BIGINT) AS code_2,
+         |    CAST(MAX(CASE WHEN sub = 3 THEN cid END) AS BIGINT) AS code_3
+         |  FROM codes GROUP BY vec_id)
+         |SELECT cel.vec_id, cel.cell,
+         |  pc.code_0, pc.code_1, pc.code_2, pc.code_3
+         |FROM cel JOIN pc USING (vec_id)
+         |ORDER BY cel.vec_id""".stripMargin,
+
     "q99_pq_encode" ->
       s"""WITH v AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

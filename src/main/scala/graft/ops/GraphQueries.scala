@@ -214,24 +214,9 @@ object GraphQueries extends QueryModule {
     // corpus-linear. The coefficient is one IEEE division of exact
     // integers, rounded at 6 with the -0.0 fold.
     "q225_clustering_coefficient" -> { (s, dir) =>
-      val e = graft.llm.SimilarityQueries
+      clusteringCoefficients(graft.llm.SimilarityQueries
         .mutualKnnEdges(Tables.t(s, dir, "embeddings"), 5)
-        .select(col("label"), col("a_id"), col("b_id"))
-        .localCheckpoint()
-      val deg = e.select(col("label"),
-          explode(array(col("a_id"), col("b_id"))).as("vec_id"))
-        .groupBy(col("label"), col("vec_id"))
-        .agg(count(lit(1)).as("degree"))
-      val tri = triangleCounts(e)
-      deg.join(tri, Seq("label", "vec_id"), "left")
-        .select(col("label"), col("vec_id"), col("degree"),
-          coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
-          when(col("degree") >= 2,
-            round(lit(2.0) * coalesce(col("n_triangles"), lit(0L))
-                .cast("double") /
-              (col("degree") * (col("degree") - 1)).cast("double"), 6)
-              + lit(0.0))
-            .otherwise(lit(0.0)).as("clustering"))
+        .select(col("label"), col("a_id"), col("b_id")))
         .orderBy("label", "vec_id")
     },
 
@@ -303,6 +288,32 @@ object GraphQueries extends QueryModule {
         .mutualKnnEdgesScaledK(emb, 5, cells, 2)
         .select(col("label"), col("a_id"), col("b_id")))
         .orderBy("label", "x", "y")
+    },
+
+    // The PRODUCTION triangle participation: q147's oriented-triangle
+    // kernel over q244's scaled-k edge frame (k = ⌈√N⌉ k-means cells,
+    // N^1.5 candidates) — with q284 this retires the LAST two declared
+    // consumers of the exact all-pairs edge build (30× at 20×,
+    // SCALE_PROOF.md): every graph operator now has a declared row on
+    // the edge plan you'd run at 100×.
+    "q283_triangles_scaledk" -> { (s, dir) =>
+      val emb = Tables.t(s, dir, "embeddings")
+      val cells = math.ceil(math.sqrt(emb.count().toDouble)).toInt
+      triangleCounts(graft.llm.SimilarityQueries
+        .mutualKnnEdgesScaledK(emb, 5, cells, 2)
+        .select(col("label"), col("a_id"), col("b_id")))
+        .orderBy("label", "vec_id")
+    },
+
+    // The PRODUCTION clustering coefficient: q225's C(v) assembly over
+    // q244's scaled-k edges — see q283.
+    "q284_clustering_scaledk" -> { (s, dir) =>
+      val emb = Tables.t(s, dir, "embeddings")
+      val cells = math.ceil(math.sqrt(emb.count().toDouble)).toInt
+      clusteringCoefficients(graft.llm.SimilarityQueries
+        .mutualKnnEdgesScaledK(emb, 5, cells, 2)
+        .select(col("label"), col("a_id"), col("b_id")))
+        .orderBy("label", "vec_id")
     },
 
     // HITS hubs/authorities (Kleinberg 1999, two mutually-recursive
@@ -454,6 +465,33 @@ object GraphQueries extends QueryModule {
       .select(col("label"), col("x"), col("y"),
         col("common_neighbors"),
         (round(col("aa"), 6) + lit(0.0)).as("adamic_adar"))
+  }
+
+  /** Watts-Strogatz local clustering coefficient per node — q225's
+    * assembly, parameterized on the edge builder (the q214/q271 recipe)
+    * so the exact twin (q225) and the scaled-k production edges (q284)
+    * run the identical downstream plan: ONE checkpointed edge list feeds
+    * both the degree aggregation and the oriented-triangle join; the
+    * left join fills triangle-free nodes with 0; C(v) is one IEEE
+    * division of exact integers, rounded at 6 with the -0.0 fold.
+    * Unsorted — callers add their presentation ORDER BY.
+    */
+  def clusteringCoefficients(edges: DataFrame): DataFrame = {
+    val e = edges.localCheckpoint()
+    val deg = e.select(col("label"),
+        explode(array(col("a_id"), col("b_id"))).as("vec_id"))
+      .groupBy(col("label"), col("vec_id"))
+      .agg(count(lit(1)).as("degree"))
+    val tri = triangleCounts(e)
+    deg.join(tri, Seq("label", "vec_id"), "left")
+      .select(col("label"), col("vec_id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") >= 2,
+          round(lit(2.0) * coalesce(col("n_triangles"), lit(0L))
+              .cast("double") /
+            (col("degree") * (col("degree") - 1)).cast("double"), 6)
+            + lit(0.0))
+          .otherwise(lit(0.0)).as("clustering"))
   }
 
   def triangleCounts(edges: DataFrame): DataFrame = {
@@ -837,6 +875,48 @@ object GraphQueries extends QueryModule {
          |  ROUND(aa, 6) + 0.0 AS adamic_adar
          |FROM sc WHERE common_neighbors >= 2
          |ORDER BY label, x, y""".stripMargin,
+
+    // q147's oriented-triangle spelling over q244's scaled-k edge CTE
+    "q283_triangles_scaledk" ->
+      s"""WITH mu AS MATERIALIZED (
+         |${graft.llm.SimilarityQueries.oracles("q244_knn_scaledk")}),
+         |tri AS (
+         |  SELECT e1.label, e1.a_id AS a, e1.b_id AS b, e2.b_id AS c
+         |  FROM mu e1
+         |  JOIN mu e2 ON e1.label = e2.label AND e2.a_id = e1.b_id
+         |  JOIN mu e3 ON e3.label = e1.label AND e3.a_id = e1.a_id
+         |    AND e3.b_id = e2.b_id),
+         |n AS (SELECT label, UNNEST([a, b, c]) AS vec_id FROM tri)
+         |SELECT label, vec_id, COUNT(*) AS n_triangles
+         |FROM n GROUP BY 1, 2 ORDER BY label, vec_id""".stripMargin,
+
+    // q225's degree/triangle/C(v) spelling over q244's scaled-k edge CTE
+    "q284_clustering_scaledk" ->
+      s"""WITH mu AS MATERIALIZED (
+         |${graft.llm.SimilarityQueries.oracles("q244_knn_scaledk")}),
+         |dg AS (
+         |  SELECT label, vec_id, COUNT(*) AS degree FROM (
+         |    SELECT label, UNNEST([a_id, b_id]) AS vec_id FROM mu)
+         |  GROUP BY 1, 2),
+         |tri AS (
+         |  SELECT e1.label, e1.a_id AS a, e1.b_id AS b, e2.b_id AS c
+         |  FROM mu e1
+         |  JOIN mu e2 ON e1.label = e2.label AND e2.a_id = e1.b_id
+         |  JOIN mu e3 ON e3.label = e1.label AND e3.a_id = e1.a_id
+         |    AND e3.b_id = e2.b_id),
+         |tc AS (
+         |  SELECT label, vec_id, COUNT(*) AS n_triangles FROM (
+         |    SELECT label, UNNEST([a, b, c]) AS vec_id FROM tri)
+         |  GROUP BY 1, 2)
+         |SELECT dg.label, dg.vec_id, dg.degree,
+         |  COALESCE(tc.n_triangles, 0) AS n_triangles,
+         |  CASE WHEN dg.degree >= 2 THEN
+         |    ROUND(2.0 * CAST(COALESCE(tc.n_triangles, 0) AS DOUBLE)
+         |      / CAST(dg.degree * (dg.degree - 1) AS DOUBLE), 6) + 0.0
+         |  ELSE 0.0 END AS clustering
+         |FROM dg LEFT JOIN tc
+         |  ON tc.label = dg.label AND tc.vec_id = dg.vec_id
+         |ORDER BY dg.label, dg.vec_id""".stripMargin,
 
     "q230_degree_assortativity" ->
       """WITH e AS (

@@ -169,6 +169,13 @@ class PlanGuardSpec extends AnyFunSuite {
     "q272_linkpred_scaledk" -> 8, // same kernel, same checkpointed-stats
                                   // borderline — pinned for the same
                                   // reason as q214
+    "q283_triangles_scaledk" -> 8, // triangle kernel over the same
+                                  // checkpointed scaled-k edge frame
+                                  // (solo 6 or fewer) — q214's borderline
+                                  // broadcast slack applies to all its
+                                  // siblings
+    "q284_clustering_scaledk" -> 9, // q225's assembly (explicit ceiling 7)
+                                  // + the same borderline-broadcast slack
     "q192_hll_rolling" -> 7,      // r9: the exact twin rides along as the
                                   // accuracy contract (fan-out join +
                                   // (day,user) agg + day agg) next to the

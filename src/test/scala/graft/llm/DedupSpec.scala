@@ -179,4 +179,31 @@ class DedupSpec extends AnyFunSuite {
     assert(split.size == docs.count(),
       "split table must cover the whole corpus")
   }
+
+  test("substring dedup removes planted duplicate runs at exact offsets") {
+    import spark.implicits._
+    val boiler = (1 to 15).map(i => s"b$i").mkString(" ")
+    val corpus = Seq(
+      (1L, "u1 u2 u3 u4 u5 " + boiler + " t1 t2"),    // canonical keeper
+      (2L, "v1 v2 v3 v4 " + boiler + " w1"),          // loses the run only
+      (3L, (1 to 13).map(i => s"x$i").mkString(" ")), // unique, untouched
+      (4L, "v1 v2 v3 v4 " + boiler + " w1"))          // exact dup of 2
+      .toDF("doc_id", "text")
+    val out = DedupQueries.substringDedup(corpus, 12)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out(0) == ((1L, 22L, 0L, "u1 u2 u3 u4 u5 " + boiler + " t1 t2")),
+      "the canonical (lowest doc_id, offset) occurrence keeps every token")
+    assert(out(1) == ((2L, 20L, 15L, "v1 v2 v3 v4 w1")),
+      "a later occurrence loses exactly the duplicated run's tokens")
+    assert(out(2)._3 == 0L && out(2)._4.startsWith("x1 "),
+      "a unique document is untouched")
+    assert(out(3) == ((4L, 20L, 20L, "")),
+      "an exact duplicate document is removed entirely")
+    // runs SHORTER than minRun survive: with minRun above every shared
+    // run's length no duplicated gram exists and nothing is removed
+    val none = DedupQueries.substringDedup(corpus, 21)
+      .filter(col("n_removed") > 0).count()
+    assert(none == 0L, "a minRun longer than every shared run removes nothing")
+  }
 }

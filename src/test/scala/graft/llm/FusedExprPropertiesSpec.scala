@@ -97,6 +97,37 @@ class FusedExprPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("PositionalShingleHashes equals the positional HOF formulation") {
+    import spark.implicits._
+    for (seed <- Seq(7, 41, 63); k <- Seq(3, 5, 12)) {
+      val docs = randomCorpus(seed, 120).toDF("doc_id", "text")
+      val tok = split(col("text"), " ")
+      val withRef = docs.filter(size(tok) >= k)
+        .select(col("doc_id"),
+          graft.functions.ShingleHashes
+            .positionalShingleHashes(col("text"), k).as("got"),
+          transform(sequence(lit(1), size(tok) - (k - 1)),
+            (i: Column) => xxhash64(array_join(slice(tok, i, lit(k)), " ")))
+            .as("ref"))
+      assert(withRef.filter(col("got") =!= col("ref")).count() == 0,
+        s"seed=$seed k=$k")
+      val short = docs.filter(size(tok) < k)
+        .select(graft.functions.ShingleHashes
+          .positionalShingleHashes(col("text"), k).as("got"))
+      assert(short.filter(col("got").isNull || size(col("got")) =!= 0)
+        .count() == 0, s"seed=$seed k=$k short docs")
+      // the two forms agree on the shingle SET (q285's grouping keys are
+      // the same hashes ShingleHashes consumers dedup on)
+      val setEq = docs.filter(size(tok) >= k).select(
+        graft.functions.ShingleHashes.shingleHashes(col("text"), k)
+          .as("s"),
+        array_sort(array_distinct(graft.functions.ShingleHashes
+          .positionalShingleHashes(col("text"), k))).as("ps"))
+      assert(setEq.filter(col("s") =!= col("ps")).count() == 0,
+        s"seed=$seed k=$k set equality")
+    }
+  }
+
   test("NGramStats.top at n=1 equals the HOF top-token formulation") {
     import spark.implicits._
     for (seed <- Seq(9, 33, 87)) {
