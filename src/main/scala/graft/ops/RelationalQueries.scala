@@ -1579,6 +1579,67 @@ object RelationalQueries extends QueryModule {
             lit(4L) * col("n_a") * col("n_b")).as("within_envelope"))
     },
 
+    // DDSketch quantile contract (the q254/q275 sketch-contract recipe,
+    // quantile member — the native mergeable [[graft.functions
+    // .DdSketchAgg]] whose streaming twin is quantileStream): per
+    // return flag, the sketch's rank-walk p50/p99 of the line price
+    // must sit within the α = 1% relative-error guarantee of the EXACT
+    // order statistic at the same rank ⌈q·n⌉ (Masson et al. 2019 —
+    // every value in bucket i is within α of the bucket midpoint
+    // 2γ^i/(γ+1), so the walk's answer is within α of the exact
+    // rank-mate by construction; a bucketing or walk regression turns
+    // the driver row red). The exact side uses the discrete-rank
+    // convention in BOTH engines (row_number = ⌈q·n⌉), so the bound is
+    // the theorem's, not loosened for interpolation mismatch. Scale
+    // shape: the sketch side is ONE corpus aggregation to a ~500-entry
+    // bucket map per flag (fixed at any N); the exact side (one flag-
+    // keyed rank window) is the contract's measuring stick, exactly
+    // like q192's exact twin riding beside the HLL path.
+    "q287_ddsketch_quantiles" -> { (s, dir) =>
+      val alpha = 0.01
+      val gamma = (1 + alpha) / (1 - alpha)
+      val li = Tables.t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          col("l_extendedprice").cast("double").as("x"))
+      val sk = li.groupBy(col("l_returnflag"))
+        .agg(graft.functions.DdSketchAgg.ddSketch(col("x"), alpha)
+          .as("pairs"))
+      val buckets = sk.select(col("l_returnflag"),
+          explode(expr("transform(sequence(0, size(pairs) div 2 - 1), " +
+            "j -> struct(pairs[2*j] AS b, pairs[2*j+1] AS c))")).as("bc"))
+        .select(col("l_returnflag"), col("bc.b").as("b"), col("bc.c").as("c"))
+      val wc = Window.partitionBy(col("l_returnflag")).orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = buckets.withColumn("cum", sum(col("c")).over(wc))
+      val n = buckets.groupBy(col("l_returnflag")).agg(sum(col("c")).as("n"))
+      def est(q: Double, name: String) = cum.join(n, Seq("l_returnflag"))
+        .filter(col("cum") >= greatest(lit(1L), ceil(lit(q) * col("n"))))
+        .groupBy(col("l_returnflag"))
+        .agg(min(col("b")).as("bq"))
+        .select(col("l_returnflag"),
+          (lit(2.0) * pow(lit(gamma), col("bq").cast("double")) /
+            lit(gamma + 1)).as(name))
+      val wr = Window.partitionBy(col("l_returnflag")).orderBy(col("x"))
+      val ranked = li.withColumn("rn", row_number().over(wr))
+        .join(n, Seq("l_returnflag"))
+      def exact(q: Double, name: String) = ranked
+        .filter(col("rn") === greatest(lit(1L), ceil(lit(q) * col("n"))))
+        .select(col("l_returnflag"), col("x").as(name))
+      n.join(exact(0.5, "p50_exact"), Seq("l_returnflag"))
+        .join(exact(0.99, "p99_exact"), Seq("l_returnflag"))
+        .join(est(0.5, "e50"), Seq("l_returnflag"))
+        .join(est(0.99, "e99"), Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("n"),
+          col("p50_exact"), col("p99_exact"),
+          (abs(col("e50") - col("p50_exact")) <=
+            lit(alpha) * col("p50_exact") + lit(1e-9))
+            .as("p50_within_alpha"),
+          (abs(col("e99") - col("p99_exact")) <=
+            lit(alpha) * col("p99_exact") + lit(1e-9))
+            .as("p99_within_alpha"))
+        .orderBy("l_returnflag")
+    },
+
     // Bloom-filter-pruned semi-join — the 100 TB join-pruning lever
     // (runtime row-level filtering spelled explicitly): the build side's
     // keys hash (k=3, md5 rows) into an m=65536-position set that is
@@ -2609,6 +2670,29 @@ object RelationalQueries extends QueryModule {
         |  (cms_est - exact_join_size) * 1024 <= 4 * n_a * n_b
         |    AS within_envelope
         |FROM ex, est, na, nb""".stripMargin,
+
+    // the exact discrete-rank quantiles restated relationally; the α
+    // verdicts asserted TRUE (the theorem is the engine's to keep)
+    "q287_ddsketch_quantiles" ->
+      """WITH li AS (
+        |  SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS x
+        |  FROM lineitem),
+        |n AS (SELECT l_returnflag, COUNT(*) AS n FROM li GROUP BY 1),
+        |r AS (
+        |  SELECT l_returnflag, x,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY x) AS rn
+        |  FROM li),
+        |e50 AS (
+        |  SELECT r.l_returnflag, r.x FROM r JOIN n USING (l_returnflag)
+        |  WHERE rn = GREATEST(1, CAST(CEIL(0.5 * n.n) AS BIGINT))),
+        |e99 AS (
+        |  SELECT r.l_returnflag, r.x FROM r JOIN n USING (l_returnflag)
+        |  WHERE rn = GREATEST(1, CAST(CEIL(0.99 * n.n) AS BIGINT)))
+        |SELECT n.l_returnflag, n.n,
+        |  e50.x AS p50_exact, e99.x AS p99_exact,
+        |  TRUE AS p50_within_alpha, TRUE AS p99_within_alpha
+        |FROM n JOIN e50 USING (l_returnflag) JOIN e99 USING (l_returnflag)
+        |ORDER BY n.l_returnflag""".stripMargin,
 
     // filter membership = all 3 positions present; truth = exact
     // semi-join; identical fill-factor envelope arithmetic

@@ -129,6 +129,28 @@ object StreamingOps {
         .as("approx_users"))
       .select(col("window.start").as("win_start"), col("approx_users"))
 
+  /** Per-window quantile sketch through the mergeable
+    * [[graft.functions.DdSketchAgg]] (DDSketch, Masson et al. 2019) —
+    * the QUANTILE member of the bounded-state streaming sketch family
+    * beside [[trendingStream]] (MG candidates), [[cmsStream]] (CMS
+    * counts) and [[distinctStream]] (HLL distincts): exact per-window
+    * percentiles need every value buffered, the sketch keeps one
+    * fixed-budget bucket map per window at a guaranteed relative error
+    * α, and its bucket-wise-sum merge is exactly associative across
+    * micro-batches. StreamingSpec splits windows across batch
+    * boundaries and asserts the bucket arrays equal the batch twin's
+    * bit for bit, and that the rank-walk estimates hold the α band
+    * against the exact per-window order statistics. Batch contract
+    * twin: q287.
+    */
+  def quantileStream(events: DataFrame, alpha: Double = 0.02): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.functions.DdSketchAgg.ddSketch(col("value"), alpha)
+        .as("dd"))
+      .select(col("window.start").as("win_start"), col("dd"))
+
   /** Stateful stream dedup bounded by the watermark (batch twin: q30). */
   def dedupWithinWatermark(events: DataFrame): DataFrame =
     events

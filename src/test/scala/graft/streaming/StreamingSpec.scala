@@ -125,6 +125,52 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming DDSketch quantiles merge across micro-batches to the batch array") {
+    import graft.functions.DdSketchAgg
+    val alpha = 0.02
+    val ms = MemoryStream[Ev](spark)
+    val q = StreamingOps.quantileStream(ms.toDF(), alpha).writeStream
+      .format("memory").queryName("dd_stream")
+      .outputMode("complete").start()
+    // three micro-batches, windows deliberately split across boundaries
+    ms.addData(fixture.take(2): _*)
+    q.processAllAvailable()
+    ms.addData(fixture.slice(2, 4): _*)
+    q.processAllAvailable()
+    ms.addData(fixture.drop(4): _*)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("dd_stream").collect()
+      .map(r => r.getTimestamp(0).toString -> r.getSeq[Long](1)).toMap
+    // the batch twin over the same rows in ONE pass: bucket-wise-sum
+    // merge is exactly associative (no collapse at this size), so the
+    // pair arrays must be identical however the stream was batched
+    val batch = fixture.toDF()
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(DdSketchAgg.ddSketch(col("value"), alpha).as("dd"))
+      .select(col("window.start").as("h"), col("dd"))
+      .collect().map(r => r.getTimestamp(0).toString -> r.getSeq[Long](1))
+      .toMap
+    assert(got.keySet == batch.keySet)
+    got.foreach { case (h, arr) =>
+      assert(arr == batch(h), s"sketch arrays diverge in window $h")
+    }
+    // the α guarantee across batch boundaries: for each window and each
+    // q, the walk's estimate is within α of the exact order statistic
+    // of the same rank ⌈q·n⌉
+    val byWin = fixture.groupBy(e => java.sql.Timestamp.valueOf(
+      e.ts.toLocalDateTime.withMinute(0).withSecond(0)).toString)
+    byWin.foreach { case (h, es) =>
+      val xs = es.map(_.value).sorted
+      for (p <- Seq(0.25, 0.5, 0.9, 1.0)) {
+        val r = math.max(1, math.ceil(p * xs.size).toInt)
+        val exact = xs(r - 1)
+        val est = DdSketchAgg.quantile(got(h).toIndexedSeq, alpha, p)
+        assert(math.abs(est - exact) <= alpha * exact + 1e-12,
+          s"window $h q=$p: est $est vs exact $exact")
+      }
+    }
+  }
+
   test("streaming sliding windows assign each event to two windows") {
     val ms = MemoryStream[Ev](spark)
     ms.addData(fixture: _*)
