@@ -717,6 +717,97 @@ object CorpusQueries extends QueryModule {
         .orderBy("source_a", "source_b")
     },
 
+    // KMV (k-minimum-values / theta-sketch) set-operation estimates
+    // (Bar-Yossef et al. 2002; the DataSketches theta-sketch shape):
+    // distinct-INTERSECTION cardinality between sources from two
+    // fixed-size sketches — the one set operation the HLL family cannot
+    // do without inclusion-exclusion error blowup (q262's documented
+    // limit). Each source keeps its K = 256 smallest 48-bit md5 values
+    // over the distinct bigram universe; for a pair, the K smallest of
+    // the sketch union give θ (the k-th value), union_est =
+    // (K−1)·2⁴⁸/θ, and the fraction ρ of those K present in BOTH
+    // sketches gives intersection_est = ρ·union_est. Hashing is
+    // md5-derived (the q254/q255 cross-engine idiom), so the oracle
+    // recomputes the ENTIRE estimator hash-for-hash — sketches,
+    // θ, estimates — and additionally asserts the 4σ envelope
+    // |est − exact| ≤ 4·U/√K against the exact intersection. When a
+    // pair's sketch union has fewer than K values both sketches were
+    // exhaustive and the estimate is declared exact (kk branch). Scale
+    // shape: the postings build is one distinct, sketches are one
+    // source-keyed window (state K per source — FIXED at any corpus
+    // size; 100 TB sources meet in 256-row frames), the estimator runs
+    // on #pairs × K rows, and the exact grade is q123's bounded-fan-out
+    // equi-join, riding the same checkpointed postings.
+    "q288_kmv_intersection" -> { (s, dir) =>
+      val K = 256
+      val tok = split(col("text"), " ")
+      val grams = Tables.t(s, dir, "documents")
+        // materialize tok with the generator, slice in the NEXT
+        // projection (the q96 recipe — a lambda over split(text) would
+        // re-split per bigram); sequence(1, n) needs n >= 1 (it counts
+        // DOWN otherwise), hence the >= 2 token guard
+        .select(col("source"), split(col("text"), " ").as("tok"))
+        .filter(size(col("tok")) >= 2)
+        .select(col("source"), explode(expr(
+          "transform(sequence(1, size(tok) - 1)," +
+            " i -> array_join(slice(tok, i, 2), ' '))")).as("g"))
+        .distinct()
+        .localCheckpoint() // feeds BOTH the sketch and the exact grade
+      val hashed = grams.select(col("source"),
+          conv(substring(md5(col("g").cast("binary")), 1, 12), 16, 10)
+            .cast("long").as("h"))
+        .distinct()
+      val wS = Window.partitionBy(col("source")).orderBy(col("h").asc)
+      val sk = hashed.withColumn("rn", row_number().over(wS))
+        .filter(col("rn") <= K)
+        .select(col("source"), col("h"))
+        .localCheckpoint() // #sources × K rows
+      val srcs = sk.select(col("source")).distinct()
+      val pairs = srcs.select(col("source").as("sa"))
+        .crossJoin(broadcast(srcs.select(col("source").as("sb"))))
+        .filter(col("sa") < col("sb"))
+      val va = pairs.join(sk.withColumnRenamed("source", "sa"), Seq("sa"))
+      val vb = pairs.join(sk.withColumnRenamed("source", "sb"), Seq("sb"))
+      val u = va.unionByName(vb)
+        .groupBy(col("sa"), col("sb"), col("h"))
+        .agg(count(lit(1)).as("nsrc"))
+      val wU = Window.partitionBy(col("sa"), col("sb")).orderBy(col("h").asc)
+      val uk = u.withColumn("rn", row_number().over(wU))
+        .filter(col("rn") <= K)
+      val estF = uk.groupBy(col("sa"), col("sb"))
+        .agg(max(col("rn")).as("kk"),
+          max(col("h")).as("theta"),
+          sum(when(col("nsrc") === 2, 1L).otherwise(0L)).as("rho_num"))
+        .select(col("sa"), col("sb"), col("kk"),
+          when(col("kk") < K, col("kk").cast("double"))
+            .otherwise(lit((K - 1).toDouble) * lit(math.pow(2.0, 48)) /
+              col("theta").cast("double")).as("union_est"),
+          (col("rho_num").cast("double") / col("kk").cast("double"))
+            .as("rho"))
+      val exact = grams.select(col("source").as("sa"), col("g"))
+        .join(grams.select(col("source").as("sb"), col("g")), Seq("g"))
+        .filter(col("sa") < col("sb"))
+        .groupBy(col("sa"), col("sb"))
+        .agg(count(lit(1)).as("exact_intersection"))
+      val sizes = grams.groupBy(col("source")).agg(count(lit(1)).as("nv"))
+      estF.join(exact, Seq("sa", "sb"))
+        .join(sizes.select(col("source").as("sa"), col("nv").as("na")),
+          Seq("sa"))
+        .join(sizes.select(col("source").as("sb"), col("nv").as("nb")),
+          Seq("sb"))
+        .select(col("sa").as("src_a"), col("sb").as("src_b"),
+          col("exact_intersection"),
+          (round(col("union_est"), 4) + lit(0.0)).as("kmv_union_est"),
+          (round(col("rho") * col("union_est"), 4) + lit(0.0))
+            .as("kmv_intersection_est"),
+          (abs(col("rho") * col("union_est") -
+            col("exact_intersection").cast("double")) <=
+            lit(4.0 / math.sqrt(K.toDouble)) *
+              (col("na") + col("nb") - col("exact_intersection"))
+                .cast("double") + lit(1e-9)).as("within_envelope"))
+        .orderBy("src_a", "src_b")
+    },
+
     // Curriculum schedule — orders the corpus easy-to-hard for curriculum
     // training: decile buckets over the q115 quality score, a
     // deterministic md5 shuffle key WITHIN each bucket (so one bucket
@@ -2014,6 +2105,73 @@ object CorpusQueries extends QueryModule {
         |    / COUNT(*), 4) AS novelty
         |FROM sh JOIN cnt USING (s)
         |GROUP BY sh.doc_id ORDER BY doc_id""".stripMargin,
+
+    // the WHOLE estimator recomputed hash-for-hash (md5-derived 48-bit
+    // values cross-engine, the q254/q255 idiom): sketches, θ, union and
+    // intersection estimates are bit-identical, and the 4σ envelope is
+    // additionally asserted against the exact intersection
+    "q288_kmv_intersection" ->
+      """WITH t AS (
+        |  SELECT source, STR_SPLIT(text, ' ') AS tok FROM documents),
+        |grams AS MATERIALIZED (
+        |  SELECT DISTINCT source,
+        |    ARRAY_TO_STRING(LIST_SLICE(tok, st, st + 1), ' ') AS g
+        |  FROM t, UNNEST(RANGE(1, LEN(tok))) AS u(st)
+        |  WHERE LEN(tok) >= 2),
+        |hashed AS (
+        |  SELECT DISTINCT source,
+        |    CAST(('0x' || SUBSTRING(MD5(g), 1, 12)) AS BIGINT) AS h
+        |  FROM grams),
+        |sk AS MATERIALIZED (
+        |  SELECT source, h FROM (
+        |    SELECT source, h,
+        |      ROW_NUMBER() OVER (PARTITION BY source ORDER BY h ASC) AS rn
+        |    FROM hashed) WHERE rn <= 256),
+        |srcs AS (SELECT DISTINCT source FROM sk),
+        |pairs AS (SELECT a.source AS sa, b.source AS sb
+        |          FROM srcs a, srcs b WHERE a.source < b.source),
+        |u AS (
+        |  SELECT sa, sb, h, COUNT(*) AS nsrc FROM (
+        |    SELECT p.sa, p.sb, s.h FROM pairs p JOIN sk s
+        |      ON s.source = p.sa
+        |    UNION ALL
+        |    SELECT p.sa, p.sb, s.h FROM pairs p JOIN sk s
+        |      ON s.source = p.sb)
+        |  GROUP BY 1, 2, 3),
+        |uk AS (
+        |  SELECT * FROM (
+        |    SELECT sa, sb, h, nsrc,
+        |      ROW_NUMBER() OVER (PARTITION BY sa, sb ORDER BY h ASC) AS rn
+        |    FROM u) WHERE rn <= 256),
+        |estf AS (
+        |  SELECT sa, sb, MAX(rn) AS kk, MAX(h) AS theta,
+        |    CAST(SUM(CASE WHEN nsrc = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS rho_num
+        |  FROM uk GROUP BY 1, 2),
+        |est AS (
+        |  SELECT sa, sb, kk,
+        |    CASE WHEN kk < 256 THEN CAST(kk AS DOUBLE)
+        |         ELSE CAST(255 AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+        |              / CAST(theta AS DOUBLE) END AS union_est,
+        |    CAST(rho_num AS DOUBLE) / CAST(kk AS DOUBLE) AS rho
+        |  FROM estf),
+        |ex AS (
+        |  SELECT a.source AS sa, b.source AS sb,
+        |    COUNT(*) AS exact_intersection
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT source, COUNT(*) AS nv FROM grams GROUP BY 1)
+        |SELECT e.sa AS src_a, e.sb AS src_b, x.exact_intersection,
+        |  ROUND(e.union_est, 4) + 0.0 AS kmv_union_est,
+        |  ROUND(e.rho * e.union_est, 4) + 0.0 AS kmv_intersection_est,
+        |  ABS(e.rho * e.union_est - CAST(x.exact_intersection AS DOUBLE))
+        |    <= CAST(0.25 AS DOUBLE) *
+        |       CAST(za.nv + zb.nv - x.exact_intersection AS DOUBLE)
+        |     + CAST(1e-9 AS DOUBLE) AS within_envelope
+        |FROM est e JOIN ex x ON x.sa = e.sa AND x.sb = e.sb
+        |JOIN sizes za ON za.source = e.sa
+        |JOIN sizes zb ON zb.source = e.sb
+        |ORDER BY src_a, src_b""".stripMargin,
 
     "q123_source_overlap" ->
       """WITH d AS (

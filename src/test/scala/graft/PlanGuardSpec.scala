@@ -74,7 +74,9 @@ class PlanGuardSpec extends AnyFunSuite {
       "q275_cms_join_size", // 1-row est × 1-row exact × two 1-row totals
       "q277_matryoshka_audit", // q38's shape: 5-row query set × corpus
       "q279_linear_interpolation", // q79's shape: day spine × type values
-      "q280_mutual_information") // 1-row total/entropy frames crossed in
+      "q280_mutual_information", // 1-row total/entropy frames crossed in
+      "q288_kmv_intersection") // #sources × #sources pair spine (20×20)
+                               // crossed from the checkpointed sketch
       // (q173's centroid probe BNLJ runs inside its eager checkpoint —
       // the declared plan reads the materialized ranked frame)
 
