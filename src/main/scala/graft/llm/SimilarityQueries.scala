@@ -1052,6 +1052,52 @@ object SimilarityQueries extends QueryModule {
         .orderBy("query_id")
     },
 
+    // nDCG@10 retrieval evaluation (Järvelin & Kekäläinen 2002) — the
+    // graded, position-aware quality readout that completes the
+    // retrieval-eval family: q267 grades recall (set membership), q277
+    // overlap + rank correlation; nDCG is what a production search/RAG
+    // team actually reports, because it rewards putting the BEST
+    // neighbors first. System under test = the Matryoshka-truncated
+    // 16-dim ranking (q277's cost-cut candidate); ground truth = the
+    // full-dim cosine ranking, graded rel = 11 − rank for the true
+    // top-10. DCG terms (2^rel − 1)/log₂(rank+1) ride the scale-18
+    // exact-decimal sum so the 10-term additions are order-independent
+    // and bit-identical in both engines; one scored pass, both rank
+    // windows on the query_id partitioning — one shuffle.
+    "q289_ndcg_eval" -> { (s, dir) =>
+      val e = Tables.t(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          cosine(col("v"), col("qv")).as("cos_full"),
+          cosine(slice(col("v"), 1, 16), slice(col("qv"), 1, 16))
+            .as("cos_16"))
+      val byQ = Window.partitionBy(col("query_id"))
+      val ranked = scored.select(col("query_id"), col("vec_id"),
+        row_number().over(byQ.orderBy(col("cos_full").desc,
+          col("vec_id").asc)).as("r_full"),
+        row_number().over(byQ.orderBy(col("cos_16").desc,
+          col("vec_id").asc)).as("r_16"))
+      val rel = when(col("r_full") <= 10, lit(11) - col("r_full"))
+        .otherwise(lit(0))
+      val gain = (pow(lit(2.0), rel.cast("double")) - lit(1.0))
+      ranked
+        .groupBy(col("query_id"))
+        .agg(
+          graft.Fns.dsum18(when(col("r_16") <= 10,
+            gain / (log(col("r_16").cast("double") + 1.0) / lit(math.log(2.0))))
+            .otherwise(lit(0.0))).as("dcg"),
+          graft.Fns.dsum18(when(col("r_full") <= 10,
+            gain / (log(col("r_full").cast("double") + 1.0) / lit(math.log(2.0))))
+            .otherwise(lit(0.0))).as("idcg"))
+        .select(col("query_id"),
+          (round(col("dcg"), 6) + lit(0.0)).as("dcg10"),
+          (round(col("dcg") / col("idcg"), 6) + lit(0.0)).as("ndcg10"))
+        .orderBy("query_id")
+    },
+
     "q249_rrf_fusion" -> { (s, dir) =>
       val e = Tables.t(s, dir, "embeddings")
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
@@ -1992,6 +2038,47 @@ object SimilarityQueries extends QueryModule {
          |  ON k.a_id = m.b_id AND k.b_id = m.a_id
          |WHERE k.a_id < k.b_id
          |ORDER BY k.label, k.a_id, k.b_id""".stripMargin,
+
+    // q277's scored pass and rank windows; gains are exact powers of 2,
+    // DCG terms ride the scale-18 decimal sum so the 10-term additions
+    // are order-independent in both engines
+    "q289_ndcg_eval" -> {
+      val dcgTerm = "CASE WHEN r_16 <= 10 THEN gain / " +
+        "(LN(CAST(r_16 AS DOUBLE) + 1.0) / LN(2)) ELSE 0.0 END"
+      val idcgTerm = "CASE WHEN r_full <= 10 THEN gain / " +
+        "(LN(CAST(r_full AS DOUBLE) + 1.0) / LN(2)) ELSE 0.0 END"
+      s"""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM v
+         |      WHERE vec_id < 5),
+         |s AS (
+         |  SELECT q.query_id, v.vec_id,
+         |    LIST_COSINE_SIMILARITY(v.v, q.qv) AS cos_full,
+         |    LIST_COSINE_SIMILARITY(v.v[1:16], q.qv[1:16]) AS cos_16
+         |  FROM v JOIN q ON v.vec_id <> q.query_id),
+         |r AS (
+         |  SELECT query_id, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cos_full DESC, vec_id ASC) AS r_full,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cos_16 DESC, vec_id ASC) AS r_16
+         |  FROM s),
+         |g AS (
+         |  SELECT query_id, r_full, r_16,
+         |    POWER(CAST(2 AS DOUBLE),
+         |      CAST(CASE WHEN r_full <= 10 THEN 11 - r_full ELSE 0 END
+         |        AS DOUBLE)) - 1.0 AS gain
+         |  FROM r),
+         |a AS (
+         |  SELECT query_id,
+         |    ${graft.Fns.dsum18Sql(dcgTerm)} AS dcg,
+         |    ${graft.Fns.dsum18Sql(idcgTerm)} AS idcg
+         |  FROM g GROUP BY query_id)
+         |SELECT query_id, ROUND(dcg, 6) + 0.0 AS dcg10,
+         |  ROUND(dcg / idcg, 6) + 0.0 AS ndcg10
+         |FROM a ORDER BY query_id""".stripMargin
+    },
 
     // both cosines through LIST_COSINE_SIMILARITY (full and the 1-based
     // inclusive 16-slice), integer ranks, ρ in the same double shapes

@@ -247,6 +247,38 @@ object TextQueries extends QueryModule {
         .orderBy("text_hash")
     },
 
+    // Per-source Gini concentration of token mass (the Lorenz-curve
+    // rank formula G = 2·Σ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n): does a source's
+    // token budget come from many balanced documents or a few huge
+    // ones? The mixture-planning complement of q133's length histogram
+    // and q135's token entropy — a high-Gini source's weight is carried
+    // by few documents, so per-DOC quota sampling (q120/q164) and
+    // per-SOURCE token budgeting (q134) disagree exactly there. Ranks
+    // come from one source-keyed window (sources are high-cardinality
+    // at corpus scale, so the sort parallelizes; ties in x leave Σi·x
+    // invariant, doc_id tiebreak pins determinism anyway); all three
+    // moments are exact longs, G is one double expression — identical
+    // bits in both engines.
+    "q290_source_gini" -> { (s, dir) =>
+      val d = Tables.t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("x"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("x").asc, col("doc_id").asc)
+      d.withColumn("i", row_number().over(w).cast("long"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("x")).as("total_tokens"),
+          sum(col("i") * col("x")).as("six"))
+        .select(col("source"), col("n_docs"), col("total_tokens"),
+          (round(lit(2.0) * col("six").cast("double") /
+            (col("n_docs") * col("total_tokens")).cast("double") -
+            (col("n_docs") + 1).cast("double") /
+              col("n_docs").cast("double"), 6) + lit(0.0)).as("gini"))
+        .orderBy("source")
+    },
+
     // Corpus statistics per (lang, source).
     "q32_text_stats" -> { (s, dir) =>
       Tables.t(s, dir, "documents")
@@ -1372,6 +1404,25 @@ object TextQueries extends QueryModule {
       |ORDER BY source, a_id, b_id""".stripMargin
 
   override def oracles: Map[String, String] = Map(
+    // the same rank formula over the same exact longs
+    "q290_source_gini" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |    CAST(LEN(STR_SPLIT(text, ' ')) AS BIGINT) AS x
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, x,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |                       ORDER BY x ASC, doc_id ASC) AS i
+        |  FROM d)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(x) AS BIGINT) AS total_tokens,
+        |  ROUND(2.0 * CAST(SUM(i * x) AS DOUBLE)
+        |      / CAST(COUNT(*) * SUM(x) AS DOUBLE)
+        |    - CAST(COUNT(*) + 1 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |    + 0.0 AS gini
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
     "q102_bigram_pmi" ->
       """WITH d AS (
         |  SELECT STRING_SPLIT(text, ' ') AS tok FROM documents

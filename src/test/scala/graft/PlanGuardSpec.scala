@@ -73,6 +73,7 @@ class PlanGuardSpec extends AnyFunSuite {
       "q267_ann_recall", // q38's shape: 5-row broadcast query set × corpus
       "q275_cms_join_size", // 1-row est × 1-row exact × two 1-row totals
       "q277_matryoshka_audit", // q38's shape: 5-row query set × corpus
+      "q289_ndcg_eval", // q277's scored pass: 5-row query set × corpus
       "q279_linear_interpolation", // q79's shape: day spine × type values
       "q280_mutual_information", // 1-row total/entropy frames crossed in
       "q288_kmv_intersection") // #sources × #sources pair spine (20×20)
