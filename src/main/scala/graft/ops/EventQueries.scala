@@ -689,6 +689,59 @@ object EventQueries extends QueryModule {
         .orderBy("event_type", "day_idx")
     },
 
+    // Holt double exponential smoothing (level + linear trend) per event
+    // type over the daily value series — the forecasting primitive
+    // between q251's EWMA (level only, closed-form weights) and q234's
+    // seasonal decomposition: l_t = αx_t + (1−α)(l_{t−1}+b_{t−1}),
+    // b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1}, classic init l_1 = x_1,
+    // b_1 = x_2−x_1, and the one-step forecast l_t + b_t. The recursion
+    // is inherently sequential, but the series is DIMENSION-sized
+    // (days × types — fixed at any corpus scale), so after the one
+    // corpus-sized daily rollup the whole recursion runs scan-local as
+    // an array fold inside the per-type row: no iterative jobs, no
+    // driver loop, no low-cardinality corpus window. α = β = 0.5
+    // (dyadic) and both engines execute the IDENTICAL IEEE expression
+    // sequence (the fold here, the recursive CTE in DuckDB), so levels
+    // and trends agree bit for bit before the round.
+    "q291_holt_trend" -> { (s, dir) =>
+      val daily = Tables.t(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("unix_micros(date_trunc('day', ts)) div 86400000000")
+            .as("d"))
+        .agg(dsum(col("value")).cast("double").as("v"))
+      daily.groupBy(col("event_type"))
+        .agg(array_sort(collect_list(struct(col("d"), col("v"))))
+          .as("sv"))
+        .select(col("event_type"), explode(expr(
+          """CASE WHEN size(sv) >= 2 THEN
+            |aggregate(
+            |  slice(sv, 3, size(sv) - 2),
+            |  array(named_struct(
+            |    'd', element_at(sv, 2).d,
+            |    'l', 0.5D * element_at(sv, 2).v +
+            |         0.5D * (element_at(sv, 1).v +
+            |           (element_at(sv, 2).v - element_at(sv, 1).v)),
+            |    'b', 0.5D * ((0.5D * element_at(sv, 2).v +
+            |           0.5D * (element_at(sv, 1).v +
+            |             (element_at(sv, 2).v - element_at(sv, 1).v))) -
+            |           element_at(sv, 1).v) +
+            |         0.5D * (element_at(sv, 2).v - element_at(sv, 1).v))),
+            |  (acc, x) -> concat(acc, array(named_struct(
+            |    'd', x.d,
+            |    'l', 0.5D * x.v + 0.5D * (element_at(acc, -1).l +
+            |           element_at(acc, -1).b),
+            |    'b', 0.5D * ((0.5D * x.v + 0.5D * (element_at(acc, -1).l +
+            |           element_at(acc, -1).b)) - element_at(acc, -1).l) +
+            |         0.5D * element_at(acc, -1).b))),
+            |  acc -> acc)
+            |END""".stripMargin)).as("h"))
+        .select(col("event_type"), col("h.d").as("day_idx"),
+          (round(col("h.l"), 6) + lit(0.0)).as("level"),
+          (round(col("h.b"), 6) + lit(0.0)).as("trend"),
+          (round(col("h.l") + col("h.b"), 6) + lit(0.0)).as("forecast"))
+        .orderBy("event_type", "day_idx")
+    },
+
     // CUSUM changepoint per event type: the day where the cumulative
     // deviation of daily counts from the type's mean peaks — WHERE the
     // level shifted, where q174 says whether it trends and q162 when a
@@ -2214,6 +2267,37 @@ object EventQueries extends QueryModule {
          |WINDOW win AS (PARTITION BY event_type ORDER BY d
          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          |ORDER BY event_type, day_idx""".stripMargin,
+
+    // the same init and update expressions, stated as a recursive CTE
+    // over the per-type day rank — identical IEEE sequences per step
+    "q291_holt_trend" ->
+      s"""WITH RECURSIVE daily AS (
+         |  SELECT event_type,
+         |    EPOCH_US(DATE_TRUNC('day', ts)) // 86400000000 AS d,
+         |    CAST(${dsumSql("value")} AS DOUBLE) AS v
+         |  FROM events GROUP BY 1, 2),
+         |r AS (
+         |  SELECT event_type, d, v,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS t
+         |  FROM daily),
+         |holt AS (
+         |  SELECT r2.event_type, r2.d, CAST(2 AS BIGINT) AS t,
+         |    0.5 * r2.v + 0.5 * (r1.v + (r2.v - r1.v)) AS l,
+         |    0.5 * ((0.5 * r2.v + 0.5 * (r1.v + (r2.v - r1.v))) - r1.v)
+         |      + 0.5 * (r2.v - r1.v) AS b
+         |  FROM r r1 JOIN r r2 ON r1.event_type = r2.event_type
+         |    AND r1.t = 1 AND r2.t = 2
+         |  UNION ALL
+         |  SELECT h.event_type, nx.d, h.t + 1,
+         |    0.5 * nx.v + 0.5 * (h.l + h.b),
+         |    0.5 * ((0.5 * nx.v + 0.5 * (h.l + h.b)) - h.l) + 0.5 * h.b
+         |  FROM holt h JOIN r nx ON nx.event_type = h.event_type
+         |    AND nx.t = h.t + 1)
+         |SELECT event_type, d AS day_idx,
+         |  ROUND(l, 6) + 0.0 AS level,
+         |  ROUND(b, 6) + 0.0 AS trend,
+         |  ROUND(l + b, 6) + 0.0 AS forecast
+         |FROM holt ORDER BY event_type, day_idx""".stripMargin,
 
     "q175_cusum_changepoint" ->
       """WITH daily AS (
