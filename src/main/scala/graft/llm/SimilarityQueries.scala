@@ -560,6 +560,44 @@ object SimilarityQueries extends QueryModule {
       .select(col("sub"), col("cid"), expr("transform(dc, s -> s.c)").as("cv"))
   }
 
+  /** q286's frozen index artifacts, trained on the BASE corpus only:
+    * the broadcastable coarse-cell centroid array (label centroids as
+    * vectors) and the PQ codebooks — checkpointed so the base build and
+    * every later delta assignment reuse them without re-training. */
+  def annIndexArtifacts(base: DataFrame): (DataFrame, DataFrame) = {
+    val cArr = labelCentroids(base)
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("centroid"))))
+        .as("dc"))
+      .select(col("label").as("c_label"),
+        expr("transform(dc, s -> s.centroid)").as("cv"))
+      .localCheckpoint()
+    val cb = pqCodebooks(base, 4, 16, 16).localCheckpoint()
+    (cArr, cb)
+  }
+
+  /** One index row per vector of `part`, assigned into the FROZEN
+    * artifacts (no retrain): (vec_id, cell, code_0..code_3) — q286's
+    * commit/delta payload, shared with the crash-recovery spec. */
+  def annIndexRows(part: DataFrame, cArr: DataFrame,
+                   cb: DataFrame): DataFrame = {
+    val v = part.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("c_label").asc)
+    val cells = v.crossJoin(broadcast(cArr))
+      .withColumn("cos", cosine(col("v"), col("cv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("vec_id"), col("c_label").as("cell"))
+    val codes = pqAssign(part, cb, 4, 16)
+      .groupBy(col("vec_id"))
+      .agg(max(when(col("sub") === 0, col("code"))).as("code_0"),
+        max(when(col("sub") === 1, col("code"))).as("code_1"),
+        max(when(col("sub") === 2, col("code"))).as("code_2"),
+        max(when(col("sub") === 3, col("code"))).as("code_3"))
+    cells.join(codes, Seq("vec_id"))
+  }
+
   /** Encode every vector against trained codebooks: (vec_id, sub, code). */
   def pqAssign(embeddings: DataFrame, codebooks: DataFrame, m: Int,
                subDim: Int): DataFrame =
@@ -1206,40 +1244,14 @@ object SimilarityQueries extends QueryModule {
       val emb = Tables.t(s, dir, "embeddings")
       val base = emb.filter(col("vec_id") % 8 =!= 7)
       val delta = emb.filter(col("vec_id") % 8 === 7)
-      // frozen artifacts: coarse cells (label centroids) + PQ codebooks,
-      // both trained on the base only, materialized once and reused by
-      // both the base build and the delta assignment
-      val cArr = labelCentroids(base)
-        .groupBy(col("label"))
-        .agg(array_sort(collect_list(struct(col("dim"), col("centroid"))))
-          .as("dc"))
-        .select(col("label").as("c_label"),
-          expr("transform(dc, s -> s.centroid)").as("cv"))
-        .localCheckpoint()
-      val cb = pqCodebooks(base, 4, 16, 16).localCheckpoint()
-      def indexRows(part: DataFrame): DataFrame = {
-        val v = part.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-        val w = Window.partitionBy(col("vec_id"))
-          .orderBy(col("cos").desc, col("c_label").asc)
-        val cells = v.crossJoin(broadcast(cArr))
-          .withColumn("cos", cosine(col("v"), col("cv")))
-          .withColumn("rnk", row_number().over(w))
-          .filter(col("rnk") === 1)
-          .select(col("vec_id"), col("c_label").as("cell"))
-        val codes = pqAssign(part, cb, 4, 16)
-          .groupBy(col("vec_id"))
-          .agg(max(when(col("sub") === 0, col("code"))).as("code_0"),
-            max(when(col("sub") === 1, col("code"))).as("code_1"),
-            max(when(col("sub") === 2, col("code"))).as("code_2"),
-            max(when(col("sub") === 3, col("code"))).as("code_3"))
-        cells.join(codes, Seq("vec_id"))
-      }
+      val (cArr, cb) = annIndexArtifacts(base)
       // per-run scratch root (the q257 token: two harness processes over
       // the same fixture must not race on /tmp)
       val root = "/tmp/graft_annidx_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
         "_" + s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-      graft.etl.Snapshot.commit(indexRows(base), root)
-      graft.etl.Snapshot.commitDelta(indexRows(delta), root, "vec_id")
+      graft.etl.Snapshot.commit(annIndexRows(base, cArr, cb), root)
+      graft.etl.Snapshot.commitDelta(annIndexRows(delta, cArr, cb), root,
+        "vec_id")
       graft.etl.Snapshot.read(s, root)
         .select(col("vec_id"), col("cell"), col("code_0"), col("code_1"),
           col("code_2"), col("code_3"))

@@ -207,6 +207,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(deg.values.forall(_ <= k))
   }
 
+  test("ann index snapshot: a torn delta is invisible and the retried " +
+       "incremental update lands the exact full assignment") {
+    import org.apache.hadoop.fs.Path
+    import graft.etl.Snapshot
+    val emb = Tables.t(spark, TestSpark.Sf, "embeddings")
+    val base = emb.filter(col("vec_id") % 8 =!= 7)
+    val delta = emb.filter(col("vec_id") % 8 === 7)
+    val (cArr, cb) = SimilarityQueries.annIndexArtifacts(base)
+    val root = "/tmp/graft_annidx_crash_" + System.nanoTime()
+    Snapshot.commit(SimilarityQueries.annIndexRows(base, cArr, cb), root)
+    val baseCount = base.count()
+    // crash state: the delta writer died after writing a torn _v1_d1 but
+    // before the pointer swap — readers must keep seeing the base index
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val torn = new Path(root, "_v1_d1/part-00000.parquet")
+    val o = fs.create(torn, true)
+    o.write("torn bytes, not parquet".getBytes("UTF-8")); o.close()
+    assert(Snapshot.read(spark, root).count() == baseCount,
+      "a torn delta must stay invisible to index readers")
+    // the retried incremental update overwrites the torn directory whole
+    Snapshot.commitDelta(
+      SimilarityQueries.annIndexRows(delta, cArr, cb), root, "vec_id")
+    val cols = Seq("vec_id", "cell", "code_0", "code_1", "code_2", "code_3")
+    val got = Snapshot.read(spark, root)
+      .select(cols.head, cols.tail: _*).orderBy("vec_id").collect().toSeq
+    // merge-on-read equals the direct full assignment into the SAME
+    // frozen artifacts — the index a from-scratch assignment produces
+    val want = SimilarityQueries.annIndexRows(emb, cArr, cb)
+      .select(cols.head, cols.tail: _*).orderBy("vec_id").collect().toSeq
+    assert(got == want, "snapshot-merged index must equal the direct build")
+    fs.delete(new Path(root), true)
+  }
+
   test("scaled-k semantic dedup keeps the lowest id of each similar group") {
     val e = graft.Tables.t(spark, TestSpark.Sf, "embeddings")
     val n = e.count()
