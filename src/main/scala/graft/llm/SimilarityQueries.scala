@@ -1090,6 +1090,48 @@ object SimilarityQueries extends QueryModule {
         .orderBy("query_id")
     },
 
+    // Histogram-based outlier score (HBOS, Goldstein & Dengel 2012) —
+    // the density-estimation member of the outlier family: q124 is
+    // robust-location (MAD), q152 is z-score distance; HBOS scores each
+    // vector by how EMPTY its per-dimension histogram bins are,
+    // hbos(v) = Σ_d −ln(c(d, bin_d(v)) / N) over the first 8 dims ×
+    // 16 equi-width bins — the O(N) unsupervised anomaly pass a corpus
+    // triage runs when pairwise distances are too expensive. Plan: one
+    // posexplode (8 rows/vec), a broadcast 16-row-per-dim range + hist
+    // join (the histogram is FIXED-size state at any corpus size — the
+    // sketch property), one vec-keyed regroup; bin indices are exact
+    // (identical IEEE (x−mn)/(mx−mn)·16 then floor in both engines,
+    // min/max are exact picks) and the 8 −ln contributions sum through
+    // the scale-18 exact-decimal carry.
+    "q294_hbos_outliers" -> { (s, dir) =>
+      val emb = Tables.t(s, dir, "embeddings")
+      val dims = 8; val bins = 16
+      val x = emb
+        .select(col("vec_id"),
+          posexplode(slice(col("embedding"), 1, dims)).as(Seq("d", "xf")))
+        .select(col("vec_id"), col("d"), col("xf").cast("double").as("x"))
+      val rng = x.groupBy(col("d"))
+        .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      val binned = x.join(broadcast(rng), "d")
+        .select(col("vec_id"), col("d"),
+          when(col("mx") > col("mn"),
+            least(floor((col("x") - col("mn")) / (col("mx") - col("mn"))
+              * bins).cast("long"), lit(bins - 1L)))
+            .otherwise(lit(0L)).as("b"))
+      val nTot = emb.agg(count(lit(1)).as("n_vecs"))
+      val hist = binned.groupBy(col("d"), col("b"))
+        .agg(count(lit(1)).as("c"))
+      binned.join(broadcast(hist), Seq("d", "b"))
+        .crossJoin(broadcast(nTot))
+        .select(col("vec_id"),
+          (-log(col("c").cast("double") / col("n_vecs").cast("double")))
+            .as("contrib"))
+        .groupBy(col("vec_id"))
+        .agg((round(graft.Fns.dsum18(col("contrib")), 6) + lit(0.0))
+          .as("hbos"))
+        .orderBy("vec_id")
+    },
+
     // nDCG@10 retrieval evaluation (Järvelin & Kekäläinen 2002) — the
     // graded, position-aware quality readout that completes the
     // retrieval-eval family: q267 grades recall (set membership), q277
@@ -2094,6 +2136,31 @@ object SimilarityQueries extends QueryModule {
 
     // both cosines through LIST_COSINE_SIMILARITY (full and the 1-based
     // inclusive 16-slice), integer ranks, ρ in the same double shapes
+    // same 8-dim × 16-bin grid; RANGE(0,8) matches posexplode's 0-based
+    // dim index, list indexing is 1-based in both engines' spellings
+    "q294_hbos_outliers" ->
+      s"""WITH x AS (
+         |  SELECT vec_id, d, CAST(embedding[CAST(d AS INTEGER) + 1]
+         |    AS DOUBLE) AS x
+         |  FROM embeddings, UNNEST(RANGE(0, 8)) AS t(d)),
+         |rng AS (SELECT d, MIN(x) AS mn, MAX(x) AS mx FROM x GROUP BY d),
+         |b AS MATERIALIZED (
+         |  SELECT x.vec_id, x.d,
+         |    CASE WHEN rng.mx > rng.mn THEN
+         |      LEAST(CAST(FLOOR((x.x - rng.mn) / (rng.mx - rng.mn) * 16)
+         |        AS BIGINT), 15)
+         |    ELSE 0 END AS b
+         |  FROM x JOIN rng ON rng.d = x.d),
+         |n AS (SELECT COUNT(*) AS n_vecs FROM embeddings),
+         |hist AS (SELECT d, b, COUNT(*) AS c FROM b GROUP BY 1, 2)
+         |SELECT b.vec_id,
+         |  ROUND(${graft.Fns.dsum18Sql(
+              "-LN(CAST(hist.c AS DOUBLE) / CAST((SELECT n_vecs FROM n) AS DOUBLE))")},
+         |    6) + 0.0 AS hbos
+         |FROM b JOIN hist ON hist.d = b.d AND hist.b = b.b
+         |GROUP BY b.vec_id
+         |ORDER BY b.vec_id""".stripMargin,
+
     "q277_matryoshka_audit" ->
       """WITH v AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -388,6 +388,75 @@ object TextQueries extends QueryModule {
         (round((po - pe) / (lit(1.0) - pe), 6) + lit(0.0)).as("kappa"))
     },
 
+    // Sparse TF-IDF cosine similarity join over 5-token shingles — the
+    // term-vector complement of q131's set-grain weighted Jaccard: docs
+    // are tf·idf vectors in shingle space (idf = ln((N+1)/(df+1))) and
+    // pairs score by exact cosine. Blocking is the rare-term inverted
+    // index (Bayardo et al. 2007's df-pruning intuition): candidate pairs
+    // share at least one shingle with 2 ≤ df ≤ 5, so per-shingle fan-out
+    // is ≤ C(5,2) and candidates stay corpus-linear (near-dup shingles
+    // are rare by construction at any corpus size; single TOKENS would be
+    // a vacuous block here — the fixture vocabulary is 31 words, every
+    // token's df is huge — and a hot-token block is the all-pairs
+    // quadratic this shape exists to avoid). The scored dot product runs
+    // over ALL shared shingles of each candidate (pair-keyed joins onto
+    // the one checkpointed weighted-postings frame — |pairs|×|doc| rows,
+    // never doc×doc); norms and weights carry [[Fns.dsum18]] exact-
+    // decimal sums so the cosine is one IEEE divide of identical doubles
+    // in both engines (LN bit-compat as in q214's Adamic-Adar).
+    "q293_tfidf_cosine" -> { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+      val ts = split(col("text"), " ")
+      val post = docs
+        .filter(size(ts) >= 5)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(0), size(ts) - lit(5)),
+            (i: Column) => concat_ws(" ", slice(ts, i + lit(1), lit(5)))))
+            .as("g"))
+        .groupBy(col("doc_id"), col("g"))
+        .agg(count(lit(1)).as("tf"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val idf = post.groupBy(col("g")).agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(n))
+        .select(col("g"), col("df"),
+          log((col("n_docs") + 1).cast("double") /
+            (col("df") + 1).cast("double")).as("idf"))
+      // one materialization feeds norms, the rare-shingle block, and
+      // both sides of the pair-keyed scoring join
+      val w = post.join(idf, "g")
+        .select(col("doc_id"), col("g"), col("df"),
+          (col("tf").cast("double") * col("idf")).as("w"))
+        .localCheckpoint()
+      val norms = w.groupBy(col("doc_id"))
+        .agg(sqrt(graft.Fns.dsum18(col("w") * col("w"))).as("nrm"))
+      val rare = w.filter(col("df").between(2, 5))
+        .select(col("g"), col("doc_id"))
+      val pairs = rare
+        .join(rare.withColumnRenamed("doc_id", "b_id"), "g")
+        .filter(col("doc_id") < col("b_id"))
+        .select(col("doc_id").as("a_id"), col("b_id")).distinct()
+      val dot = pairs
+        .join(w.select(col("doc_id").as("a_id"), col("g"),
+          col("w").as("wa")), "a_id")
+        .join(w.select(col("doc_id").as("b_id"), col("g"),
+          col("w").as("wb")), Seq("b_id", "g"))
+        .groupBy(col("a_id"), col("b_id"))
+        .agg(count(lit(1)).as("n_shared"),
+          graft.Fns.dsum18(col("wa") * col("wb")).as("dot"))
+      // w stays checkpointed for the caller's execution (the returned
+      // plan reads it three ways; freeing here would tear its blocks
+      // out from under the lazy result)
+      dot
+        .join(norms.select(col("doc_id").as("a_id"),
+          col("nrm").as("na")), "a_id")
+        .join(norms.select(col("doc_id").as("b_id"),
+          col("nrm").as("nb")), "b_id")
+        .select(col("a_id"), col("b_id"), col("n_shared"),
+          (round(col("dot") / (col("na") * col("nb")), 6) + lit(0.0))
+            .as("cosine"))
+        .orderBy("a_id", "b_id")
+    },
+
     // Document fingerprint: canonical form (lowercase, collapsed whitespace)
     // -> md5; short prefix as a shard/bucket key. Whitespace as the
     // explicit [ \t\n\f\r] class — \s diverges on U+000B between Java
@@ -1616,6 +1685,49 @@ object TextQueries extends QueryModule {
         |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6) + 0.0
         |    AS kappa
         |FROM m""".stripMargin,
+
+    // same shingle grain, same rare-df block, same exact-decimal sums;
+    // DuckDB list slicing ts[i:i+4] is 1-based inclusive = Spark
+    // slice(ts, i+1, 5), and LN matches Spark's log (natural)
+    "q293_tfidf_cosine" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, STRING_SPLIT(text, ' ') AS ts FROM documents),
+         |post AS MATERIALIZED (
+         |  SELECT doc_id, ARRAY_TO_STRING(ts[i:i+4], ' ') AS g,
+         |    COUNT(*) AS tf
+         |  FROM tok, UNNEST(RANGE(1, LEN(ts) - 3)) AS u(i)
+         |  WHERE LEN(ts) >= 5
+         |  GROUP BY 1, 2),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |idf AS (
+         |  SELECT g, COUNT(*) AS df,
+         |    LN(CAST((SELECT n_docs FROM n) + 1 AS DOUBLE)
+         |      / CAST(COUNT(*) + 1 AS DOUBLE)) AS idf
+         |  FROM post GROUP BY g),
+         |w AS MATERIALIZED (
+         |  SELECT p.doc_id, p.g, i.df, CAST(p.tf AS DOUBLE) * i.idf AS w
+         |  FROM post p JOIN idf i ON i.g = p.g),
+         |nrm AS (
+         |  SELECT doc_id, SQRT(${graft.Fns.dsum18Sql("w * w")}) AS nrm
+         |  FROM w GROUP BY doc_id),
+         |rare AS (SELECT g, doc_id FROM w WHERE df BETWEEN 2 AND 5),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM rare a JOIN rare b
+         |    ON a.g = b.g AND a.doc_id < b.doc_id),
+         |dot AS (
+         |  SELECT p.a_id, p.b_id, COUNT(*) AS n_shared,
+         |    ${graft.Fns.dsum18Sql("wa.w * wb.w")} AS dot
+         |  FROM pairs p
+         |  JOIN w wa ON wa.doc_id = p.a_id
+         |  JOIN w wb ON wb.doc_id = p.b_id AND wb.g = wa.g
+         |  GROUP BY 1, 2)
+         |SELECT d.a_id, d.b_id, d.n_shared,
+         |  ROUND(d.dot / (na.nrm * nb.nrm), 6) + 0.0 AS cosine
+         |FROM dot d
+         |JOIN nrm na ON na.doc_id = d.a_id
+         |JOIN nrm nb ON nb.doc_id = d.b_id
+         |ORDER BY d.a_id, d.b_id""".stripMargin,
 
     "q35_fingerprint" ->
       """WITH n AS (

@@ -360,6 +360,45 @@ object GraphQueries extends QueryModule {
         .unionAll(a2.select(lit("auth").as("kind"), col("node"),
           (round(col("score"), 6) + lit(0.0)).as("score")))
         .orderBy("kind", "node")
+    },
+
+    // Weighted single-source shortest paths (Bellman-Ford) on the
+    // customer–supplier co-transaction graph — q201's BFS asks "how many
+    // hops", this asks "how CLOSE": edge weight 1/cnt (cnt = co-occurring
+    // order lines), so heavily-transacting pairs are near and the
+    // distance field is the relationship-strength radius crawl-frontier
+    // prioritization and influence attribution actually want (hop counts
+    // treat a 1-order and a 500-order link identically). 8 relaxation
+    // rounds cover the fixture's weighted diameter with margin
+    // (ProbeSsspRounds: fixpoint at 4–5 rounds at sf0.001/0.01/0.1 and
+    // 10×/20×, flat in scale because the bipartite hop diameter is 4 and
+    // extra rounds only reroute through lighter multi-hop detours); the
+    // oracle unrolls 9 and guards round 8 = round 9, so growth past the
+    // unroll fails loudly. Distances stay bit-identical across engines:
+    // MIN is order-independent and each round's candidate is one IEEE
+    // add on the previous round's stored double (see weightedSssp).
+    "q292_weighted_sssp" -> { (s, dir) =>
+      val off = lit(1000000L)
+      val pair = Tables.t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey").as("src"),
+          (col("l_suppkey") + off).as("dst"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("src"), col("dst"),
+          (lit(1.0) / col("cnt").cast("double")).as("w"))
+      val edges = pair.select(explode(array(
+          struct(col("src"), col("dst"), col("w")),
+          struct(col("dst").as("src"), col("src").as("dst"), col("w"))))
+          .as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"),
+          col("e.w").as("w"))
+      weightedSssp(edges, 8)
+        .select(col("node"),
+          (round(col("dist"), 6) + lit(0.0)).as("dist"))
+        .orderBy("node")
     })
 
   /** Fixed-depth single-source BFS from the smallest node id of an
@@ -426,6 +465,49 @@ object GraphQueries extends QueryModule {
     }
     graft.Checkpoints.free(e)
     known
+  }
+
+  /** Fixed-round Bellman-Ford single-source shortest paths from the
+    * smallest node id of a WEIGHTED undirected edge list (src, dst, w;
+    * both directions present, w > 0). Round r relaxes every edge once:
+    * d_r(v) = min(d_{r-1}(v), min over (u,v) of d_{r-1}(u) + w(u,v)) —
+    * state stays nodes-sized (never paths-sized: the naive recursive
+    * path enumeration is exponential in the round count where this is
+    * one edges×state join + one group-min per round). MIN is
+    * order-independent and each round adds exactly one edge weight to
+    * the stored previous-round double, so the distance vector is
+    * bit-identical to the oracle's unrolled CTEs at the same depth —
+    * no decimal carry needed (contrast the SUM-shaped kernels). The
+    * edge list materializes once (repartitioned on the probe key);
+    * each round rolls one checkpoint, the q107/q71 iterative shape —
+    * and here the roll is not just lineage hygiene but the measured
+    * winner: each round references the state frame TWICE (carry-over
+    * union + relaxation join), so an un-checkpointed 8-round DAG
+    * doubles the state subtree per round and ran 2.8× slower
+    * (ProbeSsspShape: 17.5 s vs 6.3 s at sf0.1).
+    * Callers pick `rounds` >= the fixpoint round (probed per fixture);
+    * the oracle's trailing guard round turns an insufficient depth
+    * into a loud zero-row failure instead of a silent mid-relaxation
+    * snapshot.
+    */
+  def weightedSssp(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"weightedSssp needs at least one round, got $rounds")
+    val e = edges.repartition(col("src")).localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    var d = e.agg(min(col("src")).as("node"))
+      .select(col("node"), lit(0.0).as("dist"))
+    var r = 0
+    while (r < rounds) {
+      val relaxed = e
+        .join(d.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      d = graft.Checkpoints.roll(
+        d.unionByName(relaxed).groupBy(col("node"))
+          .agg(min(col("dist")).as("dist")), d)
+      r += 1
+    }
+    graft.Checkpoints.free(e)
+    d
   }
 
   /** Per-node triangle participation counts over an undirected,
@@ -999,5 +1081,41 @@ object GraphQueries extends QueryModule {
          |  UNION ALL
          |  SELECT 'auth' AS kind, node, ROUND(score, 6) + 0.0 AS score
          |  FROM a2)
-         |ORDER BY kind, node""".stripMargin)
+         |ORDER BY kind, node""".stripMargin,
+
+    // Bellman-Ford unrolled 9 rounds (the q170 recipe applied to
+    // min-plus): each round CTE is nodes-sized — one edges×state join +
+    // one group-min, NEVER a path enumeration — and MATERIALIZED so the
+    // chain stays linear. The result reads round 8 (the kernel's declared
+    // depth) and the trailing round 9 is the convergence guard: equal
+    // row count AND no node whose distance still moved, else zero rows.
+    "q292_weighted_sssp" -> {
+      val rounds = (0 until 9).map { i =>
+        s"""d${i + 1} AS MATERIALIZED (
+           |  SELECT node, MIN(dist) AS dist FROM (
+           |    SELECT node, dist FROM d$i
+           |    UNION ALL
+           |    SELECT e.dst AS node, d$i.dist + e.w AS dist
+           |    FROM d$i JOIN e ON e.src = d$i.node)
+           |  GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (
+         |  SELECT o_custkey AS src, l_suppkey + 1000000 AS dst,
+         |    CAST(1 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS w
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         |  GROUP BY 1, 2),
+         |e AS MATERIALIZED (
+         |  SELECT src, dst, w FROM e0
+         |  UNION ALL SELECT dst, src, w FROM e0),
+         |d0 AS (SELECT (SELECT MIN(src) FROM e) AS node,
+         |       CAST(0 AS DOUBLE) AS dist),
+         |$rounds
+         |SELECT node, ROUND(dist, 6) + 0.0 AS dist
+         |FROM d8
+         |WHERE (SELECT COUNT(*) FROM d8) = (SELECT COUNT(*) FROM d9)
+         |  AND NOT EXISTS (
+         |    SELECT 1 FROM d8 a JOIN d9 b ON a.node = b.node
+         |    WHERE a.dist <> b.dist)
+         |ORDER BY node""".stripMargin
+    })
 }

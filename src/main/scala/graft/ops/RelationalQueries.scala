@@ -1579,6 +1579,52 @@ object RelationalQueries extends QueryModule {
             lit(4L) * col("n_a") * col("n_b")).as("within_envelope"))
     },
 
+    // AMS tug-of-war second-moment sketch (Alon-Matias-Szegedy 1996) —
+    // the SELF-join-size member of the sketch family: F₂ = Σ_k f_k² is
+    // what the optimizer needs to price a self-join or a skewed
+    // aggregation, and q275's CMS answers the CROSS-join question where
+    // this answers the quadratic one. 64 ±1 counters (4 md5s per key ×
+    // 16 byte-pair signs each — q180's cross-engine sign idiom), each
+    // counter an EXACT long Σ f_k·σ_j(k); the estimator is the mean of
+    // the squares, unbiased with Var ≤ 2F₂²/64, so the verdict asserts
+    // the 4σ envelope |est − F₂| ≤ 4·√(2/64)·F₂. The oracle recomputes
+    // the whole estimator hash-for-hash AND grades it against the exact
+    // F₂ from the same count frame. Scale shape: ONE corpus aggregation
+    // to key counts (the only corpus-sized shuffle); signs are
+    // scan-local on the vocab-sized frame; sketch state is 64 longs at
+    // ANY corpus size.
+    "q295_ams_f2" -> { (s, dir) =>
+      val k = 64
+      val cnt = Tables.t(s, dir, "lineitem")
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val exact = cnt.agg(count(lit(1)).as("n_keys"),
+        sum(col("c") * col("c")).as("f2_exact"))
+      val ctr = cnt
+        .select(explode(expr(
+          """flatten(transform(sequence(0, 3), b ->
+            |  transform(sequence(0, 15), i -> named_struct(
+            |    'j', b * 16 + i,
+            |    'x', c * (CAST(conv(substring(
+            |        md5(CAST(concat(CAST(l_partkey AS STRING), '#',
+            |                        CAST(b AS STRING)) AS BINARY)),
+            |        1 + 2 * i, 2), 16, 10) AS LONG) % 2L * 2L - 1L)))))"""
+            .stripMargin)).as("s"))
+        .groupBy(col("s.j")).agg(sum(col("s.x")).as("ctr"))
+      val est = ctr
+        .agg(graft.Fns.dsum18(col("ctr").cast("double") *
+          col("ctr").cast("double")).as("sumsq"))
+        .select((col("sumsq") / k).as("f2_est"))
+      val bound = lit(4.0) * sqrt(lit(2.0) / k)
+      exact.crossJoin(broadcast(est))
+        .select(col("n_keys"), col("f2_exact"),
+          (round(col("f2_est"), 6) + lit(0.0)).as("f2_est"),
+          (round(abs(col("f2_est") - col("f2_exact").cast("double")) /
+            col("f2_exact").cast("double"), 6) + lit(0.0)).as("rel_err"),
+          (abs(col("f2_est") - col("f2_exact").cast("double")) <=
+            bound * col("f2_exact").cast("double")).as("within_envelope"))
+    },
+
     // DDSketch quantile contract (the q254/q275 sketch-contract recipe,
     // quantile member — the native mergeable [[graft.functions
     // .DdSketchAgg]] whose streaming twin is quantileStream): per
@@ -2708,6 +2754,41 @@ object RelationalQueries extends QueryModule {
         |  (cms_est - exact_join_size) * 1024 <= 4 * n_a * n_b
         |    AS within_envelope
         |FROM ex, est, na, nb""".stripMargin,
+
+    // the whole AMS estimator recomputed hash-for-hash (q180's md5
+    // byte-pair sign idiom), graded against the exact F2 from the same
+    // count frame; the 4σ envelope is asserted TRUE
+    "q295_ams_f2" ->
+      s"""WITH cnt AS (
+         |  SELECT l_partkey, COUNT(*) AS c FROM lineitem GROUP BY 1),
+         |ex AS (
+         |  SELECT COUNT(*) AS n_keys,
+         |    CAST(SUM(c * c) AS BIGINT) AS f2_exact
+         |  FROM cnt),
+         |sg AS (
+         |  SELECT b.b * 16 + i.i AS j,
+         |    c * (CAST(('0x' || SUBSTRING(
+         |        MD5(CAST(l_partkey AS VARCHAR) || '#'
+         |          || CAST(b.b AS VARCHAR)),
+         |        1 + 2 * i.i, 2)) AS BIGINT) % 2 * 2 - 1) AS x
+         |  FROM cnt,
+         |    (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS b) b,
+         |    (SELECT UNNEST(GENERATE_SERIES(0, 15)) AS i) i),
+         |ctr AS (SELECT j, CAST(SUM(x) AS BIGINT) AS ctr FROM sg
+         |        GROUP BY 1),
+         |est AS (
+         |  SELECT ${graft.Fns.dsum18Sql(
+              "CAST(ctr AS DOUBLE) * CAST(ctr AS DOUBLE)")} / 64
+         |    AS f2_est
+         |  FROM ctr)
+         |SELECT ex.n_keys, ex.f2_exact,
+         |  ROUND(est.f2_est, 6) + 0.0 AS f2_est,
+         |  ROUND(ABS(est.f2_est - CAST(ex.f2_exact AS DOUBLE))
+         |    / CAST(ex.f2_exact AS DOUBLE), 6) + 0.0 AS rel_err,
+         |  ABS(est.f2_est - CAST(ex.f2_exact AS DOUBLE))
+         |    <= 4.0 * SQRT(2.0 / 64) * CAST(ex.f2_exact AS DOUBLE)
+         |    AS within_envelope
+         |FROM ex, est""".stripMargin,
 
     // the exact discrete-rank quantiles restated relationally; the α
     // verdicts asserted TRUE (the theorem is the engine's to keep)

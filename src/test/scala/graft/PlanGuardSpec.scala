@@ -76,8 +76,12 @@ class PlanGuardSpec extends AnyFunSuite {
       "q289_ndcg_eval", // q277's scored pass: 5-row query set × corpus
       "q279_linear_interpolation", // q79's shape: day spine × type values
       "q280_mutual_information", // 1-row total/entropy frames crossed in
-      "q288_kmv_intersection") // #sources × #sources pair spine (20×20)
+      "q288_kmv_intersection", // #sources × #sources pair spine (20×20)
                                // crossed from the checkpointed sketch
+      "q294_hbos_outliers", // 1-row corpus count crossed into the
+                            // 8-rows/vec binned scan (q51's shape)
+      "q295_ams_f2") // 1-row exact-F2 frame × 1-row sketch estimate
+                     // (q275's verdict-row shape)
       // (q173's centroid probe BNLJ runs inside its eager checkpoint —
       // the declared plan reads the materialized ranked frame)
 
@@ -128,11 +132,18 @@ class PlanGuardSpec extends AnyFunSuite {
                                   // grid zero-fill join + per-source agg
                                   // + sort — every frame after cnt is
                                   // dimension-sized (q166's grid shape)
-    "q227_interval_join" -> 7,    // session window+agg (user key, shared)
+    "q227_interval_join" -> 8,    // session window+agg (user key, shared)
                                   // + hourly agg + 1-row totals + busy
                                   // islands + hour-key join + per-session
                                   // pair agg + sort — incident side is
-                                  // busy-hours-sized, never corpus-sized
+                                  // busy-hours-sized, never corpus-sized.
+                                  // 7→8 with the r11 canonical-dedup
+                                  // counter: the old line regex skipped
+                                  // one exchange the walker (correctly)
+                                  // counts — 8 is the query's stable
+                                  // solo count, the value the old
+                                  // counter intermittently reached and
+                                  // flaked on in full-suite runs
     "q225_clustering_coefficient" -> 7, // kNN window + mutual join +
                                   // degree explode agg + triangle joins
                                   // + left join + sort — all off ONE
@@ -203,6 +214,21 @@ class PlanGuardSpec extends AnyFunSuite {
                                   // + count-table equi-join + 1-row
                                   // rollups — everything after the count
                                   // aggs is sketch- or key-domain-sized
+    "q253_ivfpq_search" -> 8,     // the canonical-dedup counter (r11)
+                                  // also sees pqSubspaces' deliberate
+                                  // RoundRobin repartition(32) spreads
+                                  // (pre-explode parallelism), which the
+                                  // old line-regex counter missed; the
+                                  // keyed exchanges are the postings/ADC
+                                  // joins and two query_id windows — all
+                                  // candidate- or probe-sized
+    "q293_tfidf_cosine" -> 7,     // shingle-postings agg + df agg +
+                                  // per-doc norms + rare-pair distinct +
+                                  // pair-keyed scoring join/agg + sort —
+                                  // every frame is postings- or
+                                  // candidate-sized, never doc×doc; the
+                                  // scoring re-reads ONE checkpointed
+                                  // weighted-postings frame
     "q246_hits" -> 17)            // 4 HITS half-steps × (state join +
                                   // edge-key agg + 1-row L1 total) over
                                   // the once-checkpointed bipartite edge
@@ -214,7 +240,23 @@ class PlanGuardSpec extends AnyFunSuite {
   /** Every declared query stays under this many shuffles regardless. */
   private val GlobalShuffleCeiling = 6
 
-  private lazy val plans: Map[String, String] =
+  private lazy val plans: Map[String, String] = executed.view
+    .mapValues(_.toString).toMap
+
+  private lazy val executed
+      : Map[String, org.apache.spark.sql.execution.SparkPlan] = {
+    // pin the sweep's planner inputs (the r10/r11 judge flake, seen on
+    // q214 then q227 — full-suite counts one exchange above solo runs):
+    // earlier suites leave cached/checkpointed blocks in the shared
+    // context's storage, and under that pressure a kernel's own
+    // localCheckpoint blocks can evict, turning its size statistics
+    // unknown and flipping a borderline broadcast to a sort-merge join
+    // (+1–2 exchanges). None of those leftover frames is read again —
+    // suites run sequentially and build their inputs fresh — so clear
+    // them all and sweep against an empty, reproducible storage state.
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
     SparkEntry.queries.map { case (name, fn) =>
       val df = fn(spark, TestSpark.Sf)
       // drive AQE to its FINAL plan: the ceilings meter what actually
@@ -222,20 +264,38 @@ class PlanGuardSpec extends AnyFunSuite {
       // sharing one exchange) is only visible after materialization —
       // the static initial plan double-counts every reused subtree
       df.collect()
-      name -> df.queryExecution.executedPlan.toString
+      name -> df.queryExecution.executedPlan
     }
+  }
 
   /** Shuffles only — BroadcastExchange is deliberately not counted (a
     * broadcast is the cheap alternative the ceilings exist to protect).
-    * A finalized AdaptiveSparkPlan prints the final plan first and the
-    * initial plan below it — only the final section is metered. A
-    * `ReusedExchange` line re-reads another stage's map output (zero new
-    * shuffle work: e.g. the q34 postings self-join shares one exchange),
-    * so only non-reused Exchange lines count. */
-  private def countShuffles(plan: String): Int =
-    plan.split("== Initial Plan ==")(0).linesIterator.count(l =>
-      """Exchange (hashpartitioning|rangepartitioning|SinglePartition)""".r
-        .findFirstIn(l).isDefined && !l.contains("ReusedExchange"))
+    * Counted as DISTINCT canonicalized exchanges over the finalized
+    * adaptive plan: a `ReusedExchange` re-reads another stage's map
+    * output (zero new shuffle work), and AQE's bottom-up stage creation
+    * can RACE two identical exchanges into materializing before reuse is
+    * detected — identical map output computed twice is a scheduling
+    * artifact of the moment, not a plan regression, so both flavors of
+    * duplicate collapse to one. A real regression (a NEW shuffle
+    * boundary) has a distinct canonical subtree and still counts. */
+  private def countShuffles(
+      plan: org.apache.spark.sql.execution.SparkPlan): Int = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    val seen = scala.collection.mutable.Set.empty[SparkPlan]
+    def walk(p: SparkPlan): Unit = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case _: ReusedExchangeExec => () // another stage's output, no new work
+      case s: ShuffleExchangeLike =>
+        seen += s.canonicalized
+        s.children.foreach(walk)
+      case other => other.children.foreach(walk)
+    }
+    walk(plan)
+    seen.size
+  }
 
   test("no CartesianProduct in any declared query plan") {
     val hits = plans.filter(_._2.contains("CartesianProduct")).keys.toSeq
@@ -255,7 +315,7 @@ class PlanGuardSpec extends AnyFunSuite {
 
   test("hot queries respect their shuffle-count ceilings") {
     val over = ShuffleCeilings.flatMap { case (name, ceiling) =>
-      val n = countShuffles(plans(name))
+      val n = countShuffles(executed(name))
       if (n > ceiling) Some(s"$name: $n > $ceiling") else None
     }
     assert(over.isEmpty, s"shuffle regressions: ${over.toSeq.sorted}")
@@ -265,7 +325,7 @@ class PlanGuardSpec extends AnyFunSuite {
     // pinned queries are exempt: their explicit ceiling is a TIGHTER
     // regression guard than the global backstop, which exists to catch
     // unaudited newcomers
-    val over = plans.flatMap { case (name, plan) =>
+    val over = executed.flatMap { case (name, plan) =>
       val n = countShuffles(plan)
       if (n > GlobalShuffleCeiling && !ShuffleCeilings.contains(name))
         Some(s"$name: $n") else None
@@ -322,7 +382,7 @@ class PlanGuardSpec extends AnyFunSuite {
     assert("SelectedBucketsCount".r.findAllIn(p
         .split("== Initial Plan ==")(0)).size >= 2,
       s"q248's scans lost their bucket spec:\n$p")
-    val n = countShuffles(p)
+    val n = countShuffles(executed("q248_bucketed_join"))
     assert(n <= 2,
       s"q248's join shuffled a side ($n exchanges, expected ≤2):\n$p")
   }
