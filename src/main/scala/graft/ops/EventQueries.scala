@@ -654,6 +654,59 @@ object EventQueries extends QueryModule {
         .orderBy("event_type")
     },
 
+    // Theil-Sen robust trend (Theil 1950 / Sen 1968) — the
+    // breakdown-resistant twin of q174's least-squares slope: the
+    // median of all pairwise day-to-day slopes shrugs off the outlier
+    // days (launch spikes, logging gaps) that swing OLS, the estimator
+    // monitoring teams actually want on dirty volume series. Slope =
+    // lower-median of (n_j − n_i)/(x_j − x_i) over day pairs, intercept
+    // = lower-median of the residuals n − slope·x. Determinism is pick-
+    // not-sum: each pairwise slope is ONE IEEE division of exact longs,
+    // the median is an order statistic (equal values make the rank-th
+    // VALUE unique even when row identity is not), and the residual
+    // median repeats the trick — no accumulation anywhere. Scale shape:
+    // the pair set is C(days, 2) per type — GRID-sized (435 rows/type
+    // here), quadratic only in the dimension, never in events; one
+    // corpus-sized rollup feeds everything.
+    "q298_theil_sen" -> { (s, dir) =>
+      val daily = Tables.t(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("unix_micros(date_trunc('day', ts)) div 86400000000")
+            .as("x"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val a = daily.select(col("event_type"), col("x").as("xa"),
+        col("n").as("na"))
+      val b = daily.select(col("event_type"), col("x").as("xb"),
+        col("n").as("nb"))
+      val pairs = a.join(b, Seq("event_type"))
+        .filter(col("xa") < col("xb"))
+        .select(col("event_type"),
+          ((col("nb") - col("na")).cast("double") /
+            (col("xb") - col("xa")).cast("double")).as("m"))
+      val wS = Window.partitionBy(col("event_type")).orderBy(col("m"))
+      val wC = Window.partitionBy(col("event_type"))
+      val med = pairs
+        .withColumn("rn", row_number().over(wS))
+        .withColumn("cnt", count(lit(1)).over(wC))
+        .filter(col("rn") === expr("(cnt + 1) div 2"))
+        .select(col("event_type"), col("m").as("slope"),
+          col("cnt").as("n_pairs"))
+      val wR = Window.partitionBy(col("event_type"))
+        .orderBy(col("r"))
+      daily.join(med, Seq("event_type"))
+        .select(col("event_type"), col("slope"), col("n_pairs"),
+          (col("n").cast("double") -
+            col("slope") * col("x").cast("double")).as("r"))
+        .withColumn("rn", row_number().over(wR))
+        .withColumn("nd", count(lit(1)).over(wC))
+        .filter(col("rn") === expr("(nd + 1) div 2"))
+        .select(col("event_type"), col("n_pairs"),
+          (round(col("slope"), 10) + lit(0.0)).as("ts_slope"),
+          (round(col("r"), 6) + lit(0.0)).as("ts_intercept"))
+        .orderBy("event_type")
+    },
+
     // Exponentially-weighted moving average of daily value per event
     // type (α = 0.5, calendar-decayed) — the monitoring smoother next
     // to q174's trend and q175's changepoint: EWMA_t =
@@ -739,6 +792,78 @@ object EventQueries extends QueryModule {
           (round(col("h.l"), 6) + lit(0.0)).as("level"),
           (round(col("h.b"), 6) + lit(0.0)).as("trend"),
           (round(col("h.l") + col("h.b"), 6) + lit(0.0)).as("forecast"))
+        .orderBy("event_type", "day_idx")
+    },
+
+    // Holt-Winters additive seasonal smoothing (m = 7) — the third rung
+    // of the forecasting ladder: q251 smooths level, q291 adds trend,
+    // this adds the weekly seasonal state s_t the other two alias into
+    // their residuals. l_t = α(x_t − s_{t−m}) + (1−α)(l_{t−1}+b_{t−1}),
+    // b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}, s_t = γ(x_t − l_t) +
+    // (1−γ)s_{t−m}; init from the first two seasons (l = mean of season
+    // 2, b = season-mean difference / 7, seasonals = season-2 residuals)
+    // and the recursion runs days 15+. α = β = γ = 0.5 (dyadic) and the
+    // fold carries the last 7 seasonals as a sliding array — the q291
+    // execution shape: ONE corpus rollup, then the inherently-sequential
+    // recursion runs scan-local as an array fold on the DIMENSION-sized
+    // per-type row (no iterative jobs, no driver loop); the oracle's
+    // recursive CTE states the identical IEEE sequence, so state and
+    // forecast agree bit-for-bit. Positions, not calendar dates, index
+    // the season (robust to day gaps, and identical in both engines).
+    "q297_holt_winters" -> { (s, dir) =>
+      val daily = Tables.t(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("unix_micros(date_trunc('day', ts)) div 86400000000")
+            .as("d"))
+        .agg(dsum(col("value")).cast("double").as("v"))
+      val init = daily.groupBy(col("event_type"))
+        .agg(array_sort(collect_list(struct(col("d"), col("v"))))
+          .as("sv"))
+        .filter(size(col("sv")) >= 15)
+        .withColumn("m1", expr(
+          """(element_at(sv,1).v + element_at(sv,2).v + element_at(sv,3).v
+            | + element_at(sv,4).v + element_at(sv,5).v
+            | + element_at(sv,6).v + element_at(sv,7).v) / 7.0D"""
+            .stripMargin))
+        .withColumn("l0", expr(
+          """(element_at(sv,8).v + element_at(sv,9).v + element_at(sv,10).v
+            | + element_at(sv,11).v + element_at(sv,12).v
+            | + element_at(sv,13).v + element_at(sv,14).v) / 7.0D"""
+            .stripMargin))
+        .withColumn("b0", expr("(l0 - m1) / 7.0D"))
+        .withColumn("ss0",
+          expr("transform(sequence(8, 14), k -> element_at(sv, k).v - l0)"))
+      // the new level/seasonal recur inside sibling struct fields, so
+      // the formulas repeat textually (named_struct fields cannot
+      // reference each other); identical recomputation of the same
+      // expression is bit-identical, so only the SHAPE must match the
+      // oracle, which it does term for term
+      val lN = "(0.5D * (e.v - element_at(acc.ss, 1)) " +
+        "+ 0.5D * (acc.l + acc.b))"
+      val bN = s"(0.5D * ($lN - acc.l) + 0.5D * acc.b)"
+      val sN = s"(0.5D * (e.v - $lN) + 0.5D * element_at(acc.ss, 1))"
+      val fN = s"($lN + $bN + element_at(acc.ss, 2))"
+      init.select(col("event_type"), explode(expr(
+          s"""aggregate(
+             |  slice(sv, 15, size(sv) - 14),
+             |  named_struct('l', l0, 'b', b0, 'ss', ss0,
+             |    'out', array(named_struct(
+             |      'd', CAST(-1 AS BIGINT), 'l', CAST(0 AS DOUBLE),
+             |      'b', CAST(0 AS DOUBLE), 's', CAST(0 AS DOUBLE),
+             |      'f', CAST(0 AS DOUBLE)))),
+             |  (acc, e) -> named_struct(
+             |    'l', $lN,
+             |    'b', $bN,
+             |    'ss', concat(slice(acc.ss, 2, 6), array($sN)),
+             |    'out', concat(acc.out, array(named_struct(
+             |      'd', e.d, 'l', $lN, 'b', $bN, 's', $sN, 'f', $fN)))),
+             |  acc -> slice(acc.out, 2, size(acc.out) - 1))"""
+            .stripMargin)).as("h"))
+        .select(col("event_type"), col("h.d").as("day_idx"),
+          (round(col("h.l"), 6) + lit(0.0)).as("level"),
+          (round(col("h.b"), 6) + lit(0.0)).as("trend"),
+          (round(col("h.s"), 6) + lit(0.0)).as("seasonal"),
+          (round(col("h.f"), 6) + lit(0.0)).as("forecast"))
         .orderBy("event_type", "day_idx")
     },
 
@@ -2243,6 +2368,42 @@ object EventQueries extends QueryModule {
         |    / CAST(np * sxx - sx * sx AS DOUBLE) AS slope_per_day
         |FROM m ORDER BY event_type""".stripMargin,
 
+    // the same pick-not-sum spelling: pairwise exact-long divisions,
+    // lower-median rank picks for slope and residual
+    "q298_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    EPOCH_US(DATE_TRUNC('day', ts)) // 86400000000 AS x,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.event_type,
+        |    CAST(b.n - a.n AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS m
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.x < b.x),
+        |rs AS (
+        |  SELECT event_type, m,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY m) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM p),
+        |med AS (
+        |  SELECT event_type, m AS slope, cnt AS n_pairs
+        |  FROM rs WHERE rn = (cnt + 1) // 2),
+        |res AS (
+        |  SELECT d.event_type, med.slope, med.n_pairs,
+        |    CAST(d.n AS DOUBLE) - med.slope * CAST(d.x AS DOUBLE) AS r
+        |  FROM daily d JOIN med ON med.event_type = d.event_type),
+        |rr AS (
+        |  SELECT event_type, slope, n_pairs, r,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY r) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS nd
+        |  FROM res)
+        |SELECT event_type, n_pairs,
+        |  ROUND(slope, 10) + 0.0 AS ts_slope,
+        |  ROUND(r, 6) + 0.0 AS ts_intercept
+        |FROM rr WHERE rn = (nd + 1) // 2
+        |ORDER BY event_type""".stripMargin,
+
     // the associative EWMA rewrite spelled identically: scan-local
     // dyadic weights, exact-decimal cumulative window sums, one IEEE
     // division
@@ -2298,6 +2459,62 @@ object EventQueries extends QueryModule {
          |  ROUND(b, 6) + 0.0 AS trend,
          |  ROUND(l + b, 6) + 0.0 AS forecast
          |FROM holt ORDER BY event_type, day_idx""".stripMargin,
+
+    // the q291 recursion recipe with the 7-seasonal sliding LIST carried
+    // as a recursive-CTE column; every formula is term-for-term the
+    // engine's fold, so the doubles match bit-for-bit before the ROUND
+    "q297_holt_winters" -> {
+      val lN = "(0.5 * (nx.v - h.ss[1]) + 0.5 * (h.l + h.b))"
+      val bN = s"(0.5 * ($lN - h.l) + 0.5 * h.b)"
+      val sN = s"(0.5 * (nx.v - $lN) + 0.5 * h.ss[1])"
+      val fN = s"($lN + $bN + h.ss[2])"
+      s"""WITH RECURSIVE daily AS (
+         |  SELECT event_type,
+         |    EPOCH_US(DATE_TRUNC('day', ts)) // 86400000000 AS d,
+         |    CAST(${dsumSql("value")} AS DOUBLE) AS v
+         |  FROM events GROUP BY 1, 2),
+         |r AS (
+         |  SELECT event_type, d, v,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS t
+         |  FROM daily),
+         |xs AS (
+         |  SELECT event_type, LIST(v ORDER BY t) AS xs
+         |  FROM r GROUP BY 1 HAVING COUNT(*) >= 15),
+         |init AS (
+         |  SELECT event_type,
+         |    (xs[1] + xs[2] + xs[3] + xs[4] + xs[5] + xs[6] + xs[7])
+         |      / 7.0 AS m1,
+         |    (xs[8] + xs[9] + xs[10] + xs[11] + xs[12] + xs[13] + xs[14])
+         |      / 7.0 AS l0,
+         |    ((xs[8] + xs[9] + xs[10] + xs[11] + xs[12] + xs[13] + xs[14])
+         |       / 7.0
+         |     - (xs[1] + xs[2] + xs[3] + xs[4] + xs[5] + xs[6] + xs[7])
+         |       / 7.0) / 7.0 AS b0,
+         |    LIST_TRANSFORM(xs[8:14],
+         |      x -> x - (xs[8] + xs[9] + xs[10] + xs[11] + xs[12]
+         |                + xs[13] + xs[14]) / 7.0) AS ss0
+         |  FROM xs),
+         |hw AS (
+         |  SELECT i.event_type, CAST(14 AS BIGINT) AS t,
+         |    CAST(NULL AS BIGINT) AS d, i.l0 AS l, i.b0 AS b,
+         |    i.ss0 AS ss, CAST(NULL AS DOUBLE) AS s,
+         |    CAST(NULL AS DOUBLE) AS f
+         |  FROM init i
+         |  UNION ALL
+         |  SELECT h.event_type, h.t + 1, nx.d,
+         |    $lN, $bN,
+         |    h.ss[2:7] || [$sN],
+         |    $sN, $fN
+         |  FROM hw h JOIN r nx ON nx.event_type = h.event_type
+         |    AND nx.t = h.t + 1)
+         |SELECT event_type, d AS day_idx,
+         |  ROUND(l, 6) + 0.0 AS level,
+         |  ROUND(b, 6) + 0.0 AS trend,
+         |  ROUND(s, 6) + 0.0 AS seasonal,
+         |  ROUND(f, 6) + 0.0 AS forecast
+         |FROM hw WHERE s IS NOT NULL
+         |ORDER BY event_type, day_idx""".stripMargin
+    },
 
     "q175_cusum_changepoint" ->
       """WITH daily AS (

@@ -981,6 +981,70 @@ object RelationalQueries extends QueryModule {
         .orderBy("name_a", "name_b")
     },
 
+    // Fellegi-Sunter probabilistic record linkage (Fellegi & Sunter
+    // 1969) — the DECISION layer the linkage family was missing: q200
+    // finds candidates (sorted-neighborhood blocking), q278 scores one
+    // field (Jaro-Winkler); FS combines the per-field agreement pattern
+    // into a log-likelihood match weight and classifies. Per field i,
+    // agreement contributes ln(m_i/u_i), disagreement ln((1−m_i)/(1−u_i))
+    // (m = P(agree | match), u = P(agree | non-match) — stated priors
+    // here, as in a deployment before EM refits them; u for the name
+    // field reflects the name-sorted blocking's high chance agreement).
+    // Weight = the fixed-order sum of the four field terms — scan-local
+    // arithmetic on ln's of literal-double ratios, so both engines
+    // produce identical doubles and the match/possible thresholds cut
+    // identically. Scale shape = q200's: the part domain, one per-block
+    // window, 4 sorted neighbors — candidates linear in the domain,
+    // never all-pairs; everything after the window is scan-local.
+    "q296_fellegi_sunter" -> { (s, dir) =>
+      import graft.functions.JaroWinkler.jaroWinkler
+      val p = Tables.t(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"), col("p_brand"),
+          col("p_type"), col("p_size"))
+      val wB = Window.partitionBy(substring(col("p_name"), 1, 1))
+        .orderBy(col("p_name"), col("p_partkey"))
+      val cand = p.select(col("p_partkey"), col("p_name"),
+          col("p_brand"), col("p_type"), col("p_size"),
+          array((1 to 4).map(i => struct(
+            lead(col("p_partkey"), i).over(wB).as("k"),
+            lead(col("p_name"), i).over(wB).as("nm"),
+            lead(col("p_brand"), i).over(wB).as("br"),
+            lead(col("p_type"), i).over(wB).as("ty"),
+            lead(col("p_size"), i).over(wB).as("sz"))): _*).as("cands"))
+        .select(col("p_partkey").as("key_a"), col("p_name"),
+          col("p_brand"), col("p_type"), col("p_size"),
+          explode(col("cands")).as("c"))
+        .filter(col("c.k").isNotNull)
+      // both branches keep the arithmetic IN-ENGINE double ops (never
+      // pre-folded Scala constants): the oracle spells the identical
+      // CAST-to-double chain, so 1−m, the ratio, and the ln are the
+      // same IEEE sequence in both engines
+      def w(agree: org.apache.spark.sql.Column, m: Double, u: Double) =
+        when(agree, log(lit(m) / lit(u)))
+          .otherwise(log((lit(1.0) - lit(m)) / (lit(1.0) - lit(u))))
+      val scored = cand.select(col("key_a"), col("c.k").as("key_b"),
+          concat(
+            when(jaroWinkler(col("p_name"), col("c.nm")) >= 0.9,
+              lit("N")).otherwise(lit("-")),
+            when(col("p_brand") === col("c.br"), lit("B"))
+              .otherwise(lit("-")),
+            when(col("p_type") === col("c.ty"), lit("T"))
+              .otherwise(lit("-")),
+            when(col("p_size") === col("c.sz"), lit("S"))
+              .otherwise(lit("-"))).as("pattern"),
+          (w(jaroWinkler(col("p_name"), col("c.nm")) >= 0.9, 0.9, 0.5) +
+            w(col("p_brand") === col("c.br"), 0.9, 0.04) +
+            w(col("p_type") === col("c.ty"), 0.8, 0.16) +
+            w(col("p_size") === col("c.sz"), 0.8, 0.02)).as("weight"))
+      scored
+        .filter(col("weight") >= 0.5)
+        .select(col("key_a"), col("key_b"), col("pattern"),
+          (round(col("weight"), 6) + lit(0.0)).as("weight"),
+          when(col("weight") >= 3.5, lit("match"))
+            .otherwise(lit("possible")).as("verdict"))
+        .orderBy("key_a", "key_b")
+    },
+
     // Leave-one-out target encoding of a categorical feature — the
     // leakage-safe ML encoding (each row's encoded value excludes its
     // own target, so the feature never memorizes the label it will be
@@ -2383,6 +2447,55 @@ object RelationalQueries extends QueryModule {
         |SELECT name_a, name_b, ROUND(jw, 6) + 0.0 AS jw
         |FROM s WHERE jw >= 0.85
         |ORDER BY name_a, name_b""".stripMargin,
+
+    // the same blocking, pattern and fixed-order weight sum; ln's of
+    // literal-double ratios are engine-computed in both (the q214 LN
+    // bit-compat), so the thresholds cut identical doubles
+    "q296_fellegi_sunter" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_name, p_brand, p_type, p_size FROM part),
+        |l AS (
+        |  SELECT p_partkey, p_name, p_brand, p_type, p_size, i,
+        |    LEAD(p_partkey, i) OVER w AS k, LEAD(p_name, i) OVER w AS nm,
+        |    LEAD(p_brand, i) OVER w AS br, LEAD(p_type, i) OVER w AS ty,
+        |    LEAD(p_size, i) OVER w AS sz
+        |  FROM p, UNNEST([1, 2, 3, 4]) AS u(i)
+        |  WINDOW w AS (PARTITION BY SUBSTR(p_name, 1, 1), i
+        |               ORDER BY p_name, p_partkey)),
+        |s AS (
+        |  SELECT p_partkey AS key_a, k AS key_b,
+        |    (CASE WHEN JARO_WINKLER_SIMILARITY(p_name, nm) >= 0.9
+        |          THEN 'N' ELSE '-' END)
+        |    || (CASE WHEN p_brand = br THEN 'B' ELSE '-' END)
+        |    || (CASE WHEN p_type = ty THEN 'T' ELSE '-' END)
+        |    || (CASE WHEN p_size = sz THEN 'S' ELSE '-' END) AS pattern,
+        |    (CASE WHEN JARO_WINKLER_SIMILARITY(p_name, nm) >= 0.9
+        |          THEN LN(CAST(0.9 AS DOUBLE) / CAST(0.5 AS DOUBLE))
+        |          ELSE LN((CAST(1.0 AS DOUBLE) - CAST(0.9 AS DOUBLE))
+        |                / (CAST(1.0 AS DOUBLE) - CAST(0.5 AS DOUBLE)))
+        |     END)
+        |    + (CASE WHEN p_brand = br
+        |            THEN LN(CAST(0.9 AS DOUBLE) / CAST(0.04 AS DOUBLE))
+        |            ELSE LN((CAST(1.0 AS DOUBLE) - CAST(0.9 AS DOUBLE))
+        |                  / (CAST(1.0 AS DOUBLE) - CAST(0.04 AS DOUBLE)))
+        |       END)
+        |    + (CASE WHEN p_type = ty
+        |            THEN LN(CAST(0.8 AS DOUBLE) / CAST(0.16 AS DOUBLE))
+        |            ELSE LN((CAST(1.0 AS DOUBLE) - CAST(0.8 AS DOUBLE))
+        |                  / (CAST(1.0 AS DOUBLE) - CAST(0.16 AS DOUBLE)))
+        |       END)
+        |    + (CASE WHEN p_size = sz
+        |            THEN LN(CAST(0.8 AS DOUBLE) / CAST(0.02 AS DOUBLE))
+        |            ELSE LN((CAST(1.0 AS DOUBLE) - CAST(0.8 AS DOUBLE))
+        |                  / (CAST(1.0 AS DOUBLE) - CAST(0.02 AS DOUBLE)))
+        |       END) AS weight
+        |  FROM l WHERE k IS NOT NULL)
+        |SELECT key_a, key_b, pattern,
+        |  ROUND(weight, 6) + 0.0 AS weight,
+        |  CASE WHEN weight >= 3.5 THEN 'match' ELSE 'possible' END
+        |    AS verdict
+        |FROM s WHERE weight >= 0.5
+        |ORDER BY key_a, key_b""".stripMargin,
 
     "q204_target_encoding" -> (
       """WITH o AS (
