@@ -151,6 +151,45 @@ object StreamingOps {
         .as("dd"))
       .select(col("window.start").as("win_start"), col("dd"))
 
+  /** Per-window AMS tug-of-war F₂ sketch (Alon-Matias-Szegedy 1996;
+    * batch contract twin: q295) — the SELF-join-size member of the
+    * bounded-state streaming sketch family beside [[trendingStream]]
+    * (MG candidates), [[cmsStream]] (CMS counts), [[distinctStream]]
+    * (HLL distincts) and [[quantileStream]] (DDSketch quantiles): an
+    * exact per-window Σf² needs per-key state, the sketch keeps 64
+    * exact-long ±1 counters per window no matter how many keys arrive.
+    * Each event contributes its q180-idiom md5 signs scan-locally and
+    * the counters are plain SUMs — Spark's own partial aggregation is
+    * the merge, exactly associative, so any micro-batch split folds to
+    * the identical counter array a single batch pass produces
+    * (StreamingSpec asserts bit-equality plus the 4σ envelope of the
+    * mean-of-squares estimate against the exact per-window F₂).
+    */
+  def amsF2Stream(events: DataFrame): DataFrame =
+    amsF2Windowed(events.withWatermark("ts", "1 hour"))
+
+  /** The windowed AMS aggregation itself — shared by the stream and its
+    * batch twin (the spec runs THIS over the whole fixture in one pass
+    * and asserts the split stream folded to the identical arrays). */
+  def amsF2Windowed(events: DataFrame): DataFrame = {
+    def sgn(b: Int, i: Int) =
+      conv(substring(md5(concat(col("user_id").cast("string"),
+          lit("#" + b)).cast("binary")), 1 + 2 * i, 2), 16, 10)
+        .cast("long") % 2L * 2L - 1L
+    val sums = for (b <- 0 until 4; i <- 0 until 16)
+      yield sum(sgn(b, i)).as(s"c${b * 16 + i}")
+    events
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("window.start").as("win_start"),
+        array((0 until 64).map(j => col(s"c$j")): _*).as("counters"))
+  }
+
+  /** The q295 estimator over a counter array: mean of the squares. */
+  def amsF2Estimate(counters: Seq[Long]): Double =
+    counters.map(c => BigDecimal(c.toDouble * c.toDouble))
+      .sum.toDouble / counters.size
+
   /** Stateful stream dedup bounded by the watermark (batch twin: q30). */
   def dedupWithinWatermark(events: DataFrame): DataFrame =
     events

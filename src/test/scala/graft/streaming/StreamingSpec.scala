@@ -125,6 +125,47 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming AMS F2 counters merge across micro-batches to the batch array") {
+    val ms = MemoryStream[Ev](spark)
+    val q = StreamingOps.amsF2Stream(ms.toDF()).writeStream
+      .format("memory").queryName("ams_stream")
+      .outputMode("complete").start()
+    // three micro-batches, windows deliberately split across boundaries
+    ms.addData(fixture.take(2): _*)
+    q.processAllAvailable()
+    ms.addData(fixture.slice(2, 4): _*)
+    q.processAllAvailable()
+    ms.addData(fixture.drop(4): _*)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ams_stream").collect()
+      .map(r => r.getTimestamp(0).toString -> r.getSeq[Long](1)).toMap
+    // batch twin over the same rows in ONE pass: the counters are plain
+    // exact-long sums, so any micro-batch split folds to the identical
+    // array
+    val batch = StreamingOps.amsF2Windowed(fixture.toDF())
+      .collect().map(r => r.getTimestamp(0).toString -> r.getSeq[Long](1))
+      .toMap
+    assert(got.keySet == batch.keySet)
+    got.foreach { case (h, arr) =>
+      assert(arr == batch(h), s"counter arrays diverge in window $h")
+      assert(arr.size == 64)
+    }
+    // the mean-of-squares estimate holds the 4σ envelope (Var ≤ 2F2²/64)
+    // against the exact per-window F2 over user_id
+    val truth = fixture.groupBy(e =>
+        java.sql.Timestamp.valueOf(
+          e.ts.toLocalDateTime.withMinute(0).withSecond(0)).toString)
+      .map { case (h, es) =>
+        h -> es.groupBy(_.user_id).values
+          .map(g => g.size.toLong * g.size).sum }
+    truth.foreach { case (h, f2) =>
+      val est = StreamingOps.amsF2Estimate(got(h))
+      assert(math.abs(est - f2.toDouble) <=
+        4.0 * math.sqrt(2.0 / 64) * f2 + 1e-9,
+        s"AMS estimate outside the envelope in $h: est $est, exact $f2")
+    }
+  }
+
   test("streaming DDSketch quantiles merge across micro-batches to the batch array") {
     import graft.functions.DdSketchAgg
     val alpha = 0.02
