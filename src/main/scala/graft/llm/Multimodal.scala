@@ -217,6 +217,88 @@ object Multimodal extends QueryModule {
 
   case class MediaHash(doc_id: Long, phash: Long, decoded: Boolean)
 
+  case class SceneCut(doc_id: Long, frame_idx: Long, diff_sum: Long)
+
+  /** Scene-cut detection over decoded video frames — the temporal
+    * member of the multimodal family (q245 hashes stills, q273
+    * fingerprints audio; this segments VIDEO into shots, the unit a
+    * frame-sampling curation pipeline actually wants — sampling inside
+    * one shot yields near-identical frames, sampling per shot yields
+    * coverage). Detector: the mean-absolute luma difference between
+    * consecutive Y planes, a cut when the per-pixel mean ≥ `thr`
+    * (Zhang/Kankanhalli/Smoliar 1993's pairwise-difference baseline).
+    * INTEGER-exact end to end: the diff is an exact long sum of byte
+    * differences — no floats, so the oracle's closed form matches
+    * hash-for-hash. Scan-local per row (zero shuffles at any scale);
+    * non-decodable payloads yield no rows, never an exception (the
+    * 100 TB scan survival rule).
+    */
+  def sceneCuts(media: DataFrame, thr: Int = 30): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaIn].mapPartitions { it =>
+      it.flatMap { m =>
+        MediaCodec.demuxY4m(m.payload) match {
+          case Some(v) if v.frameOffsets.length >= 2 =>
+            val ySize = v.width * v.height
+            (1 until v.frameOffsets.length).iterator.flatMap { fi =>
+              val o0 = v.frameOffsets(fi - 1)
+              val o1 = v.frameOffsets(fi)
+              var s = 0L
+              var k = 0
+              while (k < ySize) {
+                s += math.abs((m.payload(o1 + k) & 0xff) -
+                  (m.payload(o0 + k) & 0xff))
+                k += 1
+              }
+              if (s >= thr.toLong * ySize) Some(SceneCut(m.doc_id, fi, s))
+              else None
+            }
+          case _ => Iterator.empty
+        }
+      }
+    }.toDF()
+  }
+
+  /** Deterministic synthetic Y4M corpus for the declared scene-cut
+    * query: the parquet fixtures carry no video bytes, so each doc_id
+    * renders to a REAL YUV4MPEG2 stream (mono chroma, 16×16, 12
+    * frames) — the decode half then exercises the production
+    * [[MediaCodec.demuxY4m]] header/frame walker, not a stub. Three
+    * planted shots with luma levels l1 = 40 + (id%3)·10,
+    * l2 = 120 + (id%5)·8, l3 = 200 + (id%4)·5 and cuts at frames
+    * c1 = 3 + id%3 and c2 = 8 + id%2: within-shot frame diffs are
+    * exactly 0 and the cut diffs are (l2−l1)·256 ≥ 48·256 and
+    * (l3−l2)·256 ≥ 48·256 — far above the 30/pixel threshold, and
+    * every cut position and diff value has a closed form in doc_id
+    * the DuckDB oracle states directly, so the whole render→demux→
+    * detect chain is hash-checked.
+    */
+  def syntheticY4mSceneCorpus(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val (w, h, n) = (16, 16, 12)
+        val l1 = (40 + (id % 3) * 10).toInt
+        val l2 = (120 + (id % 5) * 8).toInt
+        val l3 = (200 + (id % 4) * 5).toInt
+        val c1 = (3 + id % 3).toInt
+        val c2 = (8 + id % 2).toInt
+        val bos = new java.io.ByteArrayOutputStream()
+        bos.write("YUV4MPEG2 W16 H16 F25:1 Cmono\n".getBytes("US-ASCII"))
+        var f = 0
+        while (f < n) {
+          bos.write("FRAME\n".getBytes("US-ASCII"))
+          val l = if (f < c1) l1 else if (f < c2) l2 else l3
+          bos.write(Array.fill(w * h)(l.toByte))
+          f += 1
+        }
+        MediaIn(id, bos.toByteArray)
+      }
+    }.toDF()
+  }
+
   /** Perceptual average-hash (aHash) over a real pixel decode: downsample
     * to 8×8 grayscale via the same JDK bilinear path [[resize]] uses,
     * threshold each cell at the grid mean → a 64-bit fingerprint whose
@@ -683,9 +765,32 @@ object Multimodal extends QueryModule {
       val media = Tables.t(s, dir, "documents")
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
       decodeMeta(media).orderBy("doc_id")
+    },
+
+    // Video scene-cut detection over REAL Y4M decodes — three planted
+    // shots per doc; every cut position and integer diff value has a
+    // closed form in doc_id (see syntheticY4mSceneCorpus), so the whole
+    // render→demux→detect chain is oracle-checked.
+    "q299_scene_cuts" -> { (s, dir) =>
+      sceneCuts(syntheticY4mSceneCorpus(Tables.t(s, dir, "documents")))
+        .orderBy("doc_id", "frame_idx")
     })
 
   override def oracles: Map[String, String] = Map(
+    // the planted shot geometry in doc_id arithmetic: cuts exactly at
+    // c1/c2 with diff = luma step × 256 pixels; within-shot diffs are 0
+    "q299_scene_cuts" ->
+      """SELECT doc_id, frame_idx, diff_sum FROM (
+        |  SELECT doc_id, 3 + doc_id % 3 AS frame_idx,
+        |    ((120 + (doc_id % 5) * 8) - (40 + (doc_id % 3) * 10)) * 256
+        |      AS diff_sum
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 8 + doc_id % 2,
+        |    ((200 + (doc_id % 4) * 5) - (120 + (doc_id % 5) * 8)) * 256
+        |  FROM documents)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
     // the planted image geometry in doc_id arithmetic: same-8-group
     // pairs at Hamming exactly 2, nothing across groups (patterns are
     // mix64-keyed, ~32 bits apart — far outside maxDist 3)

@@ -612,4 +612,32 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.getAs[Long]("active_frames") == 4 - sil / 200)
     }
   }
+
+  test("q299 scene cuts recover the planted shot boundaries exactly") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 5L, 7L, 11L)
+    val media = Multimodal.syntheticY4mSceneCorpus(ids.toDF("doc_id"))
+    val got = Multimodal.sceneCuts(media)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted
+    val want = ids.flatMap { id =>
+      val l1 = 40 + (id % 3) * 10
+      val l2 = 120 + (id % 5) * 8
+      val l3 = 200 + (id % 4) * 5
+      Seq((id, 3 + id % 3, (l2 - l1) * 256),
+        (id, 8 + id % 2, (l3 - l2) * 256))
+    }.sorted
+    assert(got.toSeq == want)
+    // both cut diffs clear the 30/pixel threshold and within-shot diffs
+    // are exactly zero, so exactly two cuts per doc
+    assert(got.length == ids.size * 2)
+    // survival rule: corrupted/non-video payloads yield no rows
+    val junk = Seq(
+      Multimodal.MediaIn(99L, Array[Byte](1, 2, 3)),
+      Multimodal.MediaIn(100L, "YUV4MPEG2 W0 H0\n".getBytes("US-ASCII")),
+      Multimodal.MediaIn(101L, Array.empty[Byte]))
+      .toDS().toDF()
+    assert(Multimodal.sceneCuts(junk).count() == 0L)
+  }
 }
