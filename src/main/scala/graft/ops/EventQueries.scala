@@ -654,6 +654,59 @@ object EventQueries extends QueryModule {
         .orderBy("event_type")
     },
 
+    // Kendall rank correlation, tie-aware tau-b (Kendall 1938) — the
+    // pairwise-concordance member of the correlation family: q181's
+    // Spearman ranks values then correlates the ranks (tie handling via
+    // midranks), tau-b asks the direct question "across day pairs, do
+    // these two event types move TOGETHER?" and is the standard report
+    // when the series are short and tied (daily counts are). Per type
+    // pair, over all C(days,2) day pairs: concordant/discordant by the
+    // sign product of the count deltas, tie counts per side, then
+    // tau_b = (C − D) / √((n0 − tx)(n0 − ty)). Everything up to the
+    // final expression is exact-long counting — the lone double op is
+    // one sqrt-divide, identical bits in both engines. Scale shape: ONE
+    // corpus-sized aggregation to the days×types grid; the type-pair ×
+    // day-pair fan-out is C(5,2)·C(30,2) — GRID-quadratic only, never
+    // event-touching.
+    "q300_kendall_tau" -> { (s, dir) =>
+      val daily = Tables.t(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("unix_micros(date_trunc('day', ts)) div 86400000000")
+            .as("d"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val byDay = daily.select(col("event_type").as("ta"),
+          col("d"), col("n").as("na"))
+        .join(daily.select(col("event_type").as("tb"), col("d"),
+          col("n").as("nb")), Seq("d"))
+        .filter(col("ta") < col("tb"))
+      val pairs = byDay.select(col("ta"), col("tb"), col("d").as("d1"),
+          col("na").as("na1"), col("nb").as("nb1"))
+        .join(byDay.select(col("ta"), col("tb"), col("d").as("d2"),
+          col("na").as("na2"), col("nb").as("nb2")), Seq("ta", "tb"))
+        .filter(col("d1") < col("d2"))
+      val m = pairs.groupBy(col("ta"), col("tb"))
+        .agg(count(lit(1)).as("n0"),
+          sum(when((col("na2") > col("na1")) === (col("nb2") > col("nb1"))
+              && col("na2") =!= col("na1") && col("nb2") =!= col("nb1"),
+            1L).otherwise(0L)).as("concordant"),
+          sum(when((col("na2") > col("na1")) =!= (col("nb2") > col("nb1"))
+              && col("na2") =!= col("na1") && col("nb2") =!= col("nb1"),
+            1L).otherwise(0L)).as("discordant"),
+          sum(when(col("na2") === col("na1"), 1L).otherwise(0L))
+            .as("ties_x"),
+          sum(when(col("nb2") === col("nb1"), 1L).otherwise(0L))
+            .as("ties_y"))
+      m.select(col("ta").as("type_a"), col("tb").as("type_b"),
+          col("n0").as("n_pairs"), col("concordant"), col("discordant"),
+          col("ties_x"), col("ties_y"),
+          (round((col("concordant") - col("discordant")).cast("double") /
+            sqrt((col("n0") - col("ties_x")).cast("double") *
+              (col("n0") - col("ties_y")).cast("double")), 6) + lit(0.0))
+            .as("tau_b"))
+        .orderBy("type_a", "type_b")
+    },
+
     // Theil-Sen robust trend (Theil 1950 / Sen 1968) — the
     // breakdown-resistant twin of q174's least-squares slope: the
     // median of all pairwise day-to-day slopes shrugs off the outlier
@@ -2367,6 +2420,44 @@ object EventQueries extends QueryModule {
         |  CAST(np * sxy - sx * sy AS DOUBLE)
         |    / CAST(np * sxx - sx * sx AS DOUBLE) AS slope_per_day
         |FROM m ORDER BY event_type""".stripMargin,
+
+    // exact-long concordance counting restated directly; the lone
+    // double op is the final sqrt-divide
+    "q300_kendall_tau" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    EPOCH_US(DATE_TRUNC('day', ts)) // 86400000000 AS d,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |byday AS (
+        |  SELECT a.event_type AS ta, b.event_type AS tb, a.d,
+        |    a.n AS na, b.n AS nb
+        |  FROM daily a JOIN daily b
+        |    ON a.d = b.d AND a.event_type < b.event_type),
+        |p AS (
+        |  SELECT x.ta, x.tb,
+        |    x.na AS na1, x.nb AS nb1, y.na AS na2, y.nb AS nb2
+        |  FROM byday x JOIN byday y
+        |    ON x.ta = y.ta AND x.tb = y.tb AND x.d < y.d),
+        |m AS (
+        |  SELECT ta, tb, COUNT(*) AS n0,
+        |    CAST(SUM(CASE WHEN (na2 > na1) = (nb2 > nb1)
+        |      AND na2 <> na1 AND nb2 <> nb1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS concordant,
+        |    CAST(SUM(CASE WHEN (na2 > na1) <> (nb2 > nb1)
+        |      AND na2 <> na1 AND nb2 <> nb1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS discordant,
+        |    CAST(SUM(CASE WHEN na2 = na1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ties_x,
+        |    CAST(SUM(CASE WHEN nb2 = nb1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ties_y
+        |  FROM p GROUP BY 1, 2)
+        |SELECT ta AS type_a, tb AS type_b, n0 AS n_pairs,
+        |  concordant, discordant, ties_x, ties_y,
+        |  ROUND(CAST(concordant - discordant AS DOUBLE)
+        |    / SQRT(CAST(n0 - ties_x AS DOUBLE)
+        |         * CAST(n0 - ties_y AS DOUBLE)), 6) + 0.0 AS tau_b
+        |FROM m ORDER BY type_a, type_b""".stripMargin,
 
     // the same pick-not-sum spelling: pairwise exact-long divisions,
     // lower-median rank picks for slope and residual
