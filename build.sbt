@@ -10,6 +10,13 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// PlanGuardSpec's storage sweep (clearCache + unpersist-all on the shared
+// TestSpark session) is only safe because suites run ONE AT A TIME in the
+// forked JVM and no suite reads a frame another suite persisted. That is
+// sbt's default when forking (testForkedParallel=false); pin it so a
+// future settings edit can't silently turn on concurrent suites and break
+// the sweep's invariant with missing-block errors far from the cause.
+Test / testForkedParallel := false
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -74,6 +74,10 @@ object Bench {
         System.err.println(s"[bench] warm-up $name failed: ${e.getMessage}")
       }
     }
+    // flush the warm-up pass's dead weight before the first TIMED query —
+    // 296 un-swept executions otherwise start the suite under pressure
+    System.gc()
+    Thread.sleep(200)
     // Median of >= 3 timed passes per query: single runs on this box swing
     // ±25% run-to-run (round-3 saw 2x "regressions" on provably unchanged
     // code), so per-query regression tracking needs a location estimate
@@ -103,12 +107,29 @@ object Bench {
     // the cleaner's queue at a moment nothing is being timed; every query
     // would cost ~20 min of full GCs per suite, every 16th bounds the
     // accumulation at negligible wall cost.
+    // r11 re-outgrew the fixed every-16th cadence (tail-41 median/floor
+    // gap 12.1% -> 26.0% at 296x5 executions while floors improved): dead
+    // weight accrues in proportion to WORK done, not queries counted — a
+    // single 7 s SSSP/TF-IDF-cosine row sheds as much broadcast/shuffle
+    // garbage as a dozen 0.5 s scans, and under the count cadence it
+    // could sit un-swept for 15 more queries, landing its GC stall inside
+    // a later timed region. Cadence is therefore a WORK budget: sweep
+    // once ~`gcSec` seconds of measured execution have accumulated (a
+    // heavy row triggers the very next gap; cheap scans batch up), with
+    // the query-count cap kept as a backstop. At ~10 s/budget over a
+    // ~2,000 s suite that is ~200 sweeps x ~0.3 s full-GC on this heap —
+    // wall overhead outside every timed region, bounding the in-suite
+    // heap pressure that inflates medians.
     val gcEvery = sys.env.getOrElse("SPARK_GRAFT_BENCH_GC", "16").toInt max 0
+    val gcSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_GC_SEC", "10").toDouble
     var sinceGc = 0
-    def sweep(): Unit = if (gcEvery > 0) {
+    var workSinceGc = 0.0
+    def sweep(lastSec: Double): Unit = if (gcEvery > 0) {
       sinceGc += 1
-      if (sinceGc >= gcEvery) {
+      workSinceGc += lastSec
+      if (sinceGc >= gcEvery || (gcSec > 0 && workSinceGc >= gcSec)) {
         sinceGc = 0
+        workSinceGc = 0.0
         System.gc()
         // the cleaner works an async queue; give the reference-processing
         // thread a beat so block removal overlaps the next query's plan
@@ -120,15 +141,17 @@ object Bench {
       // (q71/q90/q99/q107) OUTSIDE the timed region — 440 executions in
       // one JVM otherwise accumulate block sets until storage pressure
       // lands multi-second GC stalls on whichever query runs next.
+      var lastSec = 0.0
       Checkpoints.freeingAfter(spark) {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-              samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9 }
+              lastSec = (System.nanoTime() - t0) / 1e9
+              samples(name) = samples(name) :+ lastSec }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         }
       }
-      sweep()
+      sweep(lastSec)
     }
     val results = ordered.map { case (name, _) => (name, samples(name)) }
     def median(xs: Seq[Double]): Double = {

@@ -697,12 +697,17 @@ object EventQueries extends QueryModule {
             .as("ties_x"),
           sum(when(col("nb2") === col("nb1"), 1L).otherwise(0L))
             .as("ties_y"))
+      // a fully-tied series (constant daily count) zeroes the denominator;
+      // Spark's double x/0 yields Inf/NaN while DuckDB NULLs — declare the
+      // degenerate case NULL in BOTH engines so they agree
       m.select(col("ta").as("type_a"), col("tb").as("type_b"),
           col("n0").as("n_pairs"), col("concordant"), col("discordant"),
           col("ties_x"), col("ties_y"),
-          (round((col("concordant") - col("discordant")).cast("double") /
-            sqrt((col("n0") - col("ties_x")).cast("double") *
-              (col("n0") - col("ties_y")).cast("double")), 6) + lit(0.0))
+          when(col("n0") > col("ties_x") && col("n0") > col("ties_y"),
+            round((col("concordant") - col("discordant")).cast("double") /
+              sqrt((col("n0") - col("ties_x")).cast("double") *
+                (col("n0") - col("ties_y")).cast("double")), 6) + lit(0.0))
+            .otherwise(lit(null).cast("double"))
             .as("tau_b"))
         .orderBy("type_a", "type_b")
     },
@@ -2454,9 +2459,11 @@ object EventQueries extends QueryModule {
         |  FROM p GROUP BY 1, 2)
         |SELECT ta AS type_a, tb AS type_b, n0 AS n_pairs,
         |  concordant, discordant, ties_x, ties_y,
-        |  ROUND(CAST(concordant - discordant AS DOUBLE)
-        |    / SQRT(CAST(n0 - ties_x AS DOUBLE)
-        |         * CAST(n0 - ties_y AS DOUBLE)), 6) + 0.0 AS tau_b
+        |  CASE WHEN n0 > ties_x AND n0 > ties_y THEN
+        |    ROUND(CAST(concordant - discordant AS DOUBLE)
+        |      / SQRT(CAST(n0 - ties_x AS DOUBLE)
+        |           * CAST(n0 - ties_y AS DOUBLE)), 6) + 0.0
+        |  END AS tau_b
         |FROM m ORDER BY type_a, type_b""".stripMargin,
 
     // the same pick-not-sum spelling: pairwise exact-long divisions,

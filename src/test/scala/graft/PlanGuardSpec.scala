@@ -254,6 +254,10 @@ class PlanGuardSpec extends AnyFunSuite {
     // (+1–2 exchanges). None of those leftover frames is read again —
     // suites run sequentially and build their inputs fresh — so clear
     // them all and sweep against an empty, reproducible storage state.
+    // Safety of the blanket unpersist rests on the sequential-suite
+    // invariant documented on TestSpark and pinned in build.sbt
+    // (testForkedParallel=false): no other suite holds a checkpointed
+    // frame across this point.
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = true))
@@ -295,6 +299,62 @@ class PlanGuardSpec extends AnyFunSuite {
     }
     walk(plan)
     seen.size
+  }
+
+  /** How many ShuffleExchangeLike nodes MATERIALIZED more than once for
+    * the same canonical subtree — the duplicate work countShuffles
+    * deliberately dedups (AQE's bottom-up stage race can legitimately
+    * produce one). Used to keep broken exchange reuse visible.
+    */
+  private def duplicateMaterializations(
+      plan: org.apache.spark.sql.execution.SparkPlan): Int = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    val copies = scala.collection.mutable.Map.empty[SparkPlan, Int]
+      .withDefaultValue(0)
+    def walk(p: SparkPlan): Unit = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case _: ReusedExchangeExec => ()
+      case s: ShuffleExchangeLike =>
+        copies(s.canonicalized) += 1; s.children.foreach(walk)
+      case other => other.children.foreach(walk)
+    }
+    walk(plan)
+    copies.valuesIterator.map(n => (n - 1) max 0).sum
+  }
+
+  test("exchange reuse stays alive (q34 static plan) and duplicate " +
+      "materializations stay visible") {
+    // countShuffles dedups identical exchanges for flake immunity, which
+    // would hide a regression that genuinely doubles map-side work (reuse
+    // config off, canonical identity broken). Two companion guards:
+    // (1) the session-level reuse switch must be on;
+    assert(spark.sessionState.conf.exchangeReuseEnabled,
+      "spark.sql.exchange.reuse is off — self-join plans double their work")
+    // (2) where reuse is DETERMINISTIC — the static planner's
+    // ReuseExchange rule on q34's postings self-join (AQE's runtime stage
+    // reuse can race; the static rule cannot) — assert it fires. A change
+    // that breaks the canonical identity of the self-join sides fails
+    // here even though the dedup'd ceiling can't see it.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = SparkEntry.queries("q34_jaccard_pairs")(spark, TestSpark.Sf)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("ReusedExchange"),
+        s"q34's static plan lost its postings-exchange reuse:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    // (3) for everything swept, duplicates that DID materialize are
+    // logged — an AQE race shows up here once in a while (harmless, not
+    // a failure), a systematic reuse break shows up on every run and on
+    // every self-join query at once.
+    val dups = executed.toSeq
+      .map { case (n, p) => n -> duplicateMaterializations(p) }
+      .filter(_._2 > 0)
+    if (dups.nonEmpty) info(s"duplicate exchange materializations " +
+      s"(AQE race or broken reuse): ${dups.sortBy(_._1)}")
   }
 
   test("no CartesianProduct in any declared query plan") {
