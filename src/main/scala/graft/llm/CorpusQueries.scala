@@ -160,6 +160,18 @@ object CorpusQueries extends QueryModule {
         .limit(20)
     },
 
+    // The full iterative BPE trainer — see bpeTrain below. q95 computes
+    // round 1's statistic; this applies the argmax merge and re-counts,
+    // k times, producing the learned merge table (the artifact tokenizer
+    // training actually ships).
+    "q301_bpe_train" -> { (s, dir) =>
+      val freqs = Tables.t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) >= 2)
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      bpeTrain(freqs, BpeRounds)
+    },
+
     // Gopher repetition signals at n-gram granularity — the companions
     // of q88's top-token share (Rae et al. 2021 §A1.1 measures
     // top-n-gram share and duplicate-n-gram fraction for n up to 10;
@@ -1662,7 +1674,158 @@ object CorpusQueries extends QueryModule {
         .orderBy(col("dsir_weight").desc, col("doc_id")).limit(25)
     })
 
+  /** q301's merge-round count: fixed k, the operator's own parameter
+    * (BPE trains "until vocab size V" = a fixed number of merges). */
+  val BpeRounds = 8
+
+  /** Iterative BPE trainer (Sennrich et al. 2016, Algorithm 1): k merge
+    * ROUNDS over the distinct-word frequency table. State is the
+    * vocabulary's current segmentation (word, freq, toks) — VOCAB-sized;
+    * the corpus is touched exactly once, by the caller's word count.
+    * Per round: adjacent-pair counts (one vocab-keyed shuffle), a 1-row
+    * argmax (count desc, then the low-separator concat l||CHR(2)||r asc
+    * — identical to (l, r) tuple order because CHR(2) sorts below every
+    * token character, and spelled the same way in the oracle so ties
+    * break identically in both engines), then the greedy left-to-right
+    * merge applied as a scan-local array fold: "if last emitted == l
+    * and current == r, replace last with l||r, else append". That fold
+    * IS Sennrich's non-overlapping scan — on a run "aaaaa" with merge
+    * (a,a) it yields [aa,aa,a], never re-merging a token formed this
+    * round, because l||r can never equal l while r is non-empty. The
+    * fold is a Catalyst `aggregate` HOF — no UDF; the 1-row best is
+    * attached with a broadcast LEFT join (state survives a round with
+    * no remaining pairs, which then contributes no merge row in either
+    * engine). Each round rolls one localCheckpoint (the q107/q71/q292
+    * iterative shape — state is referenced twice per round, pair count
+    * + merge, so an un-checkpointed k-round DAG doubles the state
+    * subtree per round). The oracle unrolls the same k rounds as CTEs
+    * and spells the greedy scan RELATIONALLY (match positions → runs of
+    * consecutive matches → keep odd ranks → rebuild with LIST ORDER BY)
+    * — an independent second spelling of the same semantics, so a fold
+    * bug and an SQL bug cannot cancel. Scale shape: after the initial
+    * word count every stage is bounded by the DISTINCT vocabulary and
+    * its symbol count, never the corpus — at 100 TB the k rounds run on
+    * a frame millions of times smaller than the input. Reference scope:
+    * tokenizer-prep sits beside the corpus pipeline the reference seeds
+    * (pyopenetl/pipelines.py:1-60 moves corpora; training prep is the
+    * §2.3 extension surface).
+    */
+  def bpeTrain(words: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"bpeTrain needs at least one round, got $rounds")
+    var state = words
+      .select(col("word"), col("freq"),
+        filter(split(col("word"), ""), t => t =!= "").as("toks"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[DataFrame]
+    for (r <- 1 to rounds) {
+      val best = state.filter(size(col("toks")) >= 2)
+        .select(col("freq"), explode(transform(
+          sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("l"),
+            element_at(col("toks"), i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("pair_count"))
+        .orderBy(col("pair_count").desc,
+          concat(col("l"), lit("\u0002"), col("r")).asc)
+        .limit(1)
+        .localCheckpoint()
+      merges += best.select(lit(r).as("merge_round"), col("l"), col("r"),
+        col("pair_count"))
+      if (r < rounds) {
+        val next = state
+          .join(broadcast(best.select(col("l"), col("r"))), lit(true), "left")
+          .select(col("word"), col("freq"),
+            when(col("l").isNotNull && size(col("toks")) >= 2,
+              aggregate(
+                slice(col("toks"), lit(2), size(col("toks")) - 1),
+                slice(col("toks"), 1, 1),
+                (acc, t) => when(
+                  element_at(acc, -1) === col("l") && t === col("r"),
+                  concat(slice(acc, lit(1), size(acc) - 1),
+                    array(concat(col("l"), col("r")))))
+                  .otherwise(concat(acc, array(t)))))
+              .otherwise(col("toks")).as("toks"))
+        state = graft.Checkpoints.roll(next, state)
+      } else graft.Checkpoints.free(state)
+    }
+    merges.result().reduce(_ unionAll _)
+      .select(col("merge_round"), col("l").as("left_sym"),
+        col("r").as("right_sym"), concat(col("l"), col("r")).as("merged"),
+        col("pair_count"))
+      .orderBy("merge_round")
+  }
+
+  /** q301's oracle text: the same k rounds unrolled as CTEs (see
+    * bpeTrain's doc for why the merge is spelled relationally here). */
+  private def bpeTrainOracle(rounds: Int): String = {
+    val head =
+      """WITH f AS MATERIALIZED (
+        |  SELECT word, COUNT(*) AS freq
+        |  FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS word
+        |        FROM documents)
+        |  WHERE LENGTH(word) >= 2 GROUP BY word),
+        |s0 AS MATERIALIZED (
+        |  SELECT word, freq,
+        |    LIST_TRANSFORM(RANGE(1, LENGTH(word) + 1),
+        |      i -> SUBSTRING(word, i, 1)) AS toks
+        |  FROM f)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      val findBest =
+        s"""p$r AS MATERIALIZED (
+           |  SELECT u.l AS l, u.r AS r, CAST(SUM(freq) AS BIGINT) AS pair_count
+           |  FROM (
+           |    SELECT freq, UNNEST(LIST_TRANSFORM(RANGE(1, LEN(toks)),
+           |      i -> {'l': toks[i], 'r': toks[i + 1]})) AS u
+           |    FROM s${r - 1} WHERE LEN(toks) >= 2)
+           |  GROUP BY u.l, u.r),
+           |b$r AS MATERIALIZED (
+           |  SELECT l, r, pair_count FROM p$r
+           |  ORDER BY pair_count DESC, l || CHR(2) || r ASC LIMIT 1)""".stripMargin
+      val applyMerge =
+        s"""t$r AS MATERIALIZED (
+           |  SELECT word, freq, u.i AS i, u.tok AS tok
+           |  FROM (SELECT word, freq,
+           |      UNNEST(LIST_TRANSFORM(RANGE(1, LEN(toks) + 1),
+           |        i -> {'i': i, 'tok': toks[i]})) AS u
+           |    FROM s${r - 1})),
+           |m$r AS MATERIALIZED (
+           |  SELECT a.word, a.i FROM t$r a JOIN t$r c
+           |    ON a.word = c.word AND c.i = a.i + 1
+           |  WHERE a.tok = (SELECT l FROM b$r)
+           |    AND c.tok = (SELECT r FROM b$r)),
+           |k$r AS MATERIALIZED (
+           |  SELECT word, i FROM (
+           |    SELECT word, i, ROW_NUMBER() OVER (
+           |        PARTITION BY word, run ORDER BY i) AS rn
+           |    FROM (SELECT word, i,
+           |        i - ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS run
+           |      FROM m$r))
+           |  WHERE rn % 2 = 1),
+           |s$r AS MATERIALIZED (
+           |  SELECT t.word, t.freq,
+           |    LIST(CASE WHEN k.i IS NOT NULL
+           |      THEN (SELECT l FROM b$r) || (SELECT r FROM b$r)
+           |      ELSE t.tok END ORDER BY t.i) AS toks
+           |  FROM t$r t
+           |  LEFT JOIN k$r k ON t.word = k.word AND t.i = k.i
+           |  LEFT JOIN k$r q ON t.word = q.word AND t.i = q.i + 1
+           |  WHERE q.i IS NULL
+           |  GROUP BY t.word, t.freq)""".stripMargin
+      if (r == rounds) findBest else findBest + ",\n" + applyMerge
+    }
+    val union = (1 to rounds)
+      .map(r => s"  SELECT $r AS merge_round, l, r, pair_count FROM b$r")
+      .mkString("\n  UNION ALL\n")
+    head + ",\n" + steps.mkString(",\n") + "\n" +
+      s"""SELECT merge_round, l AS left_sym, r AS right_sym,
+         |  l || r AS merged, pair_count
+         |FROM (
+         |$union)
+         |ORDER BY merge_round""".stripMargin
+  }
+
   override def oracles: Map[String, String] = Map(
+    "q301_bpe_train" -> bpeTrainOracle(BpeRounds),
     "q112_distinctive_terms" ->
       """WITH tok AS (
         |  SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS t

@@ -429,4 +429,49 @@ class CorpusOpsSpec extends AnyFunSuite {
       }
     }
   }
+  test("q301 BPE trainer: hand-traced merge sequence on a planted corpus") {
+    import spark.implicits._
+    // freq(aaaa)=10, freq(abab)=4: round 1 counts (a,a)=3*10=30 (adjacent
+    // positions INCLUDING overlaps, Sennrich's get_stats), (a,b)=2*4=8,
+    // (b,a)=4. Merges, in order: (a,a) -> aaaa=[aa,aa]; (aa,aa) 10;
+    // (a,b) 8 -> abab=[ab,ab]; (ab,ab) 4.
+    val words = Seq(("aaaa", 10L), ("abab", 4L)).toDF("word", "freq")
+    val got = CorpusQueries.bpeTrain(words, 4)
+      .select("merge_round", "left_sym", "right_sym", "merged", "pair_count")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      (1, "a", "a", "aa", 30L),
+      (2, "aa", "aa", "aaaa", 10L),
+      (3, "a", "b", "ab", 8L),
+      (4, "ab", "ab", "abab", 4L)))
+  }
+
+  test("q301 BPE merge fold: greedy left-to-right non-overlap on runs") {
+    import spark.implicits._
+    // "aaaaa" under merge (a,a) must become [aa,aa,a] in round 2's
+    // recount: pair stats (aa,aa)=1 and (aa,a)=1 per word. A naive
+    // string-replace spelling yields [aa,a,aa] instead (the shared
+    // boundary bug); the fold and the oracle's odd-rank-run spelling
+    // both implement the true greedy scan.
+    val words = Seq(("aaaaa", 7L)).toDF("word", "freq")
+    val got = CorpusQueries.bpeTrain(words, 2)
+      .select("merge_round", "merged", "pair_count")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    // round 1: (a,a) appears at 4 adjacent positions -> 28
+    // round 2 on [aa,aa,a]: (aa,aa)=7 beats (aa,a)=7 on the tie-break
+    // (concat "aa\u0002aa" < "aa\u0002a"? NO: "aa\u0002a" is a prefix of
+    // "aa\u0002aa", so (aa,a) sorts FIRST) -> (aa,a) wins the tie.
+    assert(got == Seq((1, "aa", 28L), (2, "aaa", 7L)))
+  }
+
+  test("q301 BPE trainer: rounds past exhaustion contribute no row") {
+    import spark.implicits._
+    // "ab" exhausts after one merge; rounds 2..4 find no pairs and the
+    // state must SURVIVE (left join) so the merge table stays 1 row.
+    val words = Seq(("ab", 3L)).toDF("word", "freq")
+    val got = CorpusQueries.bpeTrain(words, 4).collect()
+    assert(got.length == 1)
+    assert(got(0).getString(3) == "ab" && got(0).getLong(4) == 3L)
+  }
 }
