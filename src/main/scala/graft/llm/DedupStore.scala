@@ -66,4 +66,59 @@ object DedupStore {
     recordFingerprints(novel, storePath, keyCol)
     novel
   }
+
+  /** MinHash-LSH band postings for `docs` — the NEAR-dup twin of the
+    * fingerprint store above, and the persistable half of
+    * [[DedupQueries.candidatePairs]]: one row per (doc, band) with the
+    * band's bucket hash. `posting_id = doc_id * Bands + band` is the
+    * snapshot pk: each document owns exactly `Bands` posting ids, so a
+    * re-landed document's delta replaces precisely its own rows under
+    * the store's latest-wins-per-pk merge-on-read — never another
+    * doc's. Store size is Bands rows × 2 longs per document — like the
+    * exact store, a vanishing fraction of corpus bytes at 100 TB.
+    */
+  def bandPostings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(graft.functions.MinHashBands.minhashBands(
+          col("text"), DedupQueries.NumHashes, DedupQueries.Bands))
+          .as(Seq("band", "band_hash")))
+      .select(
+        (col("doc_id") * DedupQueries.Bands + col("band")).as("posting_id"),
+        col("doc_id"), col("band"), col("band_hash"))
+
+  /** The incoming dump's near-dup drops answered FROM the standing
+    * postings index — no recompute of corpus postings: candidates come
+    * from one equi-join of the dump's O(batch) postings against the
+    * index on (band, band_hash), then exact Jaccard verification at
+    * `threshold` against the candidate old docs' token arrays (so every
+    * drop is a TRUE near-dup — LSH only gates recall, never precision).
+    * Returns one row per dropped dump doc: (doc_id, n_matches,
+    * best_jaccard). Scale shape: the index join touches index rows
+    * co-keyed by band hash (bucket-sized blowup, the q36 argument), the
+    * verify join is candidate-sized — never dump × corpus.
+    */
+  def dropsAgainstIndex(dumpPostings: DataFrame, index: DataFrame,
+                        dumpToks: DataFrame, oldToks: DataFrame,
+                        threshold: Double): DataFrame = {
+    val cand = dumpPostings
+      .select(col("doc_id").as("a_id"), col("band"), col("band_hash"))
+      .join(index.select(col("doc_id").as("b_id"), col("band"),
+        col("band_hash")), Seq("band", "band_hash"))
+      .select(col("a_id"), col("b_id")).distinct()
+    cand
+      .join(dumpToks.select(col("doc_id").as("a_id"),
+        col("tok").as("a_tok")), "a_id")
+      .join(oldToks.select(col("doc_id").as("b_id"),
+        col("tok").as("b_tok")), "b_id")
+      .withColumn("n_common",
+        graft.functions.SortedIntersectCount.sortedIntersectCount(
+          col("a_tok"), col("b_tok")))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (size(col("a_tok")) + size(col("b_tok")) - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("a_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        max(round(col("jaccard"), 4)).as("best_jaccard"))
+  }
 }

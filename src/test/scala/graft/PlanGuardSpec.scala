@@ -39,6 +39,8 @@ class PlanGuardSpec extends AnyFunSuite {
       "q157_decayed_value", // 1-row as-of max crossed into the scan
       "q159_rfm_segments", // 1-row quintile thresholds × customer rollup
       "q165_incremental_dedup", // 1-row id-percentile cut × the scan
+      "q302_lsh_index_snapshot", // q165's 1-row cut cross + 1-row
+                                 // rebuild-mismatch count attach
       "q166_ks_drift", // #sources-row stats + 1-row total × the value grid
       "q171_silhouette", // k-row centroid table broadcast-probed (q90)
       "q182_chisq_drift", // q166's grid shape: stats × bucket margins
@@ -108,6 +110,15 @@ class PlanGuardSpec extends AnyFunSuite {
     "q115_importance_sample" -> 1, // quality + hash accept are scan-local + sort
     "q116_eval_overlap" -> 3, // eval-set distinct (broadcast build) + doc agg + sort
     "q118_correlated_sub" -> 4, // decorrelated agg + join + sort
+    "q302_lsh_index_snapshot" -> 13, // two independent decision pipelines
+                                 // by design: the index path (postings
+                                 // equi-join + verify join + drop agg)
+                                 // PLUS the exact PPJoin contract
+                                 // baseline it is graded against, a
+                                 // read-back-vs-rebuild full-outer
+                                 // check, and the per-source rollup —
+                                 // the production path alone is the
+                                 // q36-shaped 3
     "q131_weighted_jaccard" -> 8, // q34's pair pipeline (5) + weighted-index
                                   // build (df agg + per-doc collect) + the
                                   // 1-row corpus count — each equi-keyed;
