@@ -61,6 +61,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       MisraGriesSketch(a(0), intLit(a(1), "misra_gries_sketch", "k")))
     register(ext, "top_k_by", classOf[TopKByAggregate], 3)(a =>
       TopKByAggregate(a(0), a(1), intLit(a(2), "top_k_by", "k")))
+    register(ext, "bottom_k_by", classOf[BottomKByAggregate], 3)(a =>
+      BottomKByAggregate(a(0), a(1), intLit(a(2), "bottom_k_by", "k")))
     // rewrite HOF dot products into the fused native expression (path (c):
     // Rule[LogicalPlan] via injectOptimizerRule)
     ext.injectOptimizerRule(_ => FuseDotProduct)

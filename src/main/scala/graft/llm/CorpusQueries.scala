@@ -1148,6 +1148,35 @@ object CorpusQueries extends QueryModule {
         .orderBy("source", "rk")
     },
 
+    // q164's weighted sample re-spelled through the mergeable bounded-
+    // heap aggregate ([[graft.functions.BottomKByAggregate]]) — the
+    // batch contract row for the sampling family's skew-immune form:
+    // the window spelling concentrates each source's FULL row set on
+    // one task and sorts it; the aggregate ships <= k slots per source
+    // per map task and merges heaps, so a pathologically hot source
+    // costs k slots like any other (and the same merge path is the
+    // streaming twin's state update). Same -ln(u)/w keys, same
+    // (key, doc_id) total order — the oracle STATES the window
+    // spelling, so the driver hash-checks that heap-merge == sort.
+    "q303_weighted_sample_agg" -> { (s, dir) =>
+      val tok = split(col("text"), " ")
+      val wgt = size(array_distinct(tok)).cast("double") /
+        size(tok).cast("double")
+      val u = (conv(substring(md5(col("doc_id").cast("string")
+        .cast("binary")), 1, 8), 16, 10).cast("double") + lit(1.0)) /
+        lit(4294967297.0)
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), (-log(u) / wgt).as("key"))
+        .groupBy(col("source"))
+        .agg(graft.functions.BottomKByAggregate
+          .bottomKBy(col("key"), col("doc_id"), 20).as("smp"))
+        .select(col("source"), posexplode(col("smp")).as(Seq("p0", "e")))
+        .select(col("e.id").as("doc_id"), col("source"),
+          round(col("e.v"), 6).as("key"),
+          (col("p0") + 1).cast("int").as("rk"))
+        .orderBy("source", "rk")
+    },
+
     // Kolmogorov–Smirnov drift per source: D = max ECDF gap between a
     // source's length distribution and the REST of the corpus — the
     // nonparametric twin of q143's PSI (PSI needs binning choices; KS is
@@ -2559,6 +2588,26 @@ object CorpusQueries extends QueryModule {
         |  FROM k)
         |SELECT doc_id, source, ROUND(w, 4) AS w, ROUND(key, 6) AS key,
         |  CAST(rk AS INTEGER) AS rk
+        |FROM r WHERE rk <= 20 ORDER BY source, rk""".stripMargin,
+
+    // the WINDOW spelling of the identical sample — heap-merge must
+    // equal sort
+    "q303_weighted_sample_agg" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, STRING_SPLIT(text, ' ') AS tok
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, source,
+        |    -LN((CAST(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |           AS BIGINT) + 1.0) / 4294967297.0)
+        |      / (CAST(LEN(LIST_DISTINCT(tok)) AS DOUBLE) / LEN(tok)) AS key
+        |  FROM d),
+        |r AS (
+        |  SELECT doc_id, source, key,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |                       ORDER BY key, doc_id) AS rk
+        |  FROM k)
+        |SELECT doc_id, source, ROUND(key, 6) AS key, CAST(rk AS INTEGER) AS rk
         |FROM r WHERE rk <= 20 ORDER BY source, rk""".stripMargin,
 
     "q166_ks_drift" ->

@@ -73,6 +73,37 @@ object StreamingOps {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("top"))
 
+  /** Streaming exact-k weighted sample per event-time window (batch
+    * twin: q303): key = -ln(u)/w with u tied to the event KEY (md5 of
+    * event_id — replay-stable, the q64/q164 argument: a reshuffled or
+    * re-delivered stream draws the same u per event) and w = the
+    * event's value, aggregated with the bounded-heap
+    * [[graft.functions.BottomKByAggregate]]. State per open window is
+    * <= k (key, id) slots however many events the window sees, and the
+    * heap merge is associative + deterministic under its (v ASC, id
+    * ASC) total order, so ANY micro-batch split folds to the identical
+    * sample a single batch pass produces — StreamingSpec asserts the
+    * arrays bit-equal. The exact-sampling counterpart of
+    * [[topkStream]]'s deterministic top-k.
+    */
+  def weightedSampleStream(events: DataFrame, k: Int): DataFrame =
+    weightedSampleWindowed(events.withWatermark("ts", "1 hour"), k)
+
+  /** The one-pass batch twin over the same rows (the [[amsF2Windowed]]
+    * pattern) — StreamingSpec asserts the streamed samples bit-equal
+    * this, whatever the micro-batch split. */
+  def weightedSampleWindowed(events: DataFrame, k: Int): DataFrame = {
+    val u = (conv(substring(md5(col("event_id").cast("string")
+      .cast("binary")), 1, 8), 16, 10).cast("double") + lit(1.0)) /
+      lit(4294967297.0)
+    events
+      .select(col("ts"), col("event_id"), (-log(u) / col("value")).as("key"))
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.functions.BottomKByAggregate
+        .bottomKBy(col("key"), col("event_id"), k).as("sample"))
+      .select(col("window.start").as("win_start"), col("sample"))
+  }
+
   /** Streaming trending-terms via the mergeable Misra-Gries summary
     * (batch twin: q197): per hourly window, the ≤k-slot frequent-items
     * sketch over the event-type stream. Same bounded-state argument as

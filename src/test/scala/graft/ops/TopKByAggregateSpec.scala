@@ -54,4 +54,28 @@ class TopKByAggregateSpec extends AnyFunSuite {
       .as[Seq[(Double, Long)]].head()
     assert(got == Seq((5.0, 1L), (3.0, 4L)))
   }
+
+  for (seed <- Seq(13L, 77L); parts <- Seq(1, 8); k <- Seq(1, 5)) {
+    test(s"bottomKBy matches driver sort, seed=$seed parts=$parts k=$k") {
+      import spark.implicits._
+      import graft.functions.BottomKByAggregate.bottomKBy
+      val rows = data(seed, 500)
+      val got = rows.toDF("g", "v", "id").repartition(parts)
+        .groupBy($"g").agg(bottomKBy($"v", $"id", k).as("bot"))
+        .as[(Int, Seq[(Double, Long)])].collect().toMap
+      val want = rows.groupBy(_._1).view.mapValues(
+        _.map(r => (r._2, r._3))
+          .sortWith((a, b) => a._1 < b._1 || (a._1 == b._1 && a._2 < b._2))
+          .take(k)).toMap
+      assert(got == want)
+    }
+  }
+
+  test("bottom_k_by is reachable from SQL with a literal k") {
+    val r = spark.sql(
+      "SELECT bottom_k_by(v, id, 2) AS t FROM VALUES " +
+        "(1.0D, 10L), (3.0D, 11L), (2.0D, 12L) AS x(v, id)")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(r.map(_.getLong(1)) == Seq(10L, 12L))
+  }
 }

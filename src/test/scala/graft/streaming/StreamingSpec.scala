@@ -673,4 +673,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids == Seq(1L, 2L, 11L))
     assert(graft.etl.Snapshot.read(spark, store).count() == 3)
   }
+
+  test("streaming weighted sample merges to the batch twin bit-equally " +
+       "and matches an independent Scala derivation") {
+    val ms = MemoryStream[Ev](spark)
+    val q = StreamingOps.weightedSampleStream(ms.toDF(), 2).writeStream
+      .format("memory").queryName("wsample")
+      .outputMode("complete").start()
+    // three micro-batches, windows split across boundaries: the 10:00
+    // window's heap state must merge entries arriving in batches 1 AND 2
+    ms.addData(fixture.take(2): _*)
+    q.processAllAvailable()
+    ms.addData(fixture.slice(2, 4): _*)
+    q.processAllAvailable()
+    ms.addData(fixture.drop(4): _*)
+    q.processAllAvailable(); q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getTimestamp(0).toString ->
+        r.getSeq[org.apache.spark.sql.Row](1)
+          .map(e => (e.getDouble(0), e.getLong(1))).toList).toMap
+    val got = rows(spark.table("wsample"))
+    // batch twin in ONE pass over the same rows: heap merge is
+    // associative and deterministically ordered, so any split folds to
+    // the identical (key, id) arrays — bit-equal doubles included
+    val batch = rows(StreamingOps.weightedSampleWindowed(fixture.toDF(), 2))
+    assert(got == batch, "micro-batch split must not change the sample")
+    // independent truth: recompute every key in plain Scala (same md5 ->
+    // first-8-hex u, same -ln(u)/w) and take the 2 smallest per window
+    def key(e: Ev): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(e.event_id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 1.0) /
+        4294967297.0
+      -math.log(u) / e.value
+    }
+    val want = fixture.groupBy(e => java.sql.Timestamp.valueOf(
+        e.ts.toLocalDateTime.withMinute(0).withSecond(0)).toString)
+      .view.mapValues(_.map(e => (key(e), e.event_id))
+        .sortBy(identity).take(2).toList).toMap
+    assert(got == want, "sample must be the exact 2 smallest keys/window")
+  }
 }
