@@ -921,18 +921,15 @@ object CorpusQueries extends QueryModule {
     // the entropy summands reduced with the exact-decimal sum so the
     // result is order-independent and oracle-bit-identical.
     "q135_token_entropy" -> { (s, dir) =>
-      val cs = Tables.t(s, dir, "documents")
-        .select(col("source"), explode(split(col("text"), " ")).as("t"))
-        .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c_st"))
-      val wS = Window.partitionBy(col("source"))
-      val p = col("c_st").cast("double") / col("n_s").cast("double")
-      cs.withColumn("n_s", sum(col("c_st")).over(wS))
-        .select(col("source"), col("n_s"), (-p * log(p)).as("summand"))
-        .groupBy(col("source"), col("n_s").as("n_tokens"))
-        .agg(count(lit(1)).as("vocab"),
-          graft.Fns.dsum18(col("summand")).as("entropy"))
-        .select(col("source"), col("n_tokens"), col("vocab"), col("entropy"))
-        .orderBy("source")
+      tokenEntropyOf(Tables.t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("t")))
+    },
+
+    // q135 on the Zipf-regenerated corpus ([[TextQueries.zipfTokArray]]):
+    // entropy reflects the rich log-uniform distribution (octave
+    // choice + within-octave spread) instead of saturating at ln(31).
+    "q306_zipf_entropy" -> { (s, dir) =>
+      tokenEntropyOf(TextQueries.zipfTokens(Tables.t(s, dir, "documents")))
     },
 
     // Deterministic epoch shuffle — the training-order generator: each
@@ -1001,25 +998,16 @@ object CorpusQueries extends QueryModule {
     // pct * total in integer arithmetic — no float threshold can
     // half-boundary).
     "q145_vocab_coverage" -> { (s, dir) =>
-      val wR = Window.partitionBy(col("source"))
-        .orderBy(col("c").desc, col("t").asc)
-      val wCum = Window.partitionBy(col("source"))
-        .orderBy(col("c").desc, col("t").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wS = Window.partitionBy(col("source"))
-      def kAt(pct: Int): Column =
-        min(when(col("cum") * 100 >= lit(pct.toLong) * col("tot"),
-          col("r"))).as(s"k$pct")
-      Tables.t(s, dir, "documents")
-        .select(col("source"), explode(split(col("text"), " ")).as("t"))
-        .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
-        .select(col("source"),
-          row_number().over(wR).cast("long").as("r"),
-          sum(col("c")).over(wCum).as("cum"),
-          sum(col("c")).over(wS).as("tot"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("vocab"), kAt(50), kAt(90), kAt(99))
-        .orderBy("source")
+      vocabCoverageOf(Tables.t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("t")))
+    },
+
+    // q145 on the Zipf-regenerated corpus: the coverage points spread
+    // out the way the tokenizer-budget planner needs (k50 small, k99
+    // deep in the tail) instead of all collapsing onto the 31-type
+    // vocabulary.
+    "q307_zipf_coverage" -> { (s, dir) =>
+      vocabCoverageOf(TextQueries.zipfTokens(Tables.t(s, dir, "documents")))
     },
 
     // Pairwise source KL divergence — the mixture-design statistic behind
@@ -1702,6 +1690,43 @@ object CorpusQueries extends QueryModule {
           (round(col("w"), 6) + lit(0.0)).as("dsir_weight"))
         .orderBy(col("dsir_weight").desc, col("doc_id")).limit(25)
     })
+
+  /** q135's entropy body over any (source, t) token stream. */
+  def tokenEntropyOf(tokens: DataFrame): DataFrame = {
+    val cs = tokens
+      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c_st"))
+    val wS = Window.partitionBy(col("source"))
+    val p = col("c_st").cast("double") / col("n_s").cast("double")
+    cs.withColumn("n_s", sum(col("c_st")).over(wS))
+      .select(col("source"), col("n_s"), (-p * log(p)).as("summand"))
+      .groupBy(col("source"), col("n_s").as("n_tokens"))
+      .agg(count(lit(1)).as("vocab"),
+        graft.Fns.dsum18(col("summand")).as("entropy"))
+      .select(col("source"), col("n_tokens"), col("vocab"), col("entropy"))
+      .orderBy("source")
+  }
+
+  /** q145's coverage-point body over any (source, t) token stream. */
+  def vocabCoverageOf(tokens: DataFrame): DataFrame = {
+    val wR = Window.partitionBy(col("source"))
+      .orderBy(col("c").desc, col("t").asc)
+    val wCum = Window.partitionBy(col("source"))
+      .orderBy(col("c").desc, col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wS = Window.partitionBy(col("source"))
+    def kAt(pct: Int): Column =
+      min(when(col("cum") * 100 >= lit(pct.toLong) * col("tot"),
+        col("r"))).as(s"k$pct")
+    tokens
+      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
+      .select(col("source"),
+        row_number().over(wR).cast("long").as("r"),
+        sum(col("c")).over(wCum).as("cum"),
+        sum(col("c")).over(wS).as("tot"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"), kAt(50), kAt(90), kAt(99))
+      .orderBy("source")
+  }
 
   /** q301's merge-round count: fixed k, the operator's own parameter
     * (BPE trains "until vocab size V" = a fixed number of merges). */
@@ -2461,6 +2486,45 @@ object CorpusQueries extends QueryModule {
          |SELECT source, n_s AS n_tokens, COUNT(*) AS vocab,
          |  ${graft.Fns.dsum18Sql("summand")} AS entropy
          |FROM sm GROUP BY source, n_s ORDER BY source""".stripMargin,
+
+    // q135's SQL over the regenerated Zipf stream (zt restates
+    // TextQueries.zipfTokArray's integer spelling)
+    "q306_zipf_entropy" ->
+      s"""WITH zt AS MATERIALIZED (
+         |${TextQueries.ZipfTokensSql}),
+         |cs AS (SELECT source, t, COUNT(*) AS c_st FROM zt GROUP BY 1, 2),
+         |w AS (
+         |  SELECT source, c_st,
+         |    CAST(SUM(c_st) OVER (PARTITION BY source) AS BIGINT) AS n_s
+         |  FROM cs),
+         |sm AS (
+         |  SELECT source, n_s,
+         |    -(CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+         |      * LN(CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE)) AS summand
+         |  FROM w)
+         |SELECT source, n_s AS n_tokens, COUNT(*) AS vocab,
+         |  ${graft.Fns.dsum18Sql("summand")} AS entropy
+         |FROM sm GROUP BY source, n_s ORDER BY source""".stripMargin,
+
+    "q307_zipf_coverage" ->
+      s"""WITH zt AS MATERIALIZED (
+         |${TextQueries.ZipfTokensSql}),
+         |cs AS (SELECT source, t, COUNT(*) AS c FROM zt GROUP BY 1, 2),
+         |r AS (
+         |  SELECT source,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |                       ORDER BY c DESC, t ASC) AS r,
+         |    CAST(SUM(c) OVER (PARTITION BY source
+         |      ORDER BY c DESC, t ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum,
+         |    CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS tot
+         |  FROM cs)
+         |SELECT source, COUNT(*) AS vocab,
+         |  MIN(CASE WHEN cum * 100 >= 50 * tot THEN r END) AS k50,
+         |  MIN(CASE WHEN cum * 100 >= 90 * tot THEN r END) AS k90,
+         |  MIN(CASE WHEN cum * 100 >= 99 * tot THEN r END) AS k99
+         |FROM r GROUP BY source ORDER BY source""".stripMargin,
 
     "q137_epoch_shuffle" ->
       """WITH e AS (

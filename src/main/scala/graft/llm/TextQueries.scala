@@ -205,6 +205,162 @@ object TextQueries extends QueryModule {
     else verified
   }
 
+  /** Deterministic Zipf-vocabulary REPLACEMENT token stream — the rich
+    * fixture the vocabulary-shaped contracts (q304–q309) run on. The
+    * harness documents fixture has a ~31-word vocabulary, so Zipf
+    * slope / hapax / Heaps structure is degenerate there (the operators
+    * pass, but on a domain that can't discriminate). This regenerates
+    * each document's tokens IN PLACE (same doc count, same per-doc
+    * length — corpus size still tracks SF) from an exactly
+    * cross-engine-computable log-uniform vocabulary: per position j,
+    * m = first-8-hex of md5(doc_id:j) (the q64/q164 key-tied hash — 32
+    * exact uniform bits), octave e = m mod ZipfOctaves, and the word
+    * is rank r = 2^e + ((m div ZipfOctaves) mod 2^e) — within-octave
+    * uniform, per-type probability (1/octaves)·2⁻ᵉ, i.e. a stair-step
+    * Zipf(1) over 2^octaves − 1 potential types. INTEGER arithmetic
+    * end to end (shift, mod, div — no pow/exp whose libm rounding
+    * could diverge between JVM and DuckDB), so both engines regenerate
+    * the identical corpus. The octave count is the slope-vs-tail dial
+    * and must track the fixture's PER-SOURCE sample size (~1.4k tokens
+    * at the sf0.01 gate, ~13.5k at sf0.1): simulation at N=1380 gives
+    * OLS-over-all-types slope/hapax of −0.97/0.46 at 9 octaves,
+    * −0.82/0.58 at 10, −0.65/0.73 at 12 — a vocabulary far above the
+    * sample drowns the regression in its own count-1 plateau (exactly
+    * as on real corpora sampled far below their vocabulary), which is
+    * why 9 octaves (V = 511) is pinned here and why a 100 TB corpus
+    * would raise the dial to 20+. The realized corpus has a frequent
+    * head (rank 1 at ~1/octaves of tokens), log-log slope ≈ −1, and an
+    * unsaturated tail — exactly the structure the six contracts
+    * measure. Scan-local per document (one
+    * nested HOF transform, no UDF); the md5-per-position cost is the
+    * corpus tokenization cost, paid once per query like split().
+    */
+  val ZipfOctaves = 9
+
+  val zipfTokArray: org.apache.spark.sql.Column = expr(
+    s"""transform(
+      |  transform(sequence(0, size(split(text, ' ')) - 1),
+      |    j -> cast(conv(substring(md5(cast(concat(cast(doc_id as string),
+      |           ':', cast(j as string)) as binary)), 1, 8), 16, 10)
+      |         as bigint)),
+      |  m -> concat('w', cast(shiftleft(1L, cast(m % $ZipfOctaves as int))
+      |         + (m div $ZipfOctaves)
+      |           % shiftleft(1L, cast(m % $ZipfOctaves as int))
+      |       as string)))""".stripMargin)
+
+  /** The (source, t) exploded form of [[zipfTokArray]]. */
+  def zipfTokens(docs: DataFrame): DataFrame =
+    docs.select(col("source"), explode(zipfTokArray).as("t"))
+
+  /** DuckDB restatement of [[zipfTokens]] — the shared CTE body of the
+    * q304–q309 oracles (columns source, doc_id, j, t). NOTE: no line
+    * here may begin with `||` — this body is re-embedded inside the
+    * oracles' own stripMargin blocks, which would eat the first pipe.
+    */
+  val ZipfTokensSql: String =
+    s"""SELECT source, doc_id, j,
+      |  'w' || CAST(((CAST(1 AS BIGINT) << (m % $ZipfOctaves))
+      |    + ((m // $ZipfOctaves)
+      |       % (CAST(1 AS BIGINT) << (m % $ZipfOctaves)))) AS VARCHAR)
+      |    AS t
+      |FROM (
+      |  SELECT source, doc_id, j,
+      |    CAST(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR) || ':' ||
+      |        CAST(j AS VARCHAR)), 1, 8)) AS BIGINT) AS m
+      |  FROM (SELECT source, doc_id,
+      |      UNNEST(RANGE(0, LEN(STRING_SPLIT(text, ' ')))) AS j
+      |    FROM documents))""".stripMargin
+
+  /** q128's census body over any (source, t) token stream. */
+  def vocabGrowthOf(tokens: DataFrame): DataFrame =
+    tokens
+      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("c")).as("n_tokens"),
+        count(when(col("c") === 1, 1)).as("n_hapax"))
+      .select(col("source"), col("n_types"), col("n_tokens"),
+        col("n_hapax"),
+        (col("n_types").cast("double") / col("n_tokens").cast("double"))
+          .as("type_token_ratio"),
+        (col("n_hapax").cast("double") / col("n_types").cast("double"))
+          .as("hapax_share"))
+      .orderBy("source")
+
+  /** q132's rank-regression body over any (source, t) token stream. */
+  def zipfSlopeOf(tokens: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("c").desc, col("t").asc)
+    val ranked = tokens
+      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
+      .withColumn("r", row_number().over(w))
+      .select(col("source"),
+        log(col("r").cast("double")).as("x"),
+        log(col("c").cast("double")).as("y"))
+    ranked.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_types"),
+        graft.Fns.dsum18(col("x")).as("sx"),
+        graft.Fns.dsum18(col("y")).as("sy"),
+        graft.Fns.dsum18(col("x") * col("y")).as("sxy"),
+        graft.Fns.dsum18(col("x") * col("x")).as("sxx"))
+      .select(col("source"), col("n_types"),
+        round((col("n_types").cast("double") * col("sxy")
+            - col("sx") * col("sy")) /
+          (col("n_types").cast("double") * col("sxx")
+            - col("sx") * col("sx")), 4).as("zipf_slope"))
+      .orderBy("source")
+  }
+
+  /** q276's Chao1 body over any (source, t) token stream. */
+  def chao1Of(tokens: DataFrame): DataFrame = {
+    val chao1 = col("v_obs").cast("double") +
+      (col("f1") * (col("f1") - lit(1L))).cast("double") /
+        (lit(2.0) * (col("f2") + lit(1L)).cast("double"))
+    tokens
+      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("v_obs"),
+        count(when(col("c") === 1, 1)).as("f1"),
+        count(when(col("c") === 2, 1)).as("f2"))
+      .select(col("source"), col("v_obs"), col("f1"), col("f2"),
+        (round(chao1, 4) + lit(0.0)).as("chao1"),
+        (round(col("v_obs").cast("double") / chao1, 4) + lit(0.0))
+          .as("coverage"))
+      .orderBy("source")
+  }
+
+  /** q168's n-gram census body over any (source, tok ARRAY) frame. */
+  def hapaxCensusOf(d: DataFrame): DataFrame = {
+    // IF guards short docs: sequence(1, 0) DESCENDS in Spark, which
+    // would probe element_at(tok, 0) and throw
+    def gramList(n: Int): String =
+      s"IF(size(tok) >= $n, transform(sequence(1, size(tok) - ${n - 1}), " +
+        "i -> concat_ws(' ', " +
+        (0 until n).map(j => s"element_at(tok, i + $j)").mkString(", ") +
+        ")), CAST(array() AS ARRAY<STRING>))"
+    val grams = d
+      .select(col("source"), explode(array(
+        struct(lit(2).as("n"), expr(gramList(2)).as("g")),
+        struct(lit(3).as("n"), expr(gramList(3)).as("g")))).as("gn"))
+      .select(col("source"), col("gn.n").as("n"),
+        explode(col("gn.g")).as("gram"))
+    grams.groupBy(col("source"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"), col("n"))
+      .agg(count(lit(1)).as("n_vocab"),
+        sum(col("c")).as("n_occurrences"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("n_dis"))
+      .select(col("source"), col("n"), col("n_vocab"),
+        col("n_occurrences"), col("n_hapax"), col("n_dis"),
+        (col("n_hapax").cast("double") / col("n_vocab").cast("double"))
+          .as("hapax_vocab_share"),
+        (col("n_hapax").cast("double")
+          / col("n_occurrences").cast("double")).as("hapax_mass_share"))
+      .orderBy("source", "n")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Edit-distance fuzzy matching under blocking keys — the third
     // near-dup family next to token-set Jaccard (q34) and embeddings
@@ -759,20 +915,16 @@ object TextQueries extends QueryModule {
     // vocabulary-sized shuffle, never corpus-sized — then a #sources-row
     // rollup; ratios are exact-long IEEE divisions.
     "q128_vocab_growth" -> { (s, dir) =>
-      Tables.t(s, dir, "documents")
-        .select(col("source"), explode(split(col("text"), " ")).as("t"))
-        .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_types"),
-          sum(col("c")).as("n_tokens"),
-          count(when(col("c") === 1, 1)).as("n_hapax"))
-        .select(col("source"), col("n_types"), col("n_tokens"),
-          col("n_hapax"),
-          (col("n_types").cast("double") / col("n_tokens").cast("double"))
-            .as("type_token_ratio"),
-          (col("n_hapax").cast("double") / col("n_types").cast("double"))
-            .as("hapax_share"))
-        .orderBy("source")
+      vocabGrowthOf(Tables.t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("t")))
+    },
+
+    // q128's census on the Zipf-regenerated corpus ([[zipfTokArray]]):
+    // the same contract over a domain where it discriminates — hapax
+    // share comes out far from 0 and TTR tracks Heaps growth, where the
+    // ~31-word harness vocabulary pins both near degenerate constants.
+    "q304_zipf_vocab_growth" -> { (s, dir) =>
+      vocabGrowthOf(zipfTokens(Tables.t(s, dir, "documents")))
     },
 
     // IDF-weighted Jaccard — near-dup scoring where RARE shared tokens
@@ -854,28 +1006,16 @@ object TextQueries extends QueryModule {
     // five exact dsum18 moments — the slope is then pure IEEE arithmetic
     // on identical doubles in both engines.
     "q132_zipf_slope" -> { (s, dir) =>
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source"))
-        .orderBy(col("c").desc, col("t").asc)
-      val ranked = Tables.t(s, dir, "documents")
-        .select(col("source"), explode(split(col("text"), " ")).as("t"))
-        .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
-        .withColumn("r", row_number().over(w))
-        .select(col("source"),
-          log(col("r").cast("double")).as("x"),
-          log(col("c").cast("double")).as("y"))
-      ranked.groupBy(col("source"))
-        .agg(count(lit(1)).as("n_types"),
-          graft.Fns.dsum18(col("x")).as("sx"),
-          graft.Fns.dsum18(col("y")).as("sy"),
-          graft.Fns.dsum18(col("x") * col("y")).as("sxy"),
-          graft.Fns.dsum18(col("x") * col("x")).as("sxx"))
-        .select(col("source"), col("n_types"),
-          round((col("n_types").cast("double") * col("sxy")
-              - col("sx") * col("sy")) /
-            (col("n_types").cast("double") * col("sxx")
-              - col("sx") * col("sx")), 4).as("zipf_slope"))
-        .orderBy("source")
+      zipfSlopeOf(Tables.t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("t")))
+    },
+
+    // q132 on the Zipf-regenerated corpus: the regression must recover
+    // a slope near the generator's designed −1 (stair-step log-uniform)
+    // — a discriminating anchor where the harness corpus' ~31 types
+    // make the fit near-meaningless.
+    "q305_zipf_slope_rich" -> { (s, dir) =>
+      zipfSlopeOf(zipfTokens(Tables.t(s, dir, "documents")))
     },
 
     // Per-document keyword extraction — the top-3 TF-IDF terms per doc
@@ -1084,52 +1224,31 @@ object TextQueries extends QueryModule {
     // counts — map-side combinable, vocabulary-sized shuffle), integer
     // F1/F2, one double expression identical in both engines.
     "q276_chao1_vocab" -> { (s, dir) =>
-      val chao1 = col("v_obs").cast("double") +
-        (col("f1") * (col("f1") - lit(1L))).cast("double") /
-          (lit(2.0) * (col("f2") + lit(1L)).cast("double"))
-      Tables.t(s, dir, "documents")
-        .select(col("source"), explode(split(col("text"), " ")).as("t"))
-        .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("v_obs"),
-          count(when(col("c") === 1, 1)).as("f1"),
-          count(when(col("c") === 2, 1)).as("f2"))
-        .select(col("source"), col("v_obs"), col("f1"), col("f2"),
-          (round(chao1, 4) + lit(0.0)).as("chao1"),
-          (round(col("v_obs").cast("double") / chao1, 4) + lit(0.0))
-            .as("coverage"))
-        .orderBy("source")
+      chao1Of(Tables.t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("t")))
+    },
+
+    // q276 on the Zipf-regenerated corpus: F1/F2 are large and the
+    // Chao1 estimate sits well above V_obs (coverage < 1 — the
+    // unsaturated-vocabulary regime the estimator exists for), where
+    // the harness corpus saturates its 31 types and degenerates to
+    // coverage 1.
+    "q309_zipf_chao1" -> { (s, dir) =>
+      chao1Of(zipfTokens(Tables.t(s, dir, "documents")))
     },
 
     "q168_hapax_census" -> { (s, dir) =>
-      // IF guards short docs: sequence(1, 0) DESCENDS in Spark, which
-      // would probe element_at(tok, 0) and throw
-      def gramList(n: Int): String =
-        s"IF(size(tok) >= $n, transform(sequence(1, size(tok) - ${n - 1}), " +
-          "i -> concat_ws(' ', " +
-          (0 until n).map(j => s"element_at(tok, i + $j)").mkString(", ") +
-          ")), CAST(array() AS ARRAY<STRING>))"
-      val grams = Tables.t(s, dir, "documents")
-        .select(col("source"), split(col("text"), " ").as("tok"))
-        .select(col("source"), explode(array(
-          struct(lit(2).as("n"), expr(gramList(2)).as("g")),
-          struct(lit(3).as("n"), expr(gramList(3)).as("g")))).as("gn"))
-        .select(col("source"), col("gn.n").as("n"),
-          explode(col("gn.g")).as("gram"))
-      grams.groupBy(col("source"), col("n"), col("gram"))
-        .agg(count(lit(1)).as("c"))
-        .groupBy(col("source"), col("n"))
-        .agg(count(lit(1)).as("n_vocab"),
-          sum(col("c")).as("n_occurrences"),
-          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
-          sum(when(col("c") === 2, 1L).otherwise(0L)).as("n_dis"))
-        .select(col("source"), col("n"), col("n_vocab"),
-          col("n_occurrences"), col("n_hapax"), col("n_dis"),
-          (col("n_hapax").cast("double") / col("n_vocab").cast("double"))
-            .as("hapax_vocab_share"),
-          (col("n_hapax").cast("double")
-            / col("n_occurrences").cast("double")).as("hapax_mass_share"))
-        .orderBy("source", "n")
+      hapaxCensusOf(Tables.t(s, dir, "documents")
+        .select(col("source"), split(col("text"), " ").as("tok")))
+    },
+
+    // q168 on the Zipf-regenerated corpus: with ~500 unigram types the
+    // bigram space alone is ~260k — far above the sample, so the
+    // n-gram hapax shares land near 1 (novel-text regime) instead of
+    // the template-corpus floor the 31-type fixture produces.
+    "q308_zipf_hapax" -> { (s, dir) =>
+      hapaxCensusOf(Tables.t(s, dir, "documents")
+        .select(col("source"), zipfTokArray.as("tok")))
     },
 
     // Feature-hashing doc embeddings (Weinberger et al. 2009 — the
@@ -1866,6 +1985,91 @@ object TextQueries extends QueryModule {
         |  CAST(COUNT(CASE WHEN c = 1 THEN 1 END) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE) AS hapax_share
         |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    // q128's SQL over the regenerated stream — the zt CTE restates
+    // zipfTokArray's integer spelling exactly
+    "q304_zipf_vocab_growth" ->
+      s"""WITH zt AS MATERIALIZED (
+         |$ZipfTokensSql),
+         |c AS (SELECT source, t, COUNT(*) AS c FROM zt GROUP BY source, t)
+         |SELECT source, COUNT(*) AS n_types,
+         |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |  COUNT(CASE WHEN c = 1 THEN 1 END) AS n_hapax,
+         |  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+         |    AS type_token_ratio,
+         |  CAST(COUNT(CASE WHEN c = 1 THEN 1 END) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS hapax_share
+         |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    "q305_zipf_slope_rich" ->
+      s"""WITH zt AS MATERIALIZED (
+         |$ZipfTokensSql),
+         |c AS (SELECT source, t, COUNT(*) AS c FROM zt GROUP BY source, t),
+         |r AS (
+         |  SELECT source,
+         |    LN(CAST(ROW_NUMBER() OVER (PARTITION BY source
+         |          ORDER BY c DESC, t ASC) AS DOUBLE)) AS x,
+         |    LN(CAST(c AS DOUBLE)) AS y
+         |  FROM c),
+         |a AS (
+         |  SELECT source, COUNT(*) AS n_types,
+         |    ${graft.Fns.dsum18Sql("x")} AS sx,
+         |    ${graft.Fns.dsum18Sql("y")} AS sy,
+         |    ${graft.Fns.dsum18Sql("x * y")} AS sxy,
+         |    ${graft.Fns.dsum18Sql("x * x")} AS sxx
+         |  FROM r GROUP BY source)
+         |SELECT source, CAST(n_types AS BIGINT) AS n_types,
+         |  ROUND((CAST(n_types AS DOUBLE) * sxy - sx * sy)
+         |    / (CAST(n_types AS DOUBLE) * sxx - sx * sx), 4) AS zipf_slope
+         |FROM a ORDER BY source""".stripMargin,
+
+    // q168's SQL with the gram source rebuilt from zt via LIST ORDER BY
+    "q308_zipf_hapax" ->
+      s"""WITH zt AS MATERIALIZED (
+         |$ZipfTokensSql),
+         |d AS (
+         |  SELECT source, doc_id, LIST(t ORDER BY j) AS tok
+         |  FROM zt GROUP BY source, doc_id),
+         |g AS (
+         |  SELECT source, 2 AS n, tok[i] || ' ' || tok[i + 1] AS gram
+         |  FROM d, UNNEST(GENERATE_SERIES(1, LEN(tok) - 1)) AS t(i)
+         |  UNION ALL
+         |  SELECT source, 3 AS n,
+         |    tok[i] || ' ' || tok[i + 1] || ' ' || tok[i + 2] AS gram
+         |  FROM d, UNNEST(GENERATE_SERIES(1, LEN(tok) - 2)) AS t(i)),
+         |c AS (
+         |  SELECT source, n, gram, COUNT(*) AS c FROM g GROUP BY 1, 2, 3),
+         |a AS (
+         |  SELECT source, n, COUNT(*) AS n_vocab,
+         |    CAST(SUM(c) AS BIGINT) AS n_occurrences,
+         |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_hapax,
+         |    CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_dis
+         |  FROM c GROUP BY 1, 2)
+         |SELECT source, n, n_vocab, n_occurrences, n_hapax, n_dis,
+         |  CAST(n_hapax AS DOUBLE) / CAST(n_vocab AS DOUBLE)
+         |    AS hapax_vocab_share,
+         |  CAST(n_hapax AS DOUBLE) / CAST(n_occurrences AS DOUBLE)
+         |    AS hapax_mass_share
+         |FROM a ORDER BY source, n""".stripMargin,
+
+    "q309_zipf_chao1" ->
+      s"""WITH zt AS MATERIALIZED (
+         |$ZipfTokensSql),
+         |c AS (SELECT source, t, COUNT(*) AS c FROM zt GROUP BY source, t),
+         |m AS (
+         |  SELECT source, COUNT(*) AS v_obs,
+         |    COUNT(CASE WHEN c = 1 THEN 1 END) AS f1,
+         |    COUNT(CASE WHEN c = 2 THEN 1 END) AS f2
+         |  FROM c GROUP BY source)
+         |SELECT source, v_obs, f1, f2,
+         |  ROUND(CAST(v_obs AS DOUBLE) + CAST(f1 * (f1 - 1) AS DOUBLE)
+         |    / (2.0 * CAST(f2 + 1 AS DOUBLE)), 4) + 0.0 AS chao1,
+         |  ROUND(CAST(v_obs AS DOUBLE) / (CAST(v_obs AS DOUBLE)
+         |    + CAST(f1 * (f1 - 1) AS DOUBLE)
+         |    / (2.0 * CAST(f2 + 1 AS DOUBLE))), 4) + 0.0 AS coverage
+         |FROM m ORDER BY source""".stripMargin,
 
     // the q34 oracle rides in as the pair CTE (its ORDER BY is legal and
     // inert inside a CTE); idf spelled with the identical cast tree
