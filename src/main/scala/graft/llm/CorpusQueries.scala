@@ -160,6 +160,17 @@ object CorpusQueries extends QueryModule {
         .limit(20)
     },
 
+    // The ENCODE consumer of q301's trained merges — see bpeEncode
+    // below: the final segmentation of every vocabulary word after the
+    // same k merges, with piece counts (the fertility denominator).
+    "q310_bpe_encode" -> { (s, dir) =>
+      val freqs = Tables.t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) >= 2)
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      bpeEncode(freqs, BpeRounds)
+    },
+
     // The full iterative BPE trainer — see bpeTrain below. q95 computes
     // round 1's statistic; this applies the argmax merge and re-counts,
     // k times, producing the learned merge table (the artifact tokenizer
@@ -1764,8 +1775,12 @@ object CorpusQueries extends QueryModule {
     * (pyopenetl/pipelines.py:1-60 moves corpora; training prep is the
     * §2.3 extension surface).
     */
-  def bpeTrain(words: DataFrame, rounds: Int): DataFrame = {
-    require(rounds >= 1, s"bpeTrain needs at least one round, got $rounds")
+  /** The shared k-round core: returns the per-round 1-row argmax frames
+    * (checkpointed — 1 row each, freed by the harness's freeingAfter)
+    * and the FINAL segmentation state with all k merges applied. */
+  private def bpeCore(words: DataFrame,
+                      rounds: Int): (Seq[DataFrame], DataFrame) = {
+    require(rounds >= 1, s"bpe needs at least one round, got $rounds")
     var state = words
       .select(col("word"), col("freq"),
         filter(split(col("word"), ""), t => t =!= "").as("toks"))
@@ -1785,33 +1800,60 @@ object CorpusQueries extends QueryModule {
         .localCheckpoint()
       merges += best.select(lit(r).as("merge_round"), col("l"), col("r"),
         col("pair_count"))
-      if (r < rounds) {
-        val next = state
-          .join(broadcast(best.select(col("l"), col("r"))), lit(true), "left")
-          .select(col("word"), col("freq"),
-            when(col("l").isNotNull && size(col("toks")) >= 2,
-              aggregate(
-                slice(col("toks"), lit(2), size(col("toks")) - 1),
-                slice(col("toks"), 1, 1),
-                (acc, t) => when(
-                  element_at(acc, -1) === col("l") && t === col("r"),
-                  concat(slice(acc, lit(1), size(acc) - 1),
-                    array(concat(col("l"), col("r")))))
-                  .otherwise(concat(acc, array(t)))))
-              .otherwise(col("toks")).as("toks"))
-        state = graft.Checkpoints.roll(next, state)
-      } else graft.Checkpoints.free(state)
+      val next = state
+        .join(broadcast(best.select(col("l"), col("r"))), lit(true), "left")
+        .select(col("word"), col("freq"),
+          when(col("l").isNotNull && size(col("toks")) >= 2,
+            aggregate(
+              slice(col("toks"), lit(2), size(col("toks")) - 1),
+              slice(col("toks"), 1, 1),
+              (acc, t) => when(
+                element_at(acc, -1) === col("l") && t === col("r"),
+                concat(slice(acc, lit(1), size(acc) - 1),
+                  array(concat(col("l"), col("r")))))
+                .otherwise(concat(acc, array(t)))))
+            .otherwise(col("toks")).as("toks"))
+      state = graft.Checkpoints.roll(next, state)
     }
-    merges.result().reduce(_ unionAll _)
+    (merges.result(), state)
+  }
+
+  def bpeTrain(words: DataFrame, rounds: Int): DataFrame = {
+    val (merges, state) = bpeCore(words, rounds)
+    graft.Checkpoints.free(state)
+    merges.reduce(_ unionAll _)
       .select(col("merge_round"), col("l").as("left_sym"),
         col("r").as("right_sym"), concat(col("l"), col("r")).as("merged"),
         col("pair_count"))
       .orderBy("merge_round")
   }
 
-  /** q301's oracle text: the same k rounds unrolled as CTEs (see
-    * bpeTrain's doc for why the merge is spelled relationally here). */
-  private def bpeTrainOracle(rounds: Int): String = {
+  /** The ENCODE half of the q301 pair — the consumer of the trained
+    * merge table: after the same k merges, the core's final state IS
+    * each vocabulary word's BPE segmentation (applying merges in
+    * training order to the training vocabulary is exactly how
+    * production tokenizers materialize their word→pieces cache). Emits
+    * per word the piece count and the pieces themselves — the
+    * fertility denominator the q72-family stats consume. Same scale
+    * shape as the trainer: vocab-bounded after the one corpus word
+    * count; the oracle extends q301's unrolled CTEs one state further
+    * and reads the final segmentation.
+    */
+  def bpeEncode(words: DataFrame, rounds: Int): DataFrame = {
+    val (_, state) = bpeCore(words, rounds)
+    state.select(col("word"), col("freq"),
+        size(col("toks")).cast("long").as("n_pieces"),
+        array_join(col("toks"), " ").as("pieces"))
+      .orderBy("word")
+  }
+
+  /** q301/q310's oracle text: the same k rounds unrolled as CTEs (see
+    * bpeTrain's doc for why the merge is spelled relationally here).
+    * `finalState = true` carries the merge application through round k
+    * and reads the resulting segmentation (q310); false stops at round
+    * k's argmax and reads the merge table (q301 — the last application
+    * cannot change the table). */
+  private def bpeOracle(rounds: Int, finalState: Boolean): String = {
     val head =
       """WITH f AS MATERIALIZED (
         |  SELECT word, COUNT(*) AS freq
@@ -1865,21 +1907,30 @@ object CorpusQueries extends QueryModule {
            |  LEFT JOIN k$r q ON t.word = q.word AND t.i = q.i + 1
            |  WHERE q.i IS NULL
            |  GROUP BY t.word, t.freq)""".stripMargin
-      if (r == rounds) findBest else findBest + ",\n" + applyMerge
+      if (r == rounds && !finalState) findBest
+      else findBest + ",\n" + applyMerge
     }
-    val union = (1 to rounds)
-      .map(r => s"  SELECT $r AS merge_round, l, r, pair_count FROM b$r")
-      .mkString("\n  UNION ALL\n")
-    head + ",\n" + steps.mkString(",\n") + "\n" +
-      s"""SELECT merge_round, l AS left_sym, r AS right_sym,
-         |  l || r AS merged, pair_count
-         |FROM (
-         |$union)
-         |ORDER BY merge_round""".stripMargin
+    val tail =
+      if (finalState)
+        s"""SELECT word, freq, CAST(LEN(toks) AS BIGINT) AS n_pieces,
+           |  ARRAY_TO_STRING(toks, ' ') AS pieces
+           |FROM s$rounds ORDER BY word""".stripMargin
+      else {
+        val union = (1 to rounds)
+          .map(r => s"  SELECT $r AS merge_round, l, r, pair_count FROM b$r")
+          .mkString("\n  UNION ALL\n")
+        s"""SELECT merge_round, l AS left_sym, r AS right_sym,
+           |  l || r AS merged, pair_count
+           |FROM (
+           |$union)
+           |ORDER BY merge_round""".stripMargin
+      }
+    head + ",\n" + steps.mkString(",\n") + "\n" + tail
   }
 
   override def oracles: Map[String, String] = Map(
-    "q301_bpe_train" -> bpeTrainOracle(BpeRounds),
+    "q301_bpe_train" -> bpeOracle(BpeRounds, finalState = false),
+    "q310_bpe_encode" -> bpeOracle(BpeRounds, finalState = true),
     "q112_distinctive_terms" ->
       """WITH tok AS (
         |  SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS t

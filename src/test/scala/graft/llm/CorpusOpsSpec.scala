@@ -474,4 +474,19 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.length == 1)
     assert(got(0).getString(3) == "ab" && got(0).getLong(4) == 3L)
   }
+
+  test("q310 BPE encode: final segmentation applies every learned merge") {
+    import spark.implicits._
+    // q301's planted trace: merges (a,a)->(aa,aa)->(a,b)->(ab,ab); after
+    // all four, aaaa = [aaaa] and abab = [abab]
+    val words = Seq(("aaaa", 10L), ("abab", 4L)).toDF("word", "freq")
+    val got = CorpusQueries.bpeEncode(words, 4)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getString(3)))
+      .toSeq.sortBy(_._1)
+    assert(got == Seq(("aaaa", 1L, "aaaa"), ("abab", 1L, "abab")))
+    // fewer rounds stop mid-segmentation: after 2 merges abab is intact
+    val got2 = CorpusQueries.bpeEncode(words, 2)
+      .collect().map(r => (r.getString(0), r.getString(3))).toSeq.sortBy(_._1)
+    assert(got2 == Seq(("aaaa", "aaaa"), ("abab", "a b a b")))
+  }
 }
