@@ -49,6 +49,16 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // the r12 median/floor finding: Spark's generated-class cache
+      // holds 100 entries (LRU), and a 300+-query suite cycling through
+      // it misses on EVERY execution — each timed pass then pays full
+      // Janino compilation while the C2 compiler threads churn beside
+      // the measured query (an 8-query probe, fully cache-resident,
+      // ran flat at ±8% where the in-suite medians sat 1.26× over
+      // their floors). Size the cache to the suite so warm-up actually
+      // warms: compiled classes are metaspace, ~50 KB each — thousands
+      // of entries cost tens of MB against a 128 GiB box.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional subset (comma-separated names): lets a dev measure a
