@@ -134,10 +134,15 @@ object Bench {
     val gcSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_GC_SEC", "10").toDouble
     var sinceGc = 0
     var workSinceGc = 0.0
-    def sweep(lastSec: Double): Unit = if (gcEvery > 0) {
+    // The count budget (gcEvery) and the work budget (gcSec) gate
+    // INDEPENDENTLY: SPARK_GRAFT_BENCH_GC=0 turns off only the count
+    // cadence, not the time-based sweep (and vice versa) — an outer
+    // `if (gcEvery > 0)` would silently disable both.
+    def sweep(lastSec: Double): Unit = if (gcEvery > 0 || gcSec > 0) {
       sinceGc += 1
       workSinceGc += lastSec
-      if (sinceGc >= gcEvery || (gcSec > 0 && workSinceGc >= gcSec)) {
+      if ((gcEvery > 0 && sinceGc >= gcEvery) ||
+          (gcSec > 0 && workSinceGc >= gcSec)) {
         sinceGc = 0
         workSinceGc = 0.0
         System.gc()
@@ -158,6 +163,10 @@ object Bench {
               lastSec = (System.nanoTime() - t0) / 1e9
               samples(name) = samples(name) :+ lastSec }
         catch { case e: Throwable =>
+          // a query that ran for minutes before failing still did that
+          // much work — charge it to the sweep budget so its garbage is
+          // flushed before the next timed query, not silently lastSec=0
+          lastSec = (System.nanoTime() - t0) / 1e9
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         }
       }

@@ -16,6 +16,7 @@ object SparkEntry {
     llm.TextQueries,
     llm.CorpusQueries,
     llm.DedupQueries,
+    llm.QualityClassifier,
     llm.SimilarityQueries,
     llm.Multimodal)
 

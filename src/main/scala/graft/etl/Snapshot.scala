@@ -378,6 +378,20 @@ object Snapshot {
     }
   }
 
+  /** Delete the WHOLE store (every version, delta, marker, and the
+    * pointer) — the end-of-life complement of version GC, for stores
+    * whose lifetime is one run (a contract row's scratch index):
+    * version GC only bounds growth WITHIN an app, so a per-run root
+    * left behind accumulates across runs. Callers must have
+    * materialized (localCheckpoint/collect) anything still reading the
+    * store — a lazy plan over [[read]] fails after this.
+    */
+  def destroy(spark: SparkSession, root: String): Unit = {
+    val p  = new Path(root)
+    val fs = p.getFileSystem(conf(spark))
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
   private def newToken(): String = java.util.UUID.randomUUID().toString
 
   /** Pointer swap: temp write + atomic OVERWRITE rename, so readers see

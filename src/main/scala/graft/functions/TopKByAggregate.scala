@@ -95,9 +95,11 @@ case class TopKByAggregate(
   }
 
   override def eval(buf: mutable.PriorityQueue[(Double, Long)]): Any = {
-    val arr = buf.toArray.sortWith { (a, b) =>
-      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2) // v DESC, id ASC
-    }
+    // Ascending by worstFirst (java.lang.Double.compare) = v DESC, id
+    // ASC — the SAME total order the heap evicts by, so NaN keys keep
+    // a strict weak order and -0.0/0.0 ties break identically here and
+    // in eviction.
+    val arr = buf.toArray.sorted(worstFirst)
     new GenericArrayData(arr.map { case (v, i) =>
       new GenericInternalRow(Array[Any](v, i)): Any
     })
@@ -222,9 +224,11 @@ case class BottomKByAggregate(
   }
 
   override def eval(buf: mutable.PriorityQueue[(Double, Long)]): Any = {
-    val arr = buf.toArray.sortWith { (a, b) =>
-      a._1 < b._1 || (a._1 == b._1 && a._2 < b._2) // v ASC, id ASC
-    }
+    // Sort with the SAME total order the heap evicts by (worstFirst
+    // reversed): java.lang.Double.compare, not primitive </==, so NaN
+    // keys stay a strict weak order (timsort contract) and -0.0/0.0
+    // tie-break matches heap eviction bit for bit.
+    val arr = buf.toArray.sorted(worstFirst) // ascending = v ASC, id ASC
     new GenericArrayData(arr.map { case (v, i) =>
       new GenericInternalRow(Array[Any](v, i)): Any
     })

@@ -978,6 +978,10 @@ object DedupQueries extends QueryModule {
       val rebuilt = DedupStore.bandPostings(oldDocs.unionByName(
         newDocs.join(drops.select(col("doc_id")), Seq("doc_id"),
           "left_anti")))
+      // localCheckpoint (eager) cuts the lineage to the on-disk store so
+      // the scratch root can be destroyed below — without it every
+      // harness/test run leaves a new /tmp tree behind (version GC only
+      // bounds growth within ONE app)
       val mism = graft.etl.Snapshot.read(s, root)
         .select("posting_id", "doc_id", "band", "band_hash")
         .unionByName(rebuilt
@@ -985,6 +989,8 @@ object DedupQueries extends QueryModule {
         .groupBy("posting_id", "doc_id", "band", "band_hash")
         .agg(count(lit(1)).as("c")).filter(col("c") =!= 2)
         .agg(count(lit(1)).as("n_mismatch"))
+        .localCheckpoint()
+      graft.etl.Snapshot.destroy(s, root)
       // the exact decision — the contract baseline only
       val exact = probeIndexJaccardPairs(toks(newDocs), toks(oldDocs), 0.6)
         .groupBy(col("a_id").as("doc_id")).agg(count(lit(1)).as("nm"))

