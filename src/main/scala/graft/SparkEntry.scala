@@ -17,6 +17,7 @@ object SparkEntry {
     llm.CorpusQueries,
     llm.DedupQueries,
     llm.QualityClassifier,
+    llm.ZipfContracts,
     llm.SimilarityQueries,
     llm.Multimodal)
 

@@ -252,6 +252,80 @@ object TextQueries extends QueryModule {
   def zipfTokens(docs: DataFrame): DataFrame =
     docs.select(col("source"), explode(zipfTokArray).as("t"))
 
+  /** [[zipfTokArray]] with PLANTED NEAR-DUPLICATE FAMILIES — the rich
+    * fixture the dedup/ANN ACCURACY contracts (q313–q315) measure on.
+    * The q304–q309 re-anchor fixed the vocabulary-shaped contracts but
+    * left the accuracy contracts (q250/q266/q267) on the ~31-type
+    * fixture, where token-set Jaccard is saturated and the measured
+    * precision/recall may not transfer. Same recipe, one addition:
+    * same-source docs {a, a+20, a+40} (source = doc_id mod 20 in the
+    * fixture) form a FAMILY keyed on the anchor a = doc_id − 20·((doc_id
+    * div 20) mod 3); a family member draws position j from the ANCHOR's
+    * md5 stream except at its own noise positions ((j + doc_id) mod 8 =
+    * 0, ~12.5%), which re-key on the member itself. Members therefore
+    * share most positions but keep their own lengths and noise, so the
+    * realized exact-Jaccard spectrum is a realistic gradient (measured
+    * at sf0.01: 168 true pairs ≥ 0.6 spread over 0.60–0.92, every
+    * source ≥ 3; max non-family pair 0.31 — clean separation), instead
+    * of the old domain's saturated wall. Integer-only arithmetic like
+    * the base generator — both engines regenerate the identical corpus.
+    */
+  val zipfFamilyTokArray: org.apache.spark.sql.Column = expr(
+    s"""transform(
+      |  transform(sequence(0, size(split(text, ' ')) - 1),
+      |    j -> cast(conv(substring(md5(cast(concat(cast(
+      |           CASE WHEN (j + doc_id) % 8 = 0 THEN doc_id
+      |                ELSE doc_id - 20 * ((doc_id div 20) % 3) END
+      |           as string),
+      |           ':', cast(j as string)) as binary)), 1, 8), 16, 10)
+      |         as bigint)),
+      |  m -> concat('w', cast(shiftleft(1L, cast(m % $ZipfOctaves as int))
+      |         + (m div $ZipfOctaves)
+      |           % shiftleft(1L, cast(m % $ZipfOctaves as int))
+      |       as string)))""".stripMargin)
+
+  /** DuckDB restatement of [[zipfFamilyTokArray]], long format (source,
+    * doc_id, j, t) — the shared CTE body of the q313–q315 oracles. Same
+    * embedding rule as [[ZipfTokensSql]]: no line may begin with `||`. */
+  val ZipfFamilyTokensSql: String =
+    s"""SELECT source, doc_id, j,
+      |  'w' || CAST(((CAST(1 AS BIGINT) << (m % $ZipfOctaves))
+      |    + ((m // $ZipfOctaves)
+      |       % (CAST(1 AS BIGINT) << (m % $ZipfOctaves)))) AS VARCHAR)
+      |    AS t
+      |FROM (
+      |  SELECT source, doc_id, j,
+      |    CAST(('0x' || SUBSTRING(MD5(CAST(
+      |        CASE WHEN (j + doc_id) % 8 = 0 THEN doc_id
+      |             ELSE doc_id - 20 * ((doc_id // 20) % 3) END
+      |        AS VARCHAR) || ':' ||
+      |        CAST(j AS VARCHAR)), 1, 8)) AS BIGINT) AS m
+      |  FROM (SELECT source, doc_id,
+      |      UNNEST(RANGE(0, LEN(STRING_SPLIT(text, ' ')))) AS j
+      |    FROM documents))""".stripMargin
+
+  /** The q34 exact-Jaccard pair CTE body over the FAMILY corpus —
+    * (source, a_id, b_id) at threshold 0.6; composite oracles embed it
+    * like [[Q34OracleSql]]. */
+  val ZipfFamilyPairsSql: String =
+    s"""SELECT source, a_id, b_id FROM (
+      |  SELECT a.source, a.doc_id AS a_id, a.ntok AS a_n,
+      |    b.doc_id AS b_id, b.ntok AS b_n, COUNT(*) AS n_common
+      |  FROM (
+      |    SELECT source, doc_id, CAST(LEN(tok) AS BIGINT) AS ntok,
+      |      UNNEST(tok) AS token
+      |    FROM (SELECT source, doc_id, LIST_DISTINCT(LIST(t)) AS tok
+      |          FROM zft GROUP BY 1, 2)) a
+      |  JOIN (
+      |    SELECT source, doc_id, CAST(LEN(tok) AS BIGINT) AS ntok,
+      |      UNNEST(tok) AS token
+      |    FROM (SELECT source, doc_id, LIST_DISTINCT(LIST(t)) AS tok
+      |          FROM zft GROUP BY 1, 2)) b
+      |    ON a.source = b.source AND a.token = b.token
+      |   AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4, 5)
+      |WHERE CAST(n_common AS DOUBLE) / (a_n + b_n - n_common) >= 0.6""".stripMargin
+
   /** DuckDB restatement of [[zipfTokens]] — the shared CTE body of the
     * q304–q309 oracles (columns source, doc_id, j, t). NOTE: no line
     * here may begin with `||` — this body is re-embedded inside the

@@ -1,0 +1,200 @@
+package graft.llm
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The dedup/ANN ACCURACY contracts re-anchored on the Zipf-rich planted
+  * -family corpus ([[TextQueries.zipfFamilyTokArray]]) — the r12 q304–q309
+  * recipe applied to q250 (MinHash precision/recall), q266 (SimHash
+  * separation), and q267 (ANN recall). On the original ~31-type fixture,
+  * token-set Jaccard is saturated: every same-source pair shares most of
+  * the tiny vocabulary, so the contracts pass on a domain that cannot
+  * discriminate — measured recall/separation there says little about a
+  * real corpus. The family corpus has a 511-type Zipf(1) vocabulary with
+  * planted near-duplicate families whose exact-Jaccard spectrum is a
+  * gradient over 0.60–0.92 (hard cases near the threshold included) and
+  * whose best non-duplicate pair sits at 0.31 — accuracy measured HERE
+  * transfers. The verdict bounds are set from the MEASURED deterministic
+  * floor across sf0.001/0.01/0.1 (the q266 precedent), not from the
+  * idealized banding formula. Scale shape: identical to the originals —
+  * the exact side is the prefix-filtered PPJoin, the LSH side banded
+  * buckets, the ANN side broadcast-probed LSH tables; regeneration is
+  * scan-local md5 arithmetic, paid once like split().
+  */
+object ZipfContracts extends QueryModule {
+
+  /** The regenerated corpus as (doc_id, source, text) — text rebuilt
+    * from the family token array so every text-consuming operator
+    * (MinHashBands, simhash, split-tokenizers) runs UNCHANGED on it. */
+  private def familyDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        array_join(TextQueries.zipfFamilyTokArray, " ").as("text"))
+
+  private def hashedTok(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      array_sort(array_distinct(transform(split(col("text"), " "),
+        (t: Column) => xxhash64(t)))).as("tok"))
+
+  override def queries
+      : Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // q250 on the rich domain. Measured recall (deterministic per SF —
+    // ProbeZipfContracts): 0.913 / 0.893 / 0.867 at sf0.001 / 0.01 /
+    // 0.1, zero invented pairs at all three. The banding formula's
+    // ~0.83 expectation at J near 0.6 underestimates because family
+    // pairs share correlated POSITIONS, not independent tokens. Verdict
+    // bound 0.8 (the production LSH contract), under the 0.867 floor.
+    "q313_minhash_recall_zipf" -> { (s, dir) =>
+      val zdocs = familyDocs(s, dir).localCheckpoint()
+      val exact = TextQueries
+        .prefixJaccardPairs(hashedTok(zdocs), 0.6, presentationSort = false)
+        .select(col("source"), col("a_id"), col("b_id"))
+      val lsh = DedupQueries.minhashPairs(zdocs, 0.6)
+        .select(col("source"), col("a_id"), col("b_id"))
+      val caught = exact.join(lsh.withColumn("hit", lit(1)),
+        Seq("source", "a_id", "b_id"), "left")
+      val invented = lsh.join(exact,
+        Seq("source", "a_id", "b_id"), "left_anti")
+        .agg(count(lit(1)).as("n_inv"))
+      caught
+        .agg(count(lit(1)).as("n_true_pairs"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(coalesce(col("hit"), lit(0))).as("n_caught"))
+        .crossJoin(broadcast(invented))
+        .select(col("n_true_pairs"), col("n_sources"),
+          (col("n_inv") === 0L).as("no_invented_pairs"),
+          (col("n_caught").cast("double") >=
+            col("n_true_pairs").cast("double") * 0.8).as("recall_ge_80"))
+    },
+
+    // q266 on the rich domain. Measured (deterministic per SF —
+    // ProbeZipfContracts): dup mean 12.75 / 12.41 / 12.13 bits,
+    // baseline 22.78 / 21.89 / 22.45, separation 10.03 / 9.48 / 10.32
+    // — on a 511-type vocabulary the baseline escapes the old domain's
+    // compressed distances and the margin widens from 4 bits to ~10.
+    // Bounds from the floors: dup mean ≤ 15, separation ≥ 7.
+    "q314_simhash_contract_zipf" -> { (s, dir) =>
+      val zdocs = familyDocs(s, dir).localCheckpoint()
+      val exact = TextQueries
+        .prefixJaccardPairs(hashedTok(zdocs), 0.6, presentationSort = false)
+        .select(col("source"), col("a_id"), col("b_id"))
+        .localCheckpoint()
+      val sh = DedupQueries.simhash(zdocs).localCheckpoint()
+      def withHamming(pairs: DataFrame): DataFrame = pairs
+        .join(sh.select(col("doc_id").as("a_id"),
+          col("simhash").as("ha")), "a_id")
+        .join(sh.select(col("doc_id").as("b_id"),
+          col("simhash").as("hb")), "b_id")
+        .withColumn("hd", DedupQueries
+          .hammingDistance(col("ha"), col("hb")).cast("long"))
+      val wS = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      val base = zdocs.select(col("source"), col("doc_id"))
+        .withColumn("b_id", lead(col("doc_id"), 1).over(wS))
+        .filter(col("b_id").isNotNull)
+        .select(col("source"), col("doc_id").as("a_id"), col("b_id"))
+        .join(exact, Seq("source", "a_id", "b_id"), "left_anti")
+      val dup = withHamming(exact)
+        .agg(count(lit(1)).as("n_dup_pairs"), sum(col("hd")).as("sd"))
+      val bas = withHamming(base)
+        .agg(count(lit(1)).as("n_base_pairs"), sum(col("hd")).as("sb"))
+      val dupMean = col("sd").cast("double") /
+        col("n_dup_pairs").cast("double")
+      val baseMean = col("sb").cast("double") /
+        col("n_base_pairs").cast("double")
+      dup.crossJoin(broadcast(bas))
+        .select(col("n_dup_pairs"), col("n_base_pairs"),
+          coalesce(dupMean <= 15.0, lit(true)).as("dup_mean_le_15"),
+          coalesce(baseMean - dupMean >= 7.0, lit(true))
+            .as("separation_ge_7"))
+    },
+
+    // q267 on the rich domain: ANN over CORPUS-DERIVED vectors with real
+    // neighborhood structure (q180's hashed signed sums of the family
+    // tokens — family members are each other's strong cosine neighbors)
+    // instead of the synthetic embeddings table. The 16 hashed dims ride
+    // zero-padded in the engine's 64-dim vector type (cosine and
+    // hyperplane signs are unaffected by zero coordinates). Measured
+    // recall@10 (deterministic per SF — ProbeZipfContracts): per-query
+    // MINIMUM 1.0 / 1.0 / 0.9 at sf0.001 / 0.01 / 0.1 (mean 1.0) —
+    // family members are found every time; verdict ≥ 0.7 per query,
+    // under the 0.9 floor and far above q267's 0.3 bound.
+    "q315_ann_recall_zipf" -> { (s, dir) =>
+      val zdocs = familyDocs(s, dir)
+      val tf = zdocs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      val signs = tf.select(col("t")).distinct()
+        .withColumn("h", md5(col("t").cast("binary")))
+        .select(col("t"), explode(expr(
+          """transform(sequence(0, 15), j -> named_struct(
+            |'j', j,
+            |'sgn', CAST(conv(substring(h, 1 + 2 * j, 2), 16, 10) AS LONG)
+            |       % 2L * 2L - 1L))""".stripMargin)).as("js"))
+        .select(col("t"), col("js.j").as("j"), col("js.sgn").as("sgn"))
+      val emb = tf.join(broadcast(signs), "t")
+        .groupBy(col("doc_id"), col("j"))
+        .agg(sum(col("c") * col("sgn")).as("v"))
+        .groupBy(col("doc_id"))
+        .agg(array_sort(collect_list(struct(col("j"), col("v")))).as("jv"))
+        .select(col("doc_id").as("vec_id"),
+          concat(expr("transform(jv, s -> CAST(s.v AS DOUBLE))"),
+            array_repeat(lit(0.0), 48)).as("embedding"))
+        .localCheckpoint()
+      val q = emb.filter(col("vec_id") % 100 === 0)
+      val exact = SimilarityQueries.topK(emb, q, 10)
+        .select(col("query_id"), col("vec_id"))
+      val ann = SimilarityQueries.annTopK(emb, q, 10)
+        .select(col("query_id"), col("vec_id")).withColumn("hit", lit(1))
+      exact.join(ann, Seq("query_id", "vec_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0))).as("n_caught"))
+        .select(col("query_id"), col("n_exact"),
+          (col("n_caught").cast("double") >=
+            col("n_exact").cast("double") * 0.7).as("recall_ge_70"))
+        .orderBy("query_id")
+    })
+
+  override def oracles: Map[String, String] = Map(
+    // exact pair census over the regenerated corpus; verdicts TRUE
+    "q313_minhash_recall_zipf" ->
+      s"""WITH zft AS MATERIALIZED (
+         |${TextQueries.ZipfFamilyTokensSql}),
+         |p AS (
+         |${TextQueries.ZipfFamilyPairsSql})
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+         |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+         |  TRUE AS no_invented_pairs, TRUE AS recall_ge_80
+         |FROM p""".stripMargin,
+
+    "q314_simhash_contract_zipf" ->
+      s"""WITH zft AS MATERIALIZED (
+         |${TextQueries.ZipfFamilyTokensSql}),
+         |ex AS (
+         |${TextQueries.ZipfFamilyPairsSql}),
+         |nx AS (
+         |  SELECT source, doc_id AS a_id,
+         |    LEAD(doc_id) OVER (PARTITION BY source ORDER BY doc_id)
+         |      AS b_id
+         |  FROM documents),
+         |base AS (
+         |  SELECT nx.source, nx.a_id, nx.b_id FROM nx
+         |  WHERE b_id IS NOT NULL AND NOT EXISTS (
+         |    SELECT 1 FROM ex WHERE ex.source = nx.source
+         |      AND ex.a_id = nx.a_id AND ex.b_id = nx.b_id))
+         |SELECT (SELECT COUNT(*) FROM ex) AS n_dup_pairs,
+         |  (SELECT COUNT(*) FROM base) AS n_base_pairs,
+         |  TRUE AS dup_mean_le_15,
+         |  TRUE AS separation_ge_7""".stripMargin,
+
+    // every query has exactly 10 exact neighbors (corpus >> 10); the
+    // recall verdict asserted TRUE — the q267 contract pattern
+    "q315_ann_recall_zipf" ->
+      """SELECT doc_id AS query_id, CAST(10 AS BIGINT) AS n_exact,
+        |  TRUE AS recall_ge_70
+        |FROM documents WHERE doc_id % 100 = 0
+        |ORDER BY query_id""".stripMargin)
+}
