@@ -86,6 +86,47 @@ object DedupStore {
         (col("doc_id") * DedupQueries.Bands + col("band")).as("posting_id"),
         col("doc_id"), col("band"), col("band_hash"))
 
+  /** Admission decisions for a batch against the SEEN store — the
+    * postings + token arrays of every document landed so far, INCLUDING
+    * this batch's own rows: doc d is dropped iff some seen doc e with
+    * `e.doc_id < d.doc_id` exact-verifies at `threshold`. The strict id
+    * order is what makes the streaming sink's land-then-decide ordering
+    * crash-safe: a doc never matches itself, batch-mates with smaller
+    * ids are tested exactly as if they had arrived one batch earlier,
+    * and a REPLAYED batch (whose postings already sit in the store under
+    * their pk) computes the identical decisions — admission is a pure
+    * function of (store contents, batch ids), not of how the stream was
+    * split. Returns one row per dropped batch doc: (doc_id, n_matches,
+    * best_jaccard). Scale shape: one equi-join of the batch's O(batch)
+    * postings against the index on (band, band_hash), then a
+    * candidate-sized verify join — never batch × corpus.
+    */
+  def dropsAgainstSeen(batchPostings: DataFrame, batchToks: DataFrame,
+                       seenPostings: DataFrame, seenToks: DataFrame,
+                       threshold: Double): DataFrame = {
+    val cand = batchPostings
+      .select(col("doc_id").as("a_id"), col("band"), col("band_hash"))
+      .join(seenPostings.select(col("doc_id").as("b_id"), col("band"),
+        col("band_hash")), Seq("band", "band_hash"))
+      .filter(col("b_id") < col("a_id")) // earlier doc survives
+      .select(col("a_id"), col("b_id")).distinct()
+    cand
+      .join(batchToks.select(col("doc_id").as("a_id"),
+        col("tok").as("a_tok")), "a_id")
+      .join(seenToks.select(col("doc_id").as("b_id"),
+        col("tok").as("b_tok")), "b_id")
+      .withColumn("n_common",
+        graft.functions.SortedIntersectCount.sortedIntersectCount(
+          col("a_tok"), col("b_tok")))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (size(col("a_tok")) + size(col("b_tok")) - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("a_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        max(round(col("jaccard"), 4)).as("best_jaccard"))
+  }
+
   /** The incoming dump's near-dup drops answered FROM the standing
     * postings index — no recompute of corpus postings: candidates come
     * from one equi-join of the dump's O(batch) postings against the

@@ -538,4 +538,62 @@ object StreamingOps {
         ()
       }
   }
+
+  /** Streaming NEAR-dup dedup sink — q302's persisted MinHash-LSH index
+    * run continuously: every micro-batch LANDS its band postings and
+    * token arrays into the snapshot store, then answers its own
+    * admission from the store read-back ([[graft.llm.DedupStore
+    * .dropsAgainstSeen]]: dropped iff a seen doc with a SMALLER doc_id
+    * exact-verifies at `threshold`) and commits the per-doc decisions —
+    * three O(batch) crash-atomic delta commits per trigger, never a
+    * corpus-postings recompute. Land-then-decide is the crash-safe
+    * order: the postings/toks commits are pk-keyed (latest-wins), so a
+    * replayed batch re-lands the same rows and — because the strict
+    * `b_id < a_id` predicate means a doc never matches its own landed
+    * postings — recomputes the IDENTICAL decisions. Split-invariance
+    * (StreamingSpec: any micro-batch split lands the row-identical
+    * decisions store) holds when batches arrive in non-decreasing
+    * doc_id order — the dump sequence; a violated order only affects
+    * docs that arrive before a smaller-id near-dup of theirs.
+    */
+  def lshDedupSink(docs: DataFrame, storeRoot: String,
+                   threshold: Double = 0.6): DataStreamWriter[Row] =
+    lshDedupSinkHooked(docs, storeRoot, threshold, _ => ())
+
+  /** [[lshDedupSink]] with a hook fired AFTER the postings/toks commits
+    * but BEFORE the decisions commit — the widest crash window: index
+    * updated, decisions unrecorded; the restarted stream replays the
+    * batch against a store that already contains it and must converge
+    * to the same decisions. */
+  private[graft] def lshDedupSinkHooked(
+      docs: DataFrame, storeRoot: String, threshold: Double,
+      afterLand: Long => Unit): DataStreamWriter[Row] = {
+    docs.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val toks = batch.select(col("doc_id"),
+          array_sort(array_distinct(transform(split(col("text"), " "),
+            (t: Column) => xxhash64(t)))).as("tok"))
+        val post = graft.llm.DedupStore.bandPostings(batch)
+        graft.etl.Snapshot.commitDelta(post, s"$storeRoot/postings",
+          "posting_id")
+        graft.etl.Snapshot.commitDelta(toks, s"$storeRoot/toks", "doc_id")
+        afterLand(batchId)
+        val spark = batch.sparkSession
+        val drops = graft.llm.DedupStore.dropsAgainstSeen(
+          post, toks,
+          graft.etl.Snapshot.read(spark, s"$storeRoot/postings"),
+          graft.etl.Snapshot.read(spark, s"$storeRoot/toks"), threshold)
+        val decisions = batch.select(col("doc_id")).distinct()
+          .join(drops, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            col("n_matches").isNull.as("admitted"),
+            coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+            coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"))
+        graft.etl.Snapshot.commitDelta(decisions, s"$storeRoot/decisions",
+          "doc_id")
+        ()
+      }
+  }
 }

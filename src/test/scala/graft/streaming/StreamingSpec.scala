@@ -674,6 +674,94 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.etl.Snapshot.read(spark, store).count() == 3)
   }
 
+  // near-dup fixtures for the LSH dedup sink: 10-token docs, one token
+  // swapped = set Jaccard 9/11 ≈ 0.82 (well over the 0.6 threshold and
+  // deterministically caught by the 32-hash/8-band LSH)
+  private val lshDocs = Seq(
+    Doc(1, ts("2024-01-01 10:00:00"),
+      "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+    Doc(2, ts("2024-01-01 10:01:00"),
+      "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"),
+    Doc(3, ts("2024-01-01 10:02:00"),
+      "w1 w2 w3 w4 w5 w6 w7 w8 w9 w11"), // near-dup of 1
+    Doc(4, ts("2024-01-01 10:03:00"),
+      "y1 y2 y3 y4 y5 y6 y7 y8 y9 y10"),
+    Doc(5, ts("2024-01-01 10:04:00"),
+      "w1 w2 w3 w4 w5 w6 w7 w8 w9 w12"), // near-dup of 1 AND 3
+    Doc(6, ts("2024-01-01 10:05:00"),
+      "x1 x2 x3 x4 x5 x6 x7 x8 x9 x11")) // near-dup of 2
+
+  private def decisionsOf(root: String) =
+    graft.etl.Snapshot.read(spark, s"$root/decisions")
+      .select("doc_id", "admitted", "n_matches", "best_jaccard")
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1).toSeq
+
+  test("lsh dedup sink: any micro-batch split lands the identical " +
+       "decisions and postings as the single-batch run") {
+    val rootA = s"/tmp/graft-test-lshsink-a-${System.nanoTime()}"
+    val rootB = s"/tmp/graft-test-lshsink-b-${System.nanoTime()}"
+    // run A: everything in one micro-batch
+    val msA = MemoryStream[Doc](spark)
+    msA.addData(lshDocs: _*)
+    val qA = StreamingOps.lshDedupSink(msA.toDF(), rootA).start()
+    qA.awaitTermination(60000)
+    // run B: three restarts of two docs each (id-ordered, the dump
+    // sequence) — the seen state lives in the store, not the stream
+    for (chunk <- lshDocs.grouped(2)) {
+      val ms = MemoryStream[Doc](spark)
+      ms.addData(chunk: _*)
+      val q = StreamingOps.lshDedupSink(ms.toDF(), rootB).start()
+      q.awaitTermination(60000)
+    }
+    val a = decisionsOf(rootA)
+    val b = decisionsOf(rootB)
+    assert(a == b, "split must not change admission decisions")
+    // the semantics themselves: first occurrence survives, later
+    // near-dups drop whatever batch they landed in
+    assert(a.filter(_._2).map(_._1) == Seq(1L, 2L, 4L))
+    assert(a.find(_._1 == 5L).get._3 == 2L) // 5 matches both 1 and 3
+    // and the landed postings index is split-invariant too
+    def postings(root: String) = graft.etl.Snapshot
+      .read(spark, s"$root/postings")
+      .select("posting_id", "doc_id", "band", "band_hash")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    assert(postings(rootA) == postings(rootB))
+  }
+
+  test("lsh dedup sink: crash after landing, before the decisions " +
+       "commit, replays to the identical decisions") {
+    val root = s"/tmp/graft-test-lshsink-crash-${System.nanoTime()}"
+    val ckpt = s"$root/ckpt"
+    val ms = MemoryStream[Doc](spark)
+    ms.addData(lshDocs.take(2): _*)
+    val q0 = StreamingOps.lshDedupSink(ms.toDF(), root)
+      .option("checkpointLocation", ckpt).start()
+    q0.awaitTermination(60000)
+    // batch 2 dies in the widest window: postings + toks landed,
+    // decisions unrecorded, offsets uncommitted
+    ms.addData(lshDocs.slice(2, 4): _*)
+    val q1 = StreamingOps.lshDedupSinkHooked(ms.toDF(), root, 0.6,
+      _ => throw new RuntimeException("crash before decisions"))
+      .option("checkpointLocation", ckpt).start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination(60000)
+    }
+    assert(decisionsOf(root).map(_._1) == Seq(1L, 2L),
+      "crashed batch must not have recorded decisions")
+    // restart replays batch 2 against a store that ALREADY contains its
+    // postings; the strict b_id < a_id predicate must converge it
+    val q2 = StreamingOps.lshDedupSink(ms.toDF(), root)
+      .option("checkpointLocation", ckpt).start()
+    q2.awaitTermination(60000)
+    val got = decisionsOf(root)
+    assert(got.map(_._1) == Seq(1L, 2L, 3L, 4L))
+    assert(got.filter(_._2).map(_._1) == Seq(1L, 2L, 4L),
+      "replayed batch must reach the same admissions as an uncrashed run")
+  }
+
   test("streaming weighted sample merges to the batch twin bit-equally " +
        "and matches an independent Scala derivation") {
     val ms = MemoryStream[Ev](spark)
