@@ -1569,6 +1569,108 @@ object CorpusQueries extends QueryModule {
     // cross-multiplication, so no engine can disagree at a boundary);
     // the reason string concatenates failed rules in a fixed order.
     // Scan-local per doc; one reason-keyed aggregation (≤16 rows).
+    // The nightly-pipeline COMPOSITION ledger — every stage already has
+    // its own row (q88 gate, q31 exact dedup, q71 near-dedup, q87
+    // decontamination, q120 sample) but nothing proved their chain: one
+    // row per stage with exact in/kept/dropped counts, each stage
+    // consuming the previous stage's survivors — what a production run
+    // reports every night. The chain runs on the planted-family Zipf
+    // corpus (q313's domain — the raw fixture's saturated vocabulary
+    // makes near-dedup eat ~90% of the corpus and starve stages 4–5
+    // into vacuity) with two PLANTS (the q96/q122 precedent) so every
+    // stage fires: doc_id % 9 = 5 copies doc_id − 5 verbatim (a
+    // cross-source exact duplicate whose donor is in the chain → a true
+    // exact-dedup drop), and doc_id % 11 = 3 copies its 20-block's src0
+    // doc verbatim (an eval-set copy that sails through dedup and is
+    // caught by DECONTAMINATION). Stage semantics: gate = the Gopher
+    // rules; exact dedup = first doc_id per identical text survives;
+    // near-dedup = q71's min-label components at J ≥ 0.6, non-canonical
+    // members drop; decontaminate = any shared 5-shingle with the src0
+    // eval set drops; sample = per-source md5-ranked quota of 7. Scale
+    // shape: each stage is the proven operator's plan run on a
+    // shrinking checkpointed frame — one corpus scan feeds the gate,
+    // dedup keys on md5(text), near-dedup on the prefix-filtered
+    // PPJoin, and the counts are five 1-row actions; no stage
+    // re-derives an earlier stage's work. Counts exact longs.
+    "q317_pipeline_yield" -> { (s, dir) =>
+      import s.implicits._
+      val zdocs = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          array_join(TextQueries.zipfFamilyTokArray, " ").as("text"))
+        .localCheckpoint()
+      val donorId = when(col("doc_id") % 9 === 5 && col("doc_id") >= 5,
+        col("doc_id") - 5)
+        .when(col("doc_id") % 11 === 3,
+          col("doc_id") - col("doc_id") % 20)
+      val donors = zdocs.select(col("doc_id").as("donor_id"),
+        col("text").as("donor_text"))
+      val input = zdocs.filter(col("source") =!= "src0")
+        .withColumn("donor_id", donorId)
+        .join(donors, Seq("donor_id"), "left")
+        .select(col("doc_id"), col("source"),
+          coalesce(col("donor_text"), col("text")).as("text"))
+        .localCheckpoint()
+      val tok = split(col("text"), " ")
+      val n = size(tok)
+      val sumLen = aggregate(tok, lit(0L),
+        (acc: Column, t: Column) => acc + length(t).cast("long"))
+      val ml = sumLen.cast("double") / n.cast("double")
+      val af = size(filter(tok, (t: Column) => t.rlike("[a-z]")))
+        .cast("double") / n.cast("double")
+      val tfr = graft.functions.NGramStats.ngramStats(col("text"), 1)
+        .getField("top").cast("double") / n.cast("double")
+      // ml lower bound 2.0, not q88's 3.0: the Zipf vocabulary's head
+      // ranks are 2-3 chars ('w1'..'w15'), so corpus mean word length
+      // sits near 3.0 and the q88 bound would reject ~90% of the domain
+      // - gate thresholds are per-corpus parameters, tuned here exactly
+      // as a production run tunes them per language
+      val pass = n.between(50, 100000) && ml.between(2.0, 10.0) &&
+        af >= lit(0.8) && tfr <= lit(0.2)
+      val n0 = input.count()
+      val s1 = input.filter(pass).localCheckpoint()
+      val n1 = s1.count()
+      graft.Checkpoints.free(input)
+      val wT = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("text").cast("binary")))
+        .orderBy(col("doc_id"))
+      val s2 = s1.withColumn("_rn", row_number().over(wT))
+        .filter(col("_rn") === 1).drop("_rn").localCheckpoint()
+      val n2 = s2.count()
+      graft.Checkpoints.free(s1)
+      val d3 = s2.select(col("doc_id"), col("source"),
+        array_sort(array_distinct(transform(tok,
+          (t: Column) => xxhash64(t)))).as("tok"))
+      val pairs =
+        TextQueries.prefixJaccardPairs(d3, 0.6, presentationSort = false)
+      val cc = DedupQueries.connectedComponents(pairs)
+      val s3 = s2.join(cc.filter(col("id") =!= col("label"))
+        .select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      val n3 = s3.count()
+      graft.Checkpoints.free(s2)
+      val sh5 = graft.functions.ShingleHashes.shingleHashes(col("text"), 5)
+      val evalSh = zdocs.filter(col("source") === "src0")
+        .select(explode(sh5).as("h")).distinct()
+      val cont = s3.select(col("doc_id"), explode(sh5).as("h"))
+        .join(evalSh, "h").select("doc_id").distinct()
+      val s4 = s3.join(cont, Seq("doc_id"), "left_anti").localCheckpoint()
+      val n4 = s4.count()
+      graft.Checkpoints.free(s3)
+      val wS = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(md5(concat(lit("q317:"), col("doc_id").cast("string"))
+          .cast("binary")).asc, col("doc_id").asc)
+      val n5 = s4.withColumn("rk", row_number().over(wS))
+        .filter(col("rk") <= 7).count()
+      graft.Checkpoints.free(s4)
+      Seq(("1_gate", n0, n1), ("2_exact_dedup", n1, n2),
+        ("3_near_dedup", n2, n3), ("4_decontaminate", n3, n4),
+        ("5_sample", n4, n5))
+        .toDF("stage", "n_in", "n_kept")
+        .withColumn("n_dropped", col("n_in") - col("n_kept"))
+        .orderBy("stage")
+    },
+
     "q223_rejection_census" -> { (s, dir) =>
       val wAll = Window.partitionBy(lit(0))
       val frag = concat(
@@ -1931,6 +2033,116 @@ object CorpusQueries extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "q301_bpe_train" -> bpeOracle(BpeRounds, finalState = false),
     "q310_bpe_encode" -> bpeOracle(BpeRounds, finalState = true),
+
+    // the whole chain restated: plant, gate, first-id-per-text dedup,
+    // reachability-fixpoint near-dedup, shingle decontamination, quota
+    // sample — each stage a CTE over the previous stage's survivors
+    "q317_pipeline_yield" ->
+      s"""WITH RECURSIVE zft AS MATERIALIZED (
+        |${TextQueries.ZipfFamilyTokensSql}),
+        |zd AS MATERIALIZED (
+        |  SELECT doc_id, source,
+        |    ARRAY_TO_STRING(LIST(t ORDER BY j), ' ') AS text
+        |  FROM zft GROUP BY 1, 2),
+        |inp AS MATERIALIZED (
+        |  SELECT d.doc_id, d.source, COALESCE(dn.text, d.text) AS text
+        |  FROM zd d
+        |  LEFT JOIN zd dn ON dn.doc_id =
+        |    CASE WHEN d.doc_id % 9 = 5 AND d.doc_id >= 5
+        |           THEN d.doc_id - 5
+        |         WHEN d.doc_id % 11 = 3
+        |           THEN d.doc_id - d.doc_id % 20
+        |         ELSE NULL END
+        |  WHERE d.source <> 'src0'),
+        |g AS (
+        |  SELECT doc_id, source, text, STRING_SPLIT(text, ' ') AS tok
+        |  FROM inp),
+        |m AS (
+        |  SELECT doc_id, source, text,
+        |    CAST(LEN(tok) AS BIGINT) AS n,
+        |    CAST(LIST_SUM(LIST_TRANSFORM(tok, t -> LENGTH(t))) AS DOUBLE)
+        |      / LEN(tok) AS ml,
+        |    CAST(LEN(LIST_FILTER(tok,
+        |      t -> REGEXP_MATCHES(t, '[a-z]'))) AS DOUBLE)
+        |      / LEN(tok) AS af,
+        |    CAST(LIST_MAX(LIST_TRANSFORM(LIST_DISTINCT(tok),
+        |      u -> LEN(LIST_FILTER(tok, t -> t = u)))) AS DOUBLE)
+        |      / LEN(tok) AS tfr
+        |  FROM g),
+        |s1 AS MATERIALIZED (
+        |  SELECT doc_id, source, text FROM m
+        |  WHERE n BETWEEN 50 AND 100000 AND ml BETWEEN 2.0 AND 10.0
+        |    AND af >= 0.8 AND tfr <= 0.2),
+        |s2 AS MATERIALIZED (
+        |  SELECT doc_id, source, text FROM (
+        |    SELECT doc_id, source, text,
+        |      ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |    FROM s1) WHERE rn = 1),
+        |d2 AS (
+        |  SELECT doc_id, source, LIST_DISTINCT(STRING_SPLIT(text, ' '))
+        |    AS tok
+        |  FROM s2),
+        |t2 AS (
+        |  SELECT source, doc_id, CAST(LEN(tok) AS BIGINT) AS ntok,
+        |    UNNEST(tok) AS token
+        |  FROM d2),
+        |c2 AS (
+        |  SELECT a.source, a.doc_id AS a_id, a.ntok AS a_n,
+        |    b.doc_id AS b_id, b.ntok AS b_n, COUNT(*) AS nc
+        |  FROM t2 a JOIN t2 b
+        |    ON a.source = b.source AND a.token = b.token
+        |   AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |p2 AS (
+        |  SELECT a_id, b_id FROM c2
+        |  WHERE CAST(nc AS DOUBLE) / (a_n + b_n - nc) >= 0.6),
+        |e AS (
+        |  SELECT a_id AS src, b_id AS dst FROM p2
+        |  UNION ALL SELECT b_id, a_id FROM p2),
+        |nodes AS (SELECT DISTINCT src AS id FROM e),
+        |reach AS (
+        |  SELECT id, id AS r FROM nodes
+        |  UNION
+        |  SELECT e.dst AS id, reach.r FROM reach JOIN e ON e.src = reach.id),
+        |drop3 AS (SELECT id FROM reach GROUP BY id HAVING id <> MIN(r)),
+        |s3 AS MATERIALIZED (
+        |  SELECT * FROM s2
+        |  WHERE doc_id NOT IN (SELECT id FROM drop3)),
+        |sh3 AS (
+        |  SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(1, LEN(tok) - 3),
+        |    i -> ARRAY_TO_STRING(tok[i:i+4], ' '))) AS sht
+        |  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS tok FROM s3)
+        |  WHERE LEN(tok) >= 5),
+        |ev AS (
+        |  SELECT DISTINCT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(tok) - 3),
+        |    i -> ARRAY_TO_STRING(tok[i:i+4], ' '))) AS sht
+        |  FROM (SELECT STRING_SPLIT(text, ' ') AS tok FROM zd
+        |        WHERE source = 'src0')
+        |  WHERE LEN(tok) >= 5),
+        |cont AS (
+        |  SELECT DISTINCT sh3.doc_id FROM sh3 JOIN ev USING (sht)),
+        |s4 AS MATERIALIZED (
+        |  SELECT * FROM s3
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+        |s5 AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY MD5('q317:' || CAST(doc_id AS VARCHAR)) ASC,
+        |               doc_id ASC) AS rk
+        |    FROM s4) WHERE rk <= 7)
+        |SELECT stage, n_in, n_kept, n_in - n_kept AS n_dropped FROM (
+        |  SELECT '1_gate' AS stage,
+        |    (SELECT COUNT(*) FROM inp) AS n_in,
+        |    (SELECT COUNT(*) FROM s1) AS n_kept
+        |  UNION ALL SELECT '2_exact_dedup',
+        |    (SELECT COUNT(*) FROM s1), (SELECT COUNT(*) FROM s2)
+        |  UNION ALL SELECT '3_near_dedup',
+        |    (SELECT COUNT(*) FROM s2), (SELECT COUNT(*) FROM s3)
+        |  UNION ALL SELECT '4_decontaminate',
+        |    (SELECT COUNT(*) FROM s3), (SELECT COUNT(*) FROM s4)
+        |  UNION ALL SELECT '5_sample',
+        |    (SELECT COUNT(*) FROM s4), (SELECT COUNT(*) FROM s5))
+        |ORDER BY stage""".stripMargin,
     "q112_distinctive_terms" ->
       """WITH tok AS (
         |  SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS t

@@ -1594,6 +1594,87 @@ object TextQueries extends QueryModule {
         .orderBy("source")
     },
 
+    // Hashed-bigram Stupid-Backoff LM scoring (Brants et al. 2007 §3 —
+    // the web-scale LM that replaces discounting with one backoff
+    // multiplier, because at corpus scale relative frequencies are
+    // enough): S(y|x) = c(xy)/c(x) when the bigram was seen, else
+    // 0.4 · p(y). CCNet's actual filter is a 5-gram KenLM; this is the
+    // same mechanism at n = 2 with DSIR's hashed-n-gram state trick
+    // (q263): both count tables hash into 4096 buckets, so the MODEL is
+    // FIXED-size however large the training corpus — the property that
+    // lets a 100 TB run broadcast it to every executor. The LM trains
+    // on the reference domain (src0–src3, the q263 target split) and
+    // scores EVERY document, so unseen bigrams genuinely hit empty
+    // buckets and the backoff branch fires (backoff_frac in the output
+    // proves it non-vacuous). The unigram leg is add-1 smoothed over
+    // buckets — pure Stupid Backoff leaves unseen-unigram mass zero,
+    // which would ln() to -inf on out-of-domain tokens. Determinism:
+    // counts exact longs, S is one CASE of IEEE divisions (0.4 parses
+    // to the identical double in both engines), one ln per bigram,
+    // scale-18 carries for the doc and source sums, round 6 with the
+    // -0.0 fold. Scale shape: ONE bigram explode feeds training counts
+    // and scoring; the two 4096-row tables broadcast; per-doc scores
+    // close on the doc key; the rollup is sources-sized.
+    "q316_stupid_backoff" -> { (s, dir) =>
+      val B = 4096L
+      val tgt = Seq("src0", "src1", "src2", "src3")
+      val isT = col("source").isin(tgt: _*)
+      def bucket(c: Column): Column =
+        conv(substring(md5(c.cast("binary")), 1, 4), 16, 10)
+          .cast("long") % B
+      val bg = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          split(col("text"), " ").as("tok"))
+        .filter(size(col("tok")) >= 2)
+        .select(col("doc_id"), col("source"), explode(expr(
+          "transform(sequence(1, size(tok) - 1), " +
+            "i -> named_struct('x', element_at(tok, i), " +
+            "'y', element_at(tok, i + 1)))")).as("g"))
+        .select(col("doc_id"), col("source"),
+          bucket(concat(col("g.x"), lit(" "), col("g.y"))).as("b2"),
+          bucket(col("g.x")).as("bx"), bucket(col("g.y")).as("by"))
+      val uni = Tables.t(s, dir, "documents")
+        .filter(isT)
+        .select(explode(split(col("text"), " ")).as("t"))
+        .select(bucket(col("t")).as("b1"))
+        .groupBy(col("b1")).agg(count(lit(1)).as("c1"))
+      val big = bg.filter(isT).groupBy(col("b2"))
+        .agg(count(lit(1)).as("c2"))
+      val n = uni.agg(sum(col("c1")).as("n_tok"))
+      val backoff = col("c2").isNull || col("cx").isNull
+      val sb = when(!backoff,
+        col("c2").cast("double") / col("cx").cast("double"))
+        .otherwise(lit(0.4) *
+          ((coalesce(col("cy"), lit(0L)) + lit(1L)).cast("double") /
+            (col("n_tok") + lit(B)).cast("double")))
+      val docScore = bg
+        .join(broadcast(big), Seq("b2"), "left")
+        .join(broadcast(uni.select(col("b1").as("bx"),
+          col("c1").as("cx"))), Seq("bx"), "left")
+        .join(broadcast(uni.select(col("b1").as("by"),
+          col("c1").as("cy"))), Seq("by"), "left")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("source"),
+          when(backoff, 1L).otherwise(0L).as("n_backoff"),
+          log(sb).as("lnsb"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("n_backoff")).as("n_backoff"),
+          graft.Fns.dsum18(col("lnsb")).as("slnsb"))
+        .select(col("doc_id"), col("source"), col("n_bigrams"),
+          col("n_backoff"),
+          (col("slnsb") / col("n_bigrams").cast("double")).as("score"))
+      docScore.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          (round(graft.Fns.dsum18(col("score")) /
+            count(lit(1)).cast("double"), 6) + lit(0.0)).as("avg_lnsb"),
+          (round(min(col("score")), 6) + lit(0.0)).as("min_lnsb"),
+          (round(max(col("score")), 6) + lit(0.0)).as("max_lnsb"),
+          (sum(col("n_backoff")).cast("double") /
+            sum(col("n_bigrams")).cast("double")).as("backoff_frac"))
+        .orderBy("source")
+    },
+
     // Corpus keyness — Dunning's log-likelihood ratio G² (Dunning 1993,
     // the corpus-linguistics standard for "which words characterize
     // THIS corpus vs that one"): per token, the G² statistic of its
@@ -1666,6 +1747,59 @@ object TextQueries extends QueryModule {
       |ORDER BY source, a_id, b_id""".stripMargin
 
   override def oracles: Map[String, String] = Map(
+    // same hashed buckets, same CASE, same decimal carries
+    "q316_stupid_backoff" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, STRING_SPLIT(text, ' ') AS tok
+        |  FROM documents),
+        |bg AS MATERIALIZED (
+        |  SELECT doc_id, source,
+        |    CAST(('0x' || SUBSTRING(MD5(tok[i] || ' ' || tok[i + 1]),
+        |      1, 4)) AS BIGINT) % 4096 AS b2,
+        |    CAST(('0x' || SUBSTRING(MD5(tok[i]), 1, 4)) AS BIGINT)
+        |      % 4096 AS bx,
+        |    CAST(('0x' || SUBSTRING(MD5(tok[i + 1]), 1, 4)) AS BIGINT)
+        |      % 4096 AS by
+        |  FROM d, UNNEST(GENERATE_SERIES(1, LEN(tok) - 1)) AS g(i)
+        |  WHERE LEN(tok) >= 2),
+        |uni AS MATERIALIZED (
+        |  SELECT CAST(('0x' || SUBSTRING(MD5(t), 1, 4)) AS BIGINT)
+        |    % 4096 AS b1, COUNT(*) AS c1
+        |  FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS t
+        |        FROM documents
+        |        WHERE source IN ('src0','src1','src2','src3'))
+        |  GROUP BY 1),
+        |big AS MATERIALIZED (
+        |  SELECT b2, COUNT(*) AS c2 FROM bg
+        |  WHERE source IN ('src0','src1','src2','src3') GROUP BY 1),
+        |n AS (SELECT CAST(SUM(c1) AS BIGINT) AS n_tok FROM uni),
+        |sc AS (
+        |  SELECT bg.doc_id, bg.source,
+        |    CASE WHEN c2.c2 IS NOT NULL AND cx.c1 IS NOT NULL
+        |      THEN 0 ELSE 1 END AS n_backoff,
+        |    LN(CASE WHEN c2.c2 IS NOT NULL AND cx.c1 IS NOT NULL
+        |      THEN CAST(c2.c2 AS DOUBLE) / CAST(cx.c1 AS DOUBLE)
+        |      ELSE 0.4 * (CAST(COALESCE(cy.c1, 0) + 1 AS DOUBLE)
+        |        / CAST(n.n_tok + 4096 AS DOUBLE)) END) AS lnsb
+        |  FROM bg LEFT JOIN big c2 USING (b2)
+        |    LEFT JOIN uni cx ON cx.b1 = bg.bx
+        |    LEFT JOIN uni cy ON cy.b1 = bg.by
+        |  CROSS JOIN n),
+        |dsc AS (
+        |  SELECT doc_id, source, COUNT(*) AS n_bigrams,
+        |    CAST(SUM(n_backoff) AS BIGINT) AS n_backoff,
+        |    CAST(SUM(CAST(lnsb AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*)
+        |      AS score
+        |  FROM sc GROUP BY 1, 2)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  ROUND(CAST(SUM(CAST(score AS DECIMAL(38,18))) AS DOUBLE)
+        |    / COUNT(*), 6) + 0.0 AS avg_lnsb,
+        |  ROUND(MIN(score), 6) + 0.0 AS min_lnsb,
+        |  ROUND(MAX(score), 6) + 0.0 AS max_lnsb,
+        |  CAST(SUM(n_backoff) AS DOUBLE) / CAST(SUM(n_bigrams) AS DOUBLE)
+        |    AS backoff_frac
+        |FROM dsc GROUP BY source ORDER BY source""".stripMargin,
+
     // the same rank formula over the same exact longs
     "q290_source_gini" ->
       """WITH d AS (
