@@ -19,6 +19,10 @@ object ProbePassDrift {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // match Bench's r12 codegen-cache sizing: the probe exists to
+      // attribute the RESIDUAL median/floor gap, so it must not
+      // reintroduce the cache-miss recompilation the fix removed
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // warm-up at the smallest fixture, like Bench
