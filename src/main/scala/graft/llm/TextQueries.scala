@@ -1675,6 +1675,108 @@ object TextQueries extends QueryModule {
         .orderBy("source")
     },
 
+    // q316 extended to the full TRIGRAM backoff chain — the KenLM
+    // fidelity step (CCNet filters with a 5-gram model; the chain
+    // mechanics are identical at every n, so n = 3 with a real
+    // two-level backoff is the structural fidelity point):
+    //   S(z|xy) = c3(xyz)/c2(xy)          when the trigram was seen,
+    //           = 0.4 · c2(yz)/c1(y)      else, when the bigram was,
+    //           = 0.4 · 0.4 · p₊₁(z)      else.
+    // All three count tables hash into 4096 buckets (one broadcast each
+    // — 3 × 4096 rows of model state however large the corpus); the
+    // SAME bigram table serves both the trigram's denominator c2(xy)
+    // and the backoff numerator c2(yz) — two aliases of one broadcast,
+    // exactly how a KenLM trie shares levels. Per-source level-usage
+    // fractions (tri/bi/uni) prove each chain level genuinely fires.
+    // Determinism: the q316 argument verbatim (exact counts, IEEE CASE,
+    // one ln, scale-18 carries, round 6 with the -0.0 fold).
+    "q318_stupid_backoff_trigram" -> { (s, dir) =>
+      val B = 4096L
+      val tgt = Seq("src0", "src1", "src2", "src3")
+      val isT = col("source").isin(tgt: _*)
+      def bucket(c: Column): Column =
+        conv(substring(md5(c.cast("binary")), 1, 4), 16, 10)
+          .cast("long") % B
+      val grams = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          split(col("text"), " ").as("tok"))
+        .filter(size(col("tok")) >= 3)
+        .select(col("doc_id"), col("source"), explode(expr(
+          "transform(sequence(1, size(tok) - 2), " +
+            "i -> named_struct('x', element_at(tok, i), " +
+            "'y', element_at(tok, i + 1), " +
+            "'z', element_at(tok, i + 2)))")).as("g"))
+        .select(col("doc_id"), col("source"),
+          bucket(concat(col("g.x"), lit(" "), col("g.y"), lit(" "),
+            col("g.z"))).as("b3"),
+          bucket(concat(col("g.x"), lit(" "), col("g.y"))).as("bxy"),
+          bucket(concat(col("g.y"), lit(" "), col("g.z"))).as("byz"),
+          bucket(col("g.y")).as("by"), bucket(col("g.z")).as("bz"))
+      val docs = Tables.t(s, dir, "documents")
+      val uni = docs.filter(isT)
+        .select(explode(split(col("text"), " ")).as("t"))
+        .select(bucket(col("t")).as("b1"))
+        .groupBy(col("b1")).agg(count(lit(1)).as("c1"))
+      val bi = docs.filter(isT)
+        .select(split(col("text"), " ").as("tok"))
+        .filter(size(col("tok")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(tok) - 1), " +
+            "i -> concat(element_at(tok, i), ' ', element_at(tok, i + 1)))"))
+          .as("p"))
+        .select(bucket(col("p")).as("b2"))
+        .groupBy(col("b2")).agg(count(lit(1)).as("c2"))
+      val tri = grams.filter(isT).groupBy(col("b3"))
+        .agg(count(lit(1)).as("c3"))
+      val n = uni.agg(sum(col("c1")).as("n_tok"))
+      val lvl3 = col("c3").isNotNull && col("cxy").isNotNull
+      val lvl2 = col("cyz").isNotNull && col("cy").isNotNull
+      val sb = when(lvl3,
+        col("c3").cast("double") / col("cxy").cast("double"))
+        .when(lvl2, lit(0.4) *
+          (col("cyz").cast("double") / col("cy").cast("double")))
+        .otherwise(lit(0.4) * lit(0.4) *
+          ((coalesce(col("cz"), lit(0L)) + lit(1L)).cast("double") /
+            (col("n_tok") + lit(B)).cast("double")))
+      val docScore = grams
+        .join(broadcast(tri), Seq("b3"), "left")
+        .join(broadcast(bi.select(col("b2").as("bxy"),
+          col("c2").as("cxy"))), Seq("bxy"), "left")
+        .join(broadcast(bi.select(col("b2").as("byz"),
+          col("c2").as("cyz"))), Seq("byz"), "left")
+        .join(broadcast(uni.select(col("b1").as("by"),
+          col("c1").as("cy"))), Seq("by"), "left")
+        .join(broadcast(uni.select(col("b1").as("bz"),
+          col("c1").as("cz"))), Seq("bz"), "left")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("source"),
+          when(lvl3, 1L).otherwise(0L).as("n_tri"),
+          when(!lvl3 && lvl2, 1L).otherwise(0L).as("n_bi"),
+          when(!lvl3 && !lvl2, 1L).otherwise(0L).as("n_uni"),
+          log(sb).as("lnsb"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(col("n_tri")).as("n_tri"), sum(col("n_bi")).as("n_bi"),
+          sum(col("n_uni")).as("n_uni"),
+          graft.Fns.dsum18(col("lnsb")).as("slnsb"))
+        .select(col("doc_id"), col("source"), col("n_grams"),
+          col("n_tri"), col("n_bi"), col("n_uni"),
+          (col("slnsb") / col("n_grams").cast("double")).as("score"))
+      docScore.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          (round(graft.Fns.dsum18(col("score")) /
+            count(lit(1)).cast("double"), 6) + lit(0.0)).as("avg_lnsb"),
+          (round(min(col("score")), 6) + lit(0.0)).as("min_lnsb"),
+          (round(max(col("score")), 6) + lit(0.0)).as("max_lnsb"),
+          (sum(col("n_tri")).cast("double") /
+            sum(col("n_grams")).cast("double")).as("tri_frac"),
+          (sum(col("n_bi")).cast("double") /
+            sum(col("n_grams")).cast("double")).as("bi_frac"),
+          (sum(col("n_uni")).cast("double") /
+            sum(col("n_grams")).cast("double")).as("uni_frac"))
+        .orderBy("source")
+    },
+
     // Corpus keyness — Dunning's log-likelihood ratio G² (Dunning 1993,
     // the corpus-linguistics standard for "which words characterize
     // THIS corpus vs that one"): per token, the G² statistic of its
@@ -1798,6 +1900,88 @@ object TextQueries extends QueryModule {
         |  ROUND(MAX(score), 6) + 0.0 AS max_lnsb,
         |  CAST(SUM(n_backoff) AS DOUBLE) / CAST(SUM(n_bigrams) AS DOUBLE)
         |    AS backoff_frac
+        |FROM dsc GROUP BY source ORDER BY source""".stripMargin,
+
+    // same three hashed tables, same two-level CASE, same carries
+    "q318_stupid_backoff_trigram" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, STRING_SPLIT(text, ' ') AS tok
+        |  FROM documents),
+        |g3 AS MATERIALIZED (
+        |  SELECT doc_id, source,
+        |    CAST(('0x' || SUBSTRING(MD5(tok[i] || ' ' || tok[i + 1]
+        |      || ' ' || tok[i + 2]), 1, 4)) AS BIGINT) % 4096 AS b3,
+        |    CAST(('0x' || SUBSTRING(MD5(tok[i] || ' ' || tok[i + 1]),
+        |      1, 4)) AS BIGINT) % 4096 AS bxy,
+        |    CAST(('0x' || SUBSTRING(MD5(tok[i + 1] || ' ' || tok[i + 2]),
+        |      1, 4)) AS BIGINT) % 4096 AS byz,
+        |    CAST(('0x' || SUBSTRING(MD5(tok[i + 1]), 1, 4)) AS BIGINT)
+        |      % 4096 AS by,
+        |    CAST(('0x' || SUBSTRING(MD5(tok[i + 2]), 1, 4)) AS BIGINT)
+        |      % 4096 AS bz
+        |  FROM d, UNNEST(GENERATE_SERIES(1, LEN(tok) - 2)) AS g(i)
+        |  WHERE LEN(tok) >= 3),
+        |uni AS MATERIALIZED (
+        |  SELECT CAST(('0x' || SUBSTRING(MD5(t), 1, 4)) AS BIGINT)
+        |    % 4096 AS b1, COUNT(*) AS c1
+        |  FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS t
+        |        FROM documents
+        |        WHERE source IN ('src0','src1','src2','src3'))
+        |  GROUP BY 1),
+        |bi AS MATERIALIZED (
+        |  SELECT CAST(('0x' || SUBSTRING(MD5(p), 1, 4)) AS BIGINT)
+        |    % 4096 AS b2, COUNT(*) AS c2
+        |  FROM (
+        |    SELECT tok[i] || ' ' || tok[i + 1] AS p
+        |    FROM d, UNNEST(GENERATE_SERIES(1, LEN(tok) - 1)) AS g(i)
+        |    WHERE LEN(tok) >= 2
+        |      AND source IN ('src0','src1','src2','src3'))
+        |  GROUP BY 1),
+        |tri AS MATERIALIZED (
+        |  SELECT b3, COUNT(*) AS c3 FROM g3
+        |  WHERE source IN ('src0','src1','src2','src3') GROUP BY 1),
+        |n AS (SELECT CAST(SUM(c1) AS BIGINT) AS n_tok FROM uni),
+        |sc AS (
+        |  SELECT g3.doc_id, g3.source,
+        |    CASE WHEN t.c3 IS NOT NULL AND cxy.c2 IS NOT NULL
+        |      THEN 1 ELSE 0 END AS n_tri,
+        |    CASE WHEN NOT (t.c3 IS NOT NULL AND cxy.c2 IS NOT NULL)
+        |      AND (cyz.c2 IS NOT NULL AND cy.c1 IS NOT NULL)
+        |      THEN 1 ELSE 0 END AS n_bi,
+        |    CASE WHEN NOT (t.c3 IS NOT NULL AND cxy.c2 IS NOT NULL)
+        |      AND NOT (cyz.c2 IS NOT NULL AND cy.c1 IS NOT NULL)
+        |      THEN 1 ELSE 0 END AS n_uni,
+        |    LN(CASE WHEN t.c3 IS NOT NULL AND cxy.c2 IS NOT NULL
+        |      THEN CAST(t.c3 AS DOUBLE) / CAST(cxy.c2 AS DOUBLE)
+        |      WHEN cyz.c2 IS NOT NULL AND cy.c1 IS NOT NULL
+        |      THEN 0.4 * (CAST(cyz.c2 AS DOUBLE) / CAST(cy.c1 AS DOUBLE))
+        |      ELSE 0.4 * 0.4 * (CAST(COALESCE(cz.c1, 0) + 1 AS DOUBLE)
+        |        / CAST(n.n_tok + 4096 AS DOUBLE)) END) AS lnsb
+        |  FROM g3 LEFT JOIN tri t USING (b3)
+        |    LEFT JOIN bi cxy ON cxy.b2 = g3.bxy
+        |    LEFT JOIN bi cyz ON cyz.b2 = g3.byz
+        |    LEFT JOIN uni cy ON cy.b1 = g3.by
+        |    LEFT JOIN uni cz ON cz.b1 = g3.bz
+        |  CROSS JOIN n),
+        |dsc AS (
+        |  SELECT doc_id, source, COUNT(*) AS n_grams,
+        |    CAST(SUM(n_tri) AS BIGINT) AS n_tri,
+        |    CAST(SUM(n_bi) AS BIGINT) AS n_bi,
+        |    CAST(SUM(n_uni) AS BIGINT) AS n_uni,
+        |    CAST(SUM(CAST(lnsb AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*)
+        |      AS score
+        |  FROM sc GROUP BY 1, 2)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  ROUND(CAST(SUM(CAST(score AS DECIMAL(38,18))) AS DOUBLE)
+        |    / COUNT(*), 6) + 0.0 AS avg_lnsb,
+        |  ROUND(MIN(score), 6) + 0.0 AS min_lnsb,
+        |  ROUND(MAX(score), 6) + 0.0 AS max_lnsb,
+        |  CAST(SUM(n_tri) AS DOUBLE) / CAST(SUM(n_grams) AS DOUBLE)
+        |    AS tri_frac,
+        |  CAST(SUM(n_bi) AS DOUBLE) / CAST(SUM(n_grams) AS DOUBLE)
+        |    AS bi_frac,
+        |  CAST(SUM(n_uni) AS DOUBLE) / CAST(SUM(n_grams) AS DOUBLE)
+        |    AS uni_frac
         |FROM dsc GROUP BY source ORDER BY source""".stripMargin,
 
     // the same rank formula over the same exact longs

@@ -82,6 +82,15 @@ class PlanGuardSpec extends AnyFunSuite {
                                // crossed from the checkpointed sketch
       "q294_hbos_outliers", // 1-row corpus count crossed into the
                             // 8-rows/vec binned scan (q51's shape)
+      "q313_minhash_recall_zipf", // 1-row invented-pair count crossed
+                                  // into the 1-row recall rollup (q250's
+                                  // verdict shape on the family corpus)
+      "q314_simhash_contract_zipf", // 1-row dup stats × 1-row baseline
+                                    // stats (q266's shape)
+      "q315_ann_recall_zipf", // q38's shape: broadcast query set × corpus
+      "q316_stupid_backoff", // 1-row train-token total crossed into the
+                             // scored bigram stream (q263's LM shape)
+      "q318_stupid_backoff_trigram", // same 1-row total cross, trigram chain
       "q295_ams_f2") // 1-row exact-F2 frame × 1-row sketch estimate
                      // (q275's verdict-row shape)
       // (q173's centroid probe BNLJ runs inside its eager checkpoint —
@@ -127,6 +136,19 @@ class PlanGuardSpec extends AnyFunSuite {
                                   // distinct + two #sources-key aggs + sort
                                   // — everything after the pairs is
                                   // edge-list- or #sources-sized
+    "q313_minhash_recall_zipf" -> 11, // two independent pair pipelines
+                                 // by design: the exact PPJoin (5, the
+                                 // q34 shape on the family corpus) PLUS
+                                 // the LSH banded-bucket path (q36's 3)
+                                 // it is graded against, + the caught/
+                                 // invented joins and the 1-row rollup
+    "q318_stupid_backoff_trigram" -> 9, // three 4096-bucket LM aggs +
+                                 // the 1-row token total + the per-doc
+                                 // close + per-source rollup + sort
+    "q316_stupid_backoff" -> 7,  // two 4096-bucket LM aggs + the 1-row
+                                 // token total + the per-doc close +
+                                 // per-source rollup + presentation
+                                 // sort — each fixed-size or doc-keyed
     "q156_dedup_yield_curve" -> 8, // q34's pair pipeline (5) + the 4-way
                                   // threshold sweep agg + 1-row doc count
                                   // + sort — the sweep re-reads the pair
