@@ -30,6 +30,14 @@ class QualityClassifierSpec extends AnyFunSuite {
       s"final MSE ${traj.last._2} did not drop below 25% of ${traj.head._2}")
   }
 
+  test("q319: the trained scorer ranks the gate near-perfectly (AUC)") {
+    val r = QualityClassifier.queries("q319_quality_auc")(spark, sf).head()
+    val (nPos, nNeg, auc) = (r.getLong(0), r.getLong(1), r.getDouble(3))
+    assert(nPos > 0 && nNeg > 0, s"degenerate classes: $nPos/$nNeg")
+    assert(auc >= 0.95, s"AUC $auc below 0.95")
+    assert(auc <= 1.0, s"AUC $auc out of range")
+  }
+
   test("q312: the trained scorer recovers the rule gate") {
     val rows = QualityClassifier.queries("q312_quality_score")(spark, sf)
       .collect()
