@@ -42,32 +42,6 @@ object Bench {
     "q71_dedup_clusters", "q77_stat_aggs", "q83_quantize_embed",
     "q99_pq_encode")
 
-  /** The RETIRED r11 tail — kept one transition round (the r11 precedent
-    * when tail-41 retired) so r13 can report both lists once; r14 drops
-    * it. Run with SPARK_GRAFT_BENCH_QUERIES=tail_r11.
-    */
-  val ComparableTailR11: Seq[String] = Seq(
-    "q01_pricing_summary", "q104_winsorize", "q107_pagerank",
-    "q10_join_agg", "q117_window_pmi", "q119_bigram_lm",
-    "q122_dedup_survivors", "q130_source_admission", "q131_weighted_jaccard",
-    "q136_embed_covariance", "q140_pca_projection", "q146_salted_join",
-    "q148_containment_pairs", "q153_source_dup_rate", "q156_dedup_yield_curve",
-    "q165_incremental_dedup", "q168_hapax_census", "q169_leakage_split",
-    "q170_kcore", "q171_silhouette", "q173_knn_eval",
-    "q179_markov_stationary", "q180_feature_hash", "q183_word_communities",
-    "q188_fd_audit", "q195_assoc_rules", "q201_bfs_hops",
-    "q218_concurrency_profile", "q219_golden_record", "q220_abc_pareto",
-    "q226_weighted_percentile", "q232_grouped_ols", "q233_trimmed_mean",
-    "q239_boilerplate_spans", "q240_boilerplate_share", "q244_knn_scaledk",
-    "q245_phash_dedup", "q246_hits", "q248_bucketed_join",
-    "q250_minhash_recall", "q252_assortativity_scaledk", "q253_ivfpq_search",
-    "q255_bloom_semijoin", "q263_dsir_weights", "q266_simhash_contract",
-    "q267_ann_recall", "q269_pca_contract", "q270_format_migration",
-    "q271_kcore_scaledk", "q272_linkpred_scaledk", "q274_avro_roundtrip",
-    "q34_jaccard_pairs", "q36_minhash_pairs", "q39_ann_topk",
-    "q50_shingle_jaccard", "q56_percentiles", "q63_approx_percentiles",
-    "q71_dedup_clusters", "q77_stat_aggs", "q99_pq_encode")
-
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -95,9 +69,8 @@ object Bench {
     // without paying the full ~40 min suite
     val only = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
       .map {
-        case "tail"     => ComparableTail.toSet // the fixed comparison tail
-        case "tail_r11" => ComparableTailR11.toSet // retired; r13 only
-        case s          => s.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        case "tail" => ComparableTail.toSet // the fixed comparison tail
+        case s      => s.split(",").map(_.trim).filter(_.nonEmpty).toSet
       }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
