@@ -77,7 +77,11 @@ case class TopKByAggregate(
     val v = value.eval(input)
     val i = id.eval(input)
     if (v != null && i != null) {
-      buf.enqueue((v.asInstanceOf[Double], i.asInstanceOf[Long]))
+      // + 0.0 collapses -0.0 to +0.0 on enqueue (NaN passes through),
+      // so Double.compare's total order agrees with SQL ORDER BY —
+      // which treats the zero signs as equal and tie-breaks by id —
+      // everywhere downstream: eviction, merge, and the emitted sort.
+      buf.enqueue((v.asInstanceOf[Double] + 0.0, i.asInstanceOf[Long]))
       if (buf.size > k) buf.dequeue()
     }
     buf
@@ -97,8 +101,8 @@ case class TopKByAggregate(
   override def eval(buf: mutable.PriorityQueue[(Double, Long)]): Any = {
     // Ascending by worstFirst (java.lang.Double.compare) = v DESC, id
     // ASC — the SAME total order the heap evicts by, so NaN keys keep
-    // a strict weak order and -0.0/0.0 ties break identically here and
-    // in eviction.
+    // a strict weak order; ±0.0 were canonicalized on enqueue, so the
+    // zero signs tie-break by id exactly as a SQL window oracle does.
     val arr = buf.toArray.sorted(worstFirst)
     new GenericArrayData(arr.map { case (v, i) =>
       new GenericInternalRow(Array[Any](v, i)): Any
@@ -206,7 +210,10 @@ case class BottomKByAggregate(
     val v = value.eval(input)
     val i = id.eval(input)
     if (v != null && i != null) {
-      buf.enqueue((v.asInstanceOf[Double], i.asInstanceOf[Long]))
+      // + 0.0 collapses -0.0 to +0.0 on enqueue (NaN passes through) —
+      // same rationale as TopKByAggregate.update: Double.compare then
+      // matches the SQL ORDER BY zero-sign semantics everywhere.
+      buf.enqueue((v.asInstanceOf[Double] + 0.0, i.asInstanceOf[Long]))
       if (buf.size > k) buf.dequeue()
     }
     buf
@@ -226,8 +233,9 @@ case class BottomKByAggregate(
   override def eval(buf: mutable.PriorityQueue[(Double, Long)]): Any = {
     // Sort with the SAME total order the heap evicts by (worstFirst
     // reversed): java.lang.Double.compare, not primitive </==, so NaN
-    // keys stay a strict weak order (timsort contract) and -0.0/0.0
-    // tie-break matches heap eviction bit for bit.
+    // keys stay a strict weak order (timsort contract); ±0.0 were
+    // canonicalized on enqueue, so zero signs tie-break by id as a
+    // SQL window oracle does.
     val arr = buf.toArray.sorted(worstFirst) // ascending = v ASC, id ASC
     new GenericArrayData(arr.map { case (v, i) =>
       new GenericInternalRow(Array[Any](v, i)): Any

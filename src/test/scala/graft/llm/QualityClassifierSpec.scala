@@ -38,6 +38,25 @@ class QualityClassifierSpec extends AnyFunSuite {
     assert(auc <= 1.0, s"AUC $auc out of range")
   }
 
+  test("q320: the probe generalizes to the leakage-safe held-out bucket") {
+    val rows = QualityClassifier.queries("q320_quality_holdout")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(4))).toMap
+    assert(rows.keySet == Set("train", "heldout"),
+      s"expected both splits, got ${rows.keySet}")
+    val (hPos, hNeg, hAuc) = rows("heldout")
+    val (tPos, tNeg, tAuc) = rows("train")
+    // both sides carry both classes (the md5 cluster split didn't
+    // starve either tally)
+    assert(hPos > 0 && hNeg > 0, s"degenerate held-out classes: $hPos/$hNeg")
+    assert(tPos > 0 && tNeg > 0, s"degenerate train classes: $tPos/$tNeg")
+    // the honest generalization floor: the model never saw the
+    // held-out docs NOR their near-dup relatives (cluster-keyed split),
+    // and still ranks the gate
+    assert(hAuc >= 0.9, s"held-out AUC $hAuc below 0.9")
+    assert(hAuc <= 1.0 && tAuc <= 1.0, s"AUC out of range: $hAuc / $tAuc")
+  }
+
   test("q312: the trained scorer recovers the rule gate") {
     val rows = QualityClassifier.queries("q312_quality_score")(spark, sf)
       .collect()

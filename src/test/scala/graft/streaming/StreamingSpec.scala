@@ -762,6 +762,33 @@ class StreamingSpec extends AnyFunSuite {
       "replayed batch must reach the same admissions as an uncrashed run")
   }
 
+  test("lsh dedup sink: an out-of-order batch is detected; ordered " +
+       "runs and crash replays are not") {
+    val root = s"/tmp/graft-test-lshsink-ooo-${System.nanoTime()}"
+    val hits = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def run(docs: Seq[Doc]): Unit = {
+      val ms = MemoryStream[Doc](spark)
+      ms.addData(docs: _*)
+      val q = StreamingOps.lshDedupSinkHooked(ms.toDF(), root, 0.6,
+        _ => (), (mn, mx) => hits.synchronized { hits += ((mn, mx)) })
+        .start()
+      q.awaitTermination(60000)
+    }
+    run(lshDocs.take(2)) // ids 1-2: first batch, nothing decided yet
+    run(lshDocs.slice(2, 4)) // ids 3-4: in order
+    assert(hits.isEmpty, s"ordered batches must not flag: $hits")
+    // a replay of ids 3-4 (same batch re-delivered) is NOT a violation:
+    // the prior decisions excluding the batch's own ids end at 2
+    run(lshDocs.slice(2, 4))
+    assert(hits.isEmpty, s"replayed batch must not flag: $hits")
+    // ids 5-6 decided, then id-3's twin arriving late IS a violation
+    run(lshDocs.slice(4, 6))
+    run(Seq(Doc(3, ts("2024-01-01 10:06:00"),
+      "w1 w2 w3 w4 w5 w6 w7 w8 w9 w11")))
+    assert(hits.toSeq == Seq((3L, 6L)),
+      s"late batch (min 3 after 6 decided) must flag once: $hits")
+  }
+
   test("streaming weighted sample merges to the batch twin bit-equally " +
        "and matches an independent Scala derivation") {
     val ms = MemoryStream[Ev](spark)
