@@ -1691,6 +1691,126 @@ object TextQueries extends QueryModule {
     // Determinism: the q316 argument verbatim (exact counts, IEEE CASE,
     // one ln, scale-18 carries, round 6 with the -0.0 fold).
     "q318_stupid_backoff_trigram" -> { (s, dir) =>
+      val docScore = trigramSbDocScores(s, dir)
+      docScore.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          (round(graft.Fns.dsum18(col("score")) /
+            count(lit(1)).cast("double"), 6) + lit(0.0)).as("avg_lnsb"),
+          (round(min(col("score")), 6) + lit(0.0)).as("min_lnsb"),
+          (round(max(col("score")), 6) + lit(0.0)).as("max_lnsb"),
+          (sum(col("n_tri")).cast("double") /
+            sum(col("n_grams")).cast("double")).as("tri_frac"),
+          (sum(col("n_bi")).cast("double") /
+            sum(col("n_grams")).cast("double")).as("bi_frac"),
+          (sum(col("n_uni")).cast("double") /
+            sum(col("n_grams")).cast("double")).as("uni_frac"))
+        .orderBy("source")
+    },
+
+    // CCNet's perplexity-bucket filter (Wenzek et al. 2020 §4.3) — the
+    // production APPLICATION of the q318 LM, the last pipeline stage
+    // the chain was built for: per source (CCNet: per language),
+    // documents split at the 1/3 and 2/3 score terciles into
+    // head / middle / tail by LM fluency (score = mean ln S, so head =
+    // highest score = lowest perplexity), tail dropped — the keep
+    // decision plus the per-bucket doc/gram mass a curation run
+    // reports. Tercile thresholds come from ONE exact-percentile
+    // aggregation per source broadcast back onto the scored frame (the
+    // q127 recipe: percentile-THRESHOLD assignment, never a
+    // corpus-sized single-partition NTILE; at 100 TB the same
+    // aggregation rides approx_percentile with stated error — the
+    // assignment stays scan-local either way). Cuts round to 4 (the
+    // q127 ulp absorber); both engines then compare identical score
+    // doubles against identical rounded cuts, so buckets agree
+    // bit-for-bit; shares are single IEEE divisions of exact longs,
+    // and the share windows run over the sources×3 grouped frame —
+    // dimension-sized, never corpus-sized.
+    "q321_ccnet_terciles" -> { (s, dir) =>
+      val ds = trigramSbDocScores(s, dir)
+      val cuts = ds.groupBy(col("source"))
+        .agg(expr("percentile(score, array(CAST(1.0/3.0 AS DOUBLE), " +
+          "CAST(2.0/3.0 AS DOUBLE)))").as("pp"))
+        .select(col("source"),
+          round(element_at(col("pp"), 1), 4).as("c_lo"),
+          round(element_at(col("pp"), 2), 4).as("c_hi"))
+      val wS = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+      ds.join(broadcast(cuts), "source")
+        .select(col("source"),
+          when(col("score") > col("c_hi"), lit("head"))
+            .when(col("score") > col("c_lo"), lit("middle"))
+            .otherwise(lit("tail")).as("bucket"),
+          col("n_grams"))
+        .groupBy(col("source"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_grams")).as("n_grams"))
+        .withColumn("keep", col("bucket") =!= "tail")
+        .withColumn("doc_share",
+          col("n_docs").cast("double") /
+            sum(col("n_docs")).over(wS).cast("double"))
+        .withColumn("gram_share",
+          col("n_grams").cast("double") /
+            sum(col("n_grams")).over(wS).cast("double"))
+        .select("source", "bucket", "keep", "n_docs", "n_grams",
+          "doc_share", "gram_share")
+        .orderBy("source", "bucket")
+    },
+
+    // Corpus keyness — Dunning's log-likelihood ratio G² (Dunning 1993,
+    // the corpus-linguistics standard for "which words characterize
+    // THIS corpus vs that one"): per token, the G² statistic of its
+    // target-corpus count a vs rest-count b against the pooled
+    // expectation. Distinct from q102's PMI (word-word association)
+    // and q149's KL (whole-distribution drift): keyness is per-token
+    // SIGNIFICANCE, robust at low counts where PMI explodes — the
+    // domain-vocabulary readout a mixture designer reads before
+    // reweighting. Scale shape: one token aggregation (map-side
+    // combinable), the (nt, nr) totals broadcast onto the vocab-sized
+    // frame, top-20 via TakeOrderedAndProject. Determinism: counts
+    // exact, expectations one IEEE chain, direction by exact integer
+    // cross-multiplication (the q223 trick — no rate division).
+    "q265_keyness" -> { (s, dir) =>
+      val tgt = Seq("src0", "src1", "src2", "src3")
+      val isT = col("source").isin(tgt: _*)
+      val counts = Tables.t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("t"))
+        .filter(length(col("t")) > 0)
+        .groupBy(col("t"))
+        .agg(sum(when(isT, 1L).otherwise(0L)).as("a"),
+          sum(when(!isT, 1L).otherwise(0L)).as("b"))
+      val tot = counts.agg(sum(col("a")).as("nt"), sum(col("b")).as("nr"))
+      val ea = col("nt").cast("double") *
+        (col("a") + col("b")).cast("double") /
+        (col("nt") + col("nr")).cast("double")
+      val eb = col("nr").cast("double") *
+        (col("a") + col("b")).cast("double") /
+        (col("nt") + col("nr")).cast("double")
+      val g2 = lit(2.0) * (
+        when(col("a") > 0,
+          col("a").cast("double") * log(col("a").cast("double") / ea))
+          .otherwise(lit(0.0)) +
+        when(col("b") > 0,
+          col("b").cast("double") * log(col("b").cast("double") / eb))
+          .otherwise(lit(0.0)))
+      counts.crossJoin(broadcast(tot))
+        .select(col("t"), col("a"), col("b"),
+          (round(g2, 6) + lit(0.0)).as("g2"),
+          when(col("a") * col("nr") > col("b") * col("nt"), lit("target"))
+            .otherwise(lit("rest")).as("leans"))
+        .orderBy(col("g2").desc, col("t")).limit(20)
+    })
+
+  /** The q34 exact-Jaccard oracle, hoisted so composite oracles (q71,
+    * q122, q131) can ride it in as a CTE without recursing into
+    * [[oracles]] during its own construction.
+    */
+
+  /** The per-document trigram Stupid-Backoff scores q318 rolls up and
+    * q321's CCNet tercile filter cuts on: (doc_id, source, n_grams,
+    * n_tri, n_bi, n_uni, score) for every document with >= 3 tokens.
+    * See q318's declared-row doc for the model/determinism argument.
+    */
+  private[llm] def trigramSbDocScores(s: SparkSession, dir: String)
+      : DataFrame = {
       val B = 4096L
       val tgt = Seq("src0", "src1", "src2", "src3")
       val isT = col("source").isin(tgt: _*)
@@ -1762,69 +1882,9 @@ object TextQueries extends QueryModule {
         .select(col("doc_id"), col("source"), col("n_grams"),
           col("n_tri"), col("n_bi"), col("n_uni"),
           (col("slnsb") / col("n_grams").cast("double")).as("score"))
-      docScore.groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          (round(graft.Fns.dsum18(col("score")) /
-            count(lit(1)).cast("double"), 6) + lit(0.0)).as("avg_lnsb"),
-          (round(min(col("score")), 6) + lit(0.0)).as("min_lnsb"),
-          (round(max(col("score")), 6) + lit(0.0)).as("max_lnsb"),
-          (sum(col("n_tri")).cast("double") /
-            sum(col("n_grams")).cast("double")).as("tri_frac"),
-          (sum(col("n_bi")).cast("double") /
-            sum(col("n_grams")).cast("double")).as("bi_frac"),
-          (sum(col("n_uni")).cast("double") /
-            sum(col("n_grams")).cast("double")).as("uni_frac"))
-        .orderBy("source")
-    },
+    docScore
+  }
 
-    // Corpus keyness — Dunning's log-likelihood ratio G² (Dunning 1993,
-    // the corpus-linguistics standard for "which words characterize
-    // THIS corpus vs that one"): per token, the G² statistic of its
-    // target-corpus count a vs rest-count b against the pooled
-    // expectation. Distinct from q102's PMI (word-word association)
-    // and q149's KL (whole-distribution drift): keyness is per-token
-    // SIGNIFICANCE, robust at low counts where PMI explodes — the
-    // domain-vocabulary readout a mixture designer reads before
-    // reweighting. Scale shape: one token aggregation (map-side
-    // combinable), the (nt, nr) totals broadcast onto the vocab-sized
-    // frame, top-20 via TakeOrderedAndProject. Determinism: counts
-    // exact, expectations one IEEE chain, direction by exact integer
-    // cross-multiplication (the q223 trick — no rate division).
-    "q265_keyness" -> { (s, dir) =>
-      val tgt = Seq("src0", "src1", "src2", "src3")
-      val isT = col("source").isin(tgt: _*)
-      val counts = Tables.t(s, dir, "documents")
-        .select(col("source"), explode(split(col("text"), " ")).as("t"))
-        .filter(length(col("t")) > 0)
-        .groupBy(col("t"))
-        .agg(sum(when(isT, 1L).otherwise(0L)).as("a"),
-          sum(when(!isT, 1L).otherwise(0L)).as("b"))
-      val tot = counts.agg(sum(col("a")).as("nt"), sum(col("b")).as("nr"))
-      val ea = col("nt").cast("double") *
-        (col("a") + col("b")).cast("double") /
-        (col("nt") + col("nr")).cast("double")
-      val eb = col("nr").cast("double") *
-        (col("a") + col("b")).cast("double") /
-        (col("nt") + col("nr")).cast("double")
-      val g2 = lit(2.0) * (
-        when(col("a") > 0,
-          col("a").cast("double") * log(col("a").cast("double") / ea))
-          .otherwise(lit(0.0)) +
-        when(col("b") > 0,
-          col("b").cast("double") * log(col("b").cast("double") / eb))
-          .otherwise(lit(0.0)))
-      counts.crossJoin(broadcast(tot))
-        .select(col("t"), col("a"), col("b"),
-          (round(g2, 6) + lit(0.0)).as("g2"),
-          when(col("a") * col("nr") > col("b") * col("nt"), lit("target"))
-            .otherwise(lit("rest")).as("leans"))
-        .orderBy(col("g2").desc, col("t")).limit(20)
-    })
-
-  /** The q34 exact-Jaccard oracle, hoisted so composite oracles (q71,
-    * q122, q131) can ride it in as a CTE without recursing into
-    * [[oracles]] during its own construction.
-    */
   val Q34OracleSql: String =
     """WITH d AS (
       |  SELECT doc_id, source,
@@ -1848,63 +1908,10 @@ object TextQueries extends QueryModule {
       |WHERE CAST(n_common AS DOUBLE) / (a_n + b_n - n_common) >= 0.6
       |ORDER BY source, a_id, b_id""".stripMargin
 
-  override def oracles: Map[String, String] = Map(
-    // same hashed buckets, same CASE, same decimal carries
-    "q316_stupid_backoff" ->
-      """WITH d AS (
-        |  SELECT doc_id, source, STRING_SPLIT(text, ' ') AS tok
-        |  FROM documents),
-        |bg AS MATERIALIZED (
-        |  SELECT doc_id, source,
-        |    CAST(('0x' || SUBSTRING(MD5(tok[i] || ' ' || tok[i + 1]),
-        |      1, 4)) AS BIGINT) % 4096 AS b2,
-        |    CAST(('0x' || SUBSTRING(MD5(tok[i]), 1, 4)) AS BIGINT)
-        |      % 4096 AS bx,
-        |    CAST(('0x' || SUBSTRING(MD5(tok[i + 1]), 1, 4)) AS BIGINT)
-        |      % 4096 AS by
-        |  FROM d, UNNEST(GENERATE_SERIES(1, LEN(tok) - 1)) AS g(i)
-        |  WHERE LEN(tok) >= 2),
-        |uni AS MATERIALIZED (
-        |  SELECT CAST(('0x' || SUBSTRING(MD5(t), 1, 4)) AS BIGINT)
-        |    % 4096 AS b1, COUNT(*) AS c1
-        |  FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS t
-        |        FROM documents
-        |        WHERE source IN ('src0','src1','src2','src3'))
-        |  GROUP BY 1),
-        |big AS MATERIALIZED (
-        |  SELECT b2, COUNT(*) AS c2 FROM bg
-        |  WHERE source IN ('src0','src1','src2','src3') GROUP BY 1),
-        |n AS (SELECT CAST(SUM(c1) AS BIGINT) AS n_tok FROM uni),
-        |sc AS (
-        |  SELECT bg.doc_id, bg.source,
-        |    CASE WHEN c2.c2 IS NOT NULL AND cx.c1 IS NOT NULL
-        |      THEN 0 ELSE 1 END AS n_backoff,
-        |    LN(CASE WHEN c2.c2 IS NOT NULL AND cx.c1 IS NOT NULL
-        |      THEN CAST(c2.c2 AS DOUBLE) / CAST(cx.c1 AS DOUBLE)
-        |      ELSE 0.4 * (CAST(COALESCE(cy.c1, 0) + 1 AS DOUBLE)
-        |        / CAST(n.n_tok + 4096 AS DOUBLE)) END) AS lnsb
-        |  FROM bg LEFT JOIN big c2 USING (b2)
-        |    LEFT JOIN uni cx ON cx.b1 = bg.bx
-        |    LEFT JOIN uni cy ON cy.b1 = bg.by
-        |  CROSS JOIN n),
-        |dsc AS (
-        |  SELECT doc_id, source, COUNT(*) AS n_bigrams,
-        |    CAST(SUM(n_backoff) AS BIGINT) AS n_backoff,
-        |    CAST(SUM(CAST(lnsb AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*)
-        |      AS score
-        |  FROM sc GROUP BY 1, 2)
-        |SELECT source, COUNT(*) AS n_docs,
-        |  ROUND(CAST(SUM(CAST(score AS DECIMAL(38,18))) AS DOUBLE)
-        |    / COUNT(*), 6) + 0.0 AS avg_lnsb,
-        |  ROUND(MIN(score), 6) + 0.0 AS min_lnsb,
-        |  ROUND(MAX(score), 6) + 0.0 AS max_lnsb,
-        |  CAST(SUM(n_backoff) AS DOUBLE) / CAST(SUM(n_bigrams) AS DOUBLE)
-        |    AS backoff_frac
-        |FROM dsc GROUP BY source ORDER BY source""".stripMargin,
-
-    // same three hashed tables, same two-level CASE, same carries
-    "q318_stupid_backoff_trigram" ->
-      """WITH d AS (
+  /** The q318 oracle chain through the per-doc score CTE `dsc` —
+    * shared with q321's tercile filter. */
+  private val TrigramSbDscSql: String =
+    """WITH d AS (
         |  SELECT doc_id, source, STRING_SPLIT(text, ' ') AS tok
         |  FROM documents),
         |g3 AS MATERIALIZED (
@@ -1970,7 +1977,65 @@ object TextQueries extends QueryModule {
         |    CAST(SUM(n_uni) AS BIGINT) AS n_uni,
         |    CAST(SUM(CAST(lnsb AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*)
         |      AS score
+        |  FROM sc GROUP BY 1, 2)"""
+
+  override def oracles: Map[String, String] = Map(
+    // same hashed buckets, same CASE, same decimal carries
+    "q316_stupid_backoff" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, STRING_SPLIT(text, ' ') AS tok
+        |  FROM documents),
+        |bg AS MATERIALIZED (
+        |  SELECT doc_id, source,
+        |    CAST(('0x' || SUBSTRING(MD5(tok[i] || ' ' || tok[i + 1]),
+        |      1, 4)) AS BIGINT) % 4096 AS b2,
+        |    CAST(('0x' || SUBSTRING(MD5(tok[i]), 1, 4)) AS BIGINT)
+        |      % 4096 AS bx,
+        |    CAST(('0x' || SUBSTRING(MD5(tok[i + 1]), 1, 4)) AS BIGINT)
+        |      % 4096 AS by
+        |  FROM d, UNNEST(GENERATE_SERIES(1, LEN(tok) - 1)) AS g(i)
+        |  WHERE LEN(tok) >= 2),
+        |uni AS MATERIALIZED (
+        |  SELECT CAST(('0x' || SUBSTRING(MD5(t), 1, 4)) AS BIGINT)
+        |    % 4096 AS b1, COUNT(*) AS c1
+        |  FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS t
+        |        FROM documents
+        |        WHERE source IN ('src0','src1','src2','src3'))
+        |  GROUP BY 1),
+        |big AS MATERIALIZED (
+        |  SELECT b2, COUNT(*) AS c2 FROM bg
+        |  WHERE source IN ('src0','src1','src2','src3') GROUP BY 1),
+        |n AS (SELECT CAST(SUM(c1) AS BIGINT) AS n_tok FROM uni),
+        |sc AS (
+        |  SELECT bg.doc_id, bg.source,
+        |    CASE WHEN c2.c2 IS NOT NULL AND cx.c1 IS NOT NULL
+        |      THEN 0 ELSE 1 END AS n_backoff,
+        |    LN(CASE WHEN c2.c2 IS NOT NULL AND cx.c1 IS NOT NULL
+        |      THEN CAST(c2.c2 AS DOUBLE) / CAST(cx.c1 AS DOUBLE)
+        |      ELSE 0.4 * (CAST(COALESCE(cy.c1, 0) + 1 AS DOUBLE)
+        |        / CAST(n.n_tok + 4096 AS DOUBLE)) END) AS lnsb
+        |  FROM bg LEFT JOIN big c2 USING (b2)
+        |    LEFT JOIN uni cx ON cx.b1 = bg.bx
+        |    LEFT JOIN uni cy ON cy.b1 = bg.by
+        |  CROSS JOIN n),
+        |dsc AS (
+        |  SELECT doc_id, source, COUNT(*) AS n_bigrams,
+        |    CAST(SUM(n_backoff) AS BIGINT) AS n_backoff,
+        |    CAST(SUM(CAST(lnsb AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*)
+        |      AS score
         |  FROM sc GROUP BY 1, 2)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  ROUND(CAST(SUM(CAST(score AS DECIMAL(38,18))) AS DOUBLE)
+        |    / COUNT(*), 6) + 0.0 AS avg_lnsb,
+        |  ROUND(MIN(score), 6) + 0.0 AS min_lnsb,
+        |  ROUND(MAX(score), 6) + 0.0 AS max_lnsb,
+        |  CAST(SUM(n_backoff) AS DOUBLE) / CAST(SUM(n_bigrams) AS DOUBLE)
+        |    AS backoff_frac
+        |FROM dsc GROUP BY source ORDER BY source""".stripMargin,
+
+    // same three hashed tables, same two-level CASE, same carries
+    "q318_stupid_backoff_trigram" ->
+      (TrigramSbDscSql + """
         |SELECT source, COUNT(*) AS n_docs,
         |  ROUND(CAST(SUM(CAST(score AS DECIMAL(38,18))) AS DOUBLE)
         |    / COUNT(*), 6) + 0.0 AS avg_lnsb,
@@ -1982,7 +2047,38 @@ object TextQueries extends QueryModule {
         |    AS bi_frac,
         |  CAST(SUM(n_uni) AS DOUBLE) / CAST(SUM(n_grams) AS DOUBLE)
         |    AS uni_frac
-        |FROM dsc GROUP BY source ORDER BY source""".stripMargin,
+        |FROM dsc GROUP BY source ORDER BY source""").stripMargin,
+
+    // the same per-doc scores, per-source QUANTILE_CONT tercile cuts
+    // (rounded 4, the q127 twin of percentile-array), the same CASE
+    "q321_ccnet_terciles" ->
+      (TrigramSbDscSql + """,
+        |cuts AS (
+        |  SELECT source,
+        |    ROUND(QUANTILE_CONT(score, CAST(1.0/3.0 AS DOUBLE)), 4)
+        |      AS c_lo,
+        |    ROUND(QUANTILE_CONT(score, CAST(2.0/3.0 AS DOUBLE)), 4)
+        |      AS c_hi
+        |  FROM dsc GROUP BY source),
+        |bk AS (
+        |  SELECT d.source,
+        |    CASE WHEN d.score > c.c_hi THEN 'head'
+        |         WHEN d.score > c.c_lo THEN 'middle'
+        |         ELSE 'tail' END AS bucket,
+        |    d.n_grams
+        |  FROM dsc d JOIN cuts c USING (source)),
+        |t AS (
+        |  SELECT source, bucket, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_grams) AS BIGINT) AS n_grams
+        |  FROM bk GROUP BY 1, 2)
+        |SELECT source, bucket, bucket <> 'tail' AS keep, n_docs, n_grams,
+        |  CAST(n_docs AS DOUBLE)
+        |    / CAST(SUM(n_docs) OVER (PARTITION BY source) AS DOUBLE)
+        |    AS doc_share,
+        |  CAST(n_grams AS DOUBLE)
+        |    / CAST(SUM(n_grams) OVER (PARTITION BY source) AS DOUBLE)
+        |    AS gram_share
+        |FROM t ORDER BY source, bucket""").stripMargin,
 
     // the same rank formula over the same exact longs
     "q290_source_gini" ->

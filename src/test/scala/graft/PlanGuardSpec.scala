@@ -91,6 +91,8 @@ class PlanGuardSpec extends AnyFunSuite {
       "q316_stupid_backoff", // 1-row train-token total crossed into the
                              // scored bigram stream (q263's LM shape)
       "q318_stupid_backoff_trigram", // same 1-row total cross, trigram chain
+      "q321_ccnet_terciles", // the q318 scorer's 1-row total cross feeding
+                             // the tercile cut/keep readout
       "q295_ams_f2") // 1-row exact-F2 frame × 1-row sketch estimate
                      // (q275's verdict-row shape)
       // (q173's centroid probe BNLJ runs inside its eager checkpoint —
@@ -153,6 +155,12 @@ class PlanGuardSpec extends AnyFunSuite {
     "q318_stupid_backoff_trigram" -> 9, // three 4096-bucket LM aggs +
                                  // the 1-row token total + the per-doc
                                  // close + per-source rollup + sort
+    "q321_ccnet_terciles" -> 11, // q318's scorer (three 4096-bucket LM
+                                 // aggs + 1-row total + per-doc close)
+                                 // + the per-source percentile-cut agg
+                                 // broadcast back + the sources×3 mass
+                                 // agg/windows + sort — everything past
+                                 // the per-doc close is dimension-sized
     "q316_stupid_backoff" -> 7,  // two 4096-bucket LM aggs + the 1-row
                                  // token total + the per-doc close +
                                  // per-source rollup + presentation
