@@ -1671,6 +1671,103 @@ object CorpusQueries extends QueryModule {
         .orderBy("stage")
     },
 
+    // The q317 ledger extended with the FineWeb pipeline's MODEL stage
+    // — the production chain runs gate → CLASSIFIER → dedups →
+    // decontaminate → sample (Penedo et al. 2024 §3): stage 2 trains
+    // the q311 probe ON THE LEDGER'S INPUT (gate label at the Zipf
+    // domain's ml floor 2.0 — the q317 tuning) and keeps the gate
+    // survivors the model scores >= 0.5. The probe distills the gate
+    // from the 21 features alone, so a handful of gate-passers score
+    // under threshold (feature-atypical positives) — a genuinely
+    // non-vacuous drop, not a re-application of stage 1. Oracle: the
+    // q317 chain with q311's unrolled GD CTEs embedded (trained on the
+    // inp CTE), the model stage restated as the same mscore >= 0.5
+    // join. Scale shape: q317's argument per stage, plus the trainer's
+    // — featurize once, aggregate-only rounds; each stage still runs
+    // the proven operator's plan on a shrinking checkpointed frame.
+    "q322_pipeline_yield_model" -> { (s, dir) =>
+      import s.implicits._
+      val zdocs = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          array_join(TextQueries.zipfFamilyTokArray, " ").as("text"))
+        .localCheckpoint()
+      val donorId = when(col("doc_id") % 9 === 5 && col("doc_id") >= 5,
+        col("doc_id") - 5)
+        .when(col("doc_id") % 11 === 3,
+          col("doc_id") - col("doc_id") % 20)
+      val donors = zdocs.select(col("doc_id").as("donor_id"),
+        col("text").as("donor_text"))
+      val input = zdocs.filter(col("source") =!= "src0")
+        .withColumn("donor_id", donorId)
+        .join(donors, Seq("donor_id"), "left")
+        .select(col("doc_id"), col("source"),
+          coalesce(col("donor_text"), col("text")).as("text"))
+        .localCheckpoint()
+      val tok = split(col("text"), " ")
+      val n = size(tok)
+      val sumLen = aggregate(tok, lit(0L),
+        (acc: Column, t: Column) => acc + length(t).cast("long"))
+      val ml = sumLen.cast("double") / n.cast("double")
+      val af = size(filter(tok, (t: Column) => t.rlike("[a-z]")))
+        .cast("double") / n.cast("double")
+      val tfr = graft.functions.NGramStats.ngramStats(col("text"), 1)
+        .getField("top").cast("double") / n.cast("double")
+      val pass = n.between(50, 100000) && ml.between(2.0, 10.0) &&
+        af >= lit(0.8) && tfr <= lit(0.2)
+      val n0 = input.count()
+      val s1 = input.filter(pass).localCheckpoint()
+      val n1 = s1.count()
+      // stage 2: the trained probe over the gate survivors
+      val scored = QualityClassifier.scoredDocs(input, mlLo = 2.0)
+      graft.Checkpoints.free(input)
+      val s2 = s1.join(scored.filter(col("score") >= 0.5)
+          .select("doc_id"), Seq("doc_id"), "left_semi")
+        .localCheckpoint()
+      val n2 = s2.count()
+      graft.Checkpoints.free(scored)
+      graft.Checkpoints.free(s1)
+      val wT = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("text").cast("binary")))
+        .orderBy(col("doc_id"))
+      val s3 = s2.withColumn("_rn", row_number().over(wT))
+        .filter(col("_rn") === 1).drop("_rn").localCheckpoint()
+      val n3 = s3.count()
+      graft.Checkpoints.free(s2)
+      val d4 = s3.select(col("doc_id"), col("source"),
+        array_sort(array_distinct(transform(tok,
+          (t: Column) => xxhash64(t)))).as("tok"))
+      val pairs =
+        TextQueries.prefixJaccardPairs(d4, 0.6, presentationSort = false)
+      val cc = DedupQueries.connectedComponents(pairs)
+      val s4 = s3.join(cc.filter(col("id") =!= col("label"))
+        .select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      val n4 = s4.count()
+      graft.Checkpoints.free(s3)
+      val sh5 = graft.functions.ShingleHashes.shingleHashes(col("text"), 5)
+      val evalSh = zdocs.filter(col("source") === "src0")
+        .select(explode(sh5).as("h")).distinct()
+      val cont = s4.select(col("doc_id"), explode(sh5).as("h"))
+        .join(evalSh, "h").select("doc_id").distinct()
+      val s5 = s4.join(cont, Seq("doc_id"), "left_anti").localCheckpoint()
+      val n5 = s5.count()
+      graft.Checkpoints.free(s4)
+      graft.Checkpoints.free(zdocs)
+      val wS = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(md5(concat(lit("q322:"), col("doc_id").cast("string"))
+          .cast("binary")).asc, col("doc_id").asc)
+      val n6 = s5.withColumn("rk", row_number().over(wS))
+        .filter(col("rk") <= 7).count()
+      graft.Checkpoints.free(s5)
+      Seq(("1_gate", n0, n1), ("2_classifier", n1, n2),
+        ("3_exact_dedup", n2, n3), ("4_near_dedup", n3, n4),
+        ("5_decontaminate", n4, n5), ("6_sample", n5, n6))
+        .toDF("stage", "n_in", "n_kept")
+        .withColumn("n_dropped", col("n_in") - col("n_kept"))
+        .orderBy("stage")
+    },
+
     "q223_rejection_census" -> { (s, dir) =>
       val wAll = Window.partitionBy(lit(0))
       val frag = concat(
@@ -2143,6 +2240,109 @@ object CorpusQueries extends QueryModule {
         |  UNION ALL SELECT '5_sample',
         |    (SELECT COUNT(*) FROM s4), (SELECT COUNT(*) FROM s5))
         |ORDER BY stage""".stripMargin,
+
+    // the q317 chain + q311's unrolled GD CTEs trained on the inp CTE;
+    // the model stage is the mscore >= 0.5 join on stage-1 survivors
+    "q322_pipeline_yield_model" ->
+      (s"""WITH RECURSIVE zft AS MATERIALIZED (
+        |${TextQueries.ZipfFamilyTokensSql}),
+        |zd AS MATERIALIZED (
+        |  SELECT doc_id, source,
+        |    ARRAY_TO_STRING(LIST(t ORDER BY j), ' ') AS text
+        |  FROM zft GROUP BY 1, 2),
+        |inp AS MATERIALIZED (
+        |  SELECT d.doc_id, d.source, COALESCE(dn.text, d.text) AS text
+        |  FROM zd d
+        |  LEFT JOIN zd dn ON dn.doc_id =
+        |    CASE WHEN d.doc_id % 9 = 5 AND d.doc_id >= 5
+        |           THEN d.doc_id - 5
+        |         WHEN d.doc_id % 11 = 3
+        |           THEN d.doc_id - d.doc_id % 20
+        |         ELSE NULL END
+        |  WHERE d.source <> 'src0'),
+        |""".stripMargin +
+        QualityClassifier.chainFrom(QualityClassifier.Rounds,
+          split = false, docsRel = "inp", mlLo = "2.0",
+          standalone = false) +
+        QualityClassifier.modelScoreSql + s""",
+        |s1 AS MATERIALIZED (
+        |  SELECT i.doc_id, i.source, i.text
+        |  FROM inp i JOIN y USING (doc_id) WHERE y.y = 1.0),
+        |s2 AS MATERIALIZED (
+        |  SELECT s1.doc_id, s1.source, s1.text
+        |  FROM s1 JOIN mscore USING (doc_id) WHERE mscore.score >= 0.5),
+        |s3 AS MATERIALIZED (
+        |  SELECT doc_id, source, text FROM (
+        |    SELECT doc_id, source, text,
+        |      ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |    FROM s2) WHERE rn = 1),
+        |dnd AS (
+        |  SELECT doc_id, source, LIST_DISTINCT(STRING_SPLIT(text, ' '))
+        |    AS tok
+        |  FROM s3),
+        |tnd AS (
+        |  SELECT source, doc_id, CAST(LEN(tok) AS BIGINT) AS ntok,
+        |    UNNEST(tok) AS token
+        |  FROM dnd),
+        |cnd AS (
+        |  SELECT a.source, a.doc_id AS a_id, a.ntok AS a_n,
+        |    b.doc_id AS b_id, b.ntok AS b_n, COUNT(*) AS nc
+        |  FROM tnd a JOIN tnd b
+        |    ON a.source = b.source AND a.token = b.token
+        |   AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |pnd AS (
+        |  SELECT a_id, b_id FROM cnd
+        |  WHERE CAST(nc AS DOUBLE) / (a_n + b_n - nc) >= 0.6),
+        |e AS (
+        |  SELECT a_id AS src, b_id AS dst FROM pnd
+        |  UNION ALL SELECT b_id, a_id FROM pnd),
+        |nodes AS (SELECT DISTINCT src AS id FROM e),
+        |reach AS (
+        |  SELECT id, id AS r FROM nodes
+        |  UNION
+        |  SELECT e.dst AS id, reach.r FROM reach JOIN e ON e.src = reach.id),
+        |dropn AS (SELECT id FROM reach GROUP BY id HAVING id <> MIN(r)),
+        |s4 AS MATERIALIZED (
+        |  SELECT * FROM s3
+        |  WHERE doc_id NOT IN (SELECT id FROM dropn)),
+        |shd AS (
+        |  SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(1, LEN(tok) - 3),
+        |    i -> ARRAY_TO_STRING(tok[i:i+4], ' '))) AS sht
+        |  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS tok FROM s4)
+        |  WHERE LEN(tok) >= 5),
+        |ev AS (
+        |  SELECT DISTINCT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(tok) - 3),
+        |    i -> ARRAY_TO_STRING(tok[i:i+4], ' '))) AS sht
+        |  FROM (SELECT STRING_SPLIT(text, ' ') AS tok FROM zd
+        |        WHERE source = 'src0')
+        |  WHERE LEN(tok) >= 5),
+        |cont AS (
+        |  SELECT DISTINCT shd.doc_id FROM shd JOIN ev USING (sht)),
+        |s5 AS MATERIALIZED (
+        |  SELECT * FROM s4
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+        |s6 AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY MD5('q322:' || CAST(doc_id AS VARCHAR)) ASC,
+        |               doc_id ASC) AS rk
+        |    FROM s5) WHERE rk <= 7)
+        |SELECT stage, n_in, n_kept, n_in - n_kept AS n_dropped FROM (
+        |  SELECT '1_gate' AS stage,
+        |    (SELECT COUNT(*) FROM inp) AS n_in,
+        |    (SELECT COUNT(*) FROM s1) AS n_kept
+        |  UNION ALL SELECT '2_classifier',
+        |    (SELECT COUNT(*) FROM s1), (SELECT COUNT(*) FROM s2)
+        |  UNION ALL SELECT '3_exact_dedup',
+        |    (SELECT COUNT(*) FROM s2), (SELECT COUNT(*) FROM s3)
+        |  UNION ALL SELECT '4_near_dedup',
+        |    (SELECT COUNT(*) FROM s3), (SELECT COUNT(*) FROM s4)
+        |  UNION ALL SELECT '5_decontaminate',
+        |    (SELECT COUNT(*) FROM s4), (SELECT COUNT(*) FROM s5)
+        |  UNION ALL SELECT '6_sample',
+        |    (SELECT COUNT(*) FROM s5), (SELECT COUNT(*) FROM s6))
+        |ORDER BY stage""").stripMargin,
     "q112_distinctive_terms" ->
       """WITH tok AS (
         |  SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS t

@@ -73,9 +73,10 @@ object QualityClassifier extends QueryModule {
     * (doc_id, source, y, z: array[D]) with z(D) = 1.0 the bias slot,
     * the document count, the per-round weight/MSE trajectory, and the
     * final weights. */
-  private case class Trained(z: DataFrame, nDocs: Long,
+  private[llm] case class Trained(z: DataFrame, nDocs: Long,
                              traj: Seq[(Int, Int, Double, Double)],
-                             w: Array[Double])
+                             w: Array[Double], mu: Array[Double],
+                             sd: Array[Double])
 
   private def stops = Seq("the", "a", "of", "and", "to")
 
@@ -146,8 +147,16 @@ object QualityClassifier extends QueryModule {
     * train-side stats and carries `is_train`; `nDocs` is then the
     * train-side count (the GD denominator). */
   private def train(s: SparkSession, dir: String,
-                    splitOpt: Option[DataFrame] = None): Trained = {
-    val docs = Tables.t(s, dir, "documents")
+                    splitOpt: Option[DataFrame] = None): Trained =
+    trainFrame(Tables.t(s, dir, "documents"), 3.0, splitOpt)
+
+  /** Per-doc gate metrics/label (`lab`) and the long-format feature
+    * rows (`f`, un-checkpointed) for an arbitrary (doc_id, source,
+    * text) frame. `mlLo` is the gate's mean-word-length floor — 3.0 on
+    * the fixture corpus, 2.0 on the Zipf ledger domain (the q317
+    * tuning: gate thresholds are per-corpus parameters). */
+  private def featurize(docs: DataFrame, mlLo: Double)
+      : (DataFrame, DataFrame) = {
     val tok = split(col("text"), " ")
     val n = size(tok)
     val sumLen = aggregate(tok, lit(0L),
@@ -159,7 +168,7 @@ object QualityClassifier extends QueryModule {
       .cast("double") / n.cast("double")
     val tfr = graft.functions.NGramStats.ngramStats(col("text"), 1)
       .getField("top").cast("double") / n.cast("double")
-    val y = when(n.between(50, 100000) && ml.between(3.0, 10.0) &&
+    val y = when(n.between(50, 100000) && ml.between(mlLo, 10.0) &&
       af >= lit(0.8) && tfr <= lit(0.2), lit(1.0)).otherwise(lit(0.0))
     val lab = docs.select(col("doc_id"), col("source"),
       n.cast("long").as("n"), ml.as("ml"), af.as("af"), sf.as("sf"),
@@ -194,7 +203,14 @@ object QualityClassifier extends QueryModule {
       .unionByName(met(HashDims + 3, col("tfr")))
       .unionByName(met(HashDims + 4,
         least(col("n"), lit(1000L)).cast("double") / lit(1000.0)))
-      .localCheckpoint()
+    (lab, f)
+  }
+
+  private[llm] def trainFrame(docs: DataFrame, mlLo: Double,
+                              splitOpt: Option[DataFrame] = None)
+      : Trained = {
+    val (lab, fRaw) = featurize(docs, mlLo)
+    val f = fRaw.localCheckpoint()
 
     // standardization stats: exact-decimal mean, then exact-decimal
     // variance ABOUT that mean (the two-pass spelling both engines
@@ -260,7 +276,76 @@ object QualityClassifier extends QueryModule {
         w(j) = w(j) - Eta * (row.getDouble(j) / nDocs.toDouble)
       traj ++= (0 until D).map(j => (r, j, w(j), mse))
     }
-    Trained(zw, nDocs, traj.result(), w)
+    Trained(zw, nDocs, traj.result(), w, mu, sd)
+  }
+
+  /** The ledger's classifier stage (q322): train the probe ON `input`
+    * (gate label at `mlLo`), score every input doc — returns a
+    * checkpointed (doc_id, score) frame; the z frame is freed. */
+  private[llm] def scoredDocs(input: DataFrame, mlLo: Double): DataFrame = {
+    val t = trainFrame(input, mlLo)
+    val dot = (0 until D)
+      .map(j => element_at(col("z"), j + 1) * lit(t.w(j)))
+      .reduce(_ + _)
+    val out = t.z.select(col("doc_id"), dot.as("score")).localCheckpoint()
+    Checkpoints.free(t.z)
+    out
+  }
+
+  /** The SQL twin of [[scoredDocs]]' readout: the wpf weight pivot +
+    * the per-doc score CTE, appended after [[chainFrom]] — exposes
+    * `mscore` (doc_id, score) to the embedding query. */
+  private[llm] def modelScoreSql: String =
+    s""",
+       |wpf AS (
+       |  SELECT ${(0 until D).map(j =>
+            s"MAX(CASE WHEN j = $j THEN w END) AS w$j").mkString(", ")}
+       |  FROM w$Rounds),
+       |mscore AS MATERIALIZED (
+       |  SELECT zw.doc_id,
+       |    (${(0 until D).map(j => s"zs[${j + 1}] * wp.w$j")
+            .mkString(" + ")}) AS score
+       |  FROM zw CROSS JOIN wpf wp)""".stripMargin
+
+  /** The deployable model artifact: weights PLUS the frozen train-time
+    * standardization stats — mu/sd are part of the model (a serving
+    * path that recomputed them per batch would score differently batch
+    * to batch). 22 + 21 + 21 doubles: broadcast-trivial at any scale. */
+  private[graft] case class QualityModel(
+      w: Seq[Double], mu: Seq[Double], sd: Seq[Double])
+
+  /** Train on the corpus at `dir` and keep only the model arrays —
+    * what a serving/streaming path loads. */
+  private[graft] def fitModel(s: SparkSession, dir: String): QualityModel = {
+    val t = train(s, dir)
+    Checkpoints.free(t.z)
+    QualityModel(t.w.toSeq, t.mu.toSeq, t.sd.toSeq)
+  }
+
+  /** Score raw (doc_id, source, text) rows with a FROZEN model — the
+    * serving twin of q312 and the per-batch body of the streaming
+    * scorer. Everything is per-doc: the hash-dim signs are per-token
+    * md5 arithmetic (no corpus-level vocabulary state), the
+    * standardization uses the model's mu/sd literals, and the dot is
+    * the same left-associated fold the trainer used — so ANY subset of
+    * a corpus scores identically to the full pass, which is exactly
+    * the split-invariance the streaming spec asserts. */
+  private[graft] def scoreRaw(docs: DataFrame, m: QualityModel,
+                              mlLo: Double = 3.0): DataFrame = {
+    val (_, f) = featurize(docs, mlLo)
+    val muLit = typedlit(m.mu)
+    val sdLit = typedlit(m.sd)
+    val z = f.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("j"), col("x")))).as("jx"))
+      .select(col("doc_id"), transform(col("jx"), e =>
+        (e.getField("x") - element_at(muLit, e.getField("j") + 1)) /
+          element_at(sdLit, e.getField("j") + 1)).as("zs"))
+      .select(col("doc_id"),
+        concat(col("zs"), array(lit(1.0))).as("z"))
+    val dot = (0 until D)
+      .map(j => element_at(col("z"), j + 1) * lit(m.w(j)))
+      .reduce(_ + _)
+    z.select(col("doc_id"), dot.as("score"))
   }
 
   override def queries
@@ -401,7 +486,17 @@ object QualityClassifier extends QueryModule {
     * every model-side CTE — the doc count, the standardization stats,
     * and each GD round's residual frame — filters to the train side,
     * while zl/zw still standardize ALL documents with those stats. */
-  private def chain(rounds: Int, split: Boolean = false): String = {
+  private def chain(rounds: Int, split: Boolean = false): String =
+    chainFrom(rounds, split, "documents", "3.0", standalone = true)
+
+  /** [[chain]] generalized for embedding: `docsRel` is the relation the
+    * feature chain reads (a CTE name when embedded), `mlLo` the gate's
+    * mean-word-length floor as SQL text, and `standalone = false` emits
+    * the CTE list WITHOUT the leading WITH (the embedding query opened
+    * its own WITH RECURSIVE; split is standalone-only). */
+  private[llm] def chainFrom(rounds: Int, split: Boolean, docsRel: String,
+                             mlLo: String, standalone: Boolean): String = {
+    require(standalone || !split, "split chain must be standalone")
     // appended after the last JOIN of a stats/GD CTE to restrict it to
     // the train bucket (WHERE legally follows the join list)
     val tf = if (split) " JOIN spl USING (doc_id) WHERE spl.is_train"
@@ -427,11 +522,11 @@ object QualityClassifier extends QueryModule {
          |      AS BIGINT) % 10 < 8 AS is_train
          |  FROM documents dd LEFT JOIN cc ON cc.doc_id = dd.doc_id),
          |""".stripMargin
-    else "WITH "
+    else if (standalone) "WITH " else ""
     val head = prefix +
       s"""d AS MATERIALIZED (
          |  SELECT doc_id, source, STRING_SPLIT(text, ' ') AS tok
-         |  FROM documents),
+         |  FROM $docsRel),
          |lab AS MATERIALIZED (
          |  SELECT doc_id, source,
          |    CAST(LEN(tok) AS BIGINT) AS n,
@@ -449,7 +544,7 @@ object QualityClassifier extends QueryModule {
          |  FROM d),
          |y AS MATERIALIZED (
          |  SELECT doc_id, source,
-         |    CASE WHEN n BETWEEN 50 AND 100000 AND ml BETWEEN 3.0 AND 10.0
+         |    CASE WHEN n BETWEEN 50 AND 100000 AND ml BETWEEN $mlLo AND 10.0
          |      AND af >= 0.8 AND tfr <= 0.2 THEN 1.0 ELSE 0.0 END AS y
          |  FROM lab),
          |tf AS (
