@@ -539,6 +539,38 @@ object StreamingOps {
       }
   }
 
+  /** Streaming model-quality scorer — q312's SERVING twin, completing
+    * the train-batch/serve-stream pattern the Snapshot-backed indexes
+    * follow: the model is trained once in batch
+    * ([[graft.llm.QualityClassifier.fitModel]] — 22 weights plus the
+    * train-time mu/sd, which ARE part of the model: a serving path
+    * that recomputed standardization stats per batch would score
+    * differently batch to batch), then every micro-batch is scored
+    * scan-local by [[graft.llm.QualityClassifier.scoreRaw]] — the
+    * hash-dim signs are per-token md5 arithmetic with no corpus-level
+    * vocabulary state, so ANY split of the stream scores each document
+    * bit-identically to the one-pass batch run (StreamingSpec asserts
+    * it) — and the (doc_id, score) rows land via crash-atomic Snapshot
+    * deltas (pk doc_id: a replayed batch re-lands the same rows,
+    * absorbed by the latest-wins read). Completely stateless across
+    * batches; at 100 TB/day the model is 64 doubles folded into the
+    * plan as literals and each trigger costs one batch-local
+    * featurize + score.
+    */
+  def qualityScoreSink(docs: DataFrame,
+                       model: graft.llm.QualityClassifier.QualityModel,
+                       destPath: String): DataStreamWriter[Row] = {
+    docs.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.etl.Snapshot.commitDelta(
+          graft.llm.QualityClassifier.scoreRaw(batch, model),
+          destPath, "doc_id")
+        ()
+      }
+  }
+
   /** Streaming NEAR-dup dedup sink — q302's persisted MinHash-LSH index
     * run continuously: every micro-batch LANDS its band postings and
     * token arrays into the snapshot store, then answers its own

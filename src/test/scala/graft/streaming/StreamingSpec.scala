@@ -14,6 +14,8 @@ case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
 
 case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
 
+case class QDoc(doc_id: Long, source: String, text: String)
+
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -787,6 +789,34 @@ class StreamingSpec extends AnyFunSuite {
       "w1 w2 w3 w4 w5 w6 w7 w8 w9 w11")))
     assert(hits.toSeq == Seq((3L, 6L)),
       s"late batch (min 3 after 6 decided) must flag once: $hits")
+  }
+
+  test("quality score sink: streamed micro-batches score bit-equal " +
+       "to the frozen-model batch scorer") {
+    val dir = "/root/testdata/sf0.001"
+    val model = graft.llm.QualityClassifier.fitModel(spark, dir)
+    val docs = graft.Tables.t(spark, dir, "documents")
+      .select("doc_id", "source", "text")
+    val rows = docs.as[QDoc].collect().toSeq.sortBy(_.doc_id)
+    val expected = graft.llm.QualityClassifier.scoreRaw(docs, model)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy(_._1).toSeq
+    assert(expected.nonEmpty)
+    val dest = s"/tmp/graft-test-qscore-${System.nanoTime()}"
+    // uneven splits, separate restarts: the model is the only carried
+    // state, so every split must land the identical scores
+    for (chunk <- rows.grouped(rows.size / 3 + 1)) {
+      val ms = MemoryStream[QDoc](spark)
+      ms.addData(chunk: _*)
+      val q = StreamingOps.qualityScoreSink(ms.toDF(), model, dest).start()
+      q.awaitTermination(60000)
+    }
+    val got = graft.etl.Snapshot.read(spark, dest)
+      .select("doc_id", "score")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy(_._1).toSeq
+    assert(got == expected,
+      "streamed scores must bit-equal the batch scorer")
   }
 
   test("streaming weighted sample merges to the batch twin bit-equally " +
