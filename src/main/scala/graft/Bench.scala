@@ -62,6 +62,20 @@ object Bench {
       // warms: compiled classes are metaspace, ~50 KB each — thousands
       // of entries cost tens of MB against a 128 GiB box.
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // r14: AQE's coalesce floor defaults to 1 MB — sized for
+      // I/O-bound work at cluster scale, where smaller partitions'
+      // scheduling overhead outweighs their read. Much of this suite's
+      // post-shuffle work is the opposite regime: kilobytes of rows
+      // carrying CPU-heavy verify kernels (sorted-intersect, banded
+      // Hamming, cosine reranks), which a 1 MB floor coalesces onto
+      // 1-3 of the session's cores. parallelismFirst (default on)
+      // targets max(bytes/parallelism, floor); lowering the floor lets
+      // the parallelism term win whenever bytes-per-core is tiny. At
+      // production scale bytes/parallelism >> 64k and the value is
+      // inert (it is a floor, not a target). Env-overridable for
+      // cluster profiles.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional subset (comma-separated names): lets a dev measure a

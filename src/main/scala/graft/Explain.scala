@@ -13,10 +13,18 @@ object Explain {
     val sfDir  = args.headOption.getOrElse("/root/testdata/sf0.01")
     val out    = if (args.length > 1) args(1) else "/tmp/explains.txt"
     val only   = args.drop(2).toSet
+    // session shape matches Bench (r14): extensions registered (the
+    // FuseDotProduct rule changes plan shape) and the same core/shuffle
+    // counts, so the dumped plans are the ones the bench executes.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master(s"local[$cpus]")
+      .withExtensions(new functions.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -170,9 +170,17 @@ object QualityClassifier extends QueryModule {
       .getField("top").cast("double") / n.cast("double")
     val y = when(n.between(50, 100000) && ml.between(mlLo, 10.0) &&
       af >= lit(0.8) && tfr <= lit(0.2), lit(1.0)).otherwise(lit(0.0))
+    // Materialized once (r14): `lab` is referenced by the five met()
+    // union branches, fHash's n join, and the caller's z/y join —
+    // Spark plans share no subtrees, so un-checkpointed each reference
+    // re-scanned the corpus and re-evaluated its pruned slice of the
+    // gate metrics (the NGramStats top-count pass twice, split() ~7×).
+    // Eight narrow scalars per doc: cheap to hold, freed by the
+    // harness' freeingAfter scope.
     val lab = docs.select(col("doc_id"), col("source"),
       n.cast("long").as("n"), ml.as("ml"), af.as("af"), sf.as("sf"),
       tfr.as("tfr"), y.as("y"))
+      .localCheckpoint()
 
     // q180's hashed signed-sum dims, length-normalized to [-1, 1]
     val tf = docs

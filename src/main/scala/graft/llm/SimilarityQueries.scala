@@ -158,11 +158,17 @@ object SimilarityQueries extends QueryModule {
     * (table, bucket)).
     */
   def lshBucketsMulti(e: DataFrame, nPlanes: Int, tables: Int,
-                      seed: Long): DataFrame = {
+                      seed: Long, activeDims: Int = Dim): DataFrame = {
     val rnd = new scala.util.Random(seed)
     val tb = (0 until tables).map { t =>
-      val planes =
-        Array.fill(nPlanes)(Array.fill(Dim)(rnd.nextGaussian()))
+      // Each plane always draws Dim gaussians (keeping the RNG sequence
+      // — and therefore every bucket assignment — identical for any
+      // activeDims), then truncates to the caller's active prefix:
+      // a vector whose trailing dims are structurally zero (q315's
+      // 16-dim hashed embeddings) projects identically onto the
+      // truncated plane, paying a quarter of the multiplies (r14).
+      val planes = Array.fill(nPlanes)(
+        Array.fill(Dim)(rnd.nextGaussian()).take(activeDims))
       val bits = (0 until nPlanes).map { j =>
         val p = typedlit(planes(j).toSeq)
         when(dot(col("v"), p) >= 0, lit(1L << j)).otherwise(lit(0L))
@@ -186,13 +192,13 @@ object SimilarityQueries extends QueryModule {
     */
   def annTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
               nPlanes: Int = 6, tables: Int = 16,
-              seed: Long = 42L): DataFrame = {
+              seed: Long = 42L, activeDims: Int = Dim): DataFrame = {
     val e = lshBucketsMulti(
       embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v")),
-      nPlanes, tables, seed)
+      nPlanes, tables, seed, activeDims)
     val q = lshBucketsMulti(
       queries.select(col("vec_id"), asDouble(col("embedding")).as("v")),
-      nPlanes, tables, seed)
+      nPlanes, tables, seed, activeDims)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("tbl"),
         col("bucket"))
     val scored = e.join(broadcast(q), Seq("tbl", "bucket"))
@@ -267,8 +273,12 @@ object SimilarityQueries extends QueryModule {
     * single-threading N*2080).
     */
   def covUpper(embeddings: DataFrame): DataFrame = {
+    // r14: the hard-coded repartition(32) this carried is gone —
+    // Tables.t's scale-adaptive scan fanout now spreads the single-split
+    // fixture scan across the session's cores for every consumer, so the
+    // double-explode already starts parallel (and 32 was exactly the
+    // local-constant the fanout parameterizes away).
     val e = embeddings.select(asDouble(col("embedding")).as("v"))
-      .repartition(32)
     val fst = e.select(posexplode(col("v")).as(Seq("i", "xi")), col("v"))
     val dims = fst.groupBy(col("i"))
       .agg(count(lit(1)).as("n"), graft.Fns.dsum18(col("xi")).as("sx"))

@@ -1726,7 +1726,14 @@ object TextQueries extends QueryModule {
     // and the share windows run over the sources×3 grouped frame —
     // dimension-sized, never corpus-sized.
     "q321_ccnet_terciles" -> { (s, dir) =>
-      val ds = trigramSbDocScores(s, dir)
+      // materialized once (r14): `ds` is referenced twice (the tercile
+      // aggregation and the bucket-assignment join) and un-checkpointed
+      // the ENTIRE trigram scorer — five broadcast joins over every
+      // gram — re-ran once per reference (the audited plan carried 33
+      // exchanges for an 11-exchange query); the frame is docs-sized
+      // (7 scalar columns), the cheapest thing in the query to hold.
+      // Measured floor 3.81 → 2.53 s at sf0.1 (5-pass bench).
+      val ds = trigramSbDocScores(s, dir).localCheckpoint()
       val cuts = ds.groupBy(col("source"))
         .agg(expr("percentile(score, array(CAST(1.0/3.0 AS DOUBLE), " +
           "CAST(2.0/3.0 AS DOUBLE)))").as("pp"))

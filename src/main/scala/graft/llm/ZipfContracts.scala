@@ -115,8 +115,10 @@ object ZipfContracts extends QueryModule {
     // neighborhood structure (q180's hashed signed sums of the family
     // tokens — family members are each other's strong cosine neighbors)
     // instead of the synthetic embeddings table. The 16 hashed dims ride
-    // zero-padded in the engine's 64-dim vector type (cosine and
-    // hyperplane signs are unaffected by zero coordinates). The contract
+    // UNPADDED (r14): zero-padding to the 64-dim vector type cost 4× the
+    // multiplies in the exact 100·N scoring loop for coordinates that
+    // contribute exactly 0.0; cosines and hyperplane buckets are
+    // bit-identical either way (see the emb build note). The contract
     // is MACRO (mean per-query recall@10) and MICRO (total caught /
     // total exact) over a FIXED 100-probe sample — per-query minima are
     // the wrong statistic for LSH (a probe whose exact neighbors are
@@ -142,9 +144,16 @@ object ZipfContracts extends QueryModule {
         .agg(sum(col("c") * col("sgn")).as("v"))
         .groupBy(col("doc_id"))
         .agg(array_sort(collect_list(struct(col("j"), col("v")))).as("jv"))
+        // r14: the 48-dim zero padding is gone — zero coordinates add
+        // exactly 0.0 to every dot/norm partial sum (squares are never
+        // -0.0), so the 16-dim spelling's cosines are bit-identical
+        // while the exact side's 100·N scoring loop and the ANN rerank
+        // run a quarter of the multiplies; the hyperplane projections
+        // stay bit-identical too (annTopK's activeDims truncates each
+        // plane AFTER its full-Dim draw, so the plane values and hence
+        // every bucket are unchanged).
         .select(col("doc_id").as("vec_id"),
-          concat(expr("transform(jv, s -> CAST(s.v AS DOUBLE))"),
-            array_repeat(lit(0.0), 48)).as("embedding"))
+          expr("transform(jv, s -> CAST(s.v AS DOUBLE))").as("embedding"))
         .localCheckpoint()
       // FIXED query set (the q267 pattern): a query count that grew
       // with the corpus would make the exact brute-force side O(N^2)
@@ -152,7 +161,7 @@ object ZipfContracts extends QueryModule {
       val q = emb.filter(col("vec_id") < 100)
       val exact = SimilarityQueries.topK(emb, q, 10)
         .select(col("query_id"), col("vec_id"))
-      val ann = SimilarityQueries.annTopK(emb, q, 10)
+      val ann = SimilarityQueries.annTopK(emb, q, 10, activeDims = 16)
         .select(col("query_id"), col("vec_id")).withColumn("hit", lit(1))
       exact.join(ann, Seq("query_id", "vec_id"), "left")
         .groupBy(col("query_id"))

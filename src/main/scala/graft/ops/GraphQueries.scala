@@ -339,8 +339,16 @@ object GraphQueries extends QueryModule {
         .distinct()
         .localCheckpoint()
       def normalized(raw: DataFrame): DataFrame = {
-        val tot = raw.agg(Fns.dsum18(col("raw")).as("tot"))
-        raw.crossJoin(broadcast(tot))
+        // materialize each half-step ONCE (r14): `raw` is referenced
+        // twice (the L1 total and the division) and every half-step
+        // feeds the next, so the lazy spelling re-evaluated the
+        // e⋈state join+agg per reference — compounding across the four
+        // half-steps (h2 sits inside a2 AND the final union). One
+        // nodes-sized checkpoint per half-step bounds the re-evaluation
+        // at one execution per step.
+        val r = raw.localCheckpoint()
+        val tot = r.agg(Fns.dsum18(col("raw")).as("tot"))
+        r.crossJoin(broadcast(tot))
           .select(col("node"), (col("raw") / col("tot")).as("score"))
       }
       def hubStep(auth: DataFrame): DataFrame = normalized(

@@ -66,7 +66,15 @@ object ScalarQueries extends QueryModule {
           round(log(col("l_extendedprice")), 4).as("price_ln"),
           round(pow(lit(1.0) + col("l_tax"), 2), 4).as("tax_sq"),
           (col("l_orderkey") % 7).as("key_mod"))
-        .orderBy("l_orderkey")
+        // total order (r14): the fixture's (l_orderkey, l_linenumber)
+        // is NOT unique (1161 duplicate groups at sf0.001), so ORDER BY
+        // l_orderkey alone left tie order partition-dependent — stable
+        // only by the accident of a 1-task scan. Sorting on every
+        // output column makes ties bitwise-identical rows, so the
+        // emitted order is total under ANY partitioning; the oracle
+        // states the same key list. Same rows, same values.
+        .orderBy("l_orderkey", "net_price", "qty_floor", "qty_ceil",
+          "disc_dev", "price_sqrt", "price_ln", "tax_sq", "key_mod")
     },
 
     // Array / higher-order functions over tokenized documents.
@@ -167,7 +175,8 @@ object ScalarQueries extends QueryModule {
         |  ROUND(POWER(1.0 + l_tax, 2), 4) AS tax_sq,
         |  l_orderkey % 7 AS key_mod
         |FROM lineitem WHERE l_linenumber = 1
-        |ORDER BY l_orderkey""".stripMargin,
+        |ORDER BY l_orderkey, net_price, qty_floor, qty_ceil, disc_dev,
+        |  price_sqrt, price_ln, tax_sq, key_mod""".stripMargin,
 
     "q26_array_funcs" ->
       """WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tok FROM documents)

@@ -564,9 +564,15 @@ object StreamingOps {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.etl.Snapshot.commitDelta(
-          graft.llm.QualityClassifier.scoreRaw(batch, model),
-          destPath, "doc_id")
+        // freeingAfter (r14): scoreRaw's featurize materializes the
+        // per-batch gate-metric frame; release it once the delta is
+        // committed so a long-running stream never accumulates
+        // batch-sized checkpoint blocks across triggers.
+        graft.Checkpoints.freeingAfter(batch.sparkSession) {
+          graft.etl.Snapshot.commitDelta(
+            graft.llm.QualityClassifier.scoreRaw(batch, model),
+            destPath, "doc_id")
+        }
         ()
       }
   }

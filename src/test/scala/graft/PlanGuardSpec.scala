@@ -91,8 +91,8 @@ class PlanGuardSpec extends AnyFunSuite {
       "q316_stupid_backoff", // 1-row train-token total crossed into the
                              // scored bigram stream (q263's LM shape)
       "q318_stupid_backoff_trigram", // same 1-row total cross, trigram chain
-      "q321_ccnet_terciles", // the q318 scorer's 1-row total cross feeding
-                             // the tercile cut/keep readout
+      // (q321's scorer BNLJ runs inside its eager checkpoint as of r14 —
+      // the declared plan reads the materialized per-doc score frame)
       "q295_ams_f2") // 1-row exact-F2 frame × 1-row sketch estimate
                      // (q275's verdict-row shape)
       // (q173's centroid probe BNLJ runs inside its eager checkpoint —
@@ -155,12 +155,15 @@ class PlanGuardSpec extends AnyFunSuite {
     "q318_stupid_backoff_trigram" -> 9, // three 4096-bucket LM aggs +
                                  // the 1-row token total + the per-doc
                                  // close + per-source rollup + sort
-    "q321_ccnet_terciles" -> 11, // q318's scorer (three 4096-bucket LM
-                                 // aggs + 1-row total + per-doc close)
-                                 // + the per-source percentile-cut agg
+    "q321_ccnet_terciles" -> 11, // r14: the trigram scorer now runs
+                                 // eagerly into a checkpoint (it was
+                                 // re-evaluated once per reference), so
+                                 // the DECLARED plan is just the
+                                 // per-source percentile-cut agg
                                  // broadcast back + the sources×3 mass
-                                 // agg/windows + sort — everything past
-                                 // the per-doc close is dimension-sized
+                                 // agg/windows + sort (≤5 exchanges);
+                                 // ceiling kept at the old audited 11
+                                 // as a regression backstop
     "q316_stupid_backoff" -> 7,  // two 4096-bucket LM aggs + the 1-row
                                  // token total + the per-doc close +
                                  // per-source rollup + presentation
@@ -169,9 +172,17 @@ class PlanGuardSpec extends AnyFunSuite {
                                   // threshold sweep agg + 1-row doc count
                                   // + sort — the sweep re-reads the pair
                                   // frame, never candidate generation
-    "q187_ri_audit" -> 8,         // per-relationship anti-join + two
+    "q187_ri_audit" -> 13,        // per-relationship anti-join + two
                                   // 1-row counts × 5 relationships — all
-                                  // counts, no corpus-sized state
+                                  // counts, no corpus-sized state.
+                                  // 8 → 13 with the r14 scan fanout: a
+                                  // global count over a now-multi-
+                                  // partition input needs a final
+                                  // SinglePartition gather (8 partial
+                                  // count rows each) that a 1-task scan
+                                  // satisfied for free — five of them,
+                                  // one per relationship, each moving
+                                  // a handful of longs
     "q188_fd_audit" -> 12,        // per-candidate two-level aggregation
                                   // (group countDistinct + rollup) × 4
     "q189_column_profile" -> 20,  // per-column stats agg + distinct +
@@ -331,6 +342,35 @@ class PlanGuardSpec extends AnyFunSuite {
     * artifact of the moment, not a plan regression, so both flavors of
     * duplicate collapse to one. A real regression (a NEW shuffle
     * boundary) has a distinct canonical subtree and still counts. */
+  /** The r14 scan-fanout exchange (Tables.t): a round-robin repartition
+    * sitting DIRECTLY on a file scan (projections/filters only below),
+    * added because the single-row-group fixture parquet caps every scan
+    * stage at one task. It exists only at fixture scale (the branch is
+    * size-gated and never fires on splittable production inputs), so the
+    * ceilings — which audit the ALGORITHM's shuffle count — exclude it;
+    * any OTHER round-robin exchange (one above a join/aggregate) still
+    * counts. */
+  private def isScanFanout(
+      p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    import org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning
+    def scanOnly(c: SparkPlan): Boolean = c match {
+      case _: ShuffleExchangeLike => false
+      case _: ReusedExchangeExec => false
+      case q: QueryStageExec => scanOnly(q.plan)
+      case leaf if leaf.children.isEmpty => leaf.nodeName.contains("Scan")
+      case other => other.children.forall(scanOnly)
+    }
+    p match {
+      case s: ShuffleExchangeLike =>
+        s.outputPartitioning.isInstanceOf[RoundRobinPartitioning] &&
+          s.children.forall(scanOnly)
+      case _ => false
+    }
+  }
+
   private def countShuffles(
       plan: org.apache.spark.sql.execution.SparkPlan): Int = {
     import org.apache.spark.sql.execution.SparkPlan
@@ -342,7 +382,7 @@ class PlanGuardSpec extends AnyFunSuite {
       case q: QueryStageExec => walk(q.plan)
       case _: ReusedExchangeExec => () // another stage's output, no new work
       case s: ShuffleExchangeLike =>
-        seen += s.canonicalized
+        if (!isScanFanout(s)) seen += s.canonicalized
         s.children.foreach(walk)
       case other => other.children.foreach(walk)
     }
@@ -367,7 +407,8 @@ class PlanGuardSpec extends AnyFunSuite {
       case q: QueryStageExec => walk(q.plan)
       case _: ReusedExchangeExec => ()
       case s: ShuffleExchangeLike =>
-        copies(s.canonicalized) += 1; s.children.foreach(walk)
+        if (!isScanFanout(s)) copies(s.canonicalized) += 1
+        s.children.foreach(walk)
       case other => other.children.foreach(walk)
     }
     walk(plan)

@@ -65,7 +65,10 @@ class SimilaritySpec extends AnyFunSuite {
 
   test("native CosineSimilarity participates in whole-stage codegen") {
     import org.apache.spark.sql.Column
-    val e = emb.limit(10).select(
+    // raw parquet read, not Tables.t: the r14 scan-fanout exchange would
+    // hide the codegen span this probe greps for
+    val e = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
+      .limit(10).select(
       org.apache.spark.sql.functions.transform(
         col("embedding"), (x: Column) => x.cast("double")).as("v"))
     val plan = e.select(SimilarityQueries.cosine(col("v"), col("v")).as("c"))

@@ -71,8 +71,10 @@ class TrigramProfileHitsSpec extends AnyFunSuite {
 
   test("participates in whole-stage codegen") {
     // parquet-backed input: a local Seq collapses to LocalTableScan and
-    // never reaches codegen
-    val plan = Tables.t(spark, TestSpark.Sf, "documents").limit(10)
+    // never reaches codegen. Raw read, not Tables.t: the r14 scan-fanout
+    // exchange would hide the codegen span this probe greps for.
+    val plan = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .limit(10)
       .select(trigramProfileHits(col("text"), Seq(Seq("the"))).as("h"))
       .queryExecution.executedPlan.toString
     assert(plan.linesIterator.exists(l =>

@@ -63,7 +63,12 @@ class WinnowFingerprintsSpec extends AnyFunSuite {
   }
 
   test("participates in whole-stage codegen") {
-    val plan = Tables.t(spark, TestSpark.Sf, "documents").limit(5)
+    // raw parquet read, not Tables.t: the r14 scan-fanout exchange would
+    // sit between scan and projection and hide the codegen span this
+    // probe greps for — the assertion is about the EXPRESSION, not the
+    // loader plumbing
+    val plan = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .limit(5)
       .select(graft.functions.WinnowFingerprints.winnow(col("text"), W))
       .queryExecution.executedPlan.toString
     assert(plan.linesIterator.exists(l =>
