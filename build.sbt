@@ -18,6 +18,12 @@ Test / fork := true
 // the sweep's invariant with missing-block errors far from the cause.
 Test / testForkedParallel := false
 run / fork := true
+// The bench/verify contract is ONE raw JSON line on stdout. sbt's default
+// forked-output strategy (LoggedOutput) re-logs every stdout line through
+// its logger, prefixing "[info] " — which breaks the driver's JSON parse
+// (BENCH_r11..r14 all carry parsed:null for exactly this reason). Route the
+// forked process's stdout straight through instead.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
