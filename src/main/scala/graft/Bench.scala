@@ -76,6 +76,12 @@ object Bench {
       // cluster profiles.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
+      // r15 measurement knob (guide §2.3): shuffle/spill codec. lz4 (the
+      // default) vs zstd was A/B'd at sf0.1 — see OPTIMIZATION_r15.md;
+      // shuffle volumes here are KB–MB so the local default stays lz4,
+      // the knob is how a cluster profile flips it.
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional subset (comma-separated names): lets a dev measure a

@@ -18,6 +18,31 @@ import org.apache.spark.sql.execution.LogicalRDD
   * cluster.
   */
 object Checkpoints {
+  /** Cluster-safety switch (r15). `localCheckpoint` truncates lineage to
+    * EXECUTOR-LOCAL blocks: cheap and exactly right for single-process
+    * local mode, but on a real cluster an executor loss mid-query makes
+    * every frame that read the lost blocks unrecoverable (no lineage
+    * left to recompute from — the job dies). At 100 TB the shared-subplan
+    * materializations (HITS half-steps, the classifier's lab/z frames,
+    * q321's scorer) and per-round iterative states should instead use
+    * RELIABLE checkpoints: set `spark.graft.checkpoint.reliable=true`
+    * and a checkpoint dir (`spark.checkpoint.dir`, any HDFS-compatible
+    * path) and every ckpt() site — which is every plain localCheckpoint
+    * in the query modules — writes its rows there, surviving executor
+    * loss at the cost of one distributed write+read. Local default stays
+    * `false`: the bench/verify sessions are one JVM, where local blocks
+    * are both safe and measurably cheaper. (Reliable checkpoint FILES
+    * are reclaimed by the ContextCleaner only with
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true`; set it
+    * alongside. [[free]]/[[freeingAfter]] unpersist block-backed
+    * checkpoints and are harmless no-ops on file-backed ones.)
+    */
+  def ckpt(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf
+        .get("spark.graft.checkpoint.reliable", "false").toBoolean)
+      df.checkpoint()
+    else df.localCheckpoint()
+
   /** Release the cached blocks behind a localCheckpointed frame. The
     * frame must not be read again (its lineage is truncated — there is
     * nothing left to recompute from). Non-blocking: removal proceeds in
@@ -38,7 +63,7 @@ object Checkpoints {
   /** `localCheckpoint` then free the superseded previous round — the
     * one-liner iterative kernels use in their loops. */
   def roll(next: DataFrame, prev: DataFrame): DataFrame = {
-    val n = next.localCheckpoint()
+    val n = ckpt(next)
     free(prev)
     n
   }

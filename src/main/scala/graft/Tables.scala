@@ -51,12 +51,57 @@ object Tables {
     // construction: every declared query is partitioning-order
     // independent (the oracle-hash discipline), and repartition(n) with
     // an explicit count is exempt from AQE coalescing.
+    // r15 re-tune of the gate, from the r14 per-query census
+    // (OPTIMIZATION_r15.md): the fanout's win concentrates where the
+    // scan fuses CPU-dense per-row work — the text/vector payload tables
+    // (documents/embeddings: net −36 s at sf0.1) and the fact tables'
+    // aggregation-heavy consumers (lineitem/orders) — while on events
+    // (windows/sessionization that immediately re-key by user) and the
+    // dimension tables it was pure fixed tax (+15.2 s net on events
+    // alone). The loader knows the table kind (exactly the catalog-hint
+    // knowledge a production loader has), so the fanout fires only for
+    // the payload/fact tables; env-overridable for other corpora.
+    val denseTables = sys.env.getOrElse("SPARK_GRAFT_FANOUT_TABLES",
+      "documents,embeddings,lineitem,orders").split(",").map(_.trim).toSet
     val par = spark.sparkContext.defaultParallelism
+    // NonFatal (r15, ADVICE): the intended miss case is a non-local path
+    // where Files.size throws an IO error — a fatal error (OOM, linkage)
+    // must propagate, not silently become "no fanout".
     val bytes = try java.nio.file.Files.size(
       java.nio.file.Paths.get(s"$sfDir/$name.parquet"))
-    catch { case _: Throwable => Long.MaxValue }
+    catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
     val splits = math.max(1L,
       bytes / spark.sessionState.conf.filesMaxPartitionBytes)
-    if (splits < par) df.repartition(par) else df
+    if (!denseTables.contains(name) || splits >= par) df
+    else {
+      // Width scales with input size (r15): one fanout task per
+      // FANOUT_TASK_BYTES of file, capped at the core count — a small
+      // table keeps its 1-task scan (the exchange's fixed scheduling
+      // cost exceeds anything it could parallelize) while the
+      // corpus-sized tables still reach every core. `off` disables the
+      // fanout entirely (measurement knob).
+      val taskBytes = sys.env.getOrElse("SPARK_GRAFT_FANOUT_TASK_BYTES", "16384")
+      val width =
+        if (taskBytes == "off") 0L
+        else math.min(par.toLong, bytes / taskBytes.toLong)
+      if (width <= splits) df
+      else if (sys.env.get("SPARK_GRAFT_FANOUT_MODE").contains("rr"))
+        df.repartition(width.toInt) // the r14 spelling (measurement knob)
+      else
+        // Key-hash fanout (r15, guide §2.5 "derive the synthetic key
+        // deterministically"): r14's keyless repartition(n) paid a
+        // map-side sort of the WHOLE table inside the single scan task
+        // (spark.sql.execution.sortBeforeRepartition, on by default so
+        // retried tasks reproduce their row-to-partition assignment) —
+        // serialized on one core by construction here, and the dominant
+        // share of the fanout's fixed tax. Hashing the table's leading
+        // column (the primary key on every fixture table) spreads rows
+        // with NO map-side sort, stays deterministic under task retry
+        // by construction, and — unlike hashing every column — leaves
+        // column pruning intact (the exchange adds one narrow key
+        // column to the read, not the whole row).
+        df.repartition(width.toInt,
+          org.apache.spark.sql.functions.xxhash64(df.col(df.columns.head)))
+    }
   }
 }

@@ -775,7 +775,7 @@ object CorpusQueries extends QueryModule {
           "transform(sequence(1, size(tok) - 1)," +
             " i -> array_join(slice(tok, i, 2), ' '))")).as("g"))
         .distinct()
-        .localCheckpoint() // feeds BOTH the sketch and the exact grade
+        .transform(graft.Checkpoints.ckpt) // feeds BOTH the sketch and the exact grade
       val hashed = grams.select(col("source"),
           conv(substring(md5(col("g").cast("binary")), 1, 12), 16, 10)
             .cast("long").as("h"))
@@ -784,7 +784,7 @@ object CorpusQueries extends QueryModule {
       val sk = hashed.withColumn("rn", row_number().over(wS))
         .filter(col("rn") <= K)
         .select(col("source"), col("h"))
-        .localCheckpoint() // #sources × K rows
+        .transform(graft.Checkpoints.ckpt) // #sources × K rows
       val srcs = sk.select(col("source")).distinct()
       val pairs = srcs.select(col("source").as("sa"))
         .crossJoin(broadcast(srcs.select(col("source").as("sb"))))
@@ -1597,7 +1597,7 @@ object CorpusQueries extends QueryModule {
       val zdocs = Tables.t(s, dir, "documents")
         .select(col("doc_id"), col("source"),
           array_join(TextQueries.zipfFamilyTokArray, " ").as("text"))
-        .localCheckpoint()
+        .transform(graft.Checkpoints.ckpt)
       val donorId = when(col("doc_id") % 9 === 5 && col("doc_id") >= 5,
         col("doc_id") - 5)
         .when(col("doc_id") % 11 === 3,
@@ -1609,7 +1609,7 @@ object CorpusQueries extends QueryModule {
         .join(donors, Seq("donor_id"), "left")
         .select(col("doc_id"), col("source"),
           coalesce(col("donor_text"), col("text")).as("text"))
-        .localCheckpoint()
+        .transform(graft.Checkpoints.ckpt)
       val tok = split(col("text"), " ")
       val n = size(tok)
       val sumLen = aggregate(tok, lit(0L),
@@ -1627,14 +1627,14 @@ object CorpusQueries extends QueryModule {
       val pass = n.between(50, 100000) && ml.between(2.0, 10.0) &&
         af >= lit(0.8) && tfr <= lit(0.2)
       val n0 = input.count()
-      val s1 = input.filter(pass).localCheckpoint()
+      val s1 = input.filter(pass).transform(graft.Checkpoints.ckpt)
       val n1 = s1.count()
       graft.Checkpoints.free(input)
       val wT = org.apache.spark.sql.expressions.Window
         .partitionBy(md5(col("text").cast("binary")))
         .orderBy(col("doc_id"))
       val s2 = s1.withColumn("_rn", row_number().over(wT))
-        .filter(col("_rn") === 1).drop("_rn").localCheckpoint()
+        .filter(col("_rn") === 1).drop("_rn").transform(graft.Checkpoints.ckpt)
       val n2 = s2.count()
       graft.Checkpoints.free(s1)
       val d3 = s2.select(col("doc_id"), col("source"),
@@ -1645,7 +1645,7 @@ object CorpusQueries extends QueryModule {
       val cc = DedupQueries.connectedComponents(pairs)
       val s3 = s2.join(cc.filter(col("id") =!= col("label"))
         .select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
-        .localCheckpoint()
+        .transform(graft.Checkpoints.ckpt)
       val n3 = s3.count()
       graft.Checkpoints.free(s2)
       val sh5 = graft.functions.ShingleHashes.shingleHashes(col("text"), 5)
@@ -1653,7 +1653,7 @@ object CorpusQueries extends QueryModule {
         .select(explode(sh5).as("h")).distinct()
       val cont = s3.select(col("doc_id"), explode(sh5).as("h"))
         .join(evalSh, "h").select("doc_id").distinct()
-      val s4 = s3.join(cont, Seq("doc_id"), "left_anti").localCheckpoint()
+      val s4 = s3.join(cont, Seq("doc_id"), "left_anti").transform(graft.Checkpoints.ckpt)
       val n4 = s4.count()
       graft.Checkpoints.free(s3)
       val wS = org.apache.spark.sql.expressions.Window
@@ -1690,7 +1690,7 @@ object CorpusQueries extends QueryModule {
       val zdocs = Tables.t(s, dir, "documents")
         .select(col("doc_id"), col("source"),
           array_join(TextQueries.zipfFamilyTokArray, " ").as("text"))
-        .localCheckpoint()
+        .transform(graft.Checkpoints.ckpt)
       val donorId = when(col("doc_id") % 9 === 5 && col("doc_id") >= 5,
         col("doc_id") - 5)
         .when(col("doc_id") % 11 === 3,
@@ -1702,7 +1702,7 @@ object CorpusQueries extends QueryModule {
         .join(donors, Seq("donor_id"), "left")
         .select(col("doc_id"), col("source"),
           coalesce(col("donor_text"), col("text")).as("text"))
-        .localCheckpoint()
+        .transform(graft.Checkpoints.ckpt)
       val tok = split(col("text"), " ")
       val n = size(tok)
       val sumLen = aggregate(tok, lit(0L),
@@ -1715,14 +1715,14 @@ object CorpusQueries extends QueryModule {
       val pass = n.between(50, 100000) && ml.between(2.0, 10.0) &&
         af >= lit(0.8) && tfr <= lit(0.2)
       val n0 = input.count()
-      val s1 = input.filter(pass).localCheckpoint()
+      val s1 = input.filter(pass).transform(graft.Checkpoints.ckpt)
       val n1 = s1.count()
       // stage 2: the trained probe over the gate survivors
       val scored = QualityClassifier.scoredDocs(input, mlLo = 2.0)
       graft.Checkpoints.free(input)
       val s2 = s1.join(scored.filter(col("score") >= 0.5)
           .select("doc_id"), Seq("doc_id"), "left_semi")
-        .localCheckpoint()
+        .transform(graft.Checkpoints.ckpt)
       val n2 = s2.count()
       graft.Checkpoints.free(scored)
       graft.Checkpoints.free(s1)
@@ -1730,7 +1730,7 @@ object CorpusQueries extends QueryModule {
         .partitionBy(md5(col("text").cast("binary")))
         .orderBy(col("doc_id"))
       val s3 = s2.withColumn("_rn", row_number().over(wT))
-        .filter(col("_rn") === 1).drop("_rn").localCheckpoint()
+        .filter(col("_rn") === 1).drop("_rn").transform(graft.Checkpoints.ckpt)
       val n3 = s3.count()
       graft.Checkpoints.free(s2)
       val d4 = s3.select(col("doc_id"), col("source"),
@@ -1741,7 +1741,7 @@ object CorpusQueries extends QueryModule {
       val cc = DedupQueries.connectedComponents(pairs)
       val s4 = s3.join(cc.filter(col("id") =!= col("label"))
         .select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
-        .localCheckpoint()
+        .transform(graft.Checkpoints.ckpt)
       val n4 = s4.count()
       graft.Checkpoints.free(s3)
       val sh5 = graft.functions.ShingleHashes.shingleHashes(col("text"), 5)
@@ -1749,7 +1749,7 @@ object CorpusQueries extends QueryModule {
         .select(explode(sh5).as("h")).distinct()
       val cont = s4.select(col("doc_id"), explode(sh5).as("h"))
         .join(evalSh, "h").select("doc_id").distinct()
-      val s5 = s4.join(cont, Seq("doc_id"), "left_anti").localCheckpoint()
+      val s5 = s4.join(cont, Seq("doc_id"), "left_anti").transform(graft.Checkpoints.ckpt)
       val n5 = s5.count()
       graft.Checkpoints.free(s4)
       graft.Checkpoints.free(zdocs)
@@ -1983,7 +1983,7 @@ object CorpusQueries extends QueryModule {
     var state = words
       .select(col("word"), col("freq"),
         filter(split(col("word"), ""), t => t =!= "").as("toks"))
-      .localCheckpoint()
+      .transform(graft.Checkpoints.ckpt)
     val merges = Seq.newBuilder[DataFrame]
     for (r <- 1 to rounds) {
       val best = state.filter(size(col("toks")) >= 2)
@@ -1996,7 +1996,7 @@ object CorpusQueries extends QueryModule {
         .orderBy(col("pair_count").desc,
           concat(col("l"), lit("\u0002"), col("r")).asc)
         .limit(1)
-        .localCheckpoint()
+        .transform(graft.Checkpoints.ckpt)
       merges += best.select(lit(r).as("merge_round"), col("l"), col("r"),
         col("pair_count"))
       val next = state

@@ -173,7 +173,7 @@ object DedupQueries extends QueryModule {
         struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .repartition(col("dst"))
-      .localCheckpoint()
+      .transform(graft.Checkpoints.ckpt)
     // seed with min(id, min neighbor): the first propagation round as a
     // plain aggregation, saving one full join round. Checkpointed because
     // round 1 references the labels TWICE (join probe + fold side) and
@@ -183,7 +183,7 @@ object DedupQueries extends QueryModule {
       .agg(min(col("dst")).as("m"))
       .select(col("src").as("id"),
         least(col("src"), col("m")).as("label"))
-      .localCheckpoint()
+      .transform(graft.Checkpoints.ckpt)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -304,7 +304,7 @@ object DedupQueries extends QueryModule {
     val dfreq = index
       .select(explode(col("tok")).as("h"))
       .groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .localCheckpoint()
+      .transform(graft.Checkpoints.ckpt)
     def post(d: DataFrame, side: String) = {
       val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
       d.select(col("doc_id"), size(col("tok")).cast("long").as("ntok"),
@@ -388,7 +388,7 @@ object DedupQueries extends QueryModule {
     // and freed by the caller's Checkpoints.freeingAfter scope
     val ranked = toks.join(dfreq, Seq("source", "h"))
       .withColumn("pos", row_number().over(w).cast("long"))
-      .localCheckpoint()
+      .transform(graft.Checkpoints.ckpt)
     val aPost = ranked.filter(col("pos") <= prefixLen(col("ntok")))
       .select(col("source"), col("h"), col("doc_id").as("a_id"),
         col("ntok").as("a_n"), col("pos").as("a_p"))
@@ -575,8 +575,8 @@ object DedupQueries extends QueryModule {
       val exact = TextQueries
         .prefixJaccardPairs(d, 0.6, presentationSort = false)
         .select(col("source"), col("a_id"), col("b_id"))
-        .localCheckpoint()
-      val sh = simhash(docs).localCheckpoint()
+        .transform(graft.Checkpoints.ckpt)
+      val sh = simhash(docs).transform(graft.Checkpoints.ckpt)
       def withHamming(pairs: DataFrame): DataFrame = pairs
         .join(sh.select(col("doc_id").as("a_id"),
           col("simhash").as("ha")), "a_id")
@@ -965,9 +965,9 @@ object DedupQueries extends QueryModule {
       def toks(d: DataFrame) = d.select(col("doc_id"),
         array_sort(array_distinct(transform(split(col("text"), " "),
           (t: Column) => xxhash64(t)))).as("tok"))
-      val dumpPost = DedupStore.bandPostings(newDocs).localCheckpoint()
+      val dumpPost = DedupStore.bandPostings(newDocs).transform(graft.Checkpoints.ckpt)
       val drops = DedupStore.dropsAgainstIndex(dumpPost, standing,
-        toks(newDocs), toks(oldDocs), 0.6).localCheckpoint()
+        toks(newDocs), toks(oldDocs), 0.6).transform(graft.Checkpoints.ckpt)
       graft.etl.Snapshot.commitDelta(
         dumpPost.join(drops.select(col("doc_id")), Seq("doc_id"),
           "left_anti"),
@@ -989,7 +989,7 @@ object DedupQueries extends QueryModule {
         .groupBy("posting_id", "doc_id", "band", "band_hash")
         .agg(count(lit(1)).as("c")).filter(col("c") =!= 2)
         .agg(count(lit(1)).as("n_mismatch"))
-        .localCheckpoint()
+        .transform(graft.Checkpoints.ckpt)
       graft.etl.Snapshot.destroy(s, root)
       // the exact decision — the contract baseline only
       val exact = probeIndexJaccardPairs(toks(newDocs), toks(oldDocs), 0.6)

@@ -136,7 +136,7 @@ object QualityClassifier extends QueryModule {
     docs.select(col("doc_id"))
       .join(cc, Seq("doc_id"), "left")
       .select(col("doc_id"), (bucket < 8).as("is_train"))
-      .localCheckpoint()
+      .transform(graft.Checkpoints.ckpt)
   }
 
   /** Builds the feature frame and runs the GD rounds. With
@@ -180,7 +180,7 @@ object QualityClassifier extends QueryModule {
     val lab = docs.select(col("doc_id"), col("source"),
       n.cast("long").as("n"), ml.as("ml"), af.as("af"), sf.as("sf"),
       tfr.as("tfr"), y.as("y"))
-      .localCheckpoint()
+      .transform(graft.Checkpoints.ckpt)
 
     // q180's hashed signed-sum dims, length-normalized to [-1, 1]
     val tf = docs
@@ -218,7 +218,7 @@ object QualityClassifier extends QueryModule {
                               splitOpt: Option[DataFrame] = None)
       : Trained = {
     val (lab, fRaw) = featurize(docs, mlLo)
-    val f = fRaw.localCheckpoint()
+    val f = fRaw.transform(graft.Checkpoints.ckpt)
 
     // standardization stats: exact-decimal mean, then exact-decimal
     // variance ABOUT that mean (the two-pass spelling both engines
@@ -259,7 +259,7 @@ object QualityClassifier extends QueryModule {
       .select(col("doc_id"), col("source"), col("y"),
         concat(col("zs"), array(lit(1.0))).as("z"))
     val zw = splitOpt.fold(zwAll)(sp => zwAll.join(sp, "doc_id"))
-      .localCheckpoint()
+      .transform(graft.Checkpoints.ckpt)
     Checkpoints.free(f)
     // the GD rounds see only the train side; nDocs (from the
     // train-filtered stats pass) is already the matching denominator
@@ -295,7 +295,7 @@ object QualityClassifier extends QueryModule {
     val dot = (0 until D)
       .map(j => element_at(col("z"), j + 1) * lit(t.w(j)))
       .reduce(_ + _)
-    val out = t.z.select(col("doc_id"), dot.as("score")).localCheckpoint()
+    val out = t.z.select(col("doc_id"), dot.as("score")).transform(graft.Checkpoints.ckpt)
     Checkpoints.free(t.z)
     out
   }

@@ -581,8 +581,8 @@ object SimilarityQueries extends QueryModule {
         .as("dc"))
       .select(col("label").as("c_label"),
         expr("transform(dc, s -> s.centroid)").as("cv"))
-      .localCheckpoint()
-    val cb = pqCodebooks(base, 4, 16, 16).localCheckpoint()
+      .transform(graft.Checkpoints.ckpt)
+    val cb = pqCodebooks(base, 4, 16, 16).transform(graft.Checkpoints.ckpt)
     (cArr, cb)
   }
 
@@ -993,7 +993,7 @@ object SimilarityQueries extends QueryModule {
             col("c_label").as("cell"),
             transform(col("v"), (x: Column) => x / col("nrm")).as("u"),
             col("rnk"))
-          .localCheckpoint())
+          .transform(graft.Checkpoints.ckpt))
     },
 
     // Per-source embedding drift — did a new crawl/source land in the
@@ -1234,7 +1234,7 @@ object SimilarityQueries extends QueryModule {
     "q253_ivfpq_search" -> { (s, dir) =>
       val emb = Tables.t(s, dir, "embeddings")
       val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      val scored = ivfScored(emb).localCheckpoint()
+      val scored = ivfScored(emb).transform(graft.Checkpoints.ckpt)
       val posting = scored.filter(col("rnk") === 1)
         .select(col("vec_id"), col("c_label").as("cell"))
       val probes = scored
@@ -1400,7 +1400,7 @@ object SimilarityQueries extends QueryModule {
       .select(col("vec_id"), col("label"), col("cid").as("cell"),
         transform(col("v"), (x: Column) => x / col("nrm")).as("u"),
         col("rnk"))
-      .localCheckpoint()
+      .transform(graft.Checkpoints.ckpt)
   }
 
   /** Leave-one-out 1-NN label accuracy with scaled-k cells — the

@@ -656,7 +656,7 @@ object TextQueries extends QueryModule {
       val w = post.join(idf, "g")
         .select(col("doc_id"), col("g"), col("df"),
           (col("tf").cast("double") * col("idf")).as("w"))
-        .localCheckpoint()
+        .transform(graft.Checkpoints.ckpt)
       val norms = w.groupBy(col("doc_id"))
         .agg(sqrt(graft.Fns.dsum18(col("w") * col("w"))).as("nrm"))
       val rare = w.filter(col("df").between(2, 5))
@@ -1733,7 +1733,7 @@ object TextQueries extends QueryModule {
       // exchanges for an 11-exchange query); the frame is docs-sized
       // (7 scalar columns), the cheapest thing in the query to hold.
       // Measured floor 3.81 → 2.53 s at sf0.1 (5-pass bench).
-      val ds = trigramSbDocScores(s, dir).localCheckpoint()
+      val ds = trigramSbDocScores(s, dir).transform(graft.Checkpoints.ckpt)
       val cuts = ds.groupBy(col("source"))
         .agg(expr("percentile(score, array(CAST(1.0/3.0 AS DOUBLE), " +
           "CAST(2.0/3.0 AS DOUBLE)))").as("pp"))

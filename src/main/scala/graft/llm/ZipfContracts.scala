@@ -48,7 +48,7 @@ object ZipfContracts extends QueryModule {
     // pairs share correlated POSITIONS, not independent tokens. Verdict
     // bound 0.8 (the production LSH contract), under the 0.867 floor.
     "q313_minhash_recall_zipf" -> { (s, dir) =>
-      val zdocs = familyDocs(s, dir).localCheckpoint()
+      val zdocs = familyDocs(s, dir).transform(graft.Checkpoints.ckpt)
       val exact = TextQueries
         .prefixJaccardPairs(hashedTok(zdocs), 0.6, presentationSort = false)
         .select(col("source"), col("a_id"), col("b_id"))
@@ -77,12 +77,12 @@ object ZipfContracts extends QueryModule {
     // compressed distances and the margin widens from 4 bits to ~10.
     // Bounds from the floors: dup mean ≤ 15, separation ≥ 7.
     "q314_simhash_contract_zipf" -> { (s, dir) =>
-      val zdocs = familyDocs(s, dir).localCheckpoint()
+      val zdocs = familyDocs(s, dir).transform(graft.Checkpoints.ckpt)
       val exact = TextQueries
         .prefixJaccardPairs(hashedTok(zdocs), 0.6, presentationSort = false)
         .select(col("source"), col("a_id"), col("b_id"))
-        .localCheckpoint()
-      val sh = DedupQueries.simhash(zdocs).localCheckpoint()
+        .transform(graft.Checkpoints.ckpt)
+      val sh = DedupQueries.simhash(zdocs).transform(graft.Checkpoints.ckpt)
       def withHamming(pairs: DataFrame): DataFrame = pairs
         .join(sh.select(col("doc_id").as("a_id"),
           col("simhash").as("ha")), "a_id")
@@ -154,7 +154,7 @@ object ZipfContracts extends QueryModule {
         // every bucket are unchanged).
         .select(col("doc_id").as("vec_id"),
           expr("transform(jv, s -> CAST(s.v AS DOUBLE))").as("embedding"))
-        .localCheckpoint()
+        .transform(graft.Checkpoints.ckpt)
       // FIXED query set (the q267 pattern): a query count that grew
       // with the corpus would make the exact brute-force side O(N^2)
       // at scale - 100 probes is the contract's sample, whatever N

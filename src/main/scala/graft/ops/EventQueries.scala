@@ -195,7 +195,7 @@ object EventQueries extends QueryModule {
         .select(col("event_type").as("t"),
           pmod(datediff(to_date(col("ts")), epoch), lit(7)).as("w"))
       val ctw = ev.groupBy(col("t"), col("w"))
-        .agg(count(lit(1)).as("c_tw")).localCheckpoint()
+        .agg(count(lit(1)).as("c_tw")).transform(graft.Checkpoints.ckpt)
       val ct = ctw.groupBy(col("t")).agg(sum(col("c_tw")).as("c_t"))
       val cw = ctw.groupBy(col("w")).agg(sum(col("c_tw")).as("c_w"))
       val n = ctw.agg(sum(col("c_tw")).as("n"))
@@ -674,7 +674,7 @@ object EventQueries extends QueryModule {
           expr("unix_micros(date_trunc('day', ts)) div 86400000000")
             .as("d"))
         .agg(count(lit(1)).as("n"))
-        .localCheckpoint()
+        .transform(graft.Checkpoints.ckpt)
       val byDay = daily.select(col("event_type").as("ta"),
           col("d"), col("n").as("na"))
         .join(daily.select(col("event_type").as("tb"), col("d"),
@@ -732,7 +732,7 @@ object EventQueries extends QueryModule {
           expr("unix_micros(date_trunc('day', ts)) div 86400000000")
             .as("x"))
         .agg(count(lit(1)).as("n"))
-        .localCheckpoint()
+        .transform(graft.Checkpoints.ckpt)
       val a = daily.select(col("event_type"), col("x").as("xa"),
         col("n").as("na"))
       val b = daily.select(col("event_type"), col("x").as("xb"),
@@ -1056,13 +1056,13 @@ object EventQueries extends QueryModule {
         .withColumn("p", col("n").cast("double") /
           sum(col("n")).over(wFrom).cast("double"))
         .select(col("from_type"), col("to_type"), col("p"))
-        .localCheckpoint()
+        .transform(graft.Checkpoints.ckpt)
       val states = trans.select(col("from_type").as("state")).distinct()
       val nStates = states.agg(count(lit(1)).as("ns"))
       var pi = states.crossJoin(broadcast(nStates))
         .select(col("state"),
           (lit(1.0) / col("ns").cast("double")).as("pi"))
-        .localCheckpoint()
+        .transform(graft.Checkpoints.ckpt)
       (0 until 10).foreach { _ =>
         pi = graft.Checkpoints.roll(
           trans.join(pi, trans("from_type") === pi("state"))
@@ -1762,7 +1762,7 @@ object EventQueries extends QueryModule {
         .groupBy(expr("unix_micros(date_trunc('day', ts)) div 86400000000")
           .as("d"))
         .agg(count(lit(1)).as("n"))
-        .localCheckpoint()
+        .transform(graft.Checkpoints.ckpt)
       val lags = s.range(1, 8).select(col("id").as("lag"))
       val pairs = daily.select(col("d"), col("n").as("x"))
         .crossJoin(broadcast(lags))

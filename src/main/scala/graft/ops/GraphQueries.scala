@@ -238,7 +238,7 @@ object GraphQueries extends QueryModule {
       assortativityOf(graft.llm.SimilarityQueries
         .mutualKnnEdges(Tables.t(s, dir, "embeddings"), 5)
         .select(col("label"), col("a_id"), col("b_id"))
-        .localCheckpoint())
+        .transform(graft.Checkpoints.ckpt))
     },
 
     // The PRODUCTION assortativity: identical moments, but the edge
@@ -253,7 +253,7 @@ object GraphQueries extends QueryModule {
       assortativityOf(graft.llm.SimilarityQueries
         .mutualKnnEdgesScaledK(emb, 5, cells, 2)
         .select(col("label"), col("a_id"), col("b_id"))
-        .localCheckpoint())
+        .transform(graft.Checkpoints.ckpt))
     },
 
     // The PRODUCTION k-core: q170's peel, but the edge frame is q244's
@@ -337,7 +337,7 @@ object GraphQueries extends QueryModule {
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("src"), col("l_partkey").as("dst"))
         .distinct()
-        .localCheckpoint()
+        .transform(graft.Checkpoints.ckpt)
       def normalized(raw: DataFrame): DataFrame = {
         // materialize each half-step ONCE (r14): `raw` is referenced
         // twice (the L1 total and the division) and every half-step
@@ -346,7 +346,7 @@ object GraphQueries extends QueryModule {
         // half-steps (h2 sits inside a2 AND the final union). One
         // nodes-sized checkpoint per half-step bounds the re-evaluation
         // at one execution per step.
-        val r = raw.localCheckpoint()
+        val r = raw.transform(graft.Checkpoints.ckpt)
         val tot = r.agg(Fns.dsum18(col("raw")).as("tot"))
         r.crossJoin(broadcast(tot))
           .select(col("node"), (col("raw") / col("tot")).as("score"))
@@ -533,7 +533,7 @@ object GraphQueries extends QueryModule {
     * all-pairs, oracle-checkable) and scaled-k (IVF-probed, production)
     * kNN graphs run the identical downstream plan. */
   def linkPrediction(edges: DataFrame): DataFrame = {
-    val e = edges.localCheckpoint()
+    val e = edges.transform(graft.Checkpoints.ckpt)
     val adj = e.select(col("label"), explode(array(
         struct(col("a_id").as("src"), col("b_id").as("dst")),
         struct(col("b_id").as("src"), col("a_id").as("dst")))).as("p"))
@@ -567,7 +567,7 @@ object GraphQueries extends QueryModule {
     * Unsorted — callers add their presentation ORDER BY.
     */
   def clusteringCoefficients(edges: DataFrame): DataFrame = {
-    val e = edges.localCheckpoint()
+    val e = edges.transform(graft.Checkpoints.ckpt)
     val deg = e.select(col("label"),
         explode(array(col("a_id"), col("b_id"))).as("vec_id"))
       .groupBy(col("label"), col("vec_id"))
@@ -585,7 +585,7 @@ object GraphQueries extends QueryModule {
   }
 
   def triangleCounts(edges: DataFrame): DataFrame = {
-    val e = edges.localCheckpoint()
+    val e = edges.transform(graft.Checkpoints.ckpt)
     val e1 = e.select(col("label"), col("a_id").as("a"),
       col("b_id").as("b"))
     val e2 = e.select(col("label"), col("a_id").as("b"),
@@ -621,7 +621,7 @@ object GraphQueries extends QueryModule {
         struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
       .select(col("label"), col("e.src").as("src"), col("e.dst").as("dst"))
       .repartition(col("label"), col("src"))
-      .localCheckpoint()
+      .transform(graft.Checkpoints.ckpt)
     var prev = -1L
     var iter = 0
     var converged = false

@@ -730,28 +730,48 @@ object RelationalQueries extends QueryModule {
     // after the scans.
     "q189_column_profile" -> { (s, dir) =>
       val t = Tables.t(s, dir, "orders")
-      def prof(c: String): DataFrame = {
-        val base = t.agg(
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
-          countDistinct(col(c)).as("n_distinct"),
-          min(col(c)).cast("string").as("min_value"),
-          max(col(c)).cast("string").as("max_value"))
-        // deterministic top value: the (count desc, value asc) pick
-        // spelled as a min over (-count, value) — one struct-min
-        // aggregation, no sort
-        val top2 = t.filter(col(c).isNotNull)
-          .groupBy(col(c).cast("string").as("v"))
-          .agg(count(lit(1)).as("f"))
-          .agg(min(struct((-col("f")).as("nf"), col("v"))).as("m"))
-          .select(col("m.v").as("top_value"), (-col("m.nf")).as("top_freq"))
-        base.crossJoin(top2)
-          .select(lit(c).as("column_name"), col("n_nulls"),
-            col("n_distinct"), col("min_value"), col("max_value"),
-            col("top_value"), col("top_freq"))
-      }
-      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
-        "o_orderpriority")
-        .map(prof).reduce(_ unionByName _)
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderpriority")
+      // r15 (guide §2.4 — shared exchange/scan): the per-column spelling
+      // ran TEN separate branches over orders (5 base-stat aggregates +
+      // 5 top-value rollups), each paying its own scan + exchange —
+      // profiled at 37 jobs and ~2.4 s under the scan fanout. One shared
+      // pass now computes every column's base stats in a single
+      // aggregate row (20 aggregates), and ONE unpivoted rollup finds
+      // all five top values: 2 passes over orders, identical output.
+      val base = t.agg(
+        cols.flatMap(c => Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+          countDistinct(col(c)).as(s"nd_$c"),
+          min(col(c)).cast("string").as(s"mn_$c"),
+          max(col(c)).cast("string").as(s"mx_$c"))).head,
+        cols.flatMap(c => Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+          countDistinct(col(c)).as(s"nd_$c"),
+          min(col(c)).cast("string").as(s"mn_$c"),
+          max(col(c)).cast("string").as(s"mx_$c"))).tail: _*)
+      // deterministic top value per column: the (count desc, value asc)
+      // pick spelled as a min over (-count, value) — one struct-min
+      // aggregation, no sort; casting BEFORE the null filter is
+      // equivalent (string cast never nulls a non-null value)
+      val tops = t.select(explode(array(cols.map(c =>
+          struct(lit(c).as("column_name"),
+            col(c).cast("string").as("v"))): _*)).as("p"))
+        .select(col("p.column_name").as("column_name"), col("p.v").as("v"))
+        .filter(col("v").isNotNull)
+        .groupBy(col("column_name"), col("v")).agg(count(lit(1)).as("f"))
+        .groupBy(col("column_name"))
+        .agg(min(struct((-col("f")).as("nf"), col("v"))).as("m"))
+        .select(col("column_name"), col("m.v").as("top_value"),
+          (-col("m.nf")).as("top_freq"))
+      // left join: an all-null column would keep its row with null top
+      // (the old crossJoin against an empty-input aggregate did the same)
+      base.select(explode(array(cols.map(c => struct(
+          lit(c).as("column_name"), col(s"nn_$c").as("n_nulls"),
+          col(s"nd_$c").as("n_distinct"), col(s"mn_$c").as("min_value"),
+          col(s"mx_$c").as("max_value"))): _*)).as("b"))
+        .select(col("b.*"))
+        .join(tops, Seq("column_name"), "left")
         .orderBy("column_name")
     },
 
@@ -1570,7 +1590,7 @@ object RelationalQueries extends QueryModule {
       // so the corpus-sized shuffle runs once, not three times
       val exact = Tables.t(s, dir, "lineitem")
         .groupBy(col("l_partkey")).agg(count(lit(1)).as("exact_n"))
-        .localCheckpoint()
+        .transform(graft.Checkpoints.ckpt)
       val hb = exact.select(col("l_partkey"), col("exact_n"),
         explode(array((0 until 4).map(i =>
           struct(lit(i).as("h"), bucket(col("l_partkey"), i).as("b"))): _*))
@@ -1615,7 +1635,7 @@ object RelationalQueries extends QueryModule {
           .cast("binary")), 1, 5), 16, 10).cast("long") % W
       def side(df: DataFrame, key: String): (DataFrame, DataFrame) = {
         val cnt = df.groupBy(col(key).as("k"))
-          .agg(count(lit(1)).as("f")).localCheckpoint()
+          .agg(count(lit(1)).as("f")).transform(graft.Checkpoints.ckpt)
         val sk = cnt.select(col("k"), col("f"),
             explode(array((0 until 4).map(i => struct(lit(i).as("h"),
               bucket(col("k"), i).as("b"))): _*)).as("hb"))
@@ -1661,7 +1681,7 @@ object RelationalQueries extends QueryModule {
       val k = 64
       val cnt = Tables.t(s, dir, "lineitem")
         .groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
-        .localCheckpoint()
+        .transform(graft.Checkpoints.ckpt)
       val exact = cnt.agg(count(lit(1)).as("n_keys"),
         sum(col("c") * col("c")).as("f2_exact"))
       val ctr = cnt
@@ -1720,7 +1740,7 @@ object RelationalQueries extends QueryModule {
       val sk = li.groupBy(col("l_returnflag"))
         .agg(graft.functions.DdSketchAgg.ddSketch(col("x"), alpha)
           .as("pairs"))
-        .localCheckpoint()
+        .transform(graft.Checkpoints.ckpt)
       val buckets = sk.select(col("l_returnflag"),
           explode(expr("transform(sequence(0, size(pairs) div 2 - 1), " +
             "j -> struct(pairs[2*j] AS b, pairs[2*j+1] AS c))")).as("bc"))
@@ -1745,7 +1765,7 @@ object RelationalQueries extends QueryModule {
         .filter(col("rk") === 1)
         .select(col("l_returnflag"), col("tag"), col("b").as("bq"),
           (col("r") - (col("cum") - col("c"))).as("local_r"))
-        .localCheckpoint()
+        .transform(graft.Checkpoints.ckpt)
       val est = targets.groupBy(col("l_returnflag"))
         .agg(
           max(when(col("tag") === "p50", lit(2.0) *

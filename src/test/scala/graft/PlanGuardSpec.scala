@@ -45,7 +45,8 @@ class PlanGuardSpec extends AnyFunSuite {
       "q171_silhouette", // k-row centroid table broadcast-probed (q90)
       "q182_chisq_drift", // q166's grid shape: stats × bucket margins
       "q187_ri_audit", // 1-row count × 1-row orphan count per relationship
-      "q189_column_profile", // 1-row column stats × 1-row top-value pick
+      // q189_column_profile left the list in r15: its per-column
+      // crossJoins fused into one shared-scan pass (no BNLJ remains)
       "q190_mixture_apportion", // 1-row weight denominator × #sources rows
       "q195_assoc_rules", // 1-row basket count × vocab²-bounded rule rows
       "q196_survival_km", // 1-row global max-ts × user-lifetime rollup
@@ -185,9 +186,12 @@ class PlanGuardSpec extends AnyFunSuite {
                                   // a handful of longs
     "q188_fd_audit" -> 12,        // per-candidate two-level aggregation
                                   // (group countDistinct + rollup) × 4
-    "q189_column_profile" -> 20,  // per-column stats agg + distinct +
-                                  // top-value rollup × 5 columns — every
-                                  // frame 1-row after its aggregation
+    "q189_column_profile" -> 8,   // r15 shared-scan restructure: ONE
+                                  // 20-aggregate base pass (multi-
+                                  // countDistinct expand, 2 exchanges +
+                                  // gather) + ONE unpivoted top-value
+                                  // rollup (2 exchanges) + presentation
+                                  // sort — was 20 across ten branches
     "q182_chisq_drift" -> 7,      // margin aggs (cnt/src/bucket/total) +
                                   // grid zero-fill join + per-source agg
                                   // + sort — every frame after cnt is
@@ -356,16 +360,46 @@ class PlanGuardSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.adaptive.QueryStageExec
     import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
     import org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning
+    // STRICT node whitelist (r15, ADVICE): only the nodes Tables.t's
+    // loader can legally put under its fanout — scan, projection,
+    // filter, and the codegen/columnar plumbing around them. A
+    // reintroduced hard-coded repartition(N) above a join or aggregate
+    // (the covUpper-style local constant r14 removed) must NOT slip
+    // through this exemption, so any other node type fails the match
+    // and that exchange counts against the ceiling like any shuffle.
     def scanOnly(c: SparkPlan): Boolean = c match {
       case _: ShuffleExchangeLike => false
       case _: ReusedExchangeExec => false
       case q: QueryStageExec => scanOnly(q.plan)
       case leaf if leaf.children.isEmpty => leaf.nodeName.contains("Scan")
-      case other => other.children.forall(scanOnly)
+      case p: org.apache.spark.sql.execution.ProjectExec => scanOnly(p.child)
+      case f: org.apache.spark.sql.execution.FilterExec => scanOnly(f.child)
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec =>
+        scanOnly(w.child)
+      case i: org.apache.spark.sql.execution.InputAdapter => scanOnly(i.child)
+      case c2r: org.apache.spark.sql.execution.ColumnarToRowExec =>
+        scanOnly(c2r.child)
+      case _ => false
+    }
+    // The loader's fanout partitioning: r14's round-robin, or r15's
+    // deterministic content hash — ONE xxhash64 over the scan's own
+    // columns (any other hash partitioning, e.g. a join/agg key, is a
+    // real algorithm shuffle and still counts).
+    def isFanoutPartitioning(
+        pt: org.apache.spark.sql.catalyst.plans.physical.Partitioning)
+        : Boolean = pt match {
+      case _: RoundRobinPartitioning => true
+      case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+        h.expressions match {
+          case Seq(_: org.apache.spark.sql.catalyst.expressions.XxHash64) =>
+            true
+          case _ => false
+        }
+      case _ => false
     }
     p match {
       case s: ShuffleExchangeLike =>
-        s.outputPartitioning.isInstanceOf[RoundRobinPartitioning] &&
+        isFanoutPartitioning(s.outputPartitioning) &&
           s.children.forall(scanOnly)
       case _ => false
     }
@@ -486,9 +520,16 @@ class PlanGuardSpec extends AnyFunSuite {
   test("scans prune columns and push filters (representative queries)") {
     // column pruning: q53 touches only (text, source) of documents —
     // the scan must not read the other three columns
+    // r15: the loader's key-hash fanout adds the table's leading key
+    // column (doc_id, 8 bytes/row) to the read — the deliberate price of
+    // a deterministic no-sort fanout key. At production scale the fanout
+    // gate never fires and the scan reads exactly (text, source), so the
+    // audit accepts both spellings; any PAYLOAD over-read still fails.
     val q53scan = plans("q53_token_freq")
-    assert(q53scan.contains("ReadSchema: struct<text:string,source:string>"),
-      s"q53 documents scan reads more than (text, source):\n$q53scan")
+    assert(q53scan.contains("ReadSchema: struct<text:string,source:string>")
+        || q53scan.contains(
+             "ReadSchema: struct<doc_id:bigint,text:string,source:string>"),
+      s"q53 documents scan reads more than (doc_id, text, source):\n$q53scan")
     // predicate pushdown: q193's purchase filter must reach the events
     // parquet scan, not run post-scan only
     assert(plans("q193_asof_join").contains("EqualTo(event_type,purchase)"),
