@@ -71,11 +71,16 @@ object Bench {
       // 1-3 of the session's cores. parallelismFirst (default on)
       // targets max(bytes/parallelism, floor); lowering the floor lets
       // the parallelism term win whenever bytes-per-core is tiny. At
-      // production scale bytes/parallelism >> 64k and the value is
-      // inert (it is a floor, not a target). Env-overridable for
-      // cluster profiles.
+      // production scale bytes/parallelism >> the floor and the value
+      // is inert (it is a floor, not a target). Env-overridable for
+      // cluster profiles. r15: 64k -> 8k, measured on the PPJoin family
+      // (candidate stages were capped at ~6 tasks over ~400 KB of
+      // postings; at 8k they reach the core count: q165 2.28 -> 1.67 s,
+      // q131 -16%, family floor-sum -4.6%) AND on the sub-second tail
+      // (floor-sum -9%: the CPU-heavy post-shuffle stages dominate the
+      // extra task-scheduling cost at this fixture scale).
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "8k"))
       // r15 measurement knob (guide §2.3): shuffle/spill codec. lz4 (the
       // default) vs zstd was A/B'd at sf0.1 — see OPTIMIZATION_r15.md;
       // shuffle volumes here are KB–MB so the local default stays lz4,

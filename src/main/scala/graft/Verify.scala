@@ -16,7 +16,7 @@ object Verify {
       // r14: same CPU-heavy-tiny-bytes coalesce floor as Bench (see
       // Bench.scala) so the verified plans are the benched plans.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "8k"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -218,7 +218,17 @@ object QualityClassifier extends QueryModule {
                               splitOpt: Option[DataFrame] = None)
       : Trained = {
     val (lab, fRaw) = featurize(docs, mlLo)
-    val f = fRaw.transform(graft.Checkpoints.ckpt)
+    // r15 (guide §2.2 fewer/larger tasks): the 6-branch feature union
+    // (hash dims + 5 metric branches) CONCATENATES its branches'
+    // partition lists — 6× the parent width — and the checkpoint bakes
+    // that in, so every later pass (mu stats, variance stats, the zw
+    // assembly) scheduled 6N tiny tasks (profiled in q320: three
+    // 192-task stages × ~35 s task time for ~57k rows). Pack the union
+    // back to the parent frame's own width before materializing: a
+    // shuffle-free coalesce whose N tasks each read their 6 slices.
+    // Scale-adaptive — N is lab's width at any corpus size.
+    val f = fRaw.coalesce(math.max(1, lab.rdd.getNumPartitions))
+      .transform(graft.Checkpoints.ckpt)
 
     // standardization stats: exact-decimal mean, then exact-decimal
     // variance ABOUT that mean (the two-pass spelling both engines

@@ -23,7 +23,7 @@ object ProfileJobs {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "8k"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     case class Job(id: Int, var desc: String = "", var start: Long = 0L,
