@@ -330,13 +330,25 @@ object GraphQueries extends QueryModule {
     // Fixed two iterations keeps the plan tree bounded without
     // checkpoint rolls.
     "q246_hits" -> { (s, dir) =>
-      val e = Tables.t(s, dir, "orders")
+      val e0 = Tables.t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"))
         .join(Tables.t(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_partkey")),
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("src"), col("l_partkey").as("dst"))
         .distinct()
+      // TWO co-partitioned edge materializations (r15, guide §2.4):
+      // hub steps join on dst, auth steps on src — a single checkpoint
+      // carrying the distinct's (src, dst) partitioning forced a full
+      // edge exchange inside EVERY half-step. Partitioned on each join
+      // key (the localCheckpoint preserves output partitioning, the
+      // q292/q201 recipe), each half-step join is co-partitioned with
+      // the state frame's groupBy output and moves no edge bytes; the
+      // dst copy is one exchange over the src checkpoint, not a re-run
+      // of the join+distinct.
+      val eBySrc = e0.repartition(col("src"))
+        .transform(graft.Checkpoints.ckpt)
+      val eByDst = eBySrc.repartition(col("dst"))
         .transform(graft.Checkpoints.ckpt)
       def normalized(raw: DataFrame): DataFrame = {
         // materialize each half-step ONCE (r14): `raw` is referenced
@@ -345,21 +357,23 @@ object GraphQueries extends QueryModule {
         // e⋈state join+agg per reference — compounding across the four
         // half-steps (h2 sits inside a2 AND the final union). One
         // nodes-sized checkpoint per half-step bounds the re-evaluation
-        // at one execution per step.
+        // at one execution per step. The L1 total collects to the
+        // driver (r15) — dsum18 already returns a double, so dividing
+        // by the literal is the identical IEEE operation, without the
+        // per-half-step broadcast-exchange machinery.
         val r = raw.transform(graft.Checkpoints.ckpt)
-        val tot = r.agg(Fns.dsum18(col("raw")).as("tot"))
-        r.crossJoin(broadcast(tot))
-          .select(col("node"), (col("raw") / col("tot")).as("score"))
+        val tot = r.agg(Fns.dsum18(col("raw")).as("tot")).head().getDouble(0)
+        r.select(col("node"), (col("raw") / lit(tot)).as("score"))
       }
       def hubStep(auth: DataFrame): DataFrame = normalized(
-        e.join(auth.withColumnRenamed("node", "dst"), "dst")
+        eByDst.join(auth.withColumnRenamed("node", "dst"), "dst")
           .groupBy(col("src").as("node"))
           .agg(Fns.dsum18(col("score")).as("raw")))
       def authStep(hub: DataFrame): DataFrame = normalized(
-        e.join(hub.withColumnRenamed("node", "src"), "src")
+        eBySrc.join(hub.withColumnRenamed("node", "src"), "src")
           .groupBy(col("dst").as("node"))
           .agg(Fns.dsum18(col("score")).as("raw")))
-      val a0 = e.select(col("dst").as("node")).distinct()
+      val a0 = eByDst.select(col("dst").as("node")).distinct()
         .select(col("node"), lit(1.0).as("score"))
       val h1 = hubStep(a0); val a1 = authStep(h1)
       val h2 = hubStep(a1); val a2 = authStep(h2)
