@@ -75,7 +75,19 @@ object Checkpoints {
     * one JVM (Bench, Verify) those final frames would otherwise strand a
     * block set per execution until storage squeezes execution. Wrap each
     * query: once its result is consumed, the delta is dead weight.
-    * Non-blocking, so the removal overlaps the next query. */
+    * Non-blocking, so the removal overlaps the next query.
+    *
+    * SINGLE-CONCURRENT-SCOPE ASSUMPTION (r15, ADVICE): the delta is
+    * computed against the SESSION-GLOBAL persistent-RDD set, so two
+    * freeingAfter scopes racing on one SparkSession can unpersist each
+    * other's checkpoints — and a localCheckpoint torn out from under a
+    * reader fails unrecoverably (its lineage is truncated). Every
+    * current caller is sequential by construction: Bench/Verify run
+    * queries one at a time, and the streaming sinks wrap foreachBatch
+    * bodies of a single AvailableNow stream whose micro-batches are
+    * serial. Code that runs concurrent work on a shared session must
+    * NOT wrap it in freeingAfter; track and free its own frames
+    * instead (Checkpoints.free on the specific checkpoints). */
   def freeingAfter[T](spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
